@@ -1,0 +1,559 @@
+package graft.queries
+
+import graft.{Exact, QuerySpec, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Testdata instantiations of the reference's relational operator surface
+  * (SURVEY.md §2). Each spec is shape-isomorphic to an operator in the
+  * reference (cited reference file:line in each scaladoc) but runs over the
+  * deterministic star-schema parquet at /root/testdata, paired with a DuckDB
+  * oracle. All plans are declarative DataFrame chains: Catalyst pushes
+  * filters/projections into the parquet scan and picks join/agg strategies.
+  */
+object Relational {
+
+  private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
+
+  /** S1+P6+pushdown — projected, filtered scan (reference src/main.py:112-113
+    * reads a sheet then prunes columns at :156-175). Filter + projection reach
+    * the parquet reader (PushedFilters / ReadSchema in explain).
+    */
+  val scanProject = QuerySpec(
+    "q_scan_project",
+    """SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
+       WHERE l_shipdate < TIMESTAMP '1995-06-01' AND l_quantity >= 45""") {
+    (s, d) =>
+      li(s, d)
+        .filter(col("l_shipdate") < lit("1995-06-01").cast("timestamp") && col("l_quantity") >= 45)
+        .select("l_orderkey", "l_partkey", "l_quantity")
+  }
+
+  /** P1 — disjunctive row filter: type match OR key-set membership
+    * (reference src/main.py:121-124). */
+  val filterDisjunctive = QuerySpec(
+    "q_filter_disjunctive",
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+       WHERE c_mktsegment = 'BUILDING' OR c_custkey IN (1, 2, 3)""") {
+    (s, d) =>
+      Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING" || col("c_custkey").isin(1L, 2L, 3L))
+        .select("c_custkey", "c_name", "c_mktsegment")
+  }
+
+  /** P2+P3 — derived boolean flags: set-membership core flag
+    * (src/main.py:127) and null-test substitution flag (src/main.py:130-131). */
+  val derivedFlags = QuerySpec(
+    "q_derived_flags",
+    """SELECT o_orderkey,
+              (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS is_core,
+              (NULLIF(o_orderstatus, 'O') IS NOT NULL) AS is_substituted
+       FROM orders""") {
+    (s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("is_core"),
+        expr("nullif(o_orderstatus, 'O')").isNotNull.as("is_substituted"))
+  }
+
+  /** P4+P5 — negated conjunctive row removal (src/main.py:144-146) plus
+    * single-value exclusion (src/main.py:153). */
+  val antiConjExclusion = QuerySpec(
+    "q_anti_conj_exclusion",
+    """SELECT p_partkey, p_brand, p_size, p_type FROM part
+       WHERE NOT (p_brand = 'Brand#11' AND p_size <= 10 AND p_type = 'PROMO')
+         AND p_brand <> 'Brand#21'""") {
+    (s, d) =>
+      Tables.part(s, d)
+        .filter(!(col("p_brand") === "Brand#11" && col("p_size") <= 10 && col("p_type") === "PROMO"))
+        .filter(col("p_brand") =!= "Brand#21")
+        .select("p_partkey", "p_brand", "p_size", "p_type")
+  }
+
+  /** P6+P7+P8 — load-boundary ordered projection, rename to SCREAMING_SNAKE
+    * (src/main.py:193-212), and column drop (`SELECT * EXCLUDE`,
+    * docs/reporting_index.sql:42 → DataFrame.drop). */
+  val loadProjection = QuerySpec(
+    "q_load_projection",
+    """SELECT s_suppkey AS "SUPPLIER_KEY", s_name AS "SUPPLIER_NAME",
+              s_nationkey AS "NATION_KEY"
+       FROM supplier""") {
+    (s, d) =>
+      Tables.supplier(s, d)
+        .drop("s_acctbal")
+        .select(
+          col("s_suppkey").as("SUPPLIER_KEY"),
+          col("s_name").as("SUPPLIER_NAME"),
+          col("s_nationkey").as("NATION_KEY"))
+  }
+
+  /** P9+P10+P11 — reporting-view filters: boolean-to-1 coercion
+    * (docs/reporting_adult4.sql:14), mixed (a AND b) OR c
+    * (docs/reporting_adult4.sql:16-19), IS NOT NULL (docs/reporting_rank.sql:16). */
+  val viewFilter = QuerySpec(
+    "q_view_filter",
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+       WHERE ((o_orderstatus = 'F' AND o_totalprice > 150000.0) OR o_custkey <= 10)
+         AND CAST((o_orderpriority = '1-URGENT') AS INT) = 1
+         AND o_orderdate IS NOT NULL""") {
+    (s, d) =>
+      Tables.orders(s, d)
+        .withColumn("is_core", col("o_orderpriority") === "1-URGENT")
+        .filter((col("o_orderstatus") === "F" && col("o_totalprice") > 150000.0) || col("o_custkey") <= 10)
+        .filter(col("is_core").cast("int") === 1)
+        .filter(col("o_orderdate").isNotNull)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+  }
+
+  /** R1+C1 — generalise-and-keep: duplicate a predicate's rows with one
+    * column overwritten, append, originals kept (src/main.py:98-105). */
+  val generaliseKeep = QuerySpec(
+    "q_generalise_keep",
+    """WITH s AS (SELECT s_suppkey, s_name, n_name
+                  FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+       SELECT * FROM s
+       UNION ALL
+       SELECT s_suppkey, s_name, 'ALL_NATIONS' AS n_name FROM s
+       WHERE n_name IN ('NATION_3', 'NATION_8')""") {
+    (s, d) =>
+      val n = Tables.nation(s, d)
+      val sup = Tables.supplier(s, d)
+        .join(n, col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+      val dupe = sup
+        .filter(col("n_name").isin("NATION_3", "NATION_8"))
+        .withColumn("n_name", lit("ALL_NATIONS"))
+      sup.unionByName(dupe)
+  }
+
+  /** R2 — generalise-and-replace: duplicate-overwrite then REMOVE the
+    * originals (src/main.py:136-146 — the deliberate asymmetry vs R1). */
+  val generaliseReplace = QuerySpec(
+    "q_generalise_replace",
+    """WITH s AS (SELECT s_suppkey, s_name, n_name
+                  FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+       SELECT * FROM s WHERE NOT (n_name = 'NATION_3')
+       UNION ALL
+       SELECT s_suppkey, s_name, 'ALL_NATIONS' AS n_name FROM s
+       WHERE n_name = 'NATION_3'""") {
+    (s, d) =>
+      val n = Tables.nation(s, d)
+      val sup = Tables.supplier(s, d)
+        .join(n, col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+      val matched = col("n_name") === "NATION_3"
+      sup.filter(!matched)
+        .unionByName(sup.filter(matched).withColumn("n_name", lit("ALL_NATIONS")))
+  }
+
+  /** R4 — unpivot/melt wide→long over two measure columns, KEEPING null
+    * measure values (pandas melt semantics, src/main.py:314-327). One measure
+    * is made nullable via NULLIF to pin the null-retention behavior. */
+  val unpivotMetrics = QuerySpec(
+    "q_unpivot",
+    """SELECT l_orderkey, l_linenumber, 'l_extendedprice' AS metric,
+              l_extendedprice AS value FROM lineitem
+       UNION ALL
+       SELECT l_orderkey, l_linenumber, 'l_tax_nullable' AS metric,
+              NULLIF(l_tax, 0.0) AS value FROM lineitem""") {
+    (s, d) =>
+      li(s, d)
+        .withColumn("l_tax_nullable", expr("nullif(l_tax, 0.0)"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_extendedprice"), col("l_tax_nullable")),
+          "metric", "value")
+  }
+
+  /** R5+F4+F5 — regex column carve: split "base (subcategory)" into base +
+    * subcategory, NULL subcategory for the un-parenthesised class
+    * (src/main.py:244-260). The parenthesised form is synthesized first so
+    * the carve runs on realistic input. */
+  val carveParenthetical = QuerySpec(
+    "q_carve",
+    """WITH t AS (
+         SELECT p_partkey,
+                CASE WHEN p_type = 'ECONOMY' THEN p_type
+                     ELSE p_type || ' (' || p_brand || ')' END AS std_type
+         FROM part)
+       SELECT p_partkey, std_type,
+              trim(regexp_replace(std_type, ' *\(.*$', '')) AS std_base,
+              CASE WHEN std_type LIKE '%(%'
+                   THEN regexp_extract(std_type, '\(([^)]*)\)', 1) END AS std_sub
+       FROM t""") {
+    (s, d) =>
+      Tables.part(s, d)
+        .withColumn("std_type",
+          when(col("p_type") === "ECONOMY", col("p_type"))
+            .otherwise(concat(col("p_type"), lit(" ("), col("p_brand"), lit(")"))))
+        .select(
+          col("p_partkey"),
+          col("std_type"),
+          trim(regexp_replace(col("std_type"), " *\\(.*$", "")).as("std_base"),
+          when(col("std_type").contains("("),
+            regexp_extract(col("std_type"), "\\(([^)]*)\\)", 1)).as("std_sub"))
+  }
+
+  /** F1+F2+F3+F4+F5 — scalar string functions: literal replace
+    * (src/main.py:148-150), suffix strip (:330-331), title-case (:333 —
+    * initcap), trim (:259), split/part-extract (:253-254). */
+  val stringFuncs = QuerySpec(
+    "q_string_funcs",
+    """SELECT c_custkey,
+              regexp_replace(c_mktsegment, 'AUTOMOBILE', 'CAR') AS replaced,
+              regexp_replace(c_mktsegment, 'ERY$', '') AS suffix_stripped,
+              upper(substr(c_mktsegment, 1, 1)) || lower(substr(c_mktsegment, 2)) AS titled,
+              trim(' ' || c_name || ' ') AS trimmed,
+              split_part(c_name, '#', 2) AS name_id
+       FROM customer""") {
+    (s, d) =>
+      Tables.customer(s, d).select(
+        col("c_custkey"),
+        regexp_replace(col("c_mktsegment"), "AUTOMOBILE", "CAR").as("replaced"),
+        regexp_replace(col("c_mktsegment"), "ERY$", "").as("suffix_stripped"),
+        initcap(lower(col("c_mktsegment"))).as("titled"),
+        trim(concat(lit(" "), col("c_name"), lit(" "))).as("trimmed"),
+        expr("split_part(c_name, '#', 2)").as("name_id"))
+  }
+
+  /** F10 — CASE WHEN sort-key columns (docs/reporting_index.sql:26-39):
+    * ordering is delegated downstream, the view only emits keys. */
+  val sortKeys = QuerySpec(
+    "q_sort_keys",
+    """SELECT o_orderkey,
+              CAST(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 2 END AS BIGINT) AS sort_priority,
+              CAST(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 2 END AS BIGINT) AS sort_status
+       FROM orders""") {
+    (s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        when(col("o_orderpriority") === "1-URGENT", 1).otherwise(2).cast("long").as("sort_priority"),
+        when(col("o_orderstatus") === "F", 1).otherwise(2).cast("long").as("sort_status"))
+  }
+
+  /** F11 — CONCAT composite join key with implicit integer→string rendering
+    * (docs/reporting_adult4.sql:8; integers render without decimal point). */
+  val concatKey = QuerySpec(
+    "q_concat_key",
+    """SELECT l_orderkey, l_linenumber,
+              l_returnflag || l_linestatus || CAST(l_orderkey AS VARCHAR)
+                || CAST(l_linenumber AS VARCHAR) AS join_key
+       FROM lineitem""") {
+    (s, d) =>
+      li(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        concat(
+          col("l_returnflag"), col("l_linestatus"),
+          col("l_orderkey").cast("string"),
+          col("l_linenumber").cast("string")).as("join_key"))
+  }
+
+  /** F7 — batch timestamp stamped then dropped before load: `date_upload`
+    * is computed at src/main.py:134 but absent from the load projection at
+    * :193-210, so the persisted output never contains it. */
+  val stampDropped = QuerySpec(
+    "q_stamp_dropped",
+    "SELECT o_orderkey, TRUE AS loaded FROM orders") {
+    (s, d) =>
+      Tables.orders(s, d)
+        .withColumn("date_upload", current_timestamp())
+        .withColumn("loaded", lit(true))
+        .drop("date_upload")
+        .select("o_orderkey", "loaded")
+  }
+
+  /** W1 — RANK() OVER (PARTITION BY cohort ORDER BY measure DESC), gaps on
+    * ties (docs/reporting_rank.sql:5-17). */
+  val windowRank = QuerySpec(
+    "q_window_rank",
+    """SELECT c_custkey, c_mktsegment, c_acctbal,
+              RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS rnk
+       FROM customer""") {
+    (s, d) =>
+      Tables.customer(s, d).select(
+        col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        rank().over(Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal").desc))
+          .cast("long").as("rnk"))
+  }
+
+  /** A2 — COUNT(1) grouped denominator over non-null measures
+    * (docs/reporting_rank.sql:18-31). */
+  val groupedCount = QuerySpec(
+    "q_grouped_count",
+    """SELECT l_returnflag, l_linestatus, COUNT(1) AS rank_base FROM lineitem
+       WHERE l_quantity IS NOT NULL GROUP BY 1, 2""") {
+    (s, d) =>
+      li(s, d)
+        .filter(col("l_quantity").isNotNull)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("rank_base"))
+  }
+
+  /** A3 — grouped MAX/MIN best/worst (docs/reporting_benchmarking_standard
+    * .sql:45-62). Pass-through doubles: no arithmetic, exact across engines. */
+  val groupedMaxMin = QuerySpec(
+    "q_grouped_maxmin",
+    """SELECT s_nationkey, max(s_acctbal) AS best, min(s_acctbal) AS worst
+       FROM supplier GROUP BY 1""") {
+    (s, d) =>
+      Tables.supplier(s, d)
+        .groupBy("s_nationkey")
+        .agg(max("s_acctbal").as("best"), min("s_acctbal").as("worst"))
+  }
+
+  /** A1 — GROUP BY ALL with literal columns in scope
+    * (docs/reporting_index_best_ca.sql:22-42): grouped MAX plus
+    * constant-literal projection (P12, :23-38). */
+  val groupByAllMax = QuerySpec(
+    "q_groupby_all_max",
+    """SELECT l_returnflag, l_linestatus, 'X' AS area_code,
+              'Best Non-NCL' AS area_name, max(l_quantity) AS best_qty
+       FROM lineitem GROUP BY ALL""") {
+    (s, d) =>
+      li(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(max("l_quantity").as("best_qty"))
+        .select(
+          col("l_returnflag"), col("l_linestatus"),
+          lit("X").as("area_code"), lit("Best Non-NCL").as("area_name"),
+          col("best_qty"))
+  }
+
+  /** A4 — exact discrete percentiles: PERCENTILE_DISC(q) WITHIN GROUP
+    * (docs/reporting_benchmarking_standard.sql:65-92). Returns an actual
+    * element (smallest value with cume_dist >= q) — not interpolated,
+    * not approximate. */
+  val percentileDisc = QuerySpec(
+    "q_percentile_disc",
+    """SELECT l_returnflag,
+              percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity) AS q1,
+              percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_quantity) AS q2,
+              percentile_disc(0.75) WITHIN GROUP (ORDER BY l_quantity) AS q3
+       FROM lineitem GROUP BY 1""") {
+    (s, d) =>
+      li(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity)").as("q1"),
+          expr("percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_quantity)").as("q2"),
+          expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY l_quantity)").as("q3"))
+  }
+
+  /** A5+A6 — PIVOT long→wide with an explicit value list (static plan) and
+    * SUM reducer (docs/reporting_benchmarking_standard.sql:94-97). */
+  val pivotStandards = QuerySpec(
+    "q_pivot",
+    s"""SELECT l_linestatus,
+               ${Exact.sumSql("CASE WHEN l_returnflag = 'A' THEN l_quantity END")} AS "A",
+               ${Exact.sumSql("CASE WHEN l_returnflag = 'N' THEN l_quantity END")} AS "N",
+               ${Exact.sumSql("CASE WHEN l_returnflag = 'R' THEN l_quantity END")} AS "R"
+        FROM lineitem GROUP BY 1""") {
+    (s, d) =>
+      li(s, d)
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(col("l_quantity").cast(DecimalType(30, 8))))
+        .select(
+          col("l_linestatus"),
+          col("A").cast("double").as("A"),
+          col("N").cast("double").as("N"),
+          col("R").cast("double").as("R"))
+  }
+
+  /** J1 — LEFT JOIN with a constant predicate in the ON clause (not WHERE):
+    * every base key survives, non-matching right side nulls out
+    * (docs/reporting_rank.sql:47-51). */
+  val leftJoinOnConst = QuerySpec(
+    "q_left_join_const",
+    """SELECT b.o_custkey, b.n_orders, c.c_name
+       FROM (SELECT o_custkey, COUNT(1) AS n_orders FROM orders GROUP BY 1) b
+       LEFT JOIN customer c
+         ON b.o_custkey = c.c_custkey AND c.c_mktsegment = 'BUILDING'""") {
+    (s, d) =>
+      val base = Tables.orders(s, d).groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+      val cust = Tables.customer(s, d)
+      base.join(
+          cust,
+          base("o_custkey") === cust("c_custkey") && cust("c_mktsegment") === "BUILDING",
+          "left")
+        .select(base("o_custkey"), col("n_orders"), cust("c_name"))
+  }
+
+  /** U1+P12 — UNION ALL of a filtered core branch with a synthetic
+    * aggregate branch carrying constant literals
+    * (docs/reporting_index.sql:41-48 + reporting_index_best_ca.sql:23-38). */
+  val unionStack = QuerySpec(
+    "q_union_stack",
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+       WHERE c_mktsegment = 'BUILDING'
+       UNION ALL
+       SELECT CAST(-1 AS BIGINT) AS c_custkey, 'Best Non-Building' AS c_name,
+              max(c_acctbal) AS c_acctbal
+       FROM customer WHERE c_mktsegment <> 'BUILDING'""") {
+    (s, d) =>
+      val c = Tables.customer(s, d)
+      val core = c.filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey", "c_name", "c_acctbal")
+      val best = c.filter(col("c_mktsegment") =!= "BUILDING")
+        .agg(max("c_acctbal").as("c_acctbal"))
+        .select(
+          lit(-1L).as("c_custkey"),
+          lit("Best Non-Building").as("c_name"),
+          col("c_acctbal"))
+      core.unionByName(best)
+  }
+
+  // ---------------------------------------------------------------------
+  // Composites: the reference's two deepest reporting views re-instantiated
+  // on the star schema.
+  // ---------------------------------------------------------------------
+
+  /** Revenue per (area = nation, cohort = returnflag_year). Shared CTE shape
+    * for the two composite views below. Suppliers→nation is a broadcast
+    * join (dimension side is tiny); the aggregation shuffles once on the
+    * (area, cohort) grouping key.
+    */
+  private def revenueByAreaCohort(s: SparkSession, d: String): DataFrame = {
+    val l = li(s, d)
+    val sup = Tables.supplier(s, d)
+    val n = Tables.nation(s, d)
+    l.join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+      .groupBy(
+        col("n_name").as("area_code"),
+        concat(col("l_returnflag"), lit("_"), year(col("l_shipdate")).cast("string")).as("join_key"))
+      .agg(Exact.sumD(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("survival_percent"))
+  }
+
+  private val revenueSql =
+    s"""rev AS (
+          SELECT n.n_name AS area_code,
+                 l.l_returnflag || '_' || CAST(year(l.l_shipdate) AS VARCHAR) AS join_key,
+                 ${Exact.sumSql("l.l_extendedprice * (1.0 - l.l_discount)")} AS survival_percent
+          FROM lineitem l
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          JOIN nation n ON s.s_nationkey = n.n_nationkey
+          GROUP BY 1, 2)"""
+
+  /** W1+A2+J1+F12 composite — the reference's benchmarking-rank view
+    * (docs/reporting_rank.sql) end-to-end: rank areas within cohorts, count
+    * the cohort denominator, left-join one target area's rank back on the
+    * ON clause, quartile-bucket with integer→double division
+    * (docs/reporting_rank.sql:38-45). Flagship query (SURVEY.md §7.2). */
+  val rankQuartile = QuerySpec(
+    "q_rank_quartile",
+    s"""WITH $revenueSql,
+        ca_rank AS (
+          SELECT join_key, area_code,
+                 RANK() OVER (PARTITION BY join_key ORDER BY survival_percent DESC) AS rank_ca
+          FROM rev WHERE survival_percent IS NOT NULL),
+        ca_base AS (
+          SELECT join_key, COUNT(1) AS rank_base
+          FROM rev WHERE survival_percent IS NOT NULL GROUP BY 1)
+        SELECT b.join_key, b.rank_base, r.rank_ca,
+               CASE WHEN b.rank_base < 4 THEN '-'
+                    WHEN r.rank_ca / b.rank_base < 0.25 THEN '1st'
+                    WHEN r.rank_ca / b.rank_base < 0.5  THEN '2nd'
+                    WHEN r.rank_ca / b.rank_base < 0.75 THEN '3rd'
+                    WHEN r.rank_ca IS NOT NULL THEN '4th' END AS quartile
+        FROM ca_base b
+        LEFT JOIN ca_rank r
+          ON r.join_key = b.join_key AND r.area_code = 'NATION_7'""") {
+    (s, d) =>
+      val rev = revenueByAreaCohort(s, d).filter(col("survival_percent").isNotNull)
+      val caRank = rev.select(
+        col("join_key"), col("area_code"),
+        rank().over(Window.partitionBy("join_key").orderBy(col("survival_percent").desc))
+          .cast("long").as("rank_ca"))
+      val caBase = rev.groupBy("join_key").agg(count(lit(1)).as("rank_base"))
+      val joined = caBase.as("b").join(
+        caRank.as("r"),
+        col("r.join_key") === col("b.join_key") && col("r.area_code") === "NATION_7",
+        "left")
+      joined.select(
+        col("b.join_key").as("join_key"),
+        col("b.rank_base").as("rank_base"),
+        col("r.rank_ca").as("rank_ca"),
+        when(col("b.rank_base") < 4, "-")
+          .when(col("r.rank_ca") / col("b.rank_base") < 0.25, "1st")
+          .when(col("r.rank_ca") / col("b.rank_base") < 0.5, "2nd")
+          .when(col("r.rank_ca") / col("b.rank_base") < 0.75, "3rd")
+          .when(col("r.rank_ca").isNotNull, "4th")
+          .as("quartile"))
+  }
+
+  /** U2+A3+A4+A5+A6 composite — the benchmarking-standards view
+    * (docs/reporting_benchmarking_standard.sql): 7-way UNION ALL stack of
+    * England/London/Best/Worst/Q1/Q2/Q3 standards, then PIVOT back to wide.
+    * CA-set = the EUROPE-region nations; England/London analogues are two
+    * fixed areas (the reference's E92000001/E40000003). */
+  val benchmarkStandards = QuerySpec(
+    "q_benchmark_standards",
+    s"""WITH $revenueSql,
+        ca AS (
+          SELECT r.* FROM rev r
+          JOIN nation n ON r.area_code = n.n_name
+          JOIN region g ON n.n_regionkey = g.r_regionkey
+          WHERE g.r_name = 'EUROPE'),
+        stack AS (
+          SELECT join_key, 'England' AS standard, survival_percent FROM rev WHERE area_code = 'NATION_0'
+          UNION ALL
+          SELECT join_key, 'London', survival_percent FROM rev WHERE area_code = 'NATION_1'
+          UNION ALL
+          SELECT join_key, 'Best', max(survival_percent) FROM ca GROUP BY 1
+          UNION ALL
+          SELECT join_key, 'Worst', min(survival_percent) FROM ca GROUP BY 1
+          UNION ALL
+          SELECT join_key, 'Q1', percentile_disc(0.25) WITHIN GROUP (ORDER BY survival_percent) FROM ca GROUP BY 1
+          UNION ALL
+          SELECT join_key, 'Q2', percentile_disc(0.5) WITHIN GROUP (ORDER BY survival_percent) FROM ca GROUP BY 1
+          UNION ALL
+          SELECT join_key, 'Q3', percentile_disc(0.75) WITHIN GROUP (ORDER BY survival_percent) FROM ca GROUP BY 1)
+        SELECT join_key,
+               max(CASE WHEN standard = 'England' THEN survival_percent END) AS "England",
+               max(CASE WHEN standard = 'London' THEN survival_percent END) AS "London",
+               max(CASE WHEN standard = 'Best' THEN survival_percent END) AS "Best",
+               max(CASE WHEN standard = 'Worst' THEN survival_percent END) AS "Worst",
+               max(CASE WHEN standard = 'Q1' THEN survival_percent END) AS "Q1",
+               max(CASE WHEN standard = 'Q2' THEN survival_percent END) AS "Q2",
+               max(CASE WHEN standard = 'Q3' THEN survival_percent END) AS "Q3"
+        FROM stack GROUP BY 1""") {
+    (s, d) =>
+      val rev = revenueByAreaCohort(s, d)
+      val nations = Tables.nation(s, d)
+      val regions = Tables.region(s, d).filter(col("r_name") === "EUROPE")
+      val ca = rev
+        .join(broadcast(nations), rev("area_code") === nations("n_name"))
+        .join(broadcast(regions), nations("n_regionkey") === regions("r_regionkey"))
+        .select(rev("join_key"), rev("survival_percent"))
+      def fixed(area: String, name: String) =
+        rev.filter(col("area_code") === area)
+          .select(col("join_key"), lit(name).as("standard"), col("survival_percent"))
+      def agged(c: Column, name: String) =
+        ca.groupBy("join_key").agg(c.as("survival_percent"))
+          .select(col("join_key"), lit(name).as("standard"), col("survival_percent"))
+      val stack = Seq(
+        fixed("NATION_0", "England"),
+        fixed("NATION_1", "London"),
+        agged(max("survival_percent"), "Best"),
+        agged(min("survival_percent"), "Worst"),
+        agged(expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY survival_percent)"), "Q1"),
+        agged(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY survival_percent)"), "Q2"),
+        agged(expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY survival_percent)"), "Q3")
+      ).reduce(_ unionByName _)
+      stack
+        .groupBy("join_key")
+        .pivot("standard", Seq("England", "London", "Best", "Worst", "Q1", "Q2", "Q3"))
+        .agg(max("survival_percent"))
+  }
+
+  val specs: Seq[QuerySpec] = Seq(
+    scanProject, filterDisjunctive, derivedFlags, antiConjExclusion,
+    loadProjection, viewFilter, generaliseKeep, generaliseReplace,
+    unpivotMetrics, carveParenthetical, stringFuncs, sortKeys, concatKey,
+    stampDropped, windowRank, groupedCount, groupedMaxMin, groupByAllMax,
+    percentileDisc, pivotStandards, leftJoinOnConst, unionStack,
+    rankQuartile, benchmarkStandards)
+}
