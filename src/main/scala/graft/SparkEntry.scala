@@ -11,7 +11,10 @@ object SparkEntry {
 
   /** All query modules, in SURVEY.md §2 order. */
   def allSpecs: Seq[QuerySpec] =
-    graft.queries.Relational.specs
+    graft.queries.Relational.specs ++
+      graft.queries.TextDedup.specs ++
+      graft.queries.Similarity.specs ++
+      graft.queries.EventsMultimodal.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The deepest composite: benchmarking-rank (W1+A2+J1+F12, SURVEY.md §7.2). */

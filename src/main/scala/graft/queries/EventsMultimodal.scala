@@ -1,0 +1,100 @@
+package graft.queries
+
+import graft.{Exact, QuerySpec, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics (batch form of the Structured Streaming ops in
+  * graft.streaming) and the multimodal binary-column plumbing.
+  */
+object EventsMultimodal {
+
+  /** Tumbling-window aggregation over the event stream: Spark's `window()`
+    * bucketing (epoch-aligned 1h tumble) with count + exact sum. The same
+    * plan runs unchanged under `readStream` with a watermark — see
+    * graft.streaming.StreamOps. */
+  val streamWindow = QuerySpec(
+    "q_stream_window",
+    s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
+               COUNT(1) AS n_events,
+               ${Exact.sumSql("value")} AS total_value
+        FROM events GROUP BY 1, 2""") {
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(
+          window(col("ts"), "1 hour").getField("start").as("window_start"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          Exact.sumD(col("value")).as("total_value"))
+  }
+
+  /** Gap-based sessionization: a new session starts after >30 min of user
+    * inactivity. lag + running-sum over a per-user ordered window — the
+    * batch twin of `flatMapGroupsWithState` sessionization. Shuffles once
+    * on user_id; both window functions share the same sort. */
+  val sessionize = QuerySpec(
+    "q_sessionize",
+    s"""WITH g AS (
+          SELECT user_id, event_id, ts, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        se AS (
+          SELECT user_id, event_id, ts, value,
+                 SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM g)
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               COUNT(1) AS n_events, min(ts) AS session_start, max(ts) AS session_end,
+               ${Exact.sumSql("value")} AS total_value
+        FROM se GROUP BY 1, 2""") {
+    (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .withColumn("new_sess",
+          when(lag("ts", 1).over(w).isNull
+            || unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(w)) > 1800000000L, 1)
+            .otherwise(0))
+        .withColumn("session_id",
+          sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long"))
+        .groupBy("user_id", "session_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          min("ts").as("session_start"),
+          max("ts").as("session_end"),
+          Exact.sumD(col("value")).as("total_value"))
+  }
+
+  /** Multimodal-column plumbing: treat content as an opaque binary payload
+    * with typed metadata — byte length, content hash, a prefix sample, and
+    * stub "decoded" features (graft.multimodal.Multimodal holds the real
+    * mapPartitions decode harness; the decode itself is a deterministic
+    * fake since no media libs ship in this environment). */
+  val multimodalMeta = QuerySpec(
+    "q_multimodal_meta",
+    """SELECT doc_id, source,
+              CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+              sha256(text) AS content_sha,
+              substr(text, 1, 16) AS head_sample,
+              CAST(octet_length(CAST(text AS BLOB)) % 64 + 1 AS BIGINT) AS fake_width,
+              CAST(3 AS BIGINT) AS fake_channels
+       FROM documents""") {
+    (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("payload", col("text").cast("binary"))
+        .select(
+          col("doc_id"), col("source"),
+          length(col("payload")).cast("long").as("n_bytes"),
+          sha2(col("payload"), 256).as("content_sha"),
+          substring(col("text"), 1, 16).as("head_sample"),
+          (length(col("payload")).cast("long") % 64 + 1).as("fake_width"),
+          lit(3L).as("fake_channels"))
+  }
+
+  val specs: Seq[QuerySpec] = Seq(streamWindow, sessionize, multimodalMeta)
+}

@@ -1,0 +1,165 @@
+package graft.queries
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (ArrayType(FloatType),
+  * 64-dim). Vector math is done with higher-order array functions
+  * (`zip_with` + `aggregate`) — codegen'd, no UDFs. The sequential-fold
+  * semantics of `aggregate` (and DuckDB's `list_reduce`) make the double
+  * arithmetic bitwise-deterministic across engines, so even cosine scores
+  * hash-compare exactly.
+  *
+  * Scale design: brute-force top-k is the small-side baseline (broadcast
+  * the query set, one pass over the corpus, per-partition top-k via window
+  * rank). The LSH-bucketed variant is the 100 TB path: each vector maps to
+  * a small bucket id, the candidate join is bucket-equi (shuffle on bucket,
+  * not all-pairs), and only in-bucket pairs pay the O(dim) cosine.
+  */
+object Similarity {
+
+  /** dot(a, b) in double via zip_with + sequential fold. */
+  private def dotExpr(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
+
+  private def normExpr(a: String): String =
+    s"sqrt(aggregate(transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (acc, v) -> acc + v))"
+
+  /** DuckDB twins (list_reduce without init == fold with 0 init for +). */
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_transform(generate_series(1, len($a)),
+         i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"""
+
+  private def normSql(a: String): String =
+    s"""sqrt(list_reduce(list_transform(generate_series(1, len($a)),
+          i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)), (x, y) -> x + y))"""
+
+  /** Embeddings with a precomputed L2 norm — computed once, reused by every
+    * pairwise comparison. */
+  private def withNorm(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        expr(normExpr("embedding")).as("nrm"))
+
+  private val normedSql =
+    s"""e AS (SELECT vec_id, label, embedding, ${normSql("embedding")} AS nrm
+              FROM embeddings)"""
+
+  /** Embedding-cosine near-dup: label-blocked pairwise cosine (blocking
+    * keeps the join linear in block size — the dedup analogue of IVF),
+    * emitting pairs above threshold with their exact score. */
+  val embedCosineNearDup = QuerySpec(
+    "q_dedup_embed_cosine",
+    s"""WITH $normedSql
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label AS label,
+               ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos_sim
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.3""") {
+    (s, d) =>
+      val e = withNorm(s, d)
+      val a = e.toDF("a_id", "label", "a_emb", "a_nrm")
+      val b = e.toDF("b_id", "label", "b_emb", "b_nrm")
+      a.join(b, Seq("label"))
+        .filter(col("a_id") < col("b_id"))
+        .withColumn("cos_sim",
+          expr(dotExpr("a_emb", "b_emb")) / (col("a_nrm") * col("b_nrm")))
+        .filter(col("cos_sim") >= 0.3)
+        .select("a_id", "b_id", "label", "cos_sim")
+  }
+
+  /** Brute-force cosine top-k: the exact baseline. Query set (vec_id < 10)
+    * is broadcast against the full corpus; per-query top-5 via row_number
+    * with (cos DESC, candidate id) deterministic tie-break. */
+  val topkBruteForce = QuerySpec(
+    "q_sim_topk",
+    s"""WITH $normedSql,
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos_sim
+          FROM e q JOIN e c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id < 10)
+        SELECT query_id, neighbor_id, cos_sim,
+               CAST(rnk AS BIGINT) AS rnk
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY cos_sim DESC, neighbor_id) AS rnk
+              FROM scored) t
+        WHERE rnk <= 5""") {
+    (s, d) =>
+      val e = withNorm(s, d)
+      val q = e.filter(col("vec_id") < 10).toDF("query_id", "q_label", "q_emb", "q_nrm")
+      val c = e.toDF("neighbor_id", "c_label", "c_emb", "c_nrm")
+      val scored = q.join(broadcast(c), col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos_sim",
+          expr(dotExpr("q_emb", "c_emb")) / (col("q_nrm") * col("c_nrm")))
+      scored
+        .withColumn("rnk",
+          row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("query_id")
+              .orderBy(col("cos_sim").desc, col("neighbor_id")))
+            .cast("long"))
+        .filter(col("rnk") <= 5)
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
+  }
+
+  private val Planes = 8
+
+  /** Sign-LSH bucket id: 8 pseudo-random hyperplanes whose ±1 weights are
+    * derived from md5(plane‖dim) — shared, deterministic "randomness" that
+    * both engines reproduce. bucket = Σ_p (proj_p ≥ 0) << p. */
+  private def bucketExpr(emb: String): String =
+    s"""aggregate(sequence(0, ${Planes - 1}), 0L, (acc, p) ->
+          acc + CASE WHEN aggregate(sequence(1, size($emb)), 0D, (a2, i) ->
+                  a2 + (CASE WHEN substring(md5(concat(CAST(p AS STRING), '_', CAST(i AS STRING))), 1, 1) >= '8'
+                        THEN 1.0D ELSE -1.0D END) * CAST(element_at($emb, i) AS DOUBLE)) >= 0D
+                THEN CAST(shiftleft(1, p) AS BIGINT) ELSE 0L END)"""
+
+  private def bucketSql(emb: String): String =
+    s"""list_reduce(list_transform(generate_series(0, ${Planes - 1}), p ->
+          CASE WHEN list_reduce(list_transform(generate_series(1, len($emb)), i ->
+                  (CASE WHEN substr(md5(CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1) >= '8'
+                   THEN 1.0 ELSE -1.0 END) * CAST($emb[i] AS DOUBLE)), (x, y) -> x + y) >= 0
+               THEN CAST(1 << p AS BIGINT) ELSE CAST(0 AS BIGINT) END), (x, y) -> x + y)"""
+
+  /** LSH-bucketed ANN — the scale path: assign every vector a bucket,
+    * candidate-join queries to same-bucket vectors only, exact cosine +
+    * top-3 within the bucket. */
+  val topkLshBucketed = QuerySpec(
+    "q_sim_lsh_bucketed",
+    s"""WITH $normedSql,
+        bk AS (SELECT vec_id, embedding, nrm, ${bucketSql("embedding")} AS bucket FROM e),
+        scored AS (
+          SELECT q.vec_id AS query_id, q.bucket AS bucket, c.vec_id AS neighbor_id,
+                 ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos_sim
+          FROM bk q JOIN bk c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+          WHERE q.vec_id < 10)
+        SELECT query_id, bucket, neighbor_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY cos_sim DESC, neighbor_id) AS rnk
+              FROM scored) t
+        WHERE rnk <= 3""") {
+    (s, d) =>
+      val bk = withNorm(s, d)
+        .withColumn("bucket", expr(bucketExpr("embedding")))
+      val q = bk.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm"), col("bucket"))
+      val c = bk.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+        col("nrm").as("c_nrm"), col("bucket"))
+      q.join(c, Seq("bucket"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos_sim",
+          expr(dotExpr("q_emb", "c_emb")) / (col("q_nrm") * col("c_nrm")))
+        .withColumn("rnk",
+          row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("query_id")
+              .orderBy(col("cos_sim").desc, col("neighbor_id")))
+            .cast("long"))
+        .filter(col("rnk") <= 3)
+        .select("query_id", "bucket", "neighbor_id", "cos_sim", "rnk")
+  }
+
+  val specs: Seq[QuerySpec] = Seq(embedCosineNearDup, topkBruteForce, topkLshBucketed)
+}

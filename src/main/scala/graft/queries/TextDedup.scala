@@ -1,0 +1,267 @@
+package graft.queries
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators over the `documents` table: text
+  * analysis (language-ID, quality scoring, token counting, fingerprinting)
+  * and the deduplication family (exact, n-gram Jaccard, MinHash+LSH,
+  * SimHash). All are pure `org.apache.spark.sql.functions` plans — higher-
+  * order array functions instead of UDFs, so everything stays inside
+  * whole-stage codegen and scales by partitioning on doc_id / shingle.
+  *
+  * Cross-engine determinism notes:
+  *  - counts are integers; ratios are double divisions of identical
+  *    integers — bitwise equal in Spark and DuckDB;
+  *  - hash-derived values use md5 hex (lowercase in both engines);
+  *  - fold-based hashes use sequential `aggregate` (Spark) /
+  *    `list_reduce` (DuckDB); with a zero init on the Spark side the fold
+  *    orders coincide exactly.
+  */
+object TextDedup {
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+
+  // -------------------------------------------------------------------
+  // Text analysis
+  // -------------------------------------------------------------------
+
+  /** Token counting + quality scoring: whitespace tokens, word-ish tokens
+    * (BPE-style regex), punctuation count, alpha ratio, stopword ratio,
+    * mean token length. The quality signals a 100 TB curation pipeline
+    * filters on. */
+  val textStats = QuerySpec(
+    "q_text_stats",
+    """SELECT doc_id,
+              CAST(length(text) AS BIGINT) AS n_chars,
+              CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens_ws,
+              CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_tokens_bpe,
+              CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS BIGINT) AS n_punct,
+              CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) * 1.0
+                / CAST(length(text) AS BIGINT) AS alpha_ratio,
+              CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS BIGINT) * 1.0
+                / CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS stopword_ratio
+       FROM documents""") {
+    (s, d) =>
+      val nTokWs = size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long")
+      docs(s, d).select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        nTokWs.as("n_tokens_ws"),
+        size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)"))
+          .cast("long").as("n_tokens_bpe"),
+        size(expr("regexp_extract_all(text, '[.!?,;:]', 0)")).cast("long").as("n_punct"),
+        (size(expr("regexp_extract_all(text, '[A-Za-z]', 0)")).cast("long") * lit(1.0)
+          / length(col("text")).cast("long")).as("alpha_ratio"),
+        (size(expr("regexp_extract_all(lower(text), '\\\\b(the|a|of|and|to|in|is)\\\\b', 0)"))
+          .cast("long") * lit(1.0) / nTokWs).as("stopword_ratio"))
+  }
+
+  /** Language-ID by stopword-marker scoring: count per-language marker
+    * words, argmax with a fixed priority order on ties. A real pipeline
+    * would use character n-gram profiles; the operator shape (parallel
+    * per-language scores → deterministic argmax) is identical. */
+  val langId = {
+    val markers = Seq(
+      "en" -> "the|a|and|of|to",
+      "de" -> "der|die|das|und|ist|nicht",
+      "fr" -> "le|la|les|et|est|que",
+      "es" -> "el|los|las|es|y|que",
+      "zh" -> "de|shi|le|zai|he")
+    def scoreSql(pat: String) = s"CAST(len(regexp_extract_all(lower(text), '\\b($pat)\\b')) AS BIGINT)"
+    val scoreCols = markers.map { case (l, p) => s"${scoreSql(p)} AS s_$l" }.mkString(",\n              ")
+    // argmax with priority en > de > fr > es > zh on ties
+    val langs = markers.map(_._1)
+    val caseSql = langs.init.zipWithIndex.map { case (l, i) =>
+      val rest = langs.drop(i + 1).map(r => s"s_$l >= s_$r").mkString(" AND ")
+      s"WHEN $rest THEN '$l'"
+    }.mkString(" ") + s" ELSE '${langs.last}'"
+    QuerySpec(
+      "q_text_langid",
+      s"""WITH sc AS (
+            SELECT doc_id, lang,
+              $scoreCols
+            FROM documents)
+          SELECT doc_id, lang, s_en, s_de, s_fr, s_es, s_zh,
+                 CASE $caseSql END AS predicted
+          FROM sc""") {
+      (s, d) =>
+        val scored = markers.foldLeft(docs(s, d)) { case (df, (l, p)) =>
+          df.withColumn(s"s_$l",
+            size(expr(s"regexp_extract_all(lower(text), '\\\\b($p)\\\\b', 0)")).cast("long"))
+        }
+        val pred = langs.init.zipWithIndex.foldLeft(when(lit(false), "")) { case (c, (l, i)) =>
+          val rest = langs.drop(i + 1).map(r => col(s"s_$l") >= col(s"s_$r")).reduce(_ && _)
+          c.when(rest, l)
+        }.otherwise(langs.last)
+        scored.select(
+          col("doc_id") +: col("lang") +: langs.map(l => col(s"s_$l")) :+ pred.as("predicted"): _*)
+    }
+  }
+
+  /** Document fingerprint: 31-polynomial rolling hash of the byte stream,
+    * mod 1e9+7 — a content-defined fingerprint computed as a sequential
+    * fold (Spark `aggregate` HOF; no UDF, stays in codegen). */
+  val fingerprint = QuerySpec(
+    "q_text_fingerprint",
+    """SELECT doc_id,
+              CASE WHEN length(text) = 0 THEN 0
+                   ELSE list_reduce(
+                          list_transform(generate_series(1, length(text)),
+                                         i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)),
+                          (acc, c) -> (acc * 31 + c) % 1000000007)
+              END AS fingerprint
+       FROM documents""") {
+    (s, d) =>
+      docs(s, d).select(
+        col("doc_id"),
+        expr("""CASE WHEN length(text) = 0 THEN 0L
+                ELSE aggregate(sequence(1, length(text)), 0L,
+                               (acc, i) -> (acc * 31 + ascii(substr(text, i, 1))) % 1000000007)
+                END""").as("fingerprint"))
+  }
+
+  // -------------------------------------------------------------------
+  // Deduplication family
+  // -------------------------------------------------------------------
+
+  /** Exact dedup: normalize (lowercase, strip non-alnum) → hash-groupBy →
+    * keep min doc_id. One shuffle on the fingerprint; at 100 TB this is the
+    * standard hash-partitioned exact-dedup pass. */
+  val dedupExact = QuerySpec(
+    "q_dedup_exact",
+    """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) AS fingerprint,
+              count(*) AS n_dups, min(doc_id) AS keep_id
+       FROM documents GROUP BY 1""") {
+    (s, d) =>
+      docs(s, d)
+        .groupBy(md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""))).as("fingerprint"))
+        .agg(count(lit(1)).as("n_dups"), min("doc_id").as("keep_id"))
+  }
+
+  /** Word-shingle column: distinct k-word shingles per doc. Guarded so
+    * short docs yield an empty array (Spark `sequence(1, n)` with n<1 would
+    * otherwise generate a DESCENDING sequence). */
+  private def shingled(s: SparkSession, d: String, k: Int): DataFrame =
+    docs(s, d)
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        s"""CASE WHEN size(ws) >= $k
+            THEN array_distinct(transform(sequence(1, size(ws) - ${k - 1}),
+                                          i -> concat_ws(' ', slice(ws, i, $k))))
+            ELSE array() END""")).as("shingle"))
+
+  private def shingleSql(k: Int): String =
+    s"""w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+        sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+${k - 1}], ' ') AS shingle
+               FROM w, UNNEST(generate_series(1, greatest(len(ws) - ${k - 1}, 0))) AS u(i))"""
+
+  /** Near-dup by n-gram Jaccard: 5-word shingles, shingle-join to count
+    * intersections, integer-only threshold test (11·|∩| ≥ |A|+|B| ⇔
+    * J ≥ 0.1). The shingle join is the scale path: shuffle on shingle,
+    * skew-safe because distinct shingles are near-unique. */
+  val dedupJaccard = QuerySpec(
+    "q_dedup_jaccard",
+    s"""WITH ${shingleSql(5)},
+        sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+               FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+        SELECT pr.a_id, pr.b_id, pr.inter, sa.n AS n_a, sb.n AS n_b
+        FROM pr JOIN sz sa ON sa.doc_id = pr.a_id
+                JOIN sz sb ON sb.doc_id = pr.b_id
+        WHERE 11 * pr.inter >= sa.n + sb.n""") {
+    (s, d) =>
+      val sh = shingled(s, d, 5).cache()
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val a = sh.toDF("a_id", "shingle")
+      val b = sh.toDF("b_id", "shingle")
+      val pr = a.join(b, "shingle")
+        .filter(col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(count(lit(1)).as("inter"))
+      pr.join(sz.toDF("a_id", "n_a"), "a_id")
+        .join(sz.toDF("b_id", "n_b"), "b_id")
+        .filter(lit(11) * col("inter") >= col("n_a") + col("n_b"))
+        .select("a_id", "b_id", "inter", "n_a", "n_b")
+  }
+
+  private val MinhashK = 8   // signature length
+  private val BandSize = 2   // rows per band → 4 bands
+
+  /** MinHash + LSH banding: signature_i = min(md5(shingle ⊕ seed_i)) over
+    * the doc's 3-word shingles; 4 bands of 2 hashes; docs sharing any band
+    * bucket become candidate pairs. The band-bucket join replaces the
+    * all-pairs O(n²) comparison — the standard 100 TB near-dup design. */
+  val dedupMinhashLsh = {
+    val hashAggsSql = (0 until MinhashK)
+      .map(i => s"min(md5(shingle || '#$i')) AS h$i").mkString(", ")
+    val bandsSql = (0 until MinhashK / BandSize).map { b =>
+      val cols = (0 until BandSize).map(r => s"h${b * BandSize + r}").mkString(" || ")
+      s"SELECT doc_id, $b AS band_id, $cols AS band_val FROM sig"
+    }.mkString(" UNION ALL ")
+    QuerySpec(
+      "q_dedup_minhash_lsh",
+      s"""WITH ${shingleSql(3)},
+          sig AS (SELECT doc_id, $hashAggsSql FROM sh GROUP BY doc_id),
+          bands AS ($bandsSql)
+          SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM bands a JOIN bands b
+            ON a.band_id = b.band_id AND a.band_val = b.band_val
+               AND a.doc_id < b.doc_id""") {
+      (s, d) =>
+        val sh = shingled(s, d, 3)
+        val hashCols = (0 until MinhashK).map(i =>
+          min(md5(concat(col("shingle"), lit(s"#$i")))).as(s"h$i"))
+        val sig = sh.groupBy("doc_id").agg(hashCols.head, hashCols.tail: _*)
+        val bands = sig.select(col("doc_id"), explode(array(
+          (0 until MinhashK / BandSize).map { b =>
+            struct(
+              lit(b).as("band_id"),
+              concat((0 until BandSize).map(r => col(s"h${b * BandSize + r}")): _*).as("band_val"))
+          }: _*)).as("band"))
+          .select(col("doc_id"), col("band.band_id"), col("band.band_val"))
+        val a = bands.toDF("a_id", "band_id", "band_val")
+        val b = bands.toDF("b_id", "band_id", "band_val")
+        a.join(b, Seq("band_id", "band_val"))
+          .filter(col("a_id") < col("b_id"))
+          .select("a_id", "b_id")
+          .distinct()
+    }
+  }
+
+  /** SimHash: 16-bit fingerprint from the md5 nibbles of the doc's distinct
+    * tokens — bit_j = sign of Σ_token (±1 by whether md5 nibble j has its
+    * high bit set). Near-dup docs differ in few bits; here we emit the
+    * fingerprint (the hamming-join is the LSH query above). */
+  val dedupSimhash = {
+    val bits = 16
+    val sumsSql = (0 until bits)
+      .map(j => s"sum(CASE WHEN substr(md5(token), ${j + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS s$j")
+      .mkString(", ")
+    val fpSql = (0 until bits)
+      .map(j => s"CASE WHEN s$j >= 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    QuerySpec(
+      "q_dedup_simhash",
+      s"""WITH tok AS (SELECT DISTINCT doc_id, u.token
+                       FROM documents, UNNEST(str_split(text, ' ')) AS u(token)),
+          sums AS (SELECT doc_id, $sumsSql FROM tok GROUP BY 1)
+          SELECT doc_id, CAST($fpSql AS BIGINT) AS simhash FROM sums""") {
+      (s, d) =>
+        val tok = docs(s, d)
+          .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("token"))
+        val sumCols = (0 until bits).map(j =>
+          sum(when(substring(md5(col("token")), j + 1, 1) >= "8", 1).otherwise(-1)).as(s"s$j"))
+        val sums = tok.groupBy("doc_id").agg(sumCols.head, sumCols.tail: _*)
+        val fp = (0 until bits)
+          .map(j => when(col(s"s$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _)
+        sums.select(col("doc_id"), fp.cast("long").as("simhash"))
+    }
+  }
+
+  val specs: Seq[QuerySpec] = Seq(
+    textStats, langId, fingerprint,
+    dedupExact, dedupJaccard, dedupMinhashLsh, dedupSimhash)
+}
