@@ -14,7 +14,8 @@ object SparkEntry {
     graft.queries.Relational.specs ++
       graft.queries.TextDedup.specs ++
       graft.queries.Similarity.specs ++
-      graft.queries.EventsMultimodal.specs
+      graft.queries.EventsMultimodal.specs ++
+      graft.queries.EtlQueries.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The deepest composite: benchmarking-rank (W1+A2+J1+F12, SURVEY.md §7.2). */

@@ -1,0 +1,30 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Table sink replicating the reference's truncate+append-with-rollback
+  * load (reference src/utils/database_util.py:9-61) on Spark's stronger
+  * primitive: a staged overwrite is atomic at the commit-protocol level, so
+  * "rollback on failure" (database_util.py:56) is subsumed — a failed job
+  * leaves the previous table intact. The `_TIMESTAMP DEFAULT
+  * CURRENT_TIMESTAMP()` column (reference docs/create_index.sql:19) is
+  * appended at write; `current_timestamp()` constant-folds to one value per
+  * query = the whole batch gets one stamp.
+  *
+  * The reference's NaN→NULL normalization pre-write
+  * (database_util.py:29-30) is a no-op here: Spark nulls already surface as
+  * SQL NULLs, and the staged parquet path never materializes NaN-for-null.
+  */
+object Sink {
+
+  /** Overwrite `path` with `df` + `_TIMESTAMP`, atomically. */
+  def overwriteTable(df: DataFrame, path: String): Unit =
+    df.withColumn("_TIMESTAMP", current_timestamp())
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Managed-table variant (`saveAsTable`) for catalog-backed deployments. */
+  def overwriteManaged(df: DataFrame, table: String): Unit =
+    df.withColumn("_TIMESTAMP", current_timestamp())
+      .write.mode(SaveMode.Overwrite).saveAsTable(table)
+}

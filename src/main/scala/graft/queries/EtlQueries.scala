@@ -1,0 +1,403 @@
+package graft.queries
+
+import graft.{QuerySpec, Tables}
+import graft.etl.{Adult4Pipeline, Ingest, IndexPipeline, Schemas, Views}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** End-to-end exercises of the REAL etl pipeline + view code: an NHS-shaped
+  * sheet is synthesized deterministically from the star-schema testdata
+  * (pure per-row arithmetic on keys — identical in both engines), fed
+  * through graft.etl.{IndexPipeline, Adult4Pipeline, Views}, and the whole
+  * chain is re-derived in the DuckDB oracle. This is the strongest gate in
+  * the suite: every operator of SURVEY.md §3.2/§3.3/§3.4 verified in
+  * composition, not just in isolation.
+  *
+  * Synthesis rules (mirrored in SQL below):
+  *  - area codes = nation names, with NATION_0/1/2 playing NCL/London/
+  *    England (E56000027/E40000003/E92000001);
+  *  - Cancer-Alliance areas = EUROPE-region nations + NCL;
+  *  - dimensions are decoded from the row key by mixed-radix arithmetic so
+  *    every (site, gender, age, std, …) combination appears;
+  *  - measures derive from c_acctbal/p_retailprice by per-row IEEE
+  *    arithmetic (bitwise equal across engines).
+  */
+object EtlQueries {
+
+  // ---- shared SQL fragments (DuckDB) ------------------------------------
+
+  private val geoCodeSql =
+    """CASE WHEN n_name = 'NATION_0' THEN 'E56000027'
+            WHEN n_name = 'NATION_1' THEN 'E40000003'
+            WHEN n_name = 'NATION_2' THEN 'E92000001'
+            ELSE n_name END"""
+
+  private val geoTypeSql =
+    """CASE WHEN r_name = 'EUROPE' OR n_name = 'NATION_0' THEN 'Cancer Alliance'
+            WHEN n_name = 'NATION_2' THEN 'Country'
+            WHEN n_name = 'NATION_1' THEN 'Region'
+            ELSE 'Sub-ICB' END"""
+
+  /** Synthesized "Table 5" sheet CTE (raw_idx). */
+  private val synthIndexSql =
+    s"""raw_idx AS (
+          SELECT $geoTypeSql AS geo_type, CASE WHEN n_name = 'NATION_0' THEN 'North Central London'
+                 WHEN n_name = 'NATION_1' THEN 'London'
+                 WHEN n_name = 'NATION_2' THEN 'England'
+                 ELSE n_name || ' Area' END AS geo_name,
+                 $geoCodeSql AS geo_code,
+                 CASE c_custkey % 6 WHEN 0 THEN 'Breast' WHEN 1 THEN 'Index'
+                      WHEN 2 THEN 'Other' WHEN 3 THEN 'Larynx'
+                      WHEN 4 THEN 'Lung' ELSE 'Bowel' END AS site,
+                 CASE (c_custkey // 6) % 3 WHEN 0 THEN 'Persons'
+                      WHEN 1 THEN 'Male' ELSE 'Female' END AS gender,
+                 CASE (c_custkey // 18) % 2 WHEN 0 THEN 'All ages'
+                      ELSE '15-44' END AS age,
+                 CASE (c_custkey // 36) % 2 WHEN 0 THEN 'Age-standardised'
+                      ELSE 'Non-standardised' END AS std,
+                 2017 + (c_custkey // 72) % 5 AS diag_year,
+                 1 + ((c_custkey // 360) % 3) * 4 AS years_since,
+                 c_custkey AS patients,
+                 c_acctbal AS survival,
+                 c_acctbal - 1.5 AS lower_ci, c_acctbal + 1.5 AS upper_ci,
+                 c_acctbal * 0.1 AS precision_v, c_acctbal * 0.01 AS std_err,
+                 CASE WHEN c_custkey % 10 = 0 THEN 'E99999999' END AS substituted
+          FROM customer JOIN nation ON c_nationkey = n_nationkey
+                        JOIN region ON n_regionkey = r_regionkey)"""
+
+  /** The Index pipeline (reference src/main.py:108-219) over raw_idx,
+    * ending in CTE index_table with the DDL column names. */
+  private val indexPipelineSql =
+    s"""$synthIndexSql,
+        idx_f AS (
+          SELECT *, geo_code IN ('E56000027', 'E40000003', 'E92000001') AS area_core,
+                 substituted IS NOT NULL AS data_substituted
+          FROM raw_idx
+          WHERE geo_type = 'Cancer Alliance'
+             OR geo_code IN ('E56000027', 'E40000003', 'E92000001')),
+        idx_b AS (
+          SELECT * FROM idx_f
+          WHERE NOT (site = 'Breast' AND gender = 'Female' AND age = 'All ages')
+          UNION ALL
+          SELECT geo_type, geo_name, geo_code, site, 'Persons' AS gender, age, std,
+                 diag_year, years_since, patients, survival, lower_ci, upper_ci,
+                 precision_v, std_err, substituted, area_core, data_substituted
+          FROM idx_f
+          WHERE site = 'Breast' AND gender = 'Female' AND age = 'All ages'),
+        index_table AS (
+          SELECT geo_code AS "AREA_CODE", geo_name AS "AREA_NAME",
+                 area_core AS "IS_AREA_CORE",
+                 replace(site, 'Index', 'Overall') AS "CANCER_SITE",
+                 gender AS "GENDER", age AS "AGE_AT_DIAGNOSIS",
+                 std AS "STANDARDISATION_TYPE", diag_year AS "YEAR_OF_DIAGNOSIS",
+                 years_since AS "YEARS_SINCE_DIAGNOSIS", patients AS "PATIENT_NUMBERS",
+                 survival AS "SURVIVAL_PERCENT", lower_ci AS "LOWER_CI",
+                 upper_ci AS "UPPER_CI", precision_v AS "PRECISION",
+                 std_err AS "STANDARD_ERROR", data_substituted AS "IS_DATA_SUBTITUTED"
+          FROM idx_b
+          WHERE replace(site, 'Index', 'Overall') <> 'Other')"""
+
+  /** Synthesized "Table 4" sheet CTE (raw_a4): one row per (area, combo)
+    * with combo < 108 injective into (site, gender, std, years). */
+  private val synthAdultSql =
+    s"""raw_a4 AS (
+          SELECT $geoTypeSql AS geo_type, CASE WHEN n_name = 'NATION_0' THEN 'North Central London'
+                 WHEN n_name = 'NATION_1' THEN 'London'
+                 WHEN n_name = 'NATION_2' THEN 'England'
+                 ELSE n_name || ' Area' END AS geo_name,
+                 $geoCodeSql AS geo_code,
+                 CASE (p_partkey // 25) % 6 WHEN 0 THEN 'Breast' WHEN 1 THEN 'Larynx'
+                      WHEN 2 THEN 'Prostate' WHEN 3 THEN 'Cervix'
+                      WHEN 4 THEN 'Ovary' ELSE 'Lung' END AS site,
+                 CASE ((p_partkey // 25) // 6) % 2 WHEN 0 THEN 'Male'
+                      ELSE 'Female' END AS gender,
+                 CASE ((p_partkey // 25) // 12) % 3
+                      WHEN 0 THEN 'Age-standardised (5 age groups)'
+                      WHEN 1 THEN 'Age-standardised (all ages)'
+                      ELSE 'Non-standardised' END AS std,
+                 1 + (((p_partkey // 25) // 36) % 2) * 4 AS years_since,
+                 p_partkey AS patients,
+                 p_retailprice AS net_surv,
+                 CASE WHEN p_partkey % 7 = 0 THEN NULL
+                      ELSE p_retailprice + 1.0 END AS overall_surv
+          FROM part JOIN nation ON p_partkey % 25 = n_nationkey
+                    JOIN region ON n_regionkey = r_regionkey
+          WHERE p_partkey < 1800)"""
+
+  /** The Adult pipeline (reference src/main.py:222-376) over raw_a4, ending
+    * in CTE adult4_table. Window/snapshot stamps are the parsed constants
+    * "2017-2021" / "December 2023". */
+  private val adultPipelineSql =
+    s"""$synthAdultSql,
+        a4_f AS (
+          SELECT *, geo_code IN ('E56000027', 'E40000003', 'E92000001') AS area_core
+          FROM raw_a4
+          WHERE geo_code IN ('E56000027', 'E40000003', 'E92000001')
+             OR geo_type = 'Cancer Alliance'),
+        a4_c AS (
+          SELECT geo_type, geo_name, geo_code, site, gender,
+                 trim(regexp_replace(std, ' *\\(.*$$', '')) AS std,
+                 CASE WHEN std <> 'Non-standardised' AND std LIKE '%(%'
+                      THEN regexp_extract(std, '\\(([^)]*)\\)', 1) END AS std_sub,
+                 years_since, patients, area_core, net_surv, overall_surv
+          FROM a4_f),
+        a4_g AS (
+          SELECT * FROM a4_c
+          UNION ALL
+          SELECT geo_type, geo_name, geo_code, site, 'Persons', std, std_sub,
+                 years_since, patients, area_core, net_surv, overall_surv
+          FROM a4_c
+          WHERE (site = 'Breast' AND gender = 'Female' AND geo_code = 'E92000001')
+             OR (site = 'Larynx' AND gender = 'Male')
+             OR (site = 'Prostate' AND gender = 'Male')
+             OR (site = 'Cervix' AND gender = 'Female')
+             OR (site = 'Ovary' AND gender = 'Female')),
+        adult4_table AS (
+          SELECT geo_type AS "AREA_TYPE", geo_code AS "AREA_CODE",
+                 geo_name AS "AREA_NAME", area_core AS "IS_AREA_CORE",
+                 site AS "CANCER_SITE", gender AS "GENDER",
+                 std AS "STANDARDISATION_TYPE", std_sub AS "STANDARDISATION_TYPE_SUBCATEGORY",
+                 years_since AS "YEARS_SINCE_DIAGNOSIS", patients AS "PATIENT_NUMBERS",
+                 'Net Survival' AS "SURVIVAL_METRIC", net_surv AS "SURVIVAL_PERCENT",
+                 '2017-2021' AS "DATE_DIAGNOSIS_WINDOW", 'December 2023' AS "DATE_SNAPSHOT"
+          FROM a4_g
+          UNION ALL
+          SELECT geo_type, geo_code, geo_name, area_core, site, gender, std, std_sub,
+                 years_since, patients, 'Overall Survival', overall_surv,
+                 '2017-2021', 'December 2023'
+          FROM a4_g)"""
+
+  private val joinKeySql =
+    """"CANCER_SITE" || "GENDER" || CAST("YEARS_SINCE_DIAGNOSIS" AS VARCHAR) || "DATE_DIAGNOSIS_WINDOW""""
+
+  // ---- Spark-side synthesis ---------------------------------------------
+
+  private def synthIndexRaw(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+      .selectExpr(
+        s"""CASE WHEN r_name = 'EUROPE' OR n_name = 'NATION_0' THEN 'Cancer Alliance'
+                 WHEN n_name = 'NATION_2' THEN 'Country'
+                 WHEN n_name = 'NATION_1' THEN 'Region'
+                 ELSE 'Sub-ICB' END AS `Geography type`""",
+        s"""CASE WHEN n_name = 'NATION_0' THEN 'North Central London'
+                 WHEN n_name = 'NATION_1' THEN 'London'
+                 WHEN n_name = 'NATION_2' THEN 'England'
+                 ELSE n_name || ' Area' END AS `Geography name`""",
+        s"""CASE WHEN n_name = 'NATION_0' THEN 'E56000027'
+                 WHEN n_name = 'NATION_1' THEN 'E40000003'
+                 WHEN n_name = 'NATION_2' THEN 'E92000001'
+                 ELSE n_name END AS `Geography code`""",
+        """CASE c_custkey % 6 WHEN 0 THEN 'Breast' WHEN 1 THEN 'Index'
+                WHEN 2 THEN 'Other' WHEN 3 THEN 'Larynx'
+                WHEN 4 THEN 'Lung' ELSE 'Bowel' END AS `Cancer site`""",
+        """CASE (c_custkey div 6) % 3 WHEN 0 THEN 'Persons'
+                WHEN 1 THEN 'Male' ELSE 'Female' END AS `Gender`""",
+        "CASE (c_custkey div 18) % 2 WHEN 0 THEN 'All ages' ELSE '15-44' END AS `Age at diagnosis`",
+        """CASE (c_custkey div 36) % 2 WHEN 0 THEN 'Age-standardised'
+                ELSE 'Non-standardised' END AS `Standardisation type`""",
+        "2017 + (c_custkey div 72) % 5 AS `Diagnosis year`",
+        "1 + ((c_custkey div 360) % 3) * 4 AS `Years since diagnosis`",
+        "c_custkey AS `Patient numbers`",
+        "c_acctbal AS `Survival (%)`",
+        "c_acctbal - 1.5 AS `Lower CI`",
+        "c_acctbal + 1.5 AS `Upper CI`",
+        "c_acctbal * 0.1 AS `Precision`",
+        "c_acctbal * 0.01 AS `Standard error`",
+        "CASE WHEN c_custkey % 10 = 0 THEN 'E99999999' END AS `Substituted by Other Geography`")
+
+  private def synthAdultRaw(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .filter(col("p_partkey") < 1800)
+      .join(Tables.nation(s, d), org.apache.spark.sql.functions.expr("p_partkey % 25 = n_nationkey"))
+      .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+      .selectExpr(
+        s"""CASE WHEN r_name = 'EUROPE' OR n_name = 'NATION_0' THEN 'Cancer Alliance'
+                 WHEN n_name = 'NATION_2' THEN 'Country'
+                 WHEN n_name = 'NATION_1' THEN 'Region'
+                 ELSE 'Sub-ICB' END AS `Geography type`""",
+        s"""CASE WHEN n_name = 'NATION_0' THEN 'North Central London'
+                 WHEN n_name = 'NATION_1' THEN 'London'
+                 WHEN n_name = 'NATION_2' THEN 'England'
+                 ELSE n_name || ' Area' END AS `Geography name`""",
+        s"""CASE WHEN n_name = 'NATION_0' THEN 'E56000027'
+                 WHEN n_name = 'NATION_1' THEN 'E40000003'
+                 WHEN n_name = 'NATION_2' THEN 'E92000001'
+                 ELSE n_name END AS `Geography code`""",
+        """CASE (p_partkey div 25) % 6 WHEN 0 THEN 'Breast' WHEN 1 THEN 'Larynx'
+                WHEN 2 THEN 'Prostate' WHEN 3 THEN 'Cervix'
+                WHEN 4 THEN 'Ovary' ELSE 'Lung' END AS `Cancer site`""",
+        """CASE ((p_partkey div 25) div 6) % 2 WHEN 0 THEN 'Male'
+                ELSE 'Female' END AS `Gender`""",
+        """CASE ((p_partkey div 25) div 12) % 3
+                WHEN 0 THEN 'Age-standardised (5 age groups)'
+                WHEN 1 THEN 'Age-standardised (all ages)'
+                ELSE 'Non-standardised' END AS `Standardisation type`""",
+        "1 + (((p_partkey div 25) div 36) % 2) * 4 AS `Years since diagnosis`",
+        "p_partkey AS `Patients`",
+        "p_retailprice AS `Net survival (%)`",
+        "CASE WHEN p_partkey % 7 = 0 THEN NULL ELSE p_retailprice + 1.0 END AS `Overall survival (%)`")
+
+  private def indexTable(s: SparkSession, d: String): DataFrame =
+    IndexPipeline(synthIndexRaw(s, d), Schemas.defaultTargetGeographies)
+
+  private def adult4Table(s: SparkSession, d: String): DataFrame =
+    Adult4Pipeline(
+      synthAdultRaw(s, d),
+      Schemas.defaultTargetGeographies,
+      // exercise the real filename / notes-sheet parsers (F8, F9)
+      Ingest.diagnosisWindow("adult_cancer_survival_2017_2021.xlsx"),
+      Ingest.snapshotDate("Figures are based on data extracted in December 2023 snapshot"))
+
+  // ---- specs ------------------------------------------------------------
+
+  /** Full Index pipeline output == oracle-side re-derivation. */
+  val etlIndex = QuerySpec(
+    "q_etl_index",
+    s"""WITH $indexPipelineSql SELECT * FROM index_table""") {
+    (s, d) => indexTable(s, d)
+  }
+
+  /** REPORTING.INDEX view over the pipeline output (union of core rows with
+    * the GROUP-BY-ALL best-CA branch + sort keys). */
+  val etlReportingIndex = QuerySpec(
+    "q_etl_reporting_index",
+    s"""WITH $indexPipelineSql,
+        best_ca AS (
+          SELECT 'X' AS "AREA_CODE", 'Best Non-NCL Cancer Alliance' AS "AREA_NAME",
+                 "IS_AREA_CORE", "CANCER_SITE", "GENDER", "AGE_AT_DIAGNOSIS",
+                 "STANDARDISATION_TYPE", "YEAR_OF_DIAGNOSIS", "YEARS_SINCE_DIAGNOSIS",
+                 CAST(NULL AS BIGINT) AS "PATIENT_NUMBERS",
+                 MAX("SURVIVAL_PERCENT") AS "SURVIVAL_PERCENT",
+                 CAST(NULL AS DOUBLE) AS "LOWER_CI", CAST(NULL AS DOUBLE) AS "UPPER_CI",
+                 CAST(NULL AS DOUBLE) AS "PRECISION", CAST(NULL AS DOUBLE) AS "STANDARD_ERROR",
+                 CAST(NULL AS BOOLEAN) AS "IS_DATA_SUBTITUTED"
+          FROM index_table WHERE "IS_AREA_CORE" = FALSE
+          GROUP BY ALL)
+        SELECT u.*,
+               CAST(CASE "CANCER_SITE" WHEN 'Overall' THEN 1 ELSE 2 END AS BIGINT) AS "SORT_SITE",
+               CAST(CASE "GENDER" WHEN 'Persons' THEN 1 ELSE 2 END AS BIGINT) AS "SORT_GENDER",
+               CAST(CASE "AGE_AT_DIAGNOSIS" WHEN 'All ages' THEN 1 ELSE 2 END AS BIGINT) AS "SORT_AGE"
+        FROM (SELECT * FROM index_table WHERE "IS_AREA_CORE" = TRUE
+              UNION ALL SELECT * FROM best_ca) u""") {
+    (s, d) => Views.reportingIndex(indexTable(s, d))
+  }
+
+  /** Full Adult pipeline output (carve, stamps, 5 generalisation unions,
+    * unpivot with kept nulls, metric renames). */
+  val etlAdult4 = QuerySpec(
+    "q_etl_adult4",
+    s"""WITH $adultPipelineSql SELECT * FROM adult4_table""") {
+    (s, d) => adult4Table(s, d)
+  }
+
+  /** REPORTING.PROCESSED_ADULT_4 view. */
+  val etlProcessedAdult4 = QuerySpec(
+    "q_etl_processed_adult4",
+    s"""WITH $adultPipelineSql
+        SELECT *, $joinKeySql AS "JOIN_KEY",
+               CAST(CASE "GENDER" WHEN 'Persons' THEN 1 ELSE 2 END AS BIGINT) AS "SORT_GENDER"
+        FROM adult4_table
+        WHERE "IS_AREA_CORE" = TRUE
+          AND (("STANDARDISATION_TYPE" = 'Age-standardised' AND "SURVIVAL_METRIC" = 'Net Survival')
+               OR "AREA_CODE" = 'E56000027')""") {
+    (s, d) => Views.processedAdult4(adult4Table(s, d))
+  }
+
+  /** REPORTING.CANCER_ALLIANCE_COMPARISON view. */
+  val etlAllianceComparison = QuerySpec(
+    "q_etl_alliance_comparison",
+    s"""WITH $adultPipelineSql
+        SELECT *, $joinKeySql AS "JOIN_KEY",
+               CAST(CASE "GENDER" WHEN 'Persons' THEN 1 ELSE 2 END AS BIGINT) AS "SORT_GENDER"
+        FROM adult4_table
+        WHERE "AREA_TYPE" = 'Cancer Alliance'
+          AND "STANDARDISATION_TYPE" = 'Age-standardised'
+          AND "SURVIVAL_METRIC" = 'Net Survival'""") {
+    (s, d) => Views.cancerAllianceComparison(adult4Table(s, d))
+  }
+
+  /** REPORTING.BENCHMARKING_RANK view (reference docs/reporting_rank.sql):
+    * window rank + denominator + ON-clause-constant left join + quartile
+    * CASE, over the real pipeline output. */
+  val etlBenchmarkRank = QuerySpec(
+    "q_etl_benchmark_rank",
+    s"""WITH $adultPipelineSql,
+        ca AS (SELECT * FROM adult4_table
+               WHERE "STANDARDISATION_TYPE" = 'Age-standardised'
+                 AND "SURVIVAL_METRIC" = 'Net Survival'
+                 AND "AREA_TYPE" = 'Cancer Alliance'
+                 AND "SURVIVAL_PERCENT" IS NOT NULL),
+        ca_rank AS (
+          SELECT "AREA_CODE", $joinKeySql AS "JOIN_KEY", "SURVIVAL_PERCENT",
+                 RANK() OVER (PARTITION BY $joinKeySql
+                              ORDER BY "SURVIVAL_PERCENT" DESC) AS "RANK_CA"
+          FROM ca),
+        ca_base AS (
+          SELECT "CANCER_SITE", $joinKeySql AS "JOIN_KEY", COUNT(1) AS "RANK_BASE"
+          FROM ca
+          GROUP BY "CANCER_SITE", "GENDER", "YEARS_SINCE_DIAGNOSIS", "DATE_DIAGNOSIS_WINDOW")
+        SELECT ca_base."JOIN_KEY", ca_base."CANCER_SITE", ca_rank."SURVIVAL_PERCENT",
+               CAST(ca_rank."RANK_CA" AS BIGINT) AS "RANK_CA", "RANK_BASE",
+               CASE WHEN ca_rank."RANK_CA" IS NULL THEN NULL
+                    WHEN "RANK_BASE" < 4 THEN '-'
+                    WHEN ca_rank."RANK_CA" / "RANK_BASE" < 0.25 THEN '1st'
+                    WHEN ca_rank."RANK_CA" / "RANK_BASE" < 0.5 THEN '2nd'
+                    WHEN ca_rank."RANK_CA" / "RANK_BASE" < 0.75 THEN '3rd'
+                    ELSE '4th' END AS "NCL_QUARTILE"
+        FROM ca_base
+        LEFT JOIN ca_rank ON ca_rank."JOIN_KEY" = ca_base."JOIN_KEY"
+                          AND ca_rank."AREA_CODE" = 'E56000027'""") {
+    (s, d) => Views.benchmarkingRank(adult4Table(s, d))
+  }
+
+  /** REPORTING.BENCHMARKING_STANDARDS view: 7-way union stack → pivot. */
+  val etlBenchmarkStandards = QuerySpec(
+    "q_etl_benchmark_standards",
+    s"""WITH $adultPipelineSql,
+        a4_base AS (
+          SELECT "AREA_CODE", "AREA_NAME", "AREA_TYPE", $joinKeySql AS "JOIN_KEY",
+                 "SURVIVAL_PERCENT"
+          FROM adult4_table
+          WHERE "STANDARDISATION_TYPE" = 'Age-standardised'
+            AND "SURVIVAL_METRIC" = 'Net Survival'),
+        ca AS (SELECT * FROM a4_base WHERE "AREA_TYPE" = 'Cancer Alliance'),
+        stack AS (
+          SELECT "JOIN_KEY", "AREA_NAME" AS standard, "SURVIVAL_PERCENT"
+          FROM a4_base WHERE "AREA_CODE" = 'E92000001'
+          UNION ALL
+          SELECT "JOIN_KEY", "AREA_NAME", "SURVIVAL_PERCENT"
+          FROM a4_base WHERE "AREA_CODE" = 'E40000003'
+          UNION ALL
+          SELECT "JOIN_KEY", 'Best', MAX("SURVIVAL_PERCENT") FROM ca GROUP BY 1
+          UNION ALL
+          SELECT "JOIN_KEY", 'Worst', MIN("SURVIVAL_PERCENT") FROM ca GROUP BY 1
+          UNION ALL
+          SELECT "JOIN_KEY", 'Q1',
+                 PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY "SURVIVAL_PERCENT")
+          FROM ca GROUP BY 1
+          UNION ALL
+          SELECT "JOIN_KEY", 'Q2',
+                 PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY "SURVIVAL_PERCENT")
+          FROM ca GROUP BY 1
+          UNION ALL
+          SELECT "JOIN_KEY", 'Q3',
+                 PERCENTILE_DISC(0.75) WITHIN GROUP (ORDER BY "SURVIVAL_PERCENT")
+          FROM ca GROUP BY 1)
+        SELECT "JOIN_KEY",
+               SUM(CASE WHEN standard = 'England' THEN "SURVIVAL_PERCENT" END) AS "ENGLAND",
+               SUM(CASE WHEN standard = 'London' THEN "SURVIVAL_PERCENT" END) AS "LONDON",
+               SUM(CASE WHEN standard = 'Best' THEN "SURVIVAL_PERCENT" END) AS "BEST",
+               SUM(CASE WHEN standard = 'Worst' THEN "SURVIVAL_PERCENT" END) AS "WORST",
+               SUM(CASE WHEN standard = 'Q1' THEN "SURVIVAL_PERCENT" END) AS "Q1",
+               SUM(CASE WHEN standard = 'Q2' THEN "SURVIVAL_PERCENT" END) AS "Q2",
+               SUM(CASE WHEN standard = 'Q3' THEN "SURVIVAL_PERCENT" END) AS "Q3"
+        FROM stack GROUP BY 1""") {
+    (s, d) => Views.benchmarkingStandards(adult4Table(s, d))
+  }
+
+  val specs: Seq[QuerySpec] = Seq(
+    etlIndex, etlReportingIndex, etlAdult4, etlProcessedAdult4,
+    etlAllianceComparison, etlBenchmarkRank, etlBenchmarkStandards)
+}

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming extension (SURVEY.md §7.5 — the reference is
+  * batch-only; these ops give the engine a streaming surface over the same
+  * event schema). The batch twins live in
+  * graft.queries.EventsMultimodal: identical plans, swap `read` for
+  * `readStream`.
+  */
+object StreamOps {
+
+  /** events schema as Structured Streaming requires it declared (streaming
+    * sources cannot infer). ts arrives as TimestampType after the nanos
+    * conversion in Tables.events; raw parquet nanos are read as LongType. */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Streaming source over a directory of event parquet files. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(eventsRawSchema).parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Tumbling-window counts + sums with a watermark: the streaming twin of
+    * q_stream_window. Late events beyond 10 minutes are dropped; state for
+    * closed windows is evicted — bounded state at any scale. */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+      .select(
+        col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class SessionState(sessionStart: Long, lastTs: Long, n: Long, total: Double)
+  case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, total_value: Double)
+
+  /** Stateful sessionization via flatMapGroupsWithState: a session closes
+    * after 30 min of inactivity (processing-time timeout), emitting one row
+    * per closed session — the streaming twin of q_sessionize's gap logic.
+    * State is one small struct per active user: O(active users), not
+    * O(events). */
+  def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMicros = 30L * 60 * 1000000
+
+    def update(userId: Long, rows: Iterator[Event],
+        state: GroupState[SessionState]): Iterator[SessionOut] = {
+      var out = List.empty[SessionOut]
+      var cur = state.getOption
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        val tsUs = e.ts.getTime * 1000
+        cur match {
+          case Some(st) if tsUs - st.lastTs > gapMicros =>
+            out ::= SessionOut(userId,
+              new java.sql.Timestamp(st.sessionStart / 1000),
+              new java.sql.Timestamp(st.lastTs / 1000), st.n, st.total)
+            cur = Some(SessionState(tsUs, tsUs, 1, e.value))
+          case Some(st) =>
+            cur = Some(st.copy(lastTs = tsUs, n = st.n + 1, total = st.total + e.value))
+          case None =>
+            cur = Some(SessionState(tsUs, tsUs, 1, e.value))
+        }
+      }
+      if (state.hasTimedOut) {
+        cur.foreach { st =>
+          out ::= SessionOut(userId,
+            new java.sql.Timestamp(st.sessionStart / 1000),
+            new java.sql.Timestamp(st.lastTs / 1000), st.n, st.total)
+        }
+        state.remove()
+      } else {
+        cur.foreach(state.update)
+        state.setTimeoutDuration("30 minutes")
+      }
+      out.reverseIterator
+    }
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(update)
+  }
+}
