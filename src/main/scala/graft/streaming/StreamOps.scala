@@ -47,11 +47,16 @@ object StreamOps {
       session_end: java.sql.Timestamp, n_events: Long, total_value: Double)
 
   /** Stateful sessionization via flatMapGroupsWithState: a session closes
-    * after 30 min of inactivity (processing-time timeout), emitting one row
-    * per closed session — the streaming twin of q_sessionize's gap logic.
-    * State is one small struct per active user: O(active users), not
-    * O(events). */
-  def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
+    * when a >30-min event gap arrives, emitting one row per closed session —
+    * the streaming twin of q_sessionize's gap logic. State is one small
+    * struct per active user: O(active users), not O(events). Production
+    * deployments pass ProcessingTimeTimeout so idle users' last sessions
+    * flush and their state evicts; tests use the NoTimeout default (a
+    * processing-time timeout keeps scheduling wake-up batches, which never
+    * lets `processAllAvailable` quiesce). */
+  def sessionize(
+      events: Dataset[Event],
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapMicros = 30L * 60 * 1000000
 
@@ -82,13 +87,14 @@ object StreamOps {
         state.remove()
       } else {
         cur.foreach(state.update)
-        state.setTimeoutDuration("30 minutes")
+        if (timeout == GroupStateTimeout.ProcessingTimeTimeout)
+          state.setTimeoutDuration("30 minutes")
       }
       out.reverseIterator
     }
 
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(update)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(update)
   }
 }

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class StreamOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowedAgg: tumbling 1h windows with watermark over a memory stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val events = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = StreamOps.windowedAgg(events)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("win_out").start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 00:10:00"), 1L, "click", 1.0),
+        (2L, ts("2024-01-01 00:50:00"), 1L, "click", 2.0),
+        (3L, ts("2024-01-01 01:10:00"), 2L, "view", 5.0))
+      q.processAllAvailable()
+      val out = spark.table("win_out").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(out === Set(
+        ("2024-01-01 00:00:00.0", "click", 2L, 3.0),
+        ("2024-01-01 01:00:00.0", "view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize: 30-min gap closes a session (flatMapGroupsWithState)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamOps.Event]
+    val q = StreamOps.sessionize(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    try {
+      input.addData(
+        StreamOps.Event(1, ts("2024-01-01 00:00:00"), 7, "click", 1.0),
+        StreamOps.Event(2, ts("2024-01-01 00:10:00"), 7, "click", 2.0),
+        // >30 min gap → first session closes when this arrives
+        StreamOps.Event(3, ts("2024-01-01 01:00:00"), 7, "view", 4.0))
+      q.processAllAvailable()
+      val out = spark.table("sess_out").as[StreamOps.SessionOut].collect()
+      assert(out.length === 1) // second session still open (no timeout fired)
+      assert(out.head.n_events === 2L)
+      assert(out.head.total_value === 3.0)
+      assert(out.head.session_start === ts("2024-01-01 00:00:00"))
+      assert(out.head.session_end === ts("2024-01-01 00:10:00"))
+    } finally q.stop()
+  }
+}
