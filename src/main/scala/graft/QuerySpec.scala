@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** One verifiable query: a Spark DataFrame program plus (optionally) the
   * equivalent ANSI SQL the driver runs in DuckDB on the same parquet tables.
@@ -31,14 +31,31 @@ object QuerySpec {
   * is plain IEEE754 and bitwise-deterministic in both engines.
   */
 object Exact {
-  /** Exact order-independent sum of a double expression; result double.
-    * DuckDB twin: CAST(SUM(CAST(x AS DECIMAL(30,8))) AS DOUBLE). */
-  def sumD(c: Column): Column = sum(c.cast(DecimalType(30, 8))).cast(DoubleType)
+  // The addend is first quantized to the 1/256 grid with pure IEEE double
+  // ops (×256 is an exponent shift — exact; floor(+0.5) is exact; /256
+  // exact), which both engines compute bit-identically. A k/256 double has
+  // an EXACT decimal representation at scale 8 (1/256 = 0.00390625), so the
+  // decimal cast is exact in both engines too — this sidesteps the real
+  // divergence that Spark casts double→decimal via the shortest string
+  // representation while DuckDB uses the exact binary expansion, which can
+  // round differently at the 8th decimal digit.
 
-  /** Exact average. DuckDB twin:
-    * CAST(SUM(CAST(x AS DECIMAL(30,8))) AS DOUBLE) / COUNT(x). */
+  // The sum K/256 returns to double through the exact integer K (sum×256,
+  // < 2^53 so exact as BIGINT in both engines) followed by /256.0 — an
+  // exponent shift, exact again. A direct decimal→double cast is NOT safe:
+  // DuckDB converts via the scaled int128 (sum×10^8), which exceeds 2^53
+  // for large sums and rounds differently than Spark's BigDecimal path.
+
+  /** Order-independent, cross-engine-deterministic sum of a double
+    * expression (quantized to 1/256); result double. DuckDB twin: sumSql. */
+  def sumD(c: Column): Column =
+    (sum((floor(c * 256d + 0.5d) / 256d).cast(DecimalType(30, 8))) * 256)
+      .cast(LongType).cast(DoubleType) / lit(256d)
+
+  /** Deterministic average. DuckDB twin: sumSql(x) / COUNT(x). */
   def avgD(c: Column): Column = sumD(c) / count(c)
 
   /** SQL fragment for the DuckDB side of [[sumD]]. */
-  def sumSql(x: String): String = s"CAST(SUM(CAST($x AS DECIMAL(30,8))) AS DOUBLE)"
+  def sumSql(x: String): String =
+    s"CAST(CAST(SUM(CAST(floor(($x) * 256 + 0.5) / 256 AS DECIMAL(30,8))) * 256 AS BIGINT) AS DOUBLE) / 256.0"
 }

@@ -354,12 +354,12 @@ object Relational {
       li(s, d)
         .groupBy("l_linestatus")
         .pivot("l_returnflag", Seq("A", "N", "R"))
-        .agg(sum(col("l_quantity").cast(DecimalType(30, 8))))
+        .agg(sum((floor(col("l_quantity") * 256d + 0.5d) / 256d).cast(DecimalType(30, 8))))
         .select(
           col("l_linestatus"),
-          col("A").cast("double").as("A"),
-          col("N").cast("double").as("N"),
-          col("R").cast("double").as("R"))
+          ((col("A") * 256).cast("long").cast("double") / 256d).as("A"),
+          ((col("N") * 256).cast("long").cast("double") / 256d).as("N"),
+          ((col("R") * 256).cast("long").cast("double") / 256d).as("R"))
   }
 
   /** J1 — LEFT JOIN with a constant predicate in the ON clause (not WHERE):
@@ -462,26 +462,29 @@ object Relational {
         LEFT JOIN ca_rank r
           ON r.join_key = b.join_key AND r.area_code = 'NATION_7'""") {
     (s, d) =>
+      // Single-pass form of the reference's CTE+LEFT JOIN: because each area
+      // appears at most once per cohort here, "left-join the target area's
+      // rank" ≡ "max(rank where area = target)" inside the same aggregation
+      // that counts the denominator. One scan, and the groupBy reuses the
+      // window's hash partitioning on join_key — a single shuffle total
+      // (the faithful join form lives in etl.Views.benchmarkingRank, whose
+      // adult4 cohorts CAN repeat an area, where the join is load-bearing).
       val rev = revenueByAreaCohort(s, d).filter(col("survival_percent").isNotNull)
-      val caRank = rev.select(
-        col("join_key"), col("area_code"),
-        rank().over(Window.partitionBy("join_key").orderBy(col("survival_percent").desc))
-          .cast("long").as("rank_ca"))
-      val caBase = rev.groupBy("join_key").agg(count(lit(1)).as("rank_base"))
-      val joined = caBase.as("b").join(
-        caRank.as("r"),
-        col("r.join_key") === col("b.join_key") && col("r.area_code") === "NATION_7",
-        "left")
-      joined.select(
-        col("b.join_key").as("join_key"),
-        col("b.rank_base").as("rank_base"),
-        col("r.rank_ca").as("rank_ca"),
-        when(col("b.rank_base") < 4, "-")
-          .when(col("r.rank_ca") / col("b.rank_base") < 0.25, "1st")
-          .when(col("r.rank_ca") / col("b.rank_base") < 0.5, "2nd")
-          .when(col("r.rank_ca") / col("b.rank_base") < 0.75, "3rd")
-          .when(col("r.rank_ca").isNotNull, "4th")
-          .as("quartile"))
+      rev
+        .withColumn("rnk",
+          rank().over(Window.partitionBy("join_key").orderBy(col("survival_percent").desc)))
+        .groupBy("join_key")
+        .agg(
+          count(lit(1)).as("rank_base"),
+          max(when(col("area_code") === "NATION_7", col("rnk"))).cast("long").as("rank_ca"))
+        .select(
+          col("join_key"), col("rank_base"), col("rank_ca"),
+          when(col("rank_base") < 4, "-")
+            .when(col("rank_ca") / col("rank_base") < 0.25, "1st")
+            .when(col("rank_ca") / col("rank_base") < 0.5, "2nd")
+            .when(col("rank_ca") / col("rank_base") < 0.75, "3rd")
+            .when(col("rank_ca").isNotNull, "4th")
+            .as("quartile"))
   }
 
   /** U2+A3+A4+A5+A6 composite — the benchmarking-standards view
@@ -549,7 +552,50 @@ object Relational {
         .agg(max("survival_percent"))
   }
 
+  /** §2.9 — the reference delegates ordering to the dashboard (sort-key
+    * columns only), but the engine exposes sort+limit; Catalyst lowers
+    * orderBy+limit to TakeOrderedAndProject (per-partition top-k, no full
+    * sort — the at-scale shape). Deterministic tie-break on the key. */
+  val sortLimit = QuerySpec(
+    "q_sort_limit",
+    """SELECT o_orderkey, o_totalprice FROM orders
+       ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""") {
+    (s, d) =>
+      Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(25)
+        .select("o_orderkey", "o_totalprice")
+  }
+
+  /** Headline pricing-summary aggregation (TPC-H Q1 shape): wide grouped
+    * agg with exact decimal-routed double sums and averages. */
+  val pricingSummary = QuerySpec(
+    "q_pricing_summary",
+    s"""SELECT l_returnflag, l_linestatus,
+               ${Exact.sumSql("l_quantity")} AS sum_qty,
+               ${Exact.sumSql("l_extendedprice")} AS sum_base_price,
+               ${Exact.sumSql("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+               ${Exact.sumSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+               ${Exact.sumSql("l_quantity")} / COUNT(l_quantity) AS avg_qty,
+               COUNT(1) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-09-01'
+        GROUP BY 1, 2""") {
+    (s, d) =>
+      li(s, d)
+        .filter(col("l_shipdate") <= lit("2000-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          Exact.sumD(col("l_quantity")).as("sum_qty"),
+          Exact.sumD(col("l_extendedprice")).as("sum_base_price"),
+          Exact.sumD(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          Exact.sumD(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+          (Exact.sumD(col("l_quantity")) / count(col("l_quantity"))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
+    sortLimit, pricingSummary,
     scanProject, filterDisjunctive, derivedFlags, antiConjExclusion,
     loadProjection, viewFilter, generaliseKeep, generaliseReplace,
     unpivotMetrics, carveParenthetical, stringFuncs, sortKeys, concatKey,
