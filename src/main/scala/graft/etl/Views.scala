@@ -113,40 +113,49 @@ object Views {
         col("AREA_TYPE") === "Cancer Alliance")
 
   /** REPORTING.BENCHMARKING_RANK (reference docs/reporting_rank.sql:1-51):
-    * rank CAs per join key, count the denominator, left-join NCL's rank
-    * with the constant predicate in the ON clause, quartile-bucket.
-    * The rank side of the join is one row per (join_key) after the
-    * AREA_CODE filter — Catalyst broadcasts it. */
+    * rank CAs per join key, count the denominator, attach the target area's
+    * rank per cohort (LEFT-JOIN-with-ON-constant semantics), quartile-
+    * bucket.
+    *
+    * Scale shape: instead of the reference's two CTEs re-scanning the table
+    * and a join, BOTH the rank and the denominator are window functions over
+    * one partitioning of one scan; the "left join" becomes a union of the
+    * matched target rows with the unmatched cohorts' null rows — the two
+    * branches share the identical scan→shuffle→window subtree, which Spark's
+    * ReuseExchange collapses at execution. One scan, one shuffle.
+    * Multiplicity matches the reference join exactly (a cohort with k target
+    * rows yields k rows; with none, one null row). */
   def benchmarkingRank(adult4: DataFrame, targetArea: String = "E56000027"): DataFrame = {
-    val base = caRows(adult4).filter(col("SURVIVAL_PERCENT").isNotNull)
-    val caRank = base.select(
-      col("AREA_CODE"), joinKey.as("JOIN_KEY"), col("SURVIVAL_PERCENT"),
-      rank().over(Window.partitionBy(joinKey).orderBy(col("SURVIVAL_PERCENT").desc))
-        .cast("long").as("RANK_CA"))
-    val caBase = base
-      .groupBy(
-        col("CANCER_SITE"), col("GENDER"),
-        col("YEARS_SINCE_DIAGNOSIS"), col("DATE_DIAGNOSIS_WINDOW"))
-      .agg(count(lit(1)).as("RANK_BASE"))
-      .select(col("CANCER_SITE"), joinKey.as("JOIN_KEY"), col("RANK_BASE"))
-    caBase.as("b")
-      .join(
-        caRank.as("r"),
-        col("r.JOIN_KEY") === col("b.JOIN_KEY") && col("r.AREA_CODE") === targetArea,
-        "left")
+    val w = Window.partitionBy("JOIN_KEY")
+    val ranked = caRows(adult4).filter(col("SURVIVAL_PERCENT").isNotNull)
+      .select(col("AREA_CODE"), col("CANCER_SITE"), col("SURVIVAL_PERCENT"),
+        joinKey.as("JOIN_KEY"))
+      .withColumn("RANK_CA",
+        rank().over(w.orderBy(col("SURVIVAL_PERCENT").desc)).cast("long"))
+      .withColumn("RANK_BASE", count(lit(1)).over(w))
+    val hits = ranked.filter(col("AREA_CODE") === targetArea)
       .select(
-        col("b.JOIN_KEY").as("JOIN_KEY"),
-        col("b.CANCER_SITE").as("CANCER_SITE"),
-        col("r.SURVIVAL_PERCENT").as("SURVIVAL_PERCENT"),
-        col("r.RANK_CA").as("RANK_CA"),
-        col("b.RANK_BASE").as("RANK_BASE"),
-        when(col("r.RANK_CA").isNull, lit(null).cast("string"))
-          .when(col("b.RANK_BASE") < 4, "-")
-          .when(col("r.RANK_CA") / col("b.RANK_BASE") < 0.25, "1st")
-          .when(col("r.RANK_CA") / col("b.RANK_BASE") < 0.5, "2nd")
-          .when(col("r.RANK_CA") / col("b.RANK_BASE") < 0.75, "3rd")
+        col("JOIN_KEY"), col("CANCER_SITE"), col("SURVIVAL_PERCENT"),
+        col("RANK_CA"), col("RANK_BASE"),
+        when(col("RANK_BASE") < 4, "-")
+          .when(col("RANK_CA") / col("RANK_BASE") < 0.25, "1st")
+          .when(col("RANK_CA") / col("RANK_BASE") < 0.5, "2nd")
+          .when(col("RANK_CA") / col("RANK_BASE") < 0.75, "3rd")
           .otherwise("4th")
           .as("NCL_QUARTILE"))
+    val misses = ranked
+      .groupBy(col("JOIN_KEY"), col("CANCER_SITE"))
+      .agg(
+        max(col("RANK_BASE")).as("RANK_BASE"),
+        max(when(col("AREA_CODE") === targetArea, 1)).as("hit"))
+      .filter(col("hit").isNull)
+      .select(
+        col("JOIN_KEY"), col("CANCER_SITE"),
+        lit(null).cast("double").as("SURVIVAL_PERCENT"),
+        lit(null).cast("long").as("RANK_CA"),
+        col("RANK_BASE"),
+        lit(null).cast("string").as("NCL_QUARTILE"))
+    hits.unionByName(misses)
   }
 
   /** PUBLISHED.BENCHMARKING_RANK (reference docs/reporting_rank.sql:53-65). */
@@ -158,39 +167,38 @@ object Views {
 
   /** REPORTING.BENCHMARKING_STANDARDS (reference
     * docs/reporting_benchmarking_standard.sql:1-97): England/London/Best/
-    * Worst/Q1/Q2/Q3 stacked then pivoted wide. Literal 7-way UNION ALL for
-    * oracle parity with the reference's view text; Spark's pivot lowers to
-    * a single aggregate so the pivot step itself adds no extra shuffle. */
+    * Worst/Q1/Q2/Q3 per cohort, wide.
+    *
+    * Scale shape: the reference stacks SEVEN scans of the table and pivots
+    * them back; here the five CA standards (Best/Worst/Q1/Q2/Q3) come from
+    * ONE aggregation pass and the two fixed-area columns from one pivot
+    * over a two-code filtered scan, stitched with a full outer join of the
+    * two tiny aggregated sides. Semantics (incl. PIVOT's SUM reducer over
+    * the fixed-area rows and cohorts missing from either side) are
+    * unchanged — the oracle still runs the literal 7-way stack. */
   def benchmarkingStandards(adult4: DataFrame): DataFrame = {
     val a4base = adult4
       .filter(
         col("STANDARDISATION_TYPE") === "Age-standardised" &&
           col("SURVIVAL_METRIC") === "Net Survival")
       .select(
-        col("AREA_CODE"), col("AREA_NAME"), col("AREA_TYPE"),
+        col("AREA_CODE"), col("AREA_TYPE"),
         joinKey.as("JOIN_KEY"), col("SURVIVAL_PERCENT"))
-    val ca = a4base.filter(col("AREA_TYPE") === "Cancer Alliance")
-    def fixedArea(code: String) =
-      a4base.filter(col("AREA_CODE") === code)
-        .select(col("JOIN_KEY"), col("AREA_NAME").as("STANDARD"), col("SURVIVAL_PERCENT"))
-    def agged(c: Column, name: String) =
-      ca.groupBy("JOIN_KEY").agg(c.as("SURVIVAL_PERCENT"))
-        .select(col("JOIN_KEY"), lit(name).as("STANDARD"), col("SURVIVAL_PERCENT"))
-    val stack = Seq(
-      fixedArea("E92000001"), // England
-      fixedArea("E40000003"), // London
-      agged(max("SURVIVAL_PERCENT"), "Best"),
-      agged(min("SURVIVAL_PERCENT"), "Worst"),
-      agged(expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY SURVIVAL_PERCENT)"), "Q1"),
-      agged(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY SURVIVAL_PERCENT)"), "Q2"),
-      agged(expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY SURVIVAL_PERCENT)"), "Q3")
-    ).reduce(_ unionByName _)
-    stack
+    val fixed = a4base
+      .filter(col("AREA_CODE").isin("E92000001", "E40000003"))
       .groupBy("JOIN_KEY")
-      .pivot("STANDARD", Seq("England", "London", "Best", "Worst", "Q1", "Q2", "Q3"))
-      .agg(sum("SURVIVAL_PERCENT"))
-      .withColumnsRenamed(Map(
-        "England" -> "ENGLAND", "London" -> "LONDON",
-        "Best" -> "BEST", "Worst" -> "WORST"))
+      .agg(
+        sum(when(col("AREA_CODE") === "E92000001", col("SURVIVAL_PERCENT"))).as("ENGLAND"),
+        sum(when(col("AREA_CODE") === "E40000003", col("SURVIVAL_PERCENT"))).as("LONDON"))
+    val caAgg = a4base.filter(col("AREA_TYPE") === "Cancer Alliance")
+      .groupBy("JOIN_KEY")
+      .agg(
+        max("SURVIVAL_PERCENT").as("BEST"),
+        min("SURVIVAL_PERCENT").as("WORST"),
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY SURVIVAL_PERCENT)").as("Q1"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY SURVIVAL_PERCENT)").as("Q2"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY SURVIVAL_PERCENT)").as("Q3"))
+    fixed.join(caAgg, Seq("JOIN_KEY"), "full_outer")
+      .select("JOIN_KEY", "ENGLAND", "LONDON", "BEST", "WORST", "Q1", "Q2", "Q3")
   }
 }
