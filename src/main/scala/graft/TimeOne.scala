@@ -1,0 +1,23 @@
+package graft
+import org.apache.spark.sql.SparkSession
+/** Times one query N times in one session (cold vs warm split). */
+object TimeOne {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val n = if (args.length > 2) args(2).toInt else 3
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // absorb session warmup on an unrelated trivial job
+    spark.range(10).count()
+    (1 to n).foreach { i =>
+      val t0 = System.nanoTime()
+      val c = SparkEntry.queries(name)(spark, sfDir).count()
+      println(f"RUN$i%d ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$c")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the engine's numeric hot paths.
+  *
+  * Rationale (SURVEY.md §7.3's "custom code" escape hatch, exercised here
+  * because the built-in alternative is measurably wrong-shaped): Spark's
+  * higher-order functions (`zip_with` + `aggregate`) express a dot product
+  * correctly but evaluate the lambda INTERPRETED per element — at 64 floats
+  * × millions of candidate pairs that is the ANN search's entire budget.
+  * These expressions keep whole-stage codegen (`doGenCode` emits a call to
+  * a tight static kernel) while preserving the exact sequential-fold
+  * arithmetic the DuckDB oracles replicate.
+  *
+  * Exposure is the fully-public path: [[register]] installs them in the
+  * session's FunctionRegistry; the Column helpers resolve by name via
+  * `call_function` (the `Column(expr)` bridge is private[sql] in Spark 4).
+  */
+object VectorExpressions {
+
+  /** dot product of two ArrayType(FloatType) columns, in double. */
+  case class VectorDotF32(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "vector_dot_f32"
+
+    override def nullSafeEval(l: Any, r: Any): Any =
+      VectorKernels.dotF32(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.VectorKernels.dotF32($a, $b);")
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** L2 norm of an ArrayType(FloatType) column, in double. */
+  case class VectorNormF32(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "vector_norm_f32"
+
+    override def nullSafeEval(v: Any): Any =
+      math.sqrt(VectorKernels.normSqF32(v.asInstanceOf[ArrayData]))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = java.lang.Math.sqrt(graft.functions.VectorKernels.normSqF32($a));")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** 31-polynomial rolling hash mod 1e9+7 of a string column. */
+  case class RollingHash31(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "rolling_hash31"
+
+    override def nullSafeEval(v: Any): Any =
+      VectorKernels.rollingHash31(v.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, s =>
+        s"${ev.value} = graft.functions.VectorKernels.rollingHash31($s);")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Install in the session's FunctionRegistry (idempotent). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("vector_dot_f32", es => VectorDotF32(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("vector_norm_f32", es => VectorNormF32(es.head), "built-in")
+    reg.createOrReplaceTempFunction("rolling_hash31", es => RollingHash31(es.head), "built-in")
+  }
+
+  // Column-level entry points (require register(spark) on the session)
+  def vector_dot_f32(a: Column, b: Column): Column = call_function("vector_dot_f32", a, b)
+  def vector_norm_f32(a: Column): Column = call_function("vector_norm_f32", a)
+  def rolling_hash31(c: Column): Column = call_function("rolling_hash31", c)
+}

@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Tight-loop kernels shared by the interpreted (`nullSafeEval`) and
+  * generated (`doGenCode`) paths of the custom expressions. A standalone
+  * Scala object gets static forwarders, so generated Java calls these
+  * directly.
+  *
+  * Arithmetic order is the SEQUENTIAL LEFT FOLD the DuckDB oracles use
+  * (`list_reduce`), so results stay bitwise cross-engine-deterministic —
+  * do not reorder or vectorize the accumulation.
+  */
+object VectorKernels {
+
+  /** dot(a, b) over float arrays, accumulated in double, index order. */
+  def dotF32(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  /** Σ x_i² over a float array, accumulated in double, index order. */
+  def normSqF32(a: ArrayData): Double = {
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      acc += x * x
+      i += 1
+    }
+    acc
+  }
+
+  /** 31-polynomial rolling hash mod 1e9+7 over the string's UTF-16 chars
+    * (≡ code points for BMP text; matches ascii(substr(s, i, 1)) folding). */
+  def rollingHash31(s: UTF8String): Long = {
+    val str = s.toString
+    var acc = 0L
+    var i = 0
+    while (i < str.length) {
+      acc = (acc * 31 + str.charAt(i)) % 1000000007L
+      i += 1
+    }
+    acc
+  }
+}

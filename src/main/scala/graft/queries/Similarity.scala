@@ -1,6 +1,8 @@
 package graft.queries
 
 import graft.{QuerySpec, Tables}
+import graft.functions.VectorExpressions
+import graft.functions.VectorExpressions.{vector_dot_f32, vector_norm_f32}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -37,10 +39,12 @@ object Similarity {
 
   /** Embeddings with a precomputed L2 norm — computed once, reused by every
     * pairwise comparison. */
-  private def withNorm(s: SparkSession, d: String): DataFrame =
+  private def withNorm(s: SparkSession, d: String): DataFrame = {
+    VectorExpressions.register(s)
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), col("embedding"),
-        expr(normExpr("embedding")).as("nrm"))
+        vector_norm_f32(col("embedding")).as("nrm"))
+  }
 
   private val normedSql =
     s"""e AS (SELECT vec_id, label, embedding, ${normSql("embedding")} AS nrm
@@ -63,7 +67,7 @@ object Similarity {
       a.join(b, Seq("label"))
         .filter(col("a_id") < col("b_id"))
         .withColumn("cos_sim",
-          expr(dotExpr("a_emb", "b_emb")) / (col("a_nrm") * col("b_nrm")))
+          vector_dot_f32(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
         .filter(col("cos_sim") >= 0.3)
         .select("a_id", "b_id", "label", "cos_sim")
   }
@@ -91,7 +95,7 @@ object Similarity {
       val c = e.toDF("neighbor_id", "c_label", "c_emb", "c_nrm")
       val scored = q.join(broadcast(c), col("query_id") =!= col("neighbor_id"))
         .withColumn("cos_sim",
-          expr(dotExpr("q_emb", "c_emb")) / (col("q_nrm") * col("c_nrm")))
+          vector_dot_f32(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
       scored
         .withColumn("rnk",
           row_number().over(
@@ -107,13 +111,26 @@ object Similarity {
 
   /** Sign-LSH bucket id: 8 pseudo-random hyperplanes whose ±1 weights are
     * derived from md5(plane‖dim) — shared, deterministic "randomness" that
-    * both engines reproduce. bucket = Σ_p (proj_p ≥ 0) << p. */
-  private def bucketExpr(emb: String): String =
-    s"""aggregate(sequence(0, ${Planes - 1}), 0L, (acc, p) ->
-          acc + CASE WHEN aggregate(sequence(1, size($emb)), 0D, (a2, i) ->
-                  a2 + (CASE WHEN substring(md5(concat(CAST(p AS STRING), '_', CAST(i AS STRING))), 1, 1) >= '8'
-                        THEN 1.0D ELSE -1.0D END) * CAST(element_at($emb, i) AS DOUBLE)) >= 0D
-                THEN CAST(shiftleft(1, p) AS BIGINT) ELSE 0L END)"""
+    * both engines reproduce (the oracle recomputes the same md5 in SQL;
+    * here the tiny weight matrix is materialized once driver-side and each
+    * row pays 8 codegen'd dot products instead of 512 interpreted md5
+    * calls). bucket = Σ_p (proj_p ≥ 0) << p. */
+  private def planeWeights(dims: Int): IndexedSeq[Array[Float]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until Planes).map { p =>
+      Array.tabulate(dims) { i0 =>
+        val i = i0 + 1
+        val hex = md.digest(s"${p}_${i}".getBytes("UTF-8")).map("%02x".format(_)).mkString
+        if (hex.charAt(0) >= '8') 1.0f else -1.0f
+      }
+    }
+  }
+
+  private def bucketCol(emb: org.apache.spark.sql.Column, dims: Int): org.apache.spark.sql.Column =
+    (0 until Planes).map { p =>
+      when(vector_dot_f32(emb, typedLit(planeWeights(dims)(p).toSeq)) >= 0d,
+        lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
 
   private def bucketSql(emb: String): String =
     s"""list_reduce(list_transform(generate_series(0, ${Planes - 1}), p ->
@@ -141,7 +158,7 @@ object Similarity {
         WHERE rnk <= 3""") {
     (s, d) =>
       val bk = withNorm(s, d)
-        .withColumn("bucket", expr(bucketExpr("embedding")))
+        .withColumn("bucket", bucketCol(col("embedding"), 64))
       val q = bk.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
           col("nrm").as("q_nrm"), col("bucket"))
@@ -150,7 +167,7 @@ object Similarity {
       q.join(c, Seq("bucket"))
         .filter(col("query_id") =!= col("neighbor_id"))
         .withColumn("cos_sim",
-          expr(dotExpr("q_emb", "c_emb")) / (col("q_nrm") * col("c_nrm")))
+          vector_dot_f32(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
         .withColumn("rnk",
           row_number().over(
             org.apache.spark.sql.expressions.Window

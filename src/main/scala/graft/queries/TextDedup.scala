@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QuerySpec, Tables}
+import graft.functions.VectorExpressions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -113,13 +114,14 @@ object TextDedup {
                           (acc, c) -> (acc * 31 + c) % 1000000007)
               END AS fingerprint
        FROM documents""") {
-    (s, d) =>
+    (s, d) => {
+      // custom codegen expression (graft.functions.RollingHash31) — the
+      // aggregate() HOF form is semantically identical but interpreted
+      VectorExpressions.register(s)
       docs(s, d).select(
         col("doc_id"),
-        expr("""CASE WHEN length(text) = 0 THEN 0L
-                ELSE aggregate(sequence(1, length(text)), 0L,
-                               (acc, i) -> (acc * 31 + ascii(substr(text, i, 1))) % 1000000007)
-                END""").as("fingerprint"))
+        VectorExpressions.rolling_hash31(col("text")).as("fingerprint"))
+    }
   }
 
   // -------------------------------------------------------------------

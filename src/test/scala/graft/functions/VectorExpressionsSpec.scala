@@ -1,0 +1,61 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.functions.VectorExpressions._
+import org.apache.spark.sql.functions._
+
+/** The custom codegen expressions must be BITWISE-equal to the
+  * higher-order-function forms they replace (the DuckDB oracles replicate
+  * the HOF arithmetic, so any divergence breaks the correctness gate). */
+class VectorExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val vecs = {
+    VectorExpressions.register(spark)
+    Seq(
+      (1L, Array(0.25f, -0.5f, 0.125f, 3.0f)),
+      (2L, Array(1.5f, 2.5f, -0.75f, 0.0f)),
+      (3L, Array(0.1f, 0.2f, 0.3f, 0.4f))) // 0.1f etc: non-exact binary floats
+      .toDF("id", "v")
+  }
+
+  test("vector_dot_f32 / vector_norm_f32 match the zip_with+aggregate fold bitwise") {
+    val a = vecs.toDF("a_id", "a")
+    val b = vecs.toDF("b_id", "b")
+    val out = a.crossJoin(b).select(
+      vector_dot_f32(col("a"), col("b")).as("fast"),
+      expr("aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)").as("hof"),
+      vector_norm_f32(col("a")).as("nfast"),
+      expr("sqrt(aggregate(transform(a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (acc, v) -> acc + v))").as("nhof"))
+      .collect()
+    out.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))
+    }
+  }
+
+  test("rolling_hash31 matches the aggregate() fold and handles empty strings") {
+    VectorExpressions.register(spark)
+    val out = Seq("hello world", "", "a", "spark graft engine")
+      .toDF("text")
+      .select(
+        rolling_hash31(col("text")).as("fast"),
+        expr("""CASE WHEN length(text) = 0 THEN 0L
+                ELSE aggregate(sequence(1, length(text)), 0L,
+                               (acc, i) -> (acc * 31 + ascii(substr(text, i, 1))) % 1000000007)
+                END""").as("hof"))
+      .collect()
+    out.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
+  test("expressions work through the SQL surface after register()") {
+    VectorExpressions.register(spark)
+    vecs.createOrReplaceTempView("vecs_t")
+    val r = spark.sql(
+      "SELECT vector_dot_f32(v, v) AS d, vector_norm_f32(v) AS n FROM vecs_t WHERE id = 1")
+      .head()
+    assert(math.abs(r.getDouble(0) - r.getDouble(1) * r.getDouble(1)) < 1e-12)
+  }
+}
