@@ -524,32 +524,33 @@ object Relational {
                max(CASE WHEN standard = 'Q3' THEN survival_percent END) AS "Q3"
         FROM stack GROUP BY 1""") {
     (s, d) =>
+      // Two-pass form of the 7-way stack+pivot (the oracle keeps the
+      // literal stack): one filtered pass pivots the two fixed areas, one
+      // aggregation pass computes all five CA standards, a full outer join
+      // of the tiny aggregated sides stitches the wide row — instead of
+      // seven recomputations of the revenue subtree. Equal because each
+      // fixed area has exactly one revenue row per cohort here.
       val rev = revenueByAreaCohort(s, d)
       val nations = Tables.nation(s, d)
       val regions = Tables.region(s, d).filter(col("r_name") === "EUROPE")
-      val ca = rev
+      val fixed = rev.filter(col("area_code").isin("NATION_0", "NATION_1"))
+        .groupBy("join_key")
+        .agg(
+          max(when(col("area_code") === "NATION_0", col("survival_percent"))).as("England"),
+          max(when(col("area_code") === "NATION_1", col("survival_percent"))).as("London"))
+      val caAgg = rev
         .join(broadcast(nations), rev("area_code") === nations("n_name"))
         .join(broadcast(regions), nations("n_regionkey") === regions("r_regionkey"))
         .select(rev("join_key"), rev("survival_percent"))
-      def fixed(area: String, name: String) =
-        rev.filter(col("area_code") === area)
-          .select(col("join_key"), lit(name).as("standard"), col("survival_percent"))
-      def agged(c: Column, name: String) =
-        ca.groupBy("join_key").agg(c.as("survival_percent"))
-          .select(col("join_key"), lit(name).as("standard"), col("survival_percent"))
-      val stack = Seq(
-        fixed("NATION_0", "England"),
-        fixed("NATION_1", "London"),
-        agged(max("survival_percent"), "Best"),
-        agged(min("survival_percent"), "Worst"),
-        agged(expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY survival_percent)"), "Q1"),
-        agged(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY survival_percent)"), "Q2"),
-        agged(expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY survival_percent)"), "Q3")
-      ).reduce(_ unionByName _)
-      stack
         .groupBy("join_key")
-        .pivot("standard", Seq("England", "London", "Best", "Worst", "Q1", "Q2", "Q3"))
-        .agg(max("survival_percent"))
+        .agg(
+          max("survival_percent").as("Best"),
+          min("survival_percent").as("Worst"),
+          expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY survival_percent)").as("Q1"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY survival_percent)").as("Q2"),
+          expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY survival_percent)").as("Q3"))
+      fixed.join(caAgg, Seq("join_key"), "full_outer")
+        .select("join_key", "England", "London", "Best", "Worst", "Q1", "Q2", "Q3")
   }
 
   /** §2.9 — the reference delegates ordering to the dashboard (sort-key

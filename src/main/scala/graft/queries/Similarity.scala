@@ -7,11 +7,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over the `embeddings` table (ArrayType(FloatType),
-  * 64-dim). Vector math is done with higher-order array functions
-  * (`zip_with` + `aggregate`) — codegen'd, no UDFs. The sequential-fold
-  * semantics of `aggregate` (and DuckDB's `list_reduce`) make the double
-  * arithmetic bitwise-deterministic across engines, so even cosine scores
-  * hash-compare exactly.
+  * 64-dim). Vector math uses the custom codegen expressions in
+  * graft.functions.VectorExpressions (tight static kernels inside
+  * whole-stage codegen; the zip_with+aggregate HOF forms they replace are
+  * interpreted per element). The kernels keep the sequential-fold order of
+  * DuckDB's `list_reduce`, so even cosine scores hash-compare bitwise.
   *
   * Scale design: brute-force top-k is the small-side baseline (broadcast
   * the query set, one pass over the corpus, per-partition top-k via window

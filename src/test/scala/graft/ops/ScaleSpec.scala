@@ -1,0 +1,34 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin matches the plain join result on a skewed key distribution") {
+    // 0 is the hot key: 900 of 1000 left rows
+    val left = (1 to 1000).map(i => (if (i <= 900) 0L else i.toLong, i)).toDF("k", "v")
+    val right = (0 to 100).map(i => (i.toLong, s"r$i")).toDF("k", "name")
+    val plain = left.join(right, Seq("k")).select("k", "v", "name")
+    val salted = Scale.saltedJoin(left, right, "k", parts = 8).select("k", "v", "name")
+    assert(salted.count() === plain.count())
+    assert(salted.except(plain).count() === 0)
+    assert(plain.except(salted).count() === 0)
+  }
+
+  test("saltedJoin left-outer keeps unmatched left rows exactly once") {
+    val left = Seq((1L, "a"), (2L, "b"), (99L, "nomatch")).toDF("k", "v")
+    val right = Seq((1L, "x"), (2L, "y")).toDF("k", "w")
+    val out = Scale.saltedJoin(left, right, "k", parts = 4, joinType = "left")
+    assert(out.count() === 3)
+    assert(out.filter($"k" === 99L && $"w".isNull).count() === 1)
+  }
+
+  test("topKPerGroup returns k rows per group in order") {
+    val df = (1 to 100).map(i => (i % 5, i)).toDF("g", "v")
+    val out = Scale.topKPerGroup(df, Seq("g"), col("v").desc, 3)
+    assert(out.count() === 15)
+    assert(out.filter($"g" === 0).select("v").as[Int].collect().toSet === Set(100, 95, 90))
+  }
+}
