@@ -1,0 +1,32 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** SparkSessionExtensions entry point — deploy-wide registration of the
+  * engine's custom expressions, so a cluster configured with
+  * `spark.sql.extensions=graft.functions.GraftExtensions` has
+  * vector_dot_f32 / vector_norm_f32 / rolling_hash31 available in every
+  * session's SQL surface without per-session register() calls.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft.functions.VectorExpressions", null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("vector_dot_f32"),
+      info("vector_dot_f32", "vector_dot_f32(a, b) - dot product of two float arrays in double"),
+      es => VectorExpressions.VectorDotF32(es.head, es(1))))
+    ext.injectFunction((
+      FunctionIdentifier("vector_norm_f32"),
+      info("vector_norm_f32", "vector_norm_f32(a) - L2 norm of a float array in double"),
+      es => VectorExpressions.VectorNormF32(es.head)))
+    ext.injectFunction((
+      FunctionIdentifier("rolling_hash31"),
+      info("rolling_hash31", "rolling_hash31(s) - 31-polynomial rolling hash mod 1e9+7"),
+      es => VectorExpressions.RollingHash31(es.head)))
+  }
+}

@@ -321,6 +321,22 @@ object Relational {
           col("best_qty"))
   }
 
+  /** A1 via the SQL surface — Spark SQL's own GROUP BY ALL (the Snowflake-
+    * ism at docs/reporting_index_best_ca.sql:42), grouping by every
+    * non-aggregated select expression including the literal. */
+  val sqlGroupByAll = QuerySpec(
+    "q_sql_group_by_all",
+    """SELECT l_returnflag, l_linestatus, 'X' AS area_code,
+              max(l_quantity) AS best_qty
+       FROM lineitem GROUP BY ALL""") {
+    (s, d) =>
+      li(s, d).createOrReplaceTempView("lineitem")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, 'X' AS area_code,
+          |       max(l_quantity) AS best_qty
+          |FROM lineitem GROUP BY ALL""".stripMargin)
+  }
+
   /** A4 — exact discrete percentiles: PERCENTILE_DISC(q) WITHIN GROUP
     * (docs/reporting_benchmarking_standard.sql:65-92). Returns an actual
     * element (smallest value with cume_dist >= q) — not interpolated,
@@ -601,6 +617,7 @@ object Relational {
     loadProjection, viewFilter, generaliseKeep, generaliseReplace,
     unpivotMetrics, carveParenthetical, stringFuncs, sortKeys, concatKey,
     stampDropped, windowRank, groupedCount, groupedMaxMin, groupByAllMax,
+    sqlGroupByAll,
     percentileDisc, pivotStandards, leftJoinOnConst, unionStack,
     rankQuartile, benchmarkStandards)
 }

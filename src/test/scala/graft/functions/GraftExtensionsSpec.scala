@@ -1,0 +1,35 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+
+/** Session built WITH the extensions exposes the functions in plain SQL. */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("withExtensions(GraftExtensions) registers the function family for SQL") {
+    // force a FRESH session (getOrCreate would silently return a shared one
+    // and skip extension application); the underlying context is reused
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .withExtensions(new GraftExtensions())
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val r = spark.sql(
+        """SELECT vector_dot_f32(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+          |                      array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d,
+          |       vector_norm_f32(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS n,
+          |       rolling_hash31('ab') AS h""".stripMargin).head()
+      assert(r.getDouble(0) === 11.0)
+      assert(r.getDouble(1) === 5.0)
+      assert(r.getLong(2) === ('a'.toLong * 31 + 'b'.toLong) % 1000000007L)
+    } finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+    }
+  }
+}
