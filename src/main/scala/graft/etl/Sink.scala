@@ -27,4 +27,16 @@ object Sink {
   def overwriteManaged(df: DataFrame, table: String): Unit =
     df.withColumn("_TIMESTAMP", current_timestamp())
       .write.mode(SaveMode.Overwrite).saveAsTable(table)
+
+  /** Bucketed managed table: rows hash-partitioned into `buckets` files by
+    * `bucketCol` and sorted within buckets. Two tables bucketed the same
+    * way join WITHOUT a shuffle — at 100 TB this converts every recurring
+    * equi-join on the bucket key from a full exchange into a local
+    * zip-merge of co-located buckets. */
+  def overwriteBucketed(df: DataFrame, table: String, bucketCol: String, buckets: Int): Unit =
+    df.withColumn("_TIMESTAMP", current_timestamp())
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
 }

@@ -611,8 +611,31 @@ object Relational {
           count(lit(1)).as("count_order"))
   }
 
+  /** Skew-safe join — a power-law key (every low-key order collapses onto
+    * key 0, the classic hot-entity distribution) joined via
+    * ops.Scale.saltedJoin: the hot key's rows split across 8 salted
+    * reducers while results stay identical to the plain equi-join, which is
+    * exactly what the oracle computes. */
+  val skewSaltedJoin = QuerySpec(
+    "q_skew_salted_join",
+    s"""WITH o AS (
+          SELECT o_orderkey, o_totalprice,
+                 CASE WHEN o_custkey < 750 THEN CAST(0 AS BIGINT) ELSE o_custkey END AS cust
+          FROM orders)
+        SELECT o.o_orderkey, o.cust, o.o_totalprice, c.c_name
+        FROM o JOIN customer c ON o.cust = c.c_custkey""") {
+    (s, d) =>
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_totalprice"),
+        when(col("o_custkey") < 750, 0L).otherwise(col("o_custkey")).as("cust"))
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey").as("cust"), col("c_name"))
+      graft.ops.Scale.saltedJoin(o, c, "cust", parts = 8)
+        .select("o_orderkey", "cust", "o_totalprice", "c_name")
+  }
+
   val specs: Seq[QuerySpec] = Seq(
-    sortLimit, pricingSummary,
+    sortLimit, pricingSummary, skewSaltedJoin,
     scanProject, filterDisjunctive, derivedFlags, antiConjExclusion,
     loadProjection, viewFilter, generaliseKeep, generaliseReplace,
     unpivotMetrics, carveParenthetical, stringFuncs, sortKeys, concatKey,

@@ -178,5 +178,70 @@ object Similarity {
         .select("query_id", "bucket", "neighbor_id", "cos_sim", "rnk")
   }
 
-  val specs: Seq[QuerySpec] = Seq(embedCosineNearDup, topkBruteForce, topkLshBucketed)
+  /** IVF-style ANN — the other scale path: a coarse quantizer assigns every
+    * vector to its nearest centroid cell; a query probes only its own cell.
+    * Centroids here are the deterministic seed set (vec_id < 8) so the
+    * oracle reproduces the assignment exactly; a production deployment
+    * would k-means them (same plan shape — the quantizer is data).
+    * The centroid table broadcasts; the candidate join keys on cell id —
+    * shuffle on cell, never all-pairs. */
+  val topkIvf = QuerySpec(
+    "q_sim_ivf",
+    s"""WITH $normedSql,
+        cent AS (SELECT vec_id AS cent_id, embedding AS cent_emb, nrm AS cent_nrm
+                 FROM e WHERE vec_id < 8),
+        asn AS (
+          SELECT vec_id, cent_id,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                                    ORDER BY ${dotSql("embedding", "cent_emb")} / (nrm * cent_nrm) DESC,
+                                             cent_id) AS rn
+          FROM e CROSS JOIN cent),
+        cells AS (
+          SELECT e.vec_id, e.embedding, e.nrm, a.cent_id AS cell
+          FROM e JOIN asn a ON a.vec_id = e.vec_id AND a.rn = 1),
+        scored AS (
+          SELECT q.vec_id AS query_id, q.cell AS cell, c.vec_id AS neighbor_id,
+                 ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos_sim
+          FROM cells q JOIN cells c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+          WHERE q.vec_id < 10)
+        SELECT query_id, cell, neighbor_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY cos_sim DESC, neighbor_id) AS rnk
+              FROM scored) t
+        WHERE rnk <= 3""") {
+    (s, d) =>
+      val e = withNorm(s, d)
+      val cent = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"),
+          col("nrm").as("cent_nrm"))
+      val asn = e.select(col("vec_id"), col("embedding"), col("nrm"))
+        .crossJoin(broadcast(cent))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("vec_id")
+            .orderBy(
+              (vector_dot_f32(col("embedding"), col("cent_emb")) / (col("nrm") * col("cent_nrm"))).desc,
+              col("cent_id"))))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id").as("cell"))
+      val q = asn.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm"), col("cell"))
+      val c = asn.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+        col("nrm").as("c_nrm"), col("cell"))
+      q.join(c, Seq("cell"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos_sim",
+          vector_dot_f32(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
+        .withColumn("rnk",
+          row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("query_id")
+              .orderBy(col("cos_sim").desc, col("neighbor_id")))
+            .cast("long"))
+        .filter(col("rnk") <= 3)
+        .select("query_id", "cell", "neighbor_id", "cos_sim", "rnk")
+  }
+
+  val specs: Seq[QuerySpec] = Seq(embedCosineNearDup, topkBruteForce, topkLshBucketed, topkIvf)
 }

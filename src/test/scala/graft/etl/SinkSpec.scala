@@ -18,4 +18,20 @@ class SinkSpec extends SparkSpec {
     val second = spark.read.parquet(dir)
     assert(second.select("k").as[Int].collect().toSeq === Seq(9))
   }
+
+  test("overwriteBucketed: same-bucketed tables join with no shuffle exchange") {
+    val left = (1 to 500).map(i => (i.toLong, s"l$i")).toDF("k", "lv")
+    val right = (1 to 500).map(i => (i.toLong, i * 2.0)).toDF("k", "rv")
+    Sink.overwriteBucketed(left, "bkt_left", "k", 4)
+    Sink.overwriteBucketed(right, "bkt_right", "k", 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val joined = spark.table("bkt_left").join(spark.table("bkt_right"), "k")
+      assert(joined.count() === 500)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
