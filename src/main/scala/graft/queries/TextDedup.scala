@@ -263,7 +263,69 @@ object TextDedup {
     }
   }
 
+  /** Near-dup CLUSTERING: connected components over the Jaccard pair graph
+    * (pairs alone don't dedup — A~B, B~C must collapse to one cluster).
+    * Spark side: iterative min-label propagation — each round is one
+    * distributed join+groupBy, rounds ≈ graph diameter, convergence
+    * detected by the monotone label sum. The 100 TB-scale standard
+    * (GraphX/pregel does the same loop). Oracle: recursive-CTE transitive
+    * closure — fine at oracle scale, unusable at ours. */
+  val dedupComponents = QuerySpec(
+    "q_dedup_components",
+    s"""WITH RECURSIVE ${shingleSql(5)},
+        sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+               FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+        pairs AS (
+          SELECT pr.a_id, pr.b_id
+          FROM pr JOIN sz sa ON sa.doc_id = pr.a_id
+                  JOIN sz sb ON sb.doc_id = pr.b_id
+          WHERE 11 * pr.inter >= sa.n + sb.n),
+        edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+                  UNION ALL SELECT b_id, a_id FROM pairs),
+        reach(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+        SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        FROM reach GROUP BY src""") {
+    (s, d) =>
+      val pairs = dedupJaccard.fn(s, d).select("a_id", "b_id")
+      val edges = pairs
+        .union(pairs.select(col("b_id"), col("a_id")))
+        .toDF("src", "dst")
+        .cache()
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id"))
+        .cache()
+      def labelSum(df: org.apache.spark.sql.DataFrame): Long =
+        df.agg(coalesce(org.apache.spark.sql.functions.sum("label"), lit(0L)))
+          .head().getLong(0)
+      var prevSum = labelSum(labels)
+      var rounds = 0
+      var converged = false
+      while (!converged && rounds < 30) {
+        val nbrMin = edges
+          .join(labels.toDF("dst", "dst_label"), "dst")
+          .groupBy("src").agg(min("dst_label").as("nbr_min"))
+          .toDF("id", "nbr_min")
+        val next = labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+          .cache()
+        val nextSum = labelSum(next)
+        labels.unpersist()
+        labels = next
+        // labels only ever decrease, so an unchanged sum == fixpoint
+        converged = nextSum == prevSum
+        prevSum = nextSum
+        rounds += 1
+      }
+      labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     textStats, langId, fingerprint,
-    dedupExact, dedupJaccard, dedupMinhashLsh, dedupSimhash)
+    dedupExact, dedupJaccard, dedupMinhashLsh, dedupSimhash, dedupComponents)
 }

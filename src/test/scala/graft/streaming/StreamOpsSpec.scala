@@ -33,6 +33,31 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedAgg → foreachBatch → Sink.overwriteTable: streaming feeds the batch sink") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-sink").toString + "/agg"
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val events = input.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = StreamOps.windowedAgg(events)
+      .writeStream.outputMode("complete")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.etl.Sink.overwriteTable(batch, dir)
+      }
+      .start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 00:10:00"), 1L, "click", 1.0),
+        (2L, ts("2024-01-01 00:20:00"), 1L, "click", 2.0))
+      q.processAllAvailable()
+      val out = spark.read.parquet(dir)
+      assert(out.count() === 1)
+      val r = out.head()
+      assert(r.getAs[Long]("n_events") === 2L)
+      assert(r.getAs[Double]("total_value") === 3.0)
+      assert(out.columns.contains("_TIMESTAMP")) // sink stamped the batch
+    } finally q.stop()
+  }
+
   test("sessionize: 30-min gap closes a session (flatMapGroupsWithState)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StreamOps.Event]
