@@ -21,14 +21,8 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** dot(a, b) in double via zip_with + sequential fold. */
-  private def dotExpr(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
-
-  private def normExpr(a: String): String =
-    s"sqrt(aggregate(transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (acc, v) -> acc + v))"
-
-  /** DuckDB twins (list_reduce without init == fold with 0 init for +). */
+  /** DuckDB twins of the VectorKernels folds (list_reduce without an init
+    * value == a zero-init left fold, for +). */
   private def dotSql(a: String, b: String): String =
     s"""list_reduce(list_transform(generate_series(1, len($a)),
          i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"""
