@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Library entry point for a properly-configured engine session: AQE with
+  * skew-join handling, sane local shuffle parallelism, UTC (oracle parity),
+  * and the custom expression family registered.
+  */
+object Sessions {
+  def build(
+      master: String = "local[*]",
+      shufflePartitions: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .withExtensions(new graft.functions.GraftExtensions())
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark
+  }
+}

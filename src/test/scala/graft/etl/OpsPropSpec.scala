@@ -59,6 +59,18 @@ class OpsPropSpec extends SparkSpec {
     }
   }
 
+  test("Exact.sumD is partitioning-invariant (the whole point of the decimal routing)") {
+    for (vals <- samples(Gen.nonEmptyListOf(Gen.choose(-1e6, 1e6)), 5)) {
+      val df = vals.toDF("v")
+      def total(parts: Int): Double =
+        df.repartition(parts).agg(graft.Exact.sumD(col("v")).as("s"))
+          .head().getDouble(0)
+      val one = total(1)
+      assert(java.lang.Double.doubleToLongBits(total(7)) === java.lang.Double.doubleToLongBits(one))
+      assert(java.lang.Double.doubleToLongBits(total(32)) === java.lang.Double.doubleToLongBits(one))
+    }
+  }
+
   test("window-rank invariant: 1 <= rank <= group size on random cohorts") {
     import org.apache.spark.sql.expressions.Window
     for (rows <- samples(Gen.nonEmptyListOf(rowGen), 3)) {
