@@ -62,4 +62,15 @@ object Multimodal {
       it.map(decoder.decode)
     }
   }
+
+  /** Frame sampling: every `everyK`-th frame index per item, as rows —
+    * the per-frame fan-out a video pipeline feeds to the decoder. Pure
+    * relational (sequence + explode), so Catalyst plans the fan-out and the
+    * downstream decode parallelizes over (item, frame). */
+  def sampleFrames(features: Dataset[MediaFeatures], everyK: Int): DataFrame = {
+    require(everyK > 0)
+    features.toDF()
+      .select(col("item_id"), col("n_frames"),
+        explode(expr(s"sequence(0, n_frames - 1, $everyK)")).as("frame_idx"))
+  }
 }

@@ -325,7 +325,51 @@ object TextDedup {
       labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** The composed curation pass — what a training-data pipeline actually
+    * runs per shard: quality gate (token count, alpha ratio, stopword
+    * ratio) ∧ exact-dedup canonicality (min doc_id per normalized
+    * fingerprint, via a window min — one shuffle) → keep decision.
+    * Single scan of documents; every signal from the ops above. */
+  val curationPipeline = QuerySpec(
+    "q_curation_pipeline",
+    """WITH m AS (
+         SELECT doc_id,
+                md5(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) AS fp,
+                CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+                CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) * 1.0
+                  / CAST(length(text) AS BIGINT) AS alpha_ratio,
+                CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS BIGINT) * 1.0
+                  / CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS stop_ratio
+         FROM documents),
+       c AS (SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS canonical_id FROM m)
+       SELECT doc_id, fp, n_tokens,
+              (n_tokens >= 10 AND alpha_ratio >= 0.5 AND stop_ratio <= 0.5) AS quality_ok,
+              (doc_id = canonical_id) AS is_canonical,
+              (n_tokens >= 10 AND alpha_ratio >= 0.5 AND stop_ratio <= 0.5
+                 AND doc_id = canonical_id) AS keep
+       FROM c""") {
+    (s, d) =>
+      val nTok = size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long")
+      val m = docs(s, d).select(
+        col("doc_id"),
+        md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""))).as("fp"),
+        nTok.as("n_tokens"),
+        (size(expr("regexp_extract_all(text, '[A-Za-z]', 0)")).cast("long") * lit(1.0)
+          / length(col("text")).cast("long")).as("alpha_ratio"),
+        (size(expr("regexp_extract_all(lower(text), '\\\\b(the|a|of|and|to|in|is)\\\\b', 0)"))
+          .cast("long") * lit(1.0) / nTok).as("stop_ratio"))
+      val c = m.withColumn("canonical_id",
+        min("doc_id").over(org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+      val quality = col("n_tokens") >= 10 && col("alpha_ratio") >= 0.5 && col("stop_ratio") <= 0.5
+      c.select(
+        col("doc_id"), col("fp"), col("n_tokens"),
+        quality.as("quality_ok"),
+        (col("doc_id") === col("canonical_id")).as("is_canonical"),
+        (quality && col("doc_id") === col("canonical_id")).as("keep"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     textStats, langId, fingerprint,
-    dedupExact, dedupJaccard, dedupMinhashLsh, dedupSimhash, dedupComponents)
+    dedupExact, dedupJaccard, dedupMinhashLsh, dedupSimhash, dedupComponents,
+    curationPipeline)
 }

@@ -18,6 +18,17 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.map(_.embedding.toSeq).toSeq === again.map(_.embedding.toSeq).toSeq)
   }
 
+  test("sampleFrames fans out every k-th frame index per item") {
+    val df = Seq((1L, "clip-a"), (2L, "clip-b")).toDF("id", "content")
+    val feats = Multimodal.extractFeatures(Multimodal.asMediaItems(df, "id", "content", "video"))
+    val frames = Multimodal.sampleFrames(feats, everyK = 4)
+    val perItem = frames.groupBy("item_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = feats.collect().map(f => f.item_id -> ((f.n_frames + 3) / 4).toLong).toMap
+    assert(perItem === expected)
+    assert(frames.filter($"frame_idx" % 4 =!= 0).count() === 0)
+  }
+
   test("video kind gets multi-frame decode; others single frame") {
     val df = Seq((1L, "clip-bytes")).toDF("id", "content")
     val vid = Multimodal.extractFeatures(Multimodal.asMediaItems(df, "id", "content", "video")).head()
