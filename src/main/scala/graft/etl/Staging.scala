@@ -37,4 +37,25 @@ object Staging {
       .option("nullValue", "")
       .csv(lines)
   }
+
+  /** Excel sheet → DataFrame: the reference's
+    * `pd.read_excel(sheet_name, skiprows=N)` end-to-end (reference
+    * src/main.py:112-113). The sheet is parsed driver-side ([[Xlsx]] —
+    * bounded by Excel's 1,048,576-row sheet limit, the same driver-memory
+    * profile as the reference's pandas read) and enters the cluster as an
+    * in-plan CSV dataset with the declared schema. */
+  def readXlsxSheet(
+      spark: SparkSession,
+      path: String,
+      sheetName: String,
+      schema: StructType,
+      skipRows: Int): DataFrame = {
+    import spark.implicits._
+    val lines = Xlsx.toCsvLines(Xlsx.readSheet(path, sheetName).drop(skipRows))
+    spark.read
+      .schema(schema)
+      .option("header", "true")
+      .option("nullValue", "")
+      .csv(spark.createDataset(lines))
+  }
 }
