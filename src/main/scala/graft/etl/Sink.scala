@@ -28,6 +28,19 @@ object Sink {
     df.withColumn("_TIMESTAMP", current_timestamp())
       .write.mode(SaveMode.Overwrite).saveAsTable(table)
 
+  /** Hive-style partitioned layout: one directory per partition value.
+    * This is the 100 TB at-rest layout — queries filtering on the partition
+    * column prune whole directories before any IO (PartitionFilters in the
+    * scan), and `partitionOverwriteMode=dynamic` makes re-loads replace
+    * only the partitions present in the batch. */
+  def overwritePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit = {
+    df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    df.withColumn("_TIMESTAMP", current_timestamp())
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+  }
+
   /** Bucketed managed table: rows hash-partitioned into `buckets` files by
     * `bucketCol` and sorted within buckets. Two tables bucketed the same
     * way join WITHOUT a shuffle — at 100 TB this converts every recurring

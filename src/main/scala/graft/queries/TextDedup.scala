@@ -233,6 +233,82 @@ object TextDedup {
     }
   }
 
+  /** MinHash accuracy check: for every LSH candidate pair, the signature
+    * agreement count (estimates Jaccard as matches/K) beside the TRUE
+    * 3-gram shingle-intersection counts — the estimator-vs-exact diagnostic
+    * a pipeline runs before trusting banding thresholds at scale. Outputs
+    * integers only (cross-engine-exact). */
+  val dedupMinhashEstimate = {
+    val hashAggsSql = (0 until MinhashK)
+      .map(i => s"min(md5(shingle || '#$i')) AS h$i").mkString(", ")
+    val bandsSql = (0 until MinhashK / BandSize).map { b =>
+      val cols = (0 until BandSize).map(r => s"h${b * BandSize + r}").mkString(" || ")
+      s"SELECT doc_id, $b AS band_id, $cols AS band_val FROM sig"
+    }.mkString(" UNION ALL ")
+    val matchesSql = (0 until MinhashK)
+      .map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END").mkString(" + ")
+    QuerySpec(
+      "q_dedup_minhash_estimate",
+      s"""WITH ${shingleSql(3)},
+          sig AS (SELECT doc_id, $hashAggsSql FROM sh GROUP BY doc_id),
+          bands AS ($bandsSql),
+          cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                   FROM bands a JOIN bands b
+                     ON a.band_id = b.band_id AND a.band_val = b.band_val
+                        AND a.doc_id < b.doc_id),
+          sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+          inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+                    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2)
+          SELECT c.a_id, c.b_id,
+                 CAST($matchesSql AS BIGINT) AS sig_matches,
+                 COALESCE(i.inter, 0) AS inter, za.n AS n_a, zb.n AS n_b
+          FROM cand c
+          JOIN sig sa ON sa.doc_id = c.a_id
+          JOIN sig sb ON sb.doc_id = c.b_id
+          JOIN sz za ON za.doc_id = c.a_id
+          JOIN sz zb ON zb.doc_id = c.b_id
+          LEFT JOIN inter i ON i.a_id = c.a_id AND i.b_id = c.b_id""") {
+      (s, d) =>
+        val sh = shingled(s, d, 3).cache()
+        val hashCols = (0 until MinhashK).map(i =>
+          min(md5(concat(col("shingle"), lit(s"#$i")))).as(s"h$i"))
+        val sig = sh.groupBy("doc_id").agg(hashCols.head, hashCols.tail: _*).cache()
+        val bands = sig.select(col("doc_id"), explode(array(
+          (0 until MinhashK / BandSize).map { b =>
+            struct(
+              lit(b).as("band_id"),
+              concat((0 until BandSize).map(r => col(s"h${b * BandSize + r}")): _*).as("band_val"))
+          }: _*)).as("band"))
+          .select(col("doc_id"), col("band.band_id"), col("band.band_val"))
+        val cand = bands.toDF("a_id", "band_id", "band_val")
+          .join(bands.toDF("b_id", "band_id", "band_val"), Seq("band_id", "band_val"))
+          .filter(col("a_id") < col("b_id"))
+          .select("a_id", "b_id")
+          .distinct()
+        val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val inter = sh.toDF("a_id", "shingle")
+          .join(sh.toDF("b_id", "shingle"), "shingle")
+          .filter(col("a_id") < col("b_id"))
+          .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+        val sigA = sig.toDF("a_id" +: (0 until MinhashK).map(i => s"a_h$i"): _*)
+        val sigB = sig.toDF("b_id" +: (0 until MinhashK).map(i => s"b_h$i"): _*)
+        val matches = (0 until MinhashK)
+          .map(i => when(col(s"a_h$i") === col(s"b_h$i"), 1).otherwise(0))
+          .reduce(_ + _)
+        cand
+          .join(sigA, "a_id").join(sigB, "b_id")
+          .join(sz.toDF("a_id", "n_a"), "a_id")
+          .join(sz.toDF("b_id", "n_b"), "b_id")
+          .join(inter, Seq("a_id", "b_id"), "left")
+          .select(
+            col("a_id"), col("b_id"),
+            matches.cast("long").as("sig_matches"),
+            coalesce(col("inter"), lit(0L)).as("inter"),
+            col("n_a"), col("n_b"))
+    }
+  }
+
   /** SimHash: 16-bit fingerprint from the md5 nibbles of the doc's distinct
     * tokens — bit_j = sign of Σ_token (±1 by whether md5 nibble j has its
     * high bit set). Near-dup docs differ in few bits; here we emit the
@@ -370,6 +446,6 @@ object TextDedup {
 
   val specs: Seq[QuerySpec] = Seq(
     textStats, langId, fingerprint,
-    dedupExact, dedupJaccard, dedupMinhashLsh, dedupSimhash, dedupComponents,
-    curationPipeline)
+    dedupExact, dedupJaccard, dedupMinhashLsh, dedupMinhashEstimate,
+    dedupSimhash, dedupComponents, curationPipeline)
 }

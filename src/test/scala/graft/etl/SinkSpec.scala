@@ -19,6 +19,25 @@ class SinkSpec extends SparkSpec {
     assert(second.select("k").as[Int].collect().toSeq === Seq(9))
   }
 
+  test("overwritePartitioned: directory-per-value layout, pruned scans, dynamic overwrite") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString + "/t"
+    val df = Seq(("click", 1L), ("click", 2L), ("view", 3L)).toDF("event_type", "v")
+    Sink.overwritePartitioned(df, dir, Seq("event_type"))
+    // layout: one directory per partition value
+    assert(new java.io.File(s"$dir/event_type=click").isDirectory)
+    assert(new java.io.File(s"$dir/event_type=view").isDirectory)
+    // partition filter prunes before IO
+    val q = spark.read.parquet(dir).filter($"event_type" === "click")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"), plan)
+    assert(q.count() === 2)
+    // dynamic overwrite replaces only the partitions present in the batch
+    Sink.overwritePartitioned(Seq(("click", 9L)).toDF("event_type", "v"), dir, Seq("event_type"))
+    val after = spark.read.parquet(dir)
+    assert(after.filter($"event_type" === "view").count() === 1)   // untouched
+    assert(after.filter($"event_type" === "click").select("v").as[Long].collect().toSeq === Seq(9L))
+  }
+
   test("overwriteBucketed: same-bucketed tables join with no shuffle exchange") {
     val left = (1 to 500).map(i => (i.toLong, s"l$i")).toDF("k", "lv")
     val right = (1 to 500).map(i => (i.toLong, i * 2.0)).toDF("k", "rv")
