@@ -183,10 +183,15 @@ object TextDedup {
         .filter(col("a_id") < col("b_id"))
         .groupBy("a_id", "b_id")
         .agg(count(lit(1)).as("inter"))
-      pr.join(sz.toDF("a_id", "n_a"), "a_id")
+      val result = pr.join(sz.toDF("a_id", "n_a"), "a_id")
         .join(sz.toDF("b_id", "n_b"), "b_id")
         .filter(lit(11) * col("inter") >= col("n_a") + col("n_b"))
         .select("a_id", "b_id", "inter", "n_a", "n_b")
+        // tiny result: materialize via localCheckpoint so the shingle cache
+        // can be released instead of lingering across queries
+        .localCheckpoint()
+      sh.unpersist()
+      result
   }
 
   private val MinhashK = 8   // signature length
@@ -296,7 +301,7 @@ object TextDedup {
         val matches = (0 until MinhashK)
           .map(i => when(col(s"a_h$i") === col(s"b_h$i"), 1).otherwise(0))
           .reduce(_ + _)
-        cand
+        val result = cand
           .join(sigA, "a_id").join(sigB, "b_id")
           .join(sz.toDF("a_id", "n_a"), "a_id")
           .join(sz.toDF("b_id", "n_b"), "b_id")
@@ -306,6 +311,10 @@ object TextDedup {
             matches.cast("long").as("sig_matches"),
             coalesce(col("inter"), lit(0L)).as("inter"),
             col("n_a"), col("n_b"))
+          .localCheckpoint()
+        sh.unpersist()
+        sig.unpersist()
+        result
     }
   }
 
@@ -398,7 +407,12 @@ object TextDedup {
         prevSum = nextSum
         rounds += 1
       }
-      labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      val result = labels
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+        .localCheckpoint()
+      labels.unpersist()
+      edges.unpersist()
+      result
   }
 
   /** The composed curation pass — what a training-data pipeline actually
