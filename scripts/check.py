@@ -46,13 +46,14 @@ for name, sql in sorted(oracle.items()):
         continue
     exp = exp.sort_values(list(exp.columns), na_position="first").reset_index(drop=True)
     got = got.sort_values(list(got.columns), na_position="first").reset_index(drop=True)
+    import pandas as pd
     bad = 0
     for c in exp.columns:
         ev, gv = exp[c], got[c]
         for i in range(len(ev)):
             a, b = ev.iloc[i], gv.iloc[i]
-            an = a is None or (isinstance(a, float) and math.isnan(a))
-            bn = b is None or (isinstance(b, float) and math.isnan(b))
+            an = pd.isna(a) if not isinstance(a, (list, tuple)) else False
+            bn = pd.isna(b) if not isinstance(b, (list, tuple)) else False
             if an and bn:
                 continue
             if an != bn or a != b:

@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Temporal join operators Spark lacks natively, in their scale-correct
+  * compositions (SURVEY.md §7.3 preference (a): compose built-ins before
+  * reaching for a custom SparkPlan).
+  */
+object TemporalJoins {
+
+  /** AS-OF join: for each left row, the LATEST right row with
+    * rightTime <= leftTime and equal keys; left rows with no prior right
+    * row keep nulls (ASOF LEFT JOIN semantics).
+    *
+    * Composition: tag both sides, union, one window sorted by
+    * (time, right-first) per key, `last(right_payload, ignoreNulls)` over
+    * the unbounded-preceding frame, keep left rows. ONE shuffle + sort on
+    * the key — versus the naive inequality join which Spark plans as a
+    * broadcast/cartesian nested loop. Right rows at exactly leftTime match
+    * (<=); ties among right rows on (key, time) resolve arbitrarily, as in
+    * other engines' ASOF.
+    */
+  def asOfJoin(
+      left: DataFrame, leftTime: String,
+      right: DataFrame, rightTime: String,
+      keys: Seq[String]): DataFrame = {
+    val leftPayload = left.columns.filterNot(keys.contains)
+    val rightPayload = right.columns.filterNot(keys.contains)
+    val lStruct = StructType(left.schema.filter(f => leftPayload.contains(f.name)))
+    val rStruct = StructType(right.schema.filter(f => rightPayload.contains(f.name)))
+
+    val l2 = left.select(
+      keys.map(col) ++ Seq(
+        col(leftTime).as("_t"), lit(0).as("_side"),
+        struct(leftPayload.map(col): _*).as("_l"),
+        lit(null).cast(rStruct).as("_r")): _*)
+    val r2 = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTime).as("_t"), lit(1).as("_side"),
+        lit(null).cast(lStruct).as("_l"),
+        struct(rightPayload.map(col): _*).as("_r")): _*)
+
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("_t").asc, col("_side").desc) // right sorts before left at equal time → <= matches
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    l2.unionByName(r2)
+      .withColumn("_last_r", last(col("_r"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 0)
+      .select(
+        keys.map(col) ++
+          leftPayload.map(c => col(s"_l.$c").as(c)) ++
+          rightPayload.map(c => col(s"_last_r.$c").as(c)): _*)
+  }
+
+  /** Range join via time binning: pairs (a, b) with equal keys and
+    * b.time ∈ (a.time, a.time + window]. The naive inequality join is a
+    * nested loop; binning by `window`-sized buckets turns it into an
+    * EQUI-join — each left row probes its own bin and the next (a right
+    * match can only fall in those two), then the exact range predicate
+    * filters residually. Shuffle on (key, bin): linear, skew-bounded by
+    * bin population, the standard interval-join design at scale.
+    */
+  def rangeJoinBinned(
+      left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftTime: String, rightTime: String,
+      windowMicros: Long): DataFrame = {
+    val lb = left
+      .withColumn("_t_l", unix_micros(col(leftTime)))
+      .withColumn("_bin", explode(array(
+        (col("_t_l") / windowMicros).cast("long"),
+        (col("_t_l") / windowMicros).cast("long") + 1)))
+    val rb = right
+      .withColumn("_t_r", unix_micros(col(rightTime)))
+      .withColumn("_bin", (col("_t_r") / windowMicros).cast("long"))
+    lb.join(rb, keys :+ "_bin")
+      .filter(col("_t_r") > col("_t_l") && col("_t_r") <= col("_t_l") + windowMicros)
+      .drop("_bin", "_t_l", "_t_r")
+  }
+}

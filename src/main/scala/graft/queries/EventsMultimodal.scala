@@ -96,5 +96,53 @@ object EventsMultimodal {
           lit(3L).as("fake_channels"))
   }
 
-  val specs: Seq[QuerySpec] = Seq(streamWindow, sessionize, multimodalMeta)
+  /** AS-OF join (ops.TemporalJoins.asOfJoin): each click matched to the
+    * user's latest purchase at-or-before it — one shuffle+sort composition
+    * of an operator Spark lacks natively. Oracle: DuckDB's native
+    * ASOF LEFT JOIN. */
+  val asofJoin = QuerySpec(
+    "q_asof_join",
+    """WITH clicks AS (
+         SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+       purch AS (
+         SELECT event_id AS p_id, user_id, ts AS p_ts FROM events
+         WHERE event_type = 'purchase')
+       SELECT c.event_id, c.user_id, c.ts, p.p_id, p.p_ts
+       FROM clicks c ASOF LEFT JOIN purch p
+         ON c.user_id = p.user_id AND p.p_ts <= c.ts""") {
+    (s, d) =>
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      graft.ops.TemporalJoins.asOfJoin(clicks, "ts", purch, "p_ts", Seq("user_id"))
+        .select("event_id", "user_id", "ts", "p_id", "p_ts")
+  }
+
+  /** Range join via binning (ops.TemporalJoins.rangeJoinBinned): purchases
+    * within 10 minutes after a click, as an EQUI-join on (user, time-bin)
+    * with a residual range filter — the interval-join shape that scales
+    * linearly where the naive inequality join nest-loops. Oracle: the
+    * naive inequality join. */
+  val rangeJoinBinned = QuerySpec(
+    "q_range_join_binned",
+    """SELECT a.event_id AS a_id, b.event_id AS b_id, a.user_id
+       FROM events a JOIN events b
+         ON a.user_id = b.user_id
+        AND a.event_type = 'click' AND b.event_type = 'purchase'
+        AND epoch_us(b.ts) > epoch_us(a.ts)
+        AND epoch_us(b.ts) <= epoch_us(a.ts) + 600000000""") {
+    (s, d) =>
+      val ev = Tables.events(s, d)
+      val a = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("a_id"), col("user_id"), col("ts").as("a_ts"))
+      val b = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("b_id"), col("user_id"), col("ts").as("b_ts"))
+      graft.ops.TemporalJoins.rangeJoinBinned(a, b, Seq("user_id"), "a_ts", "b_ts", 600000000L)
+        .select("a_id", "b_id", "user_id")
+  }
+
+  val specs: Seq[QuerySpec] = Seq(
+    streamWindow, sessionize, multimodalMeta, asofJoin, rangeJoinBinned)
 }
