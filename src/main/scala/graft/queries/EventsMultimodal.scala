@@ -143,6 +143,62 @@ object EventsMultimodal {
         .select("a_id", "b_id", "user_id")
   }
 
+  /** Count-Min sketch in ONE aggregation pass: D=4 hash rows × W=64
+    * buckets, hashed with the deterministic rolling-hash expression (same
+    * fold in the oracle), then the point-query estimate (min over rows)
+    * beside the exact count. Integers end-to-end. At 100 TB the counter
+    * matrix is 256 cells per partition — the map-side-combinable sketch
+    * shape that replaces exact distinct-key counting when keys explode. */
+  val sketchCountMin = {
+    val D = 4
+    val W = 64
+    def rhSql(x: String) =
+      s"""(list_reduce(list_transform(generate_series(1, length($x)),
+            i -> CAST(ascii(substr($x, i, 1)) AS BIGINT)),
+            (acc, c) -> (acc * 31 + c) % 1000000007) % $W)"""
+    QuerySpec(
+      "q_sketch_countmin",
+      s"""WITH dims AS (SELECT unnest(generate_series(0, ${D - 1})) AS d),
+          counters AS (
+            SELECT dims.d, ${rhSql(s"event_type || '#' || CAST(dims.d AS VARCHAR)")} AS w,
+                   count(*) AS cnt
+            FROM events CROSS JOIN dims
+            GROUP BY 1, 2),
+          est AS (
+            SELECT t.event_type, min(c.cnt) AS cm_estimate
+            FROM (SELECT DISTINCT event_type FROM events) t
+            CROSS JOIN dims
+            JOIN counters c
+              ON c.d = dims.d
+             AND c.w = ${rhSql(s"t.event_type || '#' || CAST(dims.d AS VARCHAR)")}
+            GROUP BY 1),
+          exact AS (SELECT event_type, count(*) AS exact_count FROM events GROUP BY 1)
+          SELECT est.event_type, est.cm_estimate, exact.exact_count
+          FROM est JOIN exact USING (event_type)""") {
+      (s, d) =>
+        graft.functions.VectorExpressions.register(s)
+        import graft.functions.VectorExpressions.rolling_hash31
+        def bucket = rolling_hash31(
+          concat(col("event_type"), lit("#"), col("d").cast("string"))) % W
+        val ev = Tables.events(s, d)
+        val dims = array((0 until D).map(lit): _*)
+        val counters = ev
+          .select(col("event_type"), explode(dims).as("d"))
+          .groupBy(col("d"), bucket.as("w"))
+          .agg(count(lit(1)).as("cnt"))
+        val est = ev.select("event_type").distinct()
+          .select(col("event_type"), explode(dims).as("d"))
+          .withColumn("w", bucket)
+          .join(counters, Seq("d", "w"))
+          .groupBy("event_type")
+          .agg(min("cnt").as("cm_estimate"))
+        val exact = ev.groupBy("event_type").agg(count(lit(1)).as("exact_count"))
+        est.join(exact, "event_type")
+          .select("event_type", "cm_estimate", "exact_count")
+    }
+  }
+
   val specs: Seq[QuerySpec] = Seq(
-    streamWindow, sessionize, multimodalMeta, asofJoin, rangeJoinBinned)
+    streamWindow, sessionize, multimodalMeta, asofJoin, rangeJoinBinned,
+    sketchCountMin)
 }

@@ -611,6 +611,43 @@ object Relational {
           count(lit(1)).as("count_order"))
   }
 
+  /** Six-table join pipeline (TPC-H Q5 shape): local-supplier revenue per
+    * nation within one region-year. Every dimension side broadcasts; the
+    * only shuffles are the fact-fact join on orderkey and the final
+    * aggregation. */
+  val join5Revenue = QuerySpec(
+    "q_join5_revenue",
+    s"""SELECT n.n_name AS nation,
+               ${Exact.sumSql("l.l_extendedprice * (1.0 - l.l_discount)")} AS revenue
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'EUROPE'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1""") {
+    (s, d) =>
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val l = li(s, d)
+      val sup = Tables.supplier(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d).filter(col("r_name") === "EUROPE")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name").as("nation"))
+        .agg(Exact.sumD(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+  }
+
   /** Skew-safe join — a power-law key (every low-key order collapses onto
     * key 0, the classic hot-entity distribution) joined via
     * ops.Scale.saltedJoin: the hot key's rows split across 8 salted
@@ -635,7 +672,7 @@ object Relational {
   }
 
   val specs: Seq[QuerySpec] = Seq(
-    sortLimit, pricingSummary, skewSaltedJoin,
+    sortLimit, pricingSummary, skewSaltedJoin, join5Revenue,
     scanProject, filterDisjunctive, derivedFlags, antiConjExclusion,
     loadProjection, viewFilter, generaliseKeep, generaliseReplace,
     unpivotMetrics, carveParenthetical, stringFuncs, sortKeys, concatKey,
