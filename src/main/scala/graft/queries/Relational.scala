@@ -648,6 +648,61 @@ object Relational {
         .agg(Exact.sumD(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
   }
 
+  /** ROLLUP hierarchy totals (beyond the reference's flat GROUP BYs):
+    * per-(flag,status), per-flag, and grand-total rows in one pass —
+    * Catalyst expands the grouping sets inside a single aggregation. */
+  val rollupTotals = QuerySpec(
+    "q_rollup",
+    s"""SELECT l_returnflag, l_linestatus, COUNT(1) AS n,
+               ${Exact.sumSql("l_quantity")} AS qty
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""") {
+    (s, d) =>
+      li(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), Exact.sumD(col("l_quantity")).as("qty"))
+  }
+
+  /** Semi and anti joins (EXISTS / NOT EXISTS): customers with vs without
+    * urgent orders — one left_semi ⊎ one left_anti, flagged. */
+  val semiAntiJoin = QuerySpec(
+    "q_semi_anti",
+    """SELECT c_custkey, c_name, TRUE AS has_urgent FROM customer
+       WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                       AND o_orderpriority = '1-URGENT')
+       UNION ALL
+       SELECT c_custkey, c_name, FALSE FROM customer
+       WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                           AND o_orderpriority = '1-URGENT')""") {
+    (s, d) =>
+      val c = Tables.customer(s, d).select("c_custkey", "c_name")
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      c.join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+        .withColumn("has_urgent", lit(true))
+        .unionByName(
+          c.join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+            .withColumn("has_urgent", lit(false)))
+  }
+
+  /** INTERSECT / EXCEPT (set semantics, distinct): nations that supply
+    * but have no customers, and vice-versa-intersection. */
+  val setOps = QuerySpec(
+    "q_set_ops",
+    """SELECT n, 'both' AS src FROM (
+         SELECT s_nationkey AS n FROM supplier
+         INTERSECT SELECT c_nationkey FROM customer) t
+       UNION ALL
+       SELECT n, 'supplier_only' FROM (
+         SELECT s_nationkey AS n FROM supplier
+         EXCEPT SELECT c_nationkey FROM customer) t""") {
+    (s, d) =>
+      val supN = Tables.supplier(s, d).select(col("s_nationkey").as("n"))
+      val custN = Tables.customer(s, d).select(col("c_nationkey").as("n"))
+      supN.intersect(custN).withColumn("src", lit("both"))
+        .unionByName(supN.except(custN).withColumn("src", lit("supplier_only")))
+  }
+
   /** Skew-safe join — a power-law key (every low-key order collapses onto
     * key 0, the classic hot-entity distribution) joined via
     * ops.Scale.saltedJoin: the hot key's rows split across 8 salted
@@ -673,6 +728,7 @@ object Relational {
 
   val specs: Seq[QuerySpec] = Seq(
     sortLimit, pricingSummary, skewSaltedJoin, join5Revenue,
+    rollupTotals, semiAntiJoin, setOps,
     scanProject, filterDisjunctive, derivedFlags, antiConjExclusion,
     loadProjection, viewFilter, generaliseKeep, generaliseReplace,
     unpivotMetrics, carveParenthetical, stringFuncs, sortKeys, concatKey,
