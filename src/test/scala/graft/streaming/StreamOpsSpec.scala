@@ -58,6 +58,29 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-stream over real testdata events == batch q_stream_window grouping") {
+    // the streaming file source wants a directory: stage the events file
+    val dir = java.nio.file.Files.createTempDirectory("graft-events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val q = StreamOps.windowedAgg(StreamOps.readEvents(spark, dir.toString))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("file_stream_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("file_stream_out")
+        .select("window_start", "event_type", "n_events")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      val batch = graft.queries.EventsMultimodal.streamWindow
+        .fn(spark, "/root/testdata/sf0.001")
+        .select("window_start", "event_type", "n_events")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("sessionize: 30-min gap closes a session (flatMapGroupsWithState)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StreamOps.Event]
