@@ -1,0 +1,62 @@
+package graft.etl
+
+import org.apache.spark.sql.SparkSession
+
+/** Batch orchestration — the engine's equivalent of the reference's
+  * `main()` (reference src/main.py:378-422): enumerate the staging
+  * directory, dispatch each workbook on its filename prefix, run the
+  * matching pipeline with its filename/notes-derived stamps, and
+  * atomically (over)write the two modelling tables. One Spark job per
+  * sink write; everything upstream stays one lazy plan per file.
+  */
+object Runner {
+
+  final case class LoadResult(file: String, kind: String, table: String, rows: Long)
+
+  /** @param stagingDir directory of staged workbooks (post-scrape state;
+    *        reference ./data, src/main.py:390-393)
+    * @param outDir root for the INDEX / ADULT_4 parquet tables
+    * @param targetGeographies core areas (reference src/main.py:397)
+    */
+  def run(
+      spark: SparkSession,
+      stagingDir: String,
+      outDir: String,
+      targetGeographies: Seq[String] = Schemas.defaultTargetGeographies): Seq[LoadResult] = {
+    Ingest.listStaged(stagingDir).flatMap { path =>
+      val name = path.getFileName.toString
+      Ingest.dispatch(name) match {
+        case Ingest.IndexFile =>
+          val raw =
+            if (name.endsWith(".xlsx"))
+              Staging.readXlsxSheet(spark, path.toString, "Table 5", Schemas.rawIndexSheet, skipRows = 10)
+            else
+              Staging.readSheet(spark, path.toString, Schemas.rawIndexSheet, skipRows = 10)
+          val out = IndexPipeline(raw, targetGeographies)
+          val dest = s"$outDir/INDEX"
+          Sink.overwriteTable(out, dest)
+          Some(LoadResult(name, "index", dest, spark.read.parquet(dest).count()))
+
+        case Ingest.AdultFile =>
+          val snapshot =
+            if (name.endsWith(".xlsx"))
+              scala.util.Try(
+                Xlsx.readSheet(path.toString, "Notes and definitions")
+                  .drop(10).headOption.flatMap(_.headOption.flatten))
+                .toOption.flatten.flatMap(Ingest.snapshotDate)
+            else None
+          val raw =
+            if (name.endsWith(".xlsx"))
+              Staging.readXlsxSheet(spark, path.toString, "Table 4", Schemas.rawAdultSheet, skipRows = 9)
+            else
+              Staging.readSheet(spark, path.toString, Schemas.rawAdultSheet, skipRows = 9)
+          val out = Adult4Pipeline(raw, targetGeographies, Ingest.diagnosisWindow(name), snapshot)
+          val dest = s"$outDir/ADULT_4"
+          Sink.overwriteTable(out, dest)
+          Some(LoadResult(name, "adult4", dest, spark.read.parquet(dest).count()))
+
+        case Ingest.UnknownFile => None
+      }
+    }
+  }
+}

@@ -40,6 +40,17 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
   }
 
+  test("grouped top-k lowers to partial+final WindowGroupLimit (bounded heaps, no full sort needed)") {
+    // proof the BUILT-IN covers the operator — the reason no custom
+    // SparkPlan exists for top-k-per-group (SURVEY.md §4.3)
+    import org.apache.spark.sql.functions._
+    val df = Tables.lineitem(spark, sf)
+    val plan = graft.ops.Scale.topKPerGroup(df, Seq("l_returnflag"), col("l_quantity").desc, 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"))
+    assert(plan.contains("Partial") && plan.contains("Final"))
+  }
+
   test("q_sim_topk: query side broadcasts against the corpus") {
     val plan = formatted("q_sim_topk")
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"))
