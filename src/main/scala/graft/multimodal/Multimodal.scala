@@ -63,6 +63,22 @@ object Multimodal {
     }
   }
 
+  /** Resize stub: deterministic stand-in for an image-resize pass (the
+    * real implementation calls into a codec inside the same per-partition
+    * map). Target dimensions replace decode dimensions; the fake embedding
+    * rescales by the area ratio so tests can assert the data actually
+    * flowed through. */
+  def resize(features: Dataset[MediaFeatures], width: Int, height: Int): Dataset[MediaFeatures] = {
+    import features.sparkSession.implicits._
+    features.mapPartitions { it =>
+      it.map { f =>
+        val ratio = (width.toFloat * height) / (f.width.toFloat * f.height)
+        f.copy(width = width, height = height,
+          embedding = f.embedding.map(_ * ratio))
+      }
+    }
+  }
+
   /** Frame sampling: every `everyK`-th frame index per item, as rows —
     * the per-frame fan-out a video pipeline feeds to the decoder. Pure
     * relational (sequence + explode), so Catalyst plans the fan-out and the

@@ -101,6 +101,36 @@ object TextDedup {
     }
   }
 
+  /** Character-bigram profile per language label: the building block real
+    * language-ID models rank on. Top-3 bigrams per lang by (count desc,
+    * bigram) — explode via sequence (guarded), one shuffle to (lang,
+    * bigram), WindowGroupLimit-bounded top-k. */
+  val ngramProfile = QuerySpec(
+    "q_text_ngram_profile",
+    """WITH bg AS (
+         SELECT lang, substr(text, i, 2) AS bigram
+         FROM documents, UNNEST(generate_series(1, greatest(length(text) - 1, 0))) AS u(i)),
+       cnt AS (SELECT lang, bigram, count(*) AS n FROM bg GROUP BY 1, 2)
+       SELECT lang, bigram, n, CAST(rnk AS BIGINT) AS rnk
+       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                                          ORDER BY n DESC, bigram) AS rnk
+             FROM cnt) t
+       WHERE rnk <= 3""") {
+    (s, d) =>
+      val bg = docs(s, d).select(col("lang"), explode(expr(
+        """CASE WHEN length(text) >= 2
+           THEN transform(sequence(1, length(text) - 1), i -> substr(text, i, 2))
+           ELSE array() END""")).as("bigram"))
+      bg.groupBy("lang", "bigram").agg(count(lit(1)).as("n"))
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("lang")
+            .orderBy(col("n").desc, col("bigram")))
+          .cast("long"))
+        .filter(col("rnk") <= 3)
+        .select("lang", "bigram", "n", "rnk")
+  }
+
   /** Document fingerprint: 31-polynomial rolling hash of the byte stream,
     * mod 1e9+7 — a content-defined fingerprint computed as a sequential
     * fold (Spark `aggregate` HOF; no UDF, stays in codegen). */
@@ -459,7 +489,7 @@ object TextDedup {
   }
 
   val specs: Seq[QuerySpec] = Seq(
-    textStats, langId, fingerprint,
+    textStats, langId, ngramProfile, fingerprint,
     dedupExact, dedupJaccard, dedupMinhashLsh, dedupMinhashEstimate,
     dedupSimhash, dedupComponents, curationPipeline)
 }

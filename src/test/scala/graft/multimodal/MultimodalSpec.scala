@@ -18,6 +18,16 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.map(_.embedding.toSeq).toSeq === again.map(_.embedding.toSeq).toSeq)
   }
 
+  test("resize rewrites dimensions and rescales features deterministically") {
+    val df = Seq((1L, "some payload")).toDF("id", "content")
+    val feats = Multimodal.extractFeatures(Multimodal.asMediaItems(df, "id", "content", "image"))
+    val orig = feats.head()
+    val resized = Multimodal.resize(feats, 32, 32).head()
+    assert(resized.width === 32 && resized.height === 32)
+    val ratio = (32f * 32) / (orig.width.toFloat * orig.height)
+    assert(resized.embedding.toSeq === orig.embedding.map(_ * ratio).toSeq)
+  }
+
   test("sampleFrames fans out every k-th frame index per item") {
     val df = Seq((1L, "clip-a"), (2L, "clip-b")).toDF("id", "content")
     val feats = Multimodal.extractFeatures(Multimodal.asMediaItems(df, "id", "content", "video"))
