@@ -38,11 +38,13 @@ object Runner {
           Some(LoadResult(name, "index", dest, spark.read.parquet(dest).count()))
 
         case Ingest.AdultFile =>
+          // reference src/main.py:80-84: skiprows=10 makes sheet row 11 the
+          // HEADER, so iloc[0,0] is the first cell of row 12 → drop 11 here
           val snapshot =
             if (name.endsWith(".xlsx"))
               scala.util.Try(
                 Xlsx.readSheet(path.toString, "Notes and definitions")
-                  .drop(10).headOption.flatMap(_.headOption.flatten))
+                  .drop(11).headOption.flatMap(_.headOption.flatten))
                 .toOption.flatten.flatMap(Ingest.snapshotDate)
             else None
           val raw =
