@@ -22,8 +22,11 @@ object Ingest {
   case object UnknownFile extends PipelineKind
 
   /** Staged-file enumeration (reference src/main.py:390-393). */
-  def listStaged(dir: String): Seq[Path] =
-    Files.list(Paths.get(dir)).iterator().asScala.toSeq.sortBy(_.toString)
+  def listStaged(dir: String): Seq[Path] = {
+    val stream = Files.list(Paths.get(dir))
+    try stream.iterator().asScala.toSeq.sortBy(_.toString)
+    finally stream.close()
+  }
 
   /** Filename-prefix dispatch (reference src/main.py:412-419): `Index*` →
     * index pipeline, `adult*` → adult pipeline, else skipped. */

@@ -33,13 +33,13 @@ object Sink {
     * column prune whole directories before any IO (PartitionFilters in the
     * scan), and `partitionOverwriteMode=dynamic` makes re-loads replace
     * only the partitions present in the batch. */
-  def overwritePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit = {
-    df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+  def overwritePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.withColumn("_TIMESTAMP", current_timestamp())
       .write.mode(SaveMode.Overwrite)
+      // writer-scoped: does NOT mutate the session-wide overwrite mode
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCols: _*)
       .parquet(path)
-  }
 
   /** Bucketed managed table: rows hash-partitioned into `buckets` files by
     * `bucketCol` and sorted within buckets. Two tables bucketed the same

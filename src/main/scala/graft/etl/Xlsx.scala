@@ -27,7 +27,8 @@ object Xlsx {
 
   private val cellRe: Regex =
     """(?s)<c\b([^>]*)(?:/>|>(.*?)</c>)""".r
-  private val rowRe: Regex = """(?s)<row\b[^>]*>(.*?)</row>|<row\b[^>]*/>""".r
+  private val rowRe: Regex = """(?s)<row\b([^>]*)>(.*?)</row>|<row\b([^>]*)/>""".r
+  private val rowNumRe: Regex = """r="(\d+)"""".r
   private val vRe: Regex = """(?s)<v[^>]*>(.*?)</v>""".r
   private val tRe: Regex = """(?s)<t[^>]*>(.*?)</t>""".r
   private val refRe: Regex = """r="([A-Z]+)(\d+)"""".r
@@ -85,8 +86,17 @@ object Xlsx {
       val xml = slurp(zip, sheetPath).getOrElse(
         throw new IllegalArgumentException(s"missing $sheetPath"))
 
-      rowRe.findAllMatchIn(xml).map { rm =>
-        val rowXml = Option(rm.group(1)).getOrElse("")
+      // Excel omits fully-empty rows from the XML entirely; honor each row's
+      // r attribute and pad the gaps, or every positional consumer
+      // (skiprows, the Notes iloc[0,0] chain) would shift — pandas
+      // read_excel counts blank rows and so must we.
+      val out = mutable.ArrayBuffer.empty[Seq[Option[String]]]
+      rowRe.findAllMatchIn(xml).foreach { rm =>
+        val rowAttrs = Option(rm.group(1)).orElse(Option(rm.group(3))).getOrElse("")
+        val rowXml = Option(rm.group(2)).getOrElse("")
+        val targetIdx = rowNumRe.findFirstMatchIn(rowAttrs)
+          .map(_.group(1).toInt - 1).getOrElse(out.length)
+        while (out.length < targetIdx) out += Seq.empty[Option[String]]
         val cells = mutable.ArrayBuffer.empty[(Int, String)]
         var nextIdx = 0
         cellRe.findAllMatchIn(rowXml).foreach { cm =>
@@ -102,14 +112,15 @@ object Xlsx {
           }
           value.foreach(v => cells += idx -> v)
         }
-        if (cells.isEmpty) Seq.empty[Option[String]]
+        out += (if (cells.isEmpty) Seq.empty[Option[String]]
         else {
           val width = cells.map(_._1).max + 1
           val arr = Array.fill[Option[String]](width)(None)
           cells.foreach { case (i, v) => arr(i) = Some(v) }
           arr.toSeq
-        }
-      }.toSeq
+        })
+      }
+      out.toSeq
     } finally zip.close()
   }
 

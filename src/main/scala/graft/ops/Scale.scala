@@ -24,6 +24,11 @@ object Scale {
       key: String, parts: Int,
       joinType: String = "inner"): DataFrame = {
     require(parts > 0)
+    // right/full outer would emit every unmatched right row once PER SALT
+    val supported = Set("inner", "cross", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "left_anti", "leftanti")
+    require(supported.contains(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin supports inner/left-ish joins, not $joinType (right rows are replicated)")
     val salted = left.withColumn("_salt", (rand(seed = 42) * parts).cast("int"))
     val replicated = right.withColumn("_salt", explode(array((0 until parts).map(lit): _*)))
     salted.join(replicated, Seq(key, "_salt"), joinType).drop("_salt")

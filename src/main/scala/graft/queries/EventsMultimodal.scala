@@ -102,11 +102,14 @@ object EventsMultimodal {
     * ASOF LEFT JOIN. */
   val asofJoin = QuerySpec(
     "q_asof_join",
+    // purchases dedupe to one row per (user, microsecond) FIRST: ties at
+    // identical times would otherwise resolve arbitrarily in each engine
+    // (asOfJoin's last() pick vs DuckDB ASOF's pick) and flake the hash
     """WITH clicks AS (
          SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
        purch AS (
-         SELECT event_id AS p_id, user_id, ts AS p_ts FROM events
-         WHERE event_type = 'purchase')
+         SELECT max(event_id) AS p_id, user_id, ts AS p_ts FROM events
+         WHERE event_type = 'purchase' GROUP BY user_id, ts)
        SELECT c.event_id, c.user_id, c.ts, p.p_id, p.p_ts
        FROM clicks c ASOF LEFT JOIN purch p
          ON c.user_id = p.user_id AND p.p_ts <= c.ts""") {
@@ -115,7 +118,9 @@ object EventsMultimodal {
       val clicks = ev.filter(col("event_type") === "click")
         .select("event_id", "user_id", "ts")
       val purch = ev.filter(col("event_type") === "purchase")
-        .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+        .groupBy(col("user_id"), col("ts").as("p_ts"))
+        .agg(max("event_id").as("p_id"))
+        .select("p_id", "user_id", "p_ts")
       graft.ops.TemporalJoins.asOfJoin(clicks, "ts", purch, "p_ts", Seq("user_id"))
         .select("event_id", "user_id", "ts", "p_id", "p_ts")
   }

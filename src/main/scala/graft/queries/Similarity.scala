@@ -120,11 +120,13 @@ object Similarity {
     }
   }
 
-  private def bucketCol(emb: org.apache.spark.sql.Column, dims: Int): org.apache.spark.sql.Column =
+  private def bucketCol(emb: org.apache.spark.sql.Column, dims: Int): org.apache.spark.sql.Column = {
+    val ws = planeWeights(dims)
     (0 until Planes).map { p =>
-      when(vector_dot_f32(emb, typedLit(planeWeights(dims)(p).toSeq)) >= 0d,
+      when(vector_dot_f32(emb, typedLit(ws(p).toSeq)) >= 0d,
         lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
+  }
 
   private def bucketSql(emb: String): String =
     s"""list_reduce(list_transform(generate_series(0, ${Planes - 1}), p ->

@@ -24,6 +24,11 @@ object TextDedup {
 
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
 
+  /** NULL instead of a zero divisor: both engines then yield NULL ratios
+    * for empty/whitespace-only docs (a raw /0 would throw under Spark's
+    * ANSI mode and produce inf in DuckDB). */
+  private def nonZero(c: Column): Column = when(c =!= 0, c)
+
   // -------------------------------------------------------------------
   // Text analysis
   // -------------------------------------------------------------------
@@ -40,9 +45,9 @@ object TextDedup {
               CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_tokens_bpe,
               CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS BIGINT) AS n_punct,
               CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) * 1.0
-                / CAST(length(text) AS BIGINT) AS alpha_ratio,
+                / nullif(CAST(length(text) AS BIGINT), 0) AS alpha_ratio,
               CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS BIGINT) * 1.0
-                / CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS stopword_ratio
+                / nullif(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT), 0) AS stopword_ratio
        FROM documents""") {
     (s, d) =>
       val nTokWs = size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long")
@@ -54,9 +59,9 @@ object TextDedup {
           .cast("long").as("n_tokens_bpe"),
         size(expr("regexp_extract_all(text, '[.!?,;:]', 0)")).cast("long").as("n_punct"),
         (size(expr("regexp_extract_all(text, '[A-Za-z]', 0)")).cast("long") * lit(1.0)
-          / length(col("text")).cast("long")).as("alpha_ratio"),
+          / nonZero(length(col("text")).cast("long"))).as("alpha_ratio"),
         (size(expr("regexp_extract_all(lower(text), '\\\\b(the|a|of|and|to|in|is)\\\\b', 0)"))
-          .cast("long") * lit(1.0) / nTokWs).as("stopword_ratio"))
+          .cast("long") * lit(1.0) / nonZero(nTokWs)).as("stopword_ratio"))
   }
 
   /** Language-ID by stopword-marker scoring: count per-language marker
@@ -227,45 +232,61 @@ object TextDedup {
   private val MinhashK = 8   // signature length
   private val BandSize = 2   // rows per band → 4 bands
 
+  /** Shared MinHash plumbing (used by both the LSH candidate query and the
+    * estimation diagnostic so the two can never drift): signature
+    * aggregation, band fan-out, and the distinct candidate-pair join — in
+    * both SQL-fragment and DataFrame form. */
+  private val minhashSigSql = (0 until MinhashK)
+    .map(i => s"min(md5(shingle || '#$i')) AS h$i").mkString(", ")
+
+  private val minhashBandsSql = (0 until MinhashK / BandSize).map { b =>
+    val cols = (0 until BandSize).map(r => s"h${b * BandSize + r}").mkString(" || ")
+    s"SELECT doc_id, $b AS band_id, $cols AS band_val FROM sig"
+  }.mkString(" UNION ALL ")
+
+  private val minhashCandSql =
+    s"""sig AS (SELECT doc_id, $minhashSigSql FROM sh GROUP BY doc_id),
+        bands AS ($minhashBandsSql),
+        cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                 FROM bands a JOIN bands b
+                   ON a.band_id = b.band_id AND a.band_val = b.band_val
+                      AND a.doc_id < b.doc_id)"""
+
+  private def minhashSig(sh: DataFrame): DataFrame = {
+    val hashCols = (0 until MinhashK).map(i =>
+      min(md5(concat(col("shingle"), lit(s"#$i")))).as(s"h$i"))
+    sh.groupBy("doc_id").agg(hashCols.head, hashCols.tail: _*)
+  }
+
+  private def minhashCandidates(sig: DataFrame): DataFrame = {
+    val bands = sig.select(col("doc_id"), explode(array(
+      (0 until MinhashK / BandSize).map { b =>
+        struct(
+          lit(b).as("band_id"),
+          concat((0 until BandSize).map(r => col(s"h${b * BandSize + r}")): _*).as("band_val"))
+      }: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_id"), col("band.band_val"))
+    bands.toDF("a_id", "band_id", "band_val")
+      .join(bands.toDF("b_id", "band_id", "band_val"), Seq("band_id", "band_val"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+      .distinct()
+  }
+
   /** MinHash + LSH banding: signature_i = min(md5(shingle ⊕ seed_i)) over
     * the doc's 3-word shingles; 4 bands of 2 hashes; docs sharing any band
     * bucket become candidate pairs. The band-bucket join replaces the
     * all-pairs O(n²) comparison — the standard 100 TB near-dup design. */
-  val dedupMinhashLsh = {
-    val hashAggsSql = (0 until MinhashK)
-      .map(i => s"min(md5(shingle || '#$i')) AS h$i").mkString(", ")
-    val bandsSql = (0 until MinhashK / BandSize).map { b =>
-      val cols = (0 until BandSize).map(r => s"h${b * BandSize + r}").mkString(" || ")
-      s"SELECT doc_id, $b AS band_id, $cols AS band_val FROM sig"
-    }.mkString(" UNION ALL ")
-    QuerySpec(
-      "q_dedup_minhash_lsh",
-      s"""WITH ${shingleSql(3)},
-          sig AS (SELECT doc_id, $hashAggsSql FROM sh GROUP BY doc_id),
-          bands AS ($bandsSql)
-          SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-          FROM bands a JOIN bands b
-            ON a.band_id = b.band_id AND a.band_val = b.band_val
-               AND a.doc_id < b.doc_id""") {
-      (s, d) =>
-        val sh = shingled(s, d, 3)
-        val hashCols = (0 until MinhashK).map(i =>
-          min(md5(concat(col("shingle"), lit(s"#$i")))).as(s"h$i"))
-        val sig = sh.groupBy("doc_id").agg(hashCols.head, hashCols.tail: _*)
-        val bands = sig.select(col("doc_id"), explode(array(
-          (0 until MinhashK / BandSize).map { b =>
-            struct(
-              lit(b).as("band_id"),
-              concat((0 until BandSize).map(r => col(s"h${b * BandSize + r}")): _*).as("band_val"))
-          }: _*)).as("band"))
-          .select(col("doc_id"), col("band.band_id"), col("band.band_val"))
-        val a = bands.toDF("a_id", "band_id", "band_val")
-        val b = bands.toDF("b_id", "band_id", "band_val")
-        a.join(b, Seq("band_id", "band_val"))
-          .filter(col("a_id") < col("b_id"))
-          .select("a_id", "b_id")
-          .distinct()
-    }
+  val dedupMinhashLsh = QuerySpec(
+    "q_dedup_minhash_lsh",
+    s"""WITH ${shingleSql(3)},
+        sig AS (SELECT doc_id, $minhashSigSql FROM sh GROUP BY doc_id),
+        bands AS ($minhashBandsSql)
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_val = b.band_val
+             AND a.doc_id < b.doc_id""") {
+    (s, d) => minhashCandidates(minhashSig(shingled(s, d, 3)))
   }
 
   /** MinHash accuracy check: for every LSH candidate pair, the signature
@@ -274,23 +295,12 @@ object TextDedup {
     * a pipeline runs before trusting banding thresholds at scale. Outputs
     * integers only (cross-engine-exact). */
   val dedupMinhashEstimate = {
-    val hashAggsSql = (0 until MinhashK)
-      .map(i => s"min(md5(shingle || '#$i')) AS h$i").mkString(", ")
-    val bandsSql = (0 until MinhashK / BandSize).map { b =>
-      val cols = (0 until BandSize).map(r => s"h${b * BandSize + r}").mkString(" || ")
-      s"SELECT doc_id, $b AS band_id, $cols AS band_val FROM sig"
-    }.mkString(" UNION ALL ")
     val matchesSql = (0 until MinhashK)
       .map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END").mkString(" + ")
     QuerySpec(
       "q_dedup_minhash_estimate",
       s"""WITH ${shingleSql(3)},
-          sig AS (SELECT doc_id, $hashAggsSql FROM sh GROUP BY doc_id),
-          bands AS ($bandsSql),
-          cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-                   FROM bands a JOIN bands b
-                     ON a.band_id = b.band_id AND a.band_val = b.band_val
-                        AND a.doc_id < b.doc_id),
+          $minhashCandSql,
           sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
           inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
                     FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -306,21 +316,8 @@ object TextDedup {
           LEFT JOIN inter i ON i.a_id = c.a_id AND i.b_id = c.b_id""") {
       (s, d) =>
         val sh = shingled(s, d, 3).cache()
-        val hashCols = (0 until MinhashK).map(i =>
-          min(md5(concat(col("shingle"), lit(s"#$i")))).as(s"h$i"))
-        val sig = sh.groupBy("doc_id").agg(hashCols.head, hashCols.tail: _*).cache()
-        val bands = sig.select(col("doc_id"), explode(array(
-          (0 until MinhashK / BandSize).map { b =>
-            struct(
-              lit(b).as("band_id"),
-              concat((0 until BandSize).map(r => col(s"h${b * BandSize + r}")): _*).as("band_val"))
-          }: _*)).as("band"))
-          .select(col("doc_id"), col("band.band_id"), col("band.band_val"))
-        val cand = bands.toDF("a_id", "band_id", "band_val")
-          .join(bands.toDF("b_id", "band_id", "band_val"), Seq("band_id", "band_val"))
-          .filter(col("a_id") < col("b_id"))
-          .select("a_id", "b_id")
-          .distinct()
+        val sig = minhashSig(sh).cache()
+        val cand = minhashCandidates(sig)
         val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
         val inter = sh.toDF("a_id", "shingle")
           .join(sh.toDF("b_id", "shingle"), "shingle")
@@ -437,6 +434,10 @@ object TextDedup {
         prevSum = nextSum
         rounds += 1
       }
+      // fail loudly rather than emit non-minimal cluster ids: 30 rounds
+      // bounds graph diameter, and a silent miss would diverge from the
+      // oracle's transitive closure
+      require(converged, s"label propagation did not converge in $rounds rounds")
       val result = labels
         .select(col("id").as("doc_id"), col("label").as("cluster_id"))
         .localCheckpoint()
@@ -457,9 +458,9 @@ object TextDedup {
                 md5(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) AS fp,
                 CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
                 CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) * 1.0
-                  / CAST(length(text) AS BIGINT) AS alpha_ratio,
+                  / nullif(CAST(length(text) AS BIGINT), 0) AS alpha_ratio,
                 CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS BIGINT) * 1.0
-                  / CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS stop_ratio
+                  / nullif(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT), 0) AS stop_ratio
          FROM documents),
        c AS (SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS canonical_id FROM m)
        SELECT doc_id, fp, n_tokens,
@@ -475,9 +476,9 @@ object TextDedup {
         md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""))).as("fp"),
         nTok.as("n_tokens"),
         (size(expr("regexp_extract_all(text, '[A-Za-z]', 0)")).cast("long") * lit(1.0)
-          / length(col("text")).cast("long")).as("alpha_ratio"),
+          / nonZero(length(col("text")).cast("long"))).as("alpha_ratio"),
         (size(expr("regexp_extract_all(lower(text), '\\\\b(the|a|of|and|to|in|is)\\\\b', 0)"))
-          .cast("long") * lit(1.0) / nTok).as("stop_ratio"))
+          .cast("long") * lit(1.0) / nonZero(nTok)).as("stop_ratio"))
       val c = m.withColumn("canonical_id",
         min("doc_id").over(org.apache.spark.sql.expressions.Window.partitionBy("fp")))
       val quality = col("n_tokens") >= 10 && col("alpha_ratio") >= 0.5 && col("stop_ratio") <= 0.5

@@ -111,6 +111,29 @@ class XlsxSpec extends AnyFunSuite {
     assert(row.getAs[Long]("PATIENT_NUMBERS") === 100L)
   }
 
+  test("rows absent from the XML (Excel drops blank rows) pad as empty — positions hold") {
+    val path = Files.createTempFile("graft-gaps", ".xlsx")
+    val zos = new ZipOutputStream(Files.newOutputStream(path))
+    def entry(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name)); zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    }
+    entry("xl/workbook.xml",
+      """<workbook><sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>""")
+    entry("xl/_rels/workbook.xml.rels",
+      """<Relationships><Relationship Id="rId1" Type="w" Target="worksheets/sheet1.xml"/></Relationships>""")
+    entry("xl/worksheets/sheet1.xml",
+      """<worksheet><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>first</t></is></c></row>
+        |<row r="4"><c r="A4" t="inlineStr"><is><t>fourth</t></is></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    zos.close()
+    val rows = Xlsx.readSheet(path.toString, "S")
+    assert(rows.length === 4)
+    assert(rows(0) === Seq(Some("first")))
+    assert(rows(1) === Seq.empty && rows(2) === Seq.empty)
+    assert(rows(3) === Seq(Some("fourth")))
+  }
+
   test("missing sheet raises a named error") {
     val e = intercept[IllegalArgumentException](Xlsx.readSheet(makeWorkbook(), "Nope"))
     assert(e.getMessage.contains("Nope"))
