@@ -446,6 +446,65 @@ object TextDedup {
       result
   }
 
+  /** Deterministic content-hash sampling: keep docs whose md5 falls in a
+    * hex-prefix range — reproducible across runs, engines, and reshards
+    * (unlike rand()-based sampling), the standard way a training pipeline
+    * carves stable subsets/splits. ~50% here (first nibble < '8'). */
+  val sampleDeterministic = QuerySpec(
+    "q_sample_deterministic",
+    """SELECT doc_id, lang, substr(md5(text), 1, 1) AS bucket
+       FROM documents WHERE substr(md5(text), 1, 1) < '8'""") {
+    (s, d) =>
+      docs(s, d)
+        .withColumn("bucket", substring(md5(col("text")), 1, 1))
+        .filter(col("bucket") < "8")
+        .select("doc_id", "lang", "bucket")
+  }
+
+  /** Stratified sampling: first 5 docs per language by md5 order — equal
+    * per-stratum quotas with a deterministic, content-keyed order (one
+    * shuffle on the stratum, WindowGroupLimit-bounded). */
+  val sampleStratified = QuerySpec(
+    "q_sample_stratified",
+    """SELECT doc_id, lang, CAST(rnk AS BIGINT) AS rnk
+       FROM (SELECT doc_id, lang,
+                    ROW_NUMBER() OVER (PARTITION BY lang
+                                       ORDER BY md5(text), doc_id) AS rnk
+             FROM documents) t
+       WHERE rnk <= 5""") {
+    (s, d) =>
+      docs(s, d)
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("lang")
+            .orderBy(md5(col("text")), col("doc_id")))
+          .cast("long"))
+        .filter(col("rnk") <= 5)
+        .select("doc_id", "lang", "rnk")
+  }
+
+  /** Vocabulary building (tokenizer-training prep): corpus-wide token
+    * frequencies, top-20 with deterministic tie-break — explode + one
+    * count shuffle + bounded top-k. */
+  val vocabTop = QuerySpec(
+    "q_vocab_top",
+    """WITH tok AS (SELECT u.token FROM documents, UNNEST(str_split(text, ' ')) AS u(token)),
+       cnt AS (SELECT token, count(*) AS n FROM tok GROUP BY 1)
+       SELECT token, n, CAST(rnk AS BIGINT) AS rnk
+       FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rnk FROM cnt) t
+       WHERE rnk <= 20""") {
+    (s, d) =>
+      docs(s, d)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("n").desc, col("token")))
+          .cast("long"))
+        .filter(col("rnk") <= 20)
+        .select("token", "n", "rnk")
+  }
+
   /** The composed curation pass — what a training-data pipeline actually
     * runs per shard: quality gate (token count, alpha ratio, stopword
     * ratio) ∧ exact-dedup canonicality (min doc_id per normalized
@@ -492,5 +551,6 @@ object TextDedup {
   val specs: Seq[QuerySpec] = Seq(
     textStats, langId, ngramProfile, fingerprint,
     dedupExact, dedupJaccard, dedupMinhashLsh, dedupMinhashEstimate,
-    dedupSimhash, dedupComponents, curationPipeline)
+    dedupSimhash, dedupComponents, curationPipeline,
+    sampleDeterministic, sampleStratified, vocabTop)
 }
