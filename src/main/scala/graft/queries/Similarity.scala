@@ -239,5 +239,30 @@ object Similarity {
         .select("query_id", "cell", "neighbor_id", "cos_sim", "rnk")
   }
 
-  val specs: Seq[QuerySpec] = Seq(embedCosineNearDup, topkBruteForce, topkLshBucketed, topkIvf)
+  /** Embedding-column quality screen: per-label norm profile + degenerate-
+    * vector detection (zero/denormal norms break cosine math downstream) —
+    * the validation pass a pipeline runs before trusting a new embedding
+    * batch. Min/max are pass-through doubles; the mean routes through the
+    * deterministic quantized sum. */
+  val embedStats = QuerySpec(
+    "q_embed_stats",
+    s"""WITH $normedSql
+        SELECT label, COUNT(1) AS n,
+               min(nrm) AS min_norm, max(nrm) AS max_norm,
+               ${graft.Exact.sumSql("nrm")} / COUNT(1) AS mean_norm,
+               CAST(SUM(CASE WHEN nrm < 1e-6 THEN 1 ELSE 0 END) AS BIGINT) AS n_degenerate
+        FROM e GROUP BY 1""") {
+    (s, d) =>
+      withNorm(s, d)
+        .groupBy("label")
+        .agg(
+          count(lit(1)).as("n"),
+          min("nrm").as("min_norm"),
+          max("nrm").as("max_norm"),
+          (graft.Exact.sumD(col("nrm")) / count(lit(1))).as("mean_norm"),
+          sum(when(col("nrm") < 1e-6, 1).otherwise(0)).as("n_degenerate"))
+  }
+
+  val specs: Seq[QuerySpec] = Seq(
+    embedCosineNearDup, topkBruteForce, topkLshBucketed, topkIvf, embedStats)
 }

@@ -40,6 +40,15 @@ object StreamOps {
         col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Streaming exact dedup: drop re-deliveries of the same event id, with
+    * a watermark bounding the id-set state (ids older than the horizon are
+    * evicted — without it, state grows forever). The streaming twin of the
+    * batch exact-dedup pass. */
+  def dedupeStream(events: DataFrame, idCol: String = "event_id"): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates(idCol, "ts")
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   case class SessionState(sessionStart: Long, lastTs: Long, n: Long, total: Double)

@@ -81,6 +81,28 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupeStream drops re-delivered event ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val events = input.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = StreamOps.dedupeStream(events)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 00:00:00"), 1L, "click", 1.0),
+        (1L, ts("2024-01-01 00:00:00"), 1L, "click", 1.0), // same-batch dup
+        (2L, ts("2024-01-01 00:01:00"), 1L, "view", 2.0))
+      q.processAllAvailable()
+      input.addData(
+        (1L, ts("2024-01-01 00:00:00"), 1L, "click", 1.0)) // cross-batch redelivery
+      q.processAllAvailable()
+      val out = spark.table("dedup_out")
+      assert(out.count() === 2)
+      assert(out.select("event_id").collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+    } finally q.stop()
+  }
+
   test("sessionize: 30-min gap closes a session (flatMapGroupsWithState)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StreamOps.Event]
