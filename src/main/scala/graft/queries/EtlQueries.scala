@@ -305,6 +305,67 @@ object EtlQueries {
     (s, d) => Views.processedAdult4(adult4Table(s, d))
   }
 
+  /** PUBLISHED.PROCESSED_ADULT_4 — the dashboard-facing rename layer
+    * (reference docs/reporting_adult4.sql:21-43). */
+  val etlPublishedAdult4 = QuerySpec(
+    "q_etl_published_adult4",
+    s"""WITH $adultPipelineSql
+        SELECT "AREA_TYPE" AS "Area_Type", "AREA_CODE" AS "Area_Code",
+               "AREA_NAME" AS "Area_Name", "IS_AREA_CORE" AS "Area_Core",
+               "CANCER_SITE" AS "Cancer_Site", "GENDER" AS "Gender",
+               "STANDARDISATION_TYPE" AS "Standardisation_Type",
+               "STANDARDISATION_TYPE_SUBCATEGORY" AS "Standardisation_Subcategory",
+               "YEARS_SINCE_DIAGNOSIS" AS "Years_Since_Diagnosis",
+               "PATIENT_NUMBERS" AS "Patient_Numbers",
+               "SURVIVAL_METRIC" AS "Survival_Metric",
+               "SURVIVAL_PERCENT" AS "Survival_Per",
+               "DATE_DIAGNOSIS_WINDOW" AS "Date_Diagnosis_Window",
+               "DATE_SNAPSHOT" AS "Date_Snapshot",
+               $joinKeySql AS "JOIN_KEY",
+               CAST(CASE "GENDER" WHEN 'Persons' THEN 1 ELSE 2 END AS BIGINT) AS "Sort_Gender"
+        FROM adult4_table
+        WHERE "IS_AREA_CORE" = TRUE
+          AND (("STANDARDISATION_TYPE" = 'Age-standardised' AND "SURVIVAL_METRIC" = 'Net Survival')
+               OR "AREA_CODE" = 'E56000027')""") {
+    (s, d) => Views.publishedAdult4(adult4Table(s, d))
+  }
+
+  /** PUBLISHED.BENCHMARKING_RANK — rename layer over the rank view
+    * (reference docs/reporting_rank.sql:53-65). */
+  val etlPublishedRank = QuerySpec(
+    "q_etl_published_rank",
+    s"""WITH $adultPipelineSql,
+        ca AS (SELECT * FROM adult4_table
+               WHERE "STANDARDISATION_TYPE" = 'Age-standardised'
+                 AND "SURVIVAL_METRIC" = 'Net Survival'
+                 AND "AREA_TYPE" = 'Cancer Alliance'
+                 AND "SURVIVAL_PERCENT" IS NOT NULL),
+        ca_rank AS (
+          SELECT "AREA_CODE", $joinKeySql AS "JOIN_KEY", "SURVIVAL_PERCENT",
+                 RANK() OVER (PARTITION BY $joinKeySql
+                              ORDER BY "SURVIVAL_PERCENT" DESC) AS "RANK_CA"
+          FROM ca),
+        ca_base AS (
+          SELECT "CANCER_SITE", $joinKeySql AS "JOIN_KEY", COUNT(1) AS "RANK_BASE"
+          FROM ca
+          GROUP BY "CANCER_SITE", "GENDER", "YEARS_SINCE_DIAGNOSIS", "DATE_DIAGNOSIS_WINDOW")
+        SELECT ca_base."JOIN_KEY",
+               ca_base."CANCER_SITE" AS "Cancer_Site",
+               ca_rank."SURVIVAL_PERCENT" AS "Survival_Per",
+               CAST(ca_rank."RANK_CA" AS BIGINT) AS "Rank_CA",
+               "RANK_BASE" AS "Rank_Denominator",
+               CASE WHEN ca_rank."RANK_CA" IS NULL THEN NULL
+                    WHEN "RANK_BASE" < 4 THEN '-'
+                    WHEN ca_rank."RANK_CA" / "RANK_BASE" < 0.25 THEN '1st'
+                    WHEN ca_rank."RANK_CA" / "RANK_BASE" < 0.5 THEN '2nd'
+                    WHEN ca_rank."RANK_CA" / "RANK_BASE" < 0.75 THEN '3rd'
+                    ELSE '4th' END AS "Quartile"
+        FROM ca_base
+        LEFT JOIN ca_rank ON ca_rank."JOIN_KEY" = ca_base."JOIN_KEY"
+                          AND ca_rank."AREA_CODE" = 'E56000027'""") {
+    (s, d) => Views.publishedBenchmarkingRank(adult4Table(s, d))
+  }
+
   /** REPORTING.CANCER_ALLIANCE_COMPARISON view. */
   val etlAllianceComparison = QuerySpec(
     "q_etl_alliance_comparison",
@@ -399,5 +460,6 @@ object EtlQueries {
 
   val specs: Seq[QuerySpec] = Seq(
     etlIndex, etlReportingIndex, etlAdult4, etlProcessedAdult4,
+    etlPublishedAdult4, etlPublishedRank,
     etlAllianceComparison, etlBenchmarkRank, etlBenchmarkStandards)
 }
