@@ -203,7 +203,64 @@ object EventsMultimodal {
     }
   }
 
+  /** Explicit window frames (rowsBetween): per-user rolling statistics over
+    * the trailing 5 events — count/min/max are order-safe cross-engine
+    * (no float accumulation), the frame semantics match ROWS BETWEEN. */
+  val rollingFrames = QuerySpec(
+    "q_rolling_frames",
+    """SELECT event_id, user_id,
+              COUNT(1) OVER w AS n_trailing,
+              min(value) OVER w AS min_trailing,
+              max(value) OVER w AS max_trailing
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""") {
+    (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+      Tables.events(s, d).select(
+        col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_trailing"),
+        min("value").over(w).as("min_trailing"),
+        max("value").over(w).as("max_trailing"))
+  }
+
+  /** Conversion funnel: per user, did a purchase follow a click within an
+    * hour? lead-free formulation — the user's first click joined (as-of in
+    * reverse) against MIN(purchase ts > click ts); boolean conversion flag
+    * per click. */
+  val funnel = QuerySpec(
+    "q_funnel",
+    """WITH clicks AS (
+         SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+       conv AS (
+         SELECT c.event_id, c.user_id, c.ts,
+                min(p.ts) AS first_purchase_ts
+         FROM clicks c
+         LEFT JOIN events p
+           ON p.user_id = c.user_id AND p.event_type = 'purchase'
+          AND p.ts > c.ts AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
+         GROUP BY 1, 2, 3)
+       SELECT event_id, user_id, ts, first_purchase_ts,
+              (first_purchase_ts IS NOT NULL) AS converted
+       FROM conv""") {
+    (s, d) =>
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      clicks
+        .join(purch,
+          col("p_user") === col("user_id") && col("p_ts") > col("ts")
+            && unix_micros(col("p_ts")) <= unix_micros(col("ts")) + 3600000000L,
+          "left")
+        .groupBy("event_id", "user_id", "ts")
+        .agg(min("p_ts").as("first_purchase_ts"))
+        .withColumn("converted", col("first_purchase_ts").isNotNull)
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     streamWindow, sessionize, multimodalMeta, asofJoin, rangeJoinBinned,
-    sketchCountMin)
+    sketchCountMin, rollingFrames, funnel)
 }

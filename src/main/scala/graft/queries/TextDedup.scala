@@ -446,6 +446,35 @@ object TextDedup {
       result
   }
 
+  /** The near-dup KEEP decision: every doc in a near-dup component keeps
+    * iff it is the cluster minimum — the final output of the dedup chain
+    * (pairs → components → canonical selection). */
+  val dedupKeep = QuerySpec(
+    "q_dedup_keep",
+    s"""WITH RECURSIVE ${shingleSql(5)},
+        sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+               FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+        pairs AS (
+          SELECT pr.a_id, pr.b_id
+          FROM pr JOIN sz sa ON sa.doc_id = pr.a_id
+                  JOIN sz sb ON sb.doc_id = pr.b_id
+          WHERE 11 * pr.inter >= sa.n + sb.n),
+        edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+                  UNION ALL SELECT b_id, a_id FROM pairs),
+        reach(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+        SELECT src AS doc_id, least(src, min(dst)) AS cluster_id,
+               (src = least(src, min(dst))) AS keep
+        FROM reach GROUP BY src""") {
+    (s, d) =>
+      dedupComponents.fn(s, d)
+        .withColumn("keep", col("doc_id") === col("cluster_id"))
+  }
+
   /** Deterministic content-hash sampling: keep docs whose md5 falls in a
     * hex-prefix range — reproducible across runs, engines, and reshards
     * (unlike rand()-based sampling), the standard way a training pipeline
@@ -551,6 +580,6 @@ object TextDedup {
   val specs: Seq[QuerySpec] = Seq(
     textStats, langId, ngramProfile, fingerprint,
     dedupExact, dedupJaccard, dedupMinhashLsh, dedupMinhashEstimate,
-    dedupSimhash, dedupComponents, curationPipeline,
+    dedupSimhash, dedupComponents, dedupKeep, curationPipeline,
     sampleDeterministic, sampleStratified, vocabTop)
 }
