@@ -662,6 +662,50 @@ object Relational {
         .agg(count(lit(1)).as("n"), Exact.sumD(col("l_quantity")).as("qty"))
   }
 
+  /** CUBE: all grouping-set combinations in one aggregation. */
+  val cubeTotals = QuerySpec(
+    "q_cube",
+    """SELECT o_orderstatus, o_orderpriority, COUNT(1) AS n
+       FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""") {
+    (s, d) =>
+      Tables.orders(s, d)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+  }
+
+  /** Exact grouped COUNT(DISTINCT) — the two-phase distinct aggregation
+    * (partial distinct per partition, exchange on (group, value), final
+    * count); contrast with the Count-Min sketch for when exactness is
+    * worth the shuffle. */
+  val countDistinct_ = QuerySpec(
+    "q_count_distinct",
+    """SELECT l_returnflag,
+              COUNT(DISTINCT l_suppkey) AS n_suppliers,
+              COUNT(DISTINCT l_partkey) AS n_parts
+       FROM lineitem GROUP BY 1""") {
+    (s, d) =>
+      li(s, d).groupBy("l_returnflag")
+        .agg(
+          countDistinct("l_suppkey").as("n_suppliers"),
+          countDistinct("l_partkey").as("n_parts"))
+  }
+
+  /** Ordered string aggregation: deterministic via explicit sort before the
+    * join (collect_list order is partition-dependent; sort_array fixes it —
+    * the oracle's WITHIN-GROUP ordering matches). */
+  val stringAgg = QuerySpec(
+    "q_string_agg",
+    """SELECT r_regionkey,
+              string_agg(n_name, ',' ORDER BY n_name) AS nations
+       FROM region JOIN nation ON n_regionkey = r_regionkey
+       GROUP BY 1""") {
+    (s, d) =>
+      Tables.region(s, d)
+        .join(Tables.nation(s, d), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_regionkey")
+        .agg(array_join(sort_array(collect_list("n_name")), ",").as("nations"))
+  }
+
   /** Semi and anti joins (EXISTS / NOT EXISTS): customers with vs without
     * urgent orders — one left_semi ⊎ one left_anti, flagged. */
   val semiAntiJoin = QuerySpec(
@@ -728,7 +772,7 @@ object Relational {
 
   val specs: Seq[QuerySpec] = Seq(
     sortLimit, pricingSummary, skewSaltedJoin, join5Revenue,
-    rollupTotals, semiAntiJoin, setOps,
+    rollupTotals, cubeTotals, countDistinct_, stringAgg, semiAntiJoin, setOps,
     scanProject, filterDisjunctive, derivedFlags, antiConjExclusion,
     loadProjection, viewFilter, generaliseKeep, generaliseReplace,
     unpivotMetrics, carveParenthetical, stringFuncs, sortKeys, concatKey,
