@@ -49,17 +49,13 @@ for name, sql in sorted(oracle.items()):
     import pandas as pd
     bad = 0
     for c in exp.columns:
-        ev, gv = exp[c], got[c]
-        for i in range(len(ev)):
-            a, b = ev.iloc[i], gv.iloc[i]
-            an = pd.isna(a) if not isinstance(a, (list, tuple)) else False
-            bn = pd.isna(b) if not isinstance(b, (list, tuple)) else False
-            if an and bn:
-                continue
-            if an != bn or a != b:
-                if bad < 3:
-                    print(f"  {name}.{c}[{i}]: spark={b!r} oracle={a!r}")
-                bad += 1
+        ev, gv = exp[c].reset_index(drop=True), got[c].reset_index(drop=True)
+        ok = (ev.isna() & gv.isna()) | (ev == gv)
+        nbad = int((~ok).sum())
+        if nbad:
+            for i in list(ok[~ok].index[:3]):
+                print(f"  {name}.{c}[{i}]: spark={gv.iloc[i]!r} oracle={ev.iloc[i]!r}")
+            bad += nbad
     if bad:
         print(f"FAIL {name}: {bad} cell mismatches")
         failed.append(name)
