@@ -475,6 +475,32 @@ object TextDedup {
         .withColumn("keep", col("doc_id") === col("cluster_id"))
   }
 
+  /** Incremental dedup — the steady-state ingest shape: a NEW batch
+    * (doc_id ≥ 250 stands in for today's crawl) anti-joined on normalized
+    * fingerprint against the EXISTING corpus, keeping only first-seen
+    * content. One shuffle on the fingerprint; at 100 TB the corpus side is
+    * a bucketed fingerprint table so the anti-join is co-located. */
+  val dedupIncremental = QuerySpec(
+    "q_dedup_incremental",
+    """WITH fp AS (
+         SELECT doc_id,
+                md5(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) AS fingerprint
+         FROM documents)
+       SELECT b.doc_id, b.fingerprint
+       FROM fp b
+       WHERE b.doc_id >= 250
+         AND NOT EXISTS (SELECT 1 FROM fp c
+                         WHERE c.doc_id < 250 AND c.fingerprint = b.fingerprint)""") {
+    (s, d) =>
+      val fp = docs(s, d).select(
+        col("doc_id"),
+        md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""))).as("fingerprint"))
+      val batch = fp.filter(col("doc_id") >= 250)
+      val corpus = fp.filter(col("doc_id") < 250).select("fingerprint")
+      batch.join(corpus, Seq("fingerprint"), "left_anti")
+        .select("doc_id", "fingerprint")
+  }
+
   /** Deterministic content-hash sampling: keep docs whose md5 falls in a
     * hex-prefix range — reproducible across runs, engines, and reshards
     * (unlike rand()-based sampling), the standard way a training pipeline
@@ -580,6 +606,6 @@ object TextDedup {
   val specs: Seq[QuerySpec] = Seq(
     textStats, langId, ngramProfile, fingerprint,
     dedupExact, dedupJaccard, dedupMinhashLsh, dedupMinhashEstimate,
-    dedupSimhash, dedupComponents, dedupKeep, curationPipeline,
-    sampleDeterministic, sampleStratified, vocabTop)
+    dedupSimhash, dedupComponents, dedupKeep, dedupIncremental,
+    curationPipeline, sampleDeterministic, sampleStratified, vocabTop)
 }
