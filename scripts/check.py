@@ -47,9 +47,17 @@ for name, sql in sorted(oracle.items()):
     exp = exp.sort_values(list(exp.columns), na_position="first").reset_index(drop=True)
     got = got.sort_values(list(got.columns), na_position="first").reset_index(drop=True)
     import pandas as pd
+    import numpy as np
+
+    def _cmp_safe(s):
+        # LIST columns arrive as ndarray cells; == on those raises
+        if s.dtype == object:
+            return s.map(lambda x: tuple(x) if isinstance(x, (np.ndarray, list)) else x)
+        return s
+
     bad = 0
     for c in exp.columns:
-        ev, gv = exp[c].reset_index(drop=True), got[c].reset_index(drop=True)
+        ev, gv = _cmp_safe(exp[c]), _cmp_safe(got[c])
         ok = (ev.isna() & gv.isna()) | (ev == gv)
         nbad = int((~ok).sum())
         if nbad:

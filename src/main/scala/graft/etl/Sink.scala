@@ -41,21 +41,32 @@ object Sink {
       .partitionBy(partitionCols: _*)
       .parquet(path)
 
-  /** Small-file compaction — lakehouse maintenance: rewrite a parquet
+  /** Small-file compaction — lakehouse maintenance: rewrite a FLAT parquet
     * table into `targetFiles` right-sized files (streaming sinks and
-    * per-partition appends accumulate small files that throttle scan
-    * parallelism at 100 TB). Atomic via a staged rewrite: the new layout
-    * replaces the old only after the job commits. */
+    * frequent appends accumulate small files that throttle scan
+    * parallelism at 100 TB). The staged rewrite commits before the swap,
+    * but the delete+rename swap itself is two filesystem ops — on a crash
+    * between them the data survives in `<path>_compacting` (a real
+    * deployment swaps via a metastore/table-format pointer for true
+    * atomicity). Partition-layout tables are refused: flattening them
+    * would break later dynamic partition overwrites.
+    */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String, targetFiles: Int): Unit = {
     require(targetFiles > 0)
-    val staged = path + "_compacting"
-    spark.read.parquet(path).repartition(targetFiles)
-      .write.mode(SaveMode.Overwrite).parquet(staged)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(staged), spark.sparkContext.hadoopConfiguration)
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path), hadoopConf)
     val dst = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(staged), dst)
+    val partitioned = fs.listStatus(dst)
+      .exists(st => st.isDirectory && st.getPath.getName.contains("="))
+    require(!partitioned,
+      s"$path has a partition directory layout; compact would flatten it " +
+        "and corrupt later dynamic partition overwrites - compact per partition instead")
+    val staged = new org.apache.hadoop.fs.Path(path + "_compacting")
+    spark.read.parquet(path).repartition(targetFiles)
+      .write.mode(SaveMode.Overwrite).parquet(staged.toString)
+    require(fs.delete(dst, true), s"failed to delete $dst before swap")
+    require(fs.rename(staged, dst),
+      s"rename $staged -> $dst failed; data is intact at $staged")
   }
 
   /** Bucketed managed table: rows hash-partitioned into `buckets` files by

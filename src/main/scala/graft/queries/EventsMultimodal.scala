@@ -268,8 +268,8 @@ object EventsMultimodal {
     "q_json_extract",
     """SELECT event_type,
               COUNT(1) AS n,
-              min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
-              max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+              min(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+              max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
        FROM events GROUP BY 1""") {
     (s, d) =>
       Tables.events(s, d)

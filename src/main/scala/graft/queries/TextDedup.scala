@@ -29,6 +29,14 @@ object TextDedup {
     * ANSI mode and produce inf in DuckDB). */
   private def nonZero(c: Column): Column = when(c =!= 0, c)
 
+  /** THE normalized content fingerprint (lowercase → strip non-alnum →
+    * trim → md5), shared by every exact-dedup pass so they can never
+    * diverge; [[normFingerprintSql]] is its DuckDB twin. */
+  private def normFingerprint: Column =
+    md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9 ]", "")))
+  private val normFingerprintSql =
+    "md5(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))"
+
   // -------------------------------------------------------------------
   // Text analysis
   // -------------------------------------------------------------------
@@ -168,12 +176,12 @@ object TextDedup {
     * standard hash-partitioned exact-dedup pass. */
   val dedupExact = QuerySpec(
     "q_dedup_exact",
-    """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) AS fingerprint,
-              count(*) AS n_dups, min(doc_id) AS keep_id
-       FROM documents GROUP BY 1""") {
+    s"""SELECT $normFingerprintSql AS fingerprint,
+               count(*) AS n_dups, min(doc_id) AS keep_id
+        FROM documents GROUP BY 1""") {
     (s, d) =>
       docs(s, d)
-        .groupBy(md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""))).as("fingerprint"))
+        .groupBy(normFingerprint.as("fingerprint"))
         .agg(count(lit(1)).as("n_dups"), min("doc_id").as("keep_id"))
   }
 
@@ -482,19 +490,16 @@ object TextDedup {
     * a bucketed fingerprint table so the anti-join is co-located. */
   val dedupIncremental = QuerySpec(
     "q_dedup_incremental",
-    """WITH fp AS (
-         SELECT doc_id,
-                md5(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) AS fingerprint
-         FROM documents)
+    s"""WITH fp AS (
+          SELECT doc_id, $normFingerprintSql AS fingerprint
+          FROM documents)
        SELECT b.doc_id, b.fingerprint
        FROM fp b
        WHERE b.doc_id >= 250
          AND NOT EXISTS (SELECT 1 FROM fp c
                          WHERE c.doc_id < 250 AND c.fingerprint = b.fingerprint)""") {
     (s, d) =>
-      val fp = docs(s, d).select(
-        col("doc_id"),
-        md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""))).as("fingerprint"))
+      val fp = docs(s, d).select(col("doc_id"), normFingerprint.as("fingerprint"))
       val batch = fp.filter(col("doc_id") >= 250)
       val corpus = fp.filter(col("doc_id") < 250).select("fingerprint")
       batch.join(corpus, Seq("fingerprint"), "left_anti")
@@ -567,14 +572,13 @@ object TextDedup {
     * Single scan of documents; every signal from the ops above. */
   val curationPipeline = QuerySpec(
     "q_curation_pipeline",
-    """WITH m AS (
-         SELECT doc_id,
-                md5(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) AS fp,
-                CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+    s"""WITH m AS (
+          SELECT doc_id, $normFingerprintSql AS fp,
+                CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
                 CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) * 1.0
                   / nullif(CAST(length(text) AS BIGINT), 0) AS alpha_ratio,
-                CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS BIGINT) * 1.0
-                  / nullif(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT), 0) AS stop_ratio
+                CAST(len(regexp_extract_all(lower(text), '\\b(the|a|of|and|to|in|is)\\b')) AS BIGINT) * 1.0
+                  / nullif(CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT), 0) AS stop_ratio
          FROM documents),
        c AS (SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS canonical_id FROM m)
        SELECT doc_id, fp, n_tokens,
@@ -587,7 +591,7 @@ object TextDedup {
       val nTok = size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long")
       val m = docs(s, d).select(
         col("doc_id"),
-        md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""))).as("fp"),
+        normFingerprint.as("fp"),
         nTok.as("n_tokens"),
         (size(expr("regexp_extract_all(text, '[A-Za-z]', 0)")).cast("long") * lit(1.0)
           / nonZero(length(col("text")).cast("long"))).as("alpha_ratio"),

@@ -47,7 +47,9 @@ object StreamOps {
   def dedupeStream(events: DataFrame, idCol: String = "event_id"): DataFrame =
     events
       .withWatermark("ts", "1 hour")
-      .dropDuplicates(idCol, "ts")
+      // id-ONLY key: a redelivery re-stamped with a different timestamp is
+      // still the same event (dropDuplicates(id, ts) would let it through)
+      .dropDuplicatesWithinWatermark(idCol)
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
