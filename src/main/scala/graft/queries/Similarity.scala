@@ -87,7 +87,7 @@ object Similarity {
       val e = withNorm(s, d)
       val q = e.filter(col("vec_id") < 10).toDF("query_id", "q_label", "q_emb", "q_nrm")
       val c = e.toDF("neighbor_id", "c_label", "c_emb", "c_nrm")
-      val scored = q.join(broadcast(c), col("query_id") =!= col("neighbor_id"))
+      val scored = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
         .withColumn("cos_sim",
           vector_dot_f32(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
       scored

@@ -185,27 +185,56 @@ object TextDedup {
         .agg(count(lit(1)).as("n_dups"), min("doc_id").as("keep_id"))
   }
 
-  /** Word-shingle column: distinct k-word shingles per doc. Guarded so
-    * short docs yield an empty array (Spark `sequence(1, n)` with n<1 would
-    * otherwise generate a DESCENDING sequence). */
-  private def shingled(s: SparkSession, d: String, k: Int): DataFrame =
-    docs(s, d)
+  /** Max document frequency a shingle may carry into pair generation.
+    * A shingle shared by df documents contributes O(df²) pairs on ONE
+    * shuffle key in the self-join below — natural-text boilerplate
+    * ("all rights reserved…") reaches df in the millions at corpus scale,
+    * so uncapped pair generation is an executor-killing skew bomb. Hot
+    * shingles carry no dedup signal anyway (they match everything), so the
+    * standard treatment is stopword-style removal before pairing/hashing.
+    * 5 is tuned to the synthetic corpus (3-gram df tops out at 7, so the
+    * cap is genuinely exercised by the oracle at test scale). */
+  private[graft] val MaxShingleDf = 5
+
+  /** Word-shingle column: distinct k-word shingles per doc, document-
+    * frequency-capped. Guarded so short docs yield an empty array (Spark
+    * `sequence(1, n)` with n<1 would otherwise generate a DESCENDING
+    * sequence).
+    *
+    * Scale shape of the cap: `groupBy(shingle).count` partial-aggregates
+    * map-side (a hot key ships pre-aggregated counts, never rows), the
+    * surviving hot set is tiny (boilerplate shingles), and the broadcast
+    * ANTI-join drops hot rows map-side — the capped shingle stream is
+    * produced without any shuffle of the exploded rows. Exposed
+    * private[graft] so OpsSpec can prove the hot-shingle guard directly. */
+  private[graft] def shingled(s: SparkSession, d: String, k: Int): DataFrame = {
+    val raw = docs(s, d)
       .withColumn("ws", split(col("text"), " "))
       .select(col("doc_id"), explode(expr(
         s"""CASE WHEN size(ws) >= $k
             THEN array_distinct(transform(sequence(1, size(ws) - ${k - 1}),
                                           i -> concat_ws(' ', slice(ws, i, $k))))
             ELSE array() END""")).as("shingle"))
+    val hot = raw.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") > MaxShingleDf)
+      .select("shingle")
+    raw.join(broadcast(hot), Seq("shingle"), "left_anti")
+      .select("doc_id", "shingle")
+  }
 
   private def shingleSql(k: Int): String =
     s"""w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
-        sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+${k - 1}], ' ') AS shingle
-               FROM w, UNNEST(generate_series(1, greatest(len(ws) - ${k - 1}, 0))) AS u(i))"""
+        sh0 AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+${k - 1}], ' ') AS shingle
+                FROM w, UNNEST(generate_series(1, greatest(len(ws) - ${k - 1}, 0))) AS u(i)),
+        hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > $MaxShingleDf),
+        sh AS (SELECT doc_id, shingle FROM sh0 b
+               WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.shingle = b.shingle))"""
 
   /** Near-dup by n-gram Jaccard: 5-word shingles, shingle-join to count
     * intersections, integer-only threshold test (11·|∩| ≥ |A|+|B| ⇔
     * J ≥ 0.1). The shingle join is the scale path: shuffle on shingle,
-    * skew-safe because distinct shingles are near-unique. */
+    * skew-safe because [[shingled]] df-caps the stream first — no shuffle
+    * key can fan out more than MaxShingleDf² pairs. */
   val dedupJaccard = QuerySpec(
     "q_dedup_jaccard",
     s"""WITH ${shingleSql(5)},

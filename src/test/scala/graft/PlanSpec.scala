@@ -51,8 +51,38 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Partial") && plan.contains("Final"))
   }
 
-  test("q_sim_topk: query side broadcasts against the corpus") {
+  test("shingle df-cap: no pair-join shuffle key can fan out beyond MaxShingleDf²") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.TextDedup
+    // the capped stream that feeds every shingle self-join
+    val capped = TextDedup.shingled(spark, sf, 3)
+    val cappedMax = capped.groupBy("shingle").count()
+      .agg(max("count")).head.getLong(0)
+    assert(cappedMax <= TextDedup.MaxShingleDf,
+      s"hot shingle survived the cap: df=$cappedMax")
+    // and the cap is genuinely exercised at this scale, not vacuous: the raw
+    // (uncapped) stream must contain at least one shingle above the cap
+    val raw = Tables.documents(spark, sf)
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(ws) >= 3
+           THEN array_distinct(transform(sequence(1, size(ws) - 2),
+                                         i -> concat_ws(' ', slice(ws, i, 3))))
+           ELSE array() END""")).as("shingle"))
+    val rawMax = raw.groupBy("shingle").count().agg(max("count")).head.getLong(0)
+    assert(rawMax > TextDedup.MaxShingleDf,
+      s"cap is vacuous at test scale (raw max df=$rawMax) — lower MaxShingleDf")
+  }
+
+  test("q_sim_topk: the QUERY SET is the broadcast build side; the corpus streams") {
     val plan = formatted("q_sim_topk")
-    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"))
+    // q is the left relation → BuildLeft proves the tiny filtered query set is
+    // what ships to executors. BuildRight here would broadcast the full corpus
+    // (OOM at scale) even though "a broadcast exists".
+    assert("""BroadcastNestedLoopJoin \w+ BuildLeft""".r.findFirstIn(plan).isDefined,
+      s"query set must be the build side:\n$plan")
+    // and the broadcast input really is the filtered set: the vec_id<10
+    // predicate is pushed into (exactly one of) the embeddings scans
+    assert(plan.contains("LessThan(vec_id,10)"), "query-set filter not pushed to scan")
   }
 }
