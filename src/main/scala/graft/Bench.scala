@@ -15,7 +15,13 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
+      // noop-datasource write, NOT count(): count() lets Catalyst prune the
+      // final projection, so pure-projection queries (string kernels,
+      // fingerprints…) would be timed as scan-and-count. The noop sink
+      // evaluates every output column and discards the rows.
+      val ok = try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
+      } catch {
         case e: Throwable => System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
       }
       // a failed query reports -1, never a plausible elapsed time
