@@ -104,6 +104,25 @@ object Views {
       .withColumn("JOIN_KEY", joinKey)
       .withColumn("SORT_GENDER", when(col("GENDER") === "Persons", 1).otherwise(2).cast("long"))
 
+  /** PUBLISHED.CANCER_ALLIANCE_COMPARISON — dashboard-facing rename layer
+    * over [[cancerAllianceComparison]] (reference
+    * docs/reporting_cancer_alliance_reporting.sql:34-56). Same rename map as
+    * the published ADULT_4 layer (the two views share the base schema). */
+  def publishedCancerAllianceComparison(adult4: DataFrame): DataFrame =
+    Ops.renameSelect(cancerAllianceComparison(adult4), Seq(
+      "AREA_TYPE" -> "Area_Type", "AREA_CODE" -> "Area_Code",
+      "AREA_NAME" -> "Area_Name", "IS_AREA_CORE" -> "Area_Core",
+      "CANCER_SITE" -> "Cancer_Site", "GENDER" -> "Gender",
+      "STANDARDISATION_TYPE" -> "Standardisation_Type",
+      "STANDARDISATION_TYPE_SUBCATEGORY" -> "Standardisation_Subcategory",
+      "YEARS_SINCE_DIAGNOSIS" -> "Years_Since_Diagnosis",
+      "PATIENT_NUMBERS" -> "Patient_Numbers",
+      "SURVIVAL_METRIC" -> "Survival_Metric",
+      "SURVIVAL_PERCENT" -> "Survival_Per",
+      "DATE_DIAGNOSIS_WINDOW" -> "Date_Diagnosis_Window",
+      "DATE_SNAPSHOT" -> "Date_Snapshot",
+      "JOIN_KEY" -> "JOIN_KEY", "SORT_GENDER" -> "Sort_Gender"))
+
   /** The shared CA base: age-standardised net-survival Cancer-Alliance rows
     * (reference docs/reporting_rank.sql:11-15). */
   private def caRows(adult4: DataFrame): DataFrame =
@@ -201,4 +220,13 @@ object Views {
     fixed.join(caAgg, Seq("JOIN_KEY"), "full_outer")
       .select("JOIN_KEY", "ENGLAND", "LONDON", "BEST", "WORST", "Q1", "Q2", "Q3")
   }
+
+  /** PUBLISHED.BENCHMARKING_STANDARDS — dashboard-facing rename layer over
+    * [[benchmarkingStandards]] (reference
+    * docs/reporting_benchmarking_standard.sql:99-113). */
+  def publishedBenchmarkingStandards(adult4: DataFrame): DataFrame =
+    Ops.renameSelect(benchmarkingStandards(adult4), Seq(
+      "JOIN_KEY" -> "JOIN_KEY", "ENGLAND" -> "England", "LONDON" -> "London",
+      "BEST" -> "Best", "WORST" -> "Worst",
+      "Q1" -> "Q1", "Q2" -> "Q2", "Q3" -> "Q3"))
 }

@@ -379,6 +379,32 @@ object EtlQueries {
     (s, d) => Views.cancerAllianceComparison(adult4Table(s, d))
   }
 
+  /** PUBLISHED.CANCER_ALLIANCE_COMPARISON — rename layer over the
+    * comparison view (reference
+    * docs/reporting_cancer_alliance_reporting.sql:34-56). */
+  val etlPublishedComparison = QuerySpec(
+    "q_etl_published_comparison",
+    s"""WITH $adultPipelineSql
+        SELECT "AREA_TYPE" AS "Area_Type", "AREA_CODE" AS "Area_Code",
+               "AREA_NAME" AS "Area_Name", "IS_AREA_CORE" AS "Area_Core",
+               "CANCER_SITE" AS "Cancer_Site", "GENDER" AS "Gender",
+               "STANDARDISATION_TYPE" AS "Standardisation_Type",
+               "STANDARDISATION_TYPE_SUBCATEGORY" AS "Standardisation_Subcategory",
+               "YEARS_SINCE_DIAGNOSIS" AS "Years_Since_Diagnosis",
+               "PATIENT_NUMBERS" AS "Patient_Numbers",
+               "SURVIVAL_METRIC" AS "Survival_Metric",
+               "SURVIVAL_PERCENT" AS "Survival_Per",
+               "DATE_DIAGNOSIS_WINDOW" AS "Date_Diagnosis_Window",
+               "DATE_SNAPSHOT" AS "Date_Snapshot",
+               $joinKeySql AS "JOIN_KEY",
+               CAST(CASE "GENDER" WHEN 'Persons' THEN 1 ELSE 2 END AS BIGINT) AS "Sort_Gender"
+        FROM adult4_table
+        WHERE "AREA_TYPE" = 'Cancer Alliance'
+          AND "STANDARDISATION_TYPE" = 'Age-standardised'
+          AND "SURVIVAL_METRIC" = 'Net Survival'""") {
+    (s, d) => Views.publishedCancerAllianceComparison(adult4Table(s, d))
+  }
+
   /** REPORTING.BENCHMARKING_RANK view (reference docs/reporting_rank.sql):
     * window rank + denominator + ON-clause-constant left join + quartile
     * CASE, over the real pipeline output. */
@@ -458,8 +484,22 @@ object EtlQueries {
     (s, d) => Views.benchmarkingStandards(adult4Table(s, d))
   }
 
+  /** PUBLISHED.BENCHMARKING_STANDARDS — rename layer over the standards
+    * view (reference docs/reporting_benchmarking_standard.sql:99-113). */
+  val etlPublishedStandards = QuerySpec(
+    "q_etl_published_standards",
+    // same stack as q_etl_benchmark_standards, dashboard-facing aliases
+    etlBenchmarkStandards.oracle.get
+      .replace("""AS "ENGLAND"""", """AS "England"""")
+      .replace("""AS "LONDON"""", """AS "London"""")
+      .replace("""AS "BEST"""", """AS "Best"""")
+      .replace("""AS "WORST"""", """AS "Worst"""")) {
+    (s, d) => Views.publishedBenchmarkingStandards(adult4Table(s, d))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     etlIndex, etlReportingIndex, etlAdult4, etlProcessedAdult4,
-    etlPublishedAdult4, etlPublishedRank,
-    etlAllianceComparison, etlBenchmarkRank, etlBenchmarkStandards)
+    etlPublishedAdult4, etlPublishedRank, etlPublishedComparison,
+    etlAllianceComparison, etlBenchmarkRank, etlBenchmarkStandards,
+    etlPublishedStandards)
 }
