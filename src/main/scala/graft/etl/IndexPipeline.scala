@@ -40,8 +40,9 @@ object IndexPipeline {
     val cleaned = breastGeneralised
       // 'Index' site → 'Overall' (substring replace, main.py:149-150)
       .withColumn("Cancer site", regexp_replace(col("Cancer site"), "Index", "Overall"))
-      // drop 'Other' site (main.py:153)
-      .filter(col("Cancer site") =!= "Other")
+      // drop 'Other' site (main.py:153) — null-safe: pandas != keeps NaN
+      // rows, so a blank site cell must survive this filter too
+      .filter(!(col("Cancer site") <=> "Other"))
 
     // Load-boundary projection to the DDL schema (main.py:156-212 collapses
     // keep-list + rename + header normalization + final rename into one

@@ -27,7 +27,11 @@ object Ops {
     val dupe = overrides.foldLeft(df.filter(pred)) {
       case (acc, (c, v)) => acc.withColumn(c, v)
     }
-    df.filter(!pred).unionByName(dupe)
+    // !(pred <=> true), not !pred: under three-valued logic a NULL cell makes
+    // !pred NULL and filter() would silently DROP the row, where the
+    // reference's pandas ~((..)&(..)) keeps NaN rows. Null-safe equality
+    // keeps the keep-side semantics identical on blank workbook cells.
+    df.filter(!(pred <=> true)).unionByName(dupe)
   }
 
   /** Gender generalisation for a gender-exclusive cancer site (reference

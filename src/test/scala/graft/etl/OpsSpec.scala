@@ -35,6 +35,32 @@ class OpsSpec extends SparkSpec {
     assert(out.filter($"Gender" === "Persons" && $"v" === 1L).count() === 1)
   }
 
+  test("replaceWhere keeps rows where the predicate is NULL (pandas keep-NaN semantics)") {
+    // a blank cell makes the conjunctive predicate NULL, not false; pandas
+    // ~((..)&(..)) keeps the NaN row, so the keep side must too
+    val withNull = Seq(
+      (Option("Breast"), Option("Female"), Option("All ages"), 1L),
+      (Option.empty[String], Option("Female"), Option("All ages"), 2L),
+      (Option("Lung"), Option.empty[String], Option("All ages"), 3L))
+      .toDF("Cancer site", "Gender", "Age at diagnosis", "v")
+    val out = Ops.replaceWhere(withNull,
+      col("Cancer site") === "Breast" && col("Gender") === "Female" &&
+        col("Age at diagnosis") === "All ages",
+      Map("Gender" -> lit("Persons")))
+    // row 1 replaced; rows 2 and 3 (NULL predicate) KEPT, not dropped
+    assert(out.count() === 3)
+    assert(out.filter($"v" === 2L).count() === 1)
+    assert(out.filter($"v" === 3L).count() === 1)
+    assert(out.filter($"v" === 1L && $"Gender" === "Persons").count() === 1)
+  }
+
+  test("the 'Other' site exclusion keeps NULL-site rows (pandas != semantics)") {
+    val withNull = Seq(Option("Other"), Option("Lung"), Option.empty[String])
+      .toDF("Cancer site")
+    val kept = withNull.filter(!(col("Cancer site") <=> "Other"))
+    assert(kept.count() === 2, "NULL site must survive the exclusion")
+  }
+
   test("generaliseGender only copies the (site, gender) slice") {
     val out = Ops.generaliseGender(frame, "Breast", "Female")
     assert(out.count() === 6)
