@@ -535,6 +535,31 @@ object TextDedup {
         .select("doc_id", "fingerprint")
   }
 
+  /** The corpus half of the steady-state incremental-dedup pair: persist
+    * the existing corpus' fingerprints bucketed BY fingerprint
+    * ([[graft.etl.Sink.overwriteBucketed]]). At 100 TB this is the at-rest
+    * layout that makes every subsequent ingest anti-join co-located. */
+  def writeCorpusFingerprints(s: SparkSession, d: String, table: String, buckets: Int): Unit =
+    graft.etl.Sink.overwriteBucketed(
+      docs(s, d).filter(col("doc_id") < 250)
+        .select(col("doc_id"), normFingerprint.as("fingerprint")),
+      table, "fingerprint", buckets)
+
+  /** [[dedupIncremental]]'s scaladoc claim made real: anti-join the new
+    * batch against a corpus fingerprint table persisted by
+    * [[writeCorpusFingerprints]]. The bucketed scan already satisfies the
+    * join's hash-partitioning requirement, so the (huge) corpus side has NO
+    * exchange — only the small new batch shuffles to align with the
+    * bucketing (pinned in PlanSpec). */
+  def incrementalAgainstBucketedCorpus(
+      s: SparkSession, d: String, corpusTable: String): DataFrame = {
+    val batch = docs(s, d).filter(col("doc_id") >= 250)
+      .select(col("doc_id"), normFingerprint.as("fingerprint"))
+    batch.join(s.table(corpusTable).select("fingerprint"),
+        Seq("fingerprint"), "left_anti")
+      .select("doc_id", "fingerprint")
+  }
+
   /** Deterministic content-hash sampling: keep docs whose md5 falls in a
     * hex-prefix range — reproducible across runs, engines, and reshards
     * (unlike rand()-based sampling), the standard way a training pipeline

@@ -74,6 +74,26 @@ class PlanSpec extends SparkSpec {
       s"cap is vacuous at test scale (raw max df=$rawMax) — lower MaxShingleDf")
   }
 
+  test("incremental dedup vs bucketed corpus: NO exchange on the corpus side") {
+    import graft.queries.TextDedup
+    TextDedup.writeCorpusFingerprints(spark, sf, "corpus_fp", 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val out = TextDedup.incrementalAgainstBucketedCorpus(spark, sf, "corpus_fp")
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") && plan.contains("LeftAnti"), plan)
+      // exactly ONE exchange: the new batch aligning to the corpus bucketing.
+      // A second one would mean the corpus is being reshuffled on every
+      // ingest — the thing bucketing exists to avoid.
+      val n = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(n == 1, s"expected 1 exchange (batch side only), got $n:\n$plan")
+      // same answer as the plain anti-join oracle query
+      val expected = SparkEntry.queries("q_dedup_incremental")(spark, sf)
+      assert(out.collect().toSet === expected.collect().toSet)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q_sim_topk: the QUERY SET is the broadcast build side; the corpus streams") {
     val plan = formatted("q_sim_topk")
     // q is the left relation → BuildLeft proves the tiny filtered query set is
