@@ -78,6 +78,63 @@ object Catalog {
     }.toMap
   }
 
+  /** Exactly-one-match file resolution (reference src/main.py:52-63): each
+    * target id must select exactly ONE file id from the page's links —
+    * zero matches warns and skips, multiple matches warns and skips (the
+    * reference deliberately refuses to guess). Returns the resolved ids
+    * and the warnings, so orchestration stays a pure, testable function. */
+  def resolveTargetFiles(
+      links: Map[String, FileLink],
+      targetIds: Seq[String],
+      publication: String): (Seq[String], Seq[String]) = {
+    val (ids, warns) = targetIds.map { targetId =>
+      links.keys.filter(_.contains(targetId)).toSeq match {
+        case Seq(one) => (Some(one), None)
+        case Seq() =>
+          (None, Some(s"Warning: No files were found for the $publication publication."))
+        case _ =>
+          (None, Some(s"Warning: Multiple files were found for the $publication " +
+            "publication. These files won't be processed."))
+      }
+    }.unzip
+    (ids.flatten, warns.flatten)
+  }
+
+  /** The scrape orchestrator (reference src/main.py:19-71): publication
+    * page → first page whose url contains each target key → file links →
+    * [[resolveTargetFiles]] → download each resolved file into the staging
+    * dir as `<id>.xlsx`. `fetchFn` is injectable so the whole composition
+    * unit-tests offline; warnings go to stderr like the reference's
+    * print(). Returns the staged filenames. */
+  def scrapeLatestData(
+      publicationUrl: String,
+      targets: Seq[(String, Seq[String])] = Seq(
+        "index" -> Seq("Index"),
+        "cancers-diagnosed" -> Seq("adult")),
+      destDir: String = "./data",
+      fetchFn: String => Option[Array[Byte]] = url => fetch(url),
+      warn: String => Unit = System.err.println): Seq[String] = {
+    val pages = fetchFn(publicationUrl)
+      .map(b => parsePages(new String(b, "UTF-8"))).getOrElse(Seq.empty)
+    val targetPages = targets.flatMap { case (key, targetIds) =>
+      pages.find(_.contains(key)).map(page => (key, targetIds, page))
+    }
+    targetPages.flatMap { case (key, targetIds, page) =>
+      fetchFn(page).toSeq.flatMap { bytes =>
+        val links = parseFileLinks(new String(bytes, "UTF-8"))
+        val (ids, warnings) = resolveTargetFiles(links, targetIds, key)
+        warnings.foreach(warn)
+        ids.flatMap { id =>
+          fetchFn(links(id).url).map { content =>
+            val fileName = id + ".xlsx"
+            saveFile(content, fileName, destDir)
+            fileName
+          }
+        }
+      }
+    }
+  }
+
   /** S5 — fetch a file's bytes, status-checked (scrape_util.py:96-112). */
   def fetch(url: String, client: HttpClient = HttpClient.newHttpClient()): Option[Array[Byte]] = {
     val res = client.send(

@@ -13,16 +13,33 @@ object Runner {
 
   final case class LoadResult(file: String, kind: String, table: String, rows: Long)
 
+  /** Destination table names — the reference resolves these from env vars
+    * (src/main.py:214-217 DATABASE/SCHEMA/DESTINATION_INDEX, with a `dev_`
+    * prefix switching deployments) instead of hardcoding. */
+  final case class Destinations(index: String = "INDEX", adult4: String = "ADULT_4")
+
+  object Destinations {
+    /** Env-driven resolution, reference-style: GRAFT_DEST_INDEX /
+      * GRAFT_DEST_ADULT4 override the defaults (injectable map for tests). */
+    def fromEnv(env: Map[String, String] = sys.env): Destinations =
+      Destinations(
+        index = env.getOrElse("GRAFT_DEST_INDEX", "INDEX"),
+        adult4 = env.getOrElse("GRAFT_DEST_ADULT4", "ADULT_4"))
+  }
+
   /** @param stagingDir directory of staged workbooks (post-scrape state;
     *        reference ./data, src/main.py:390-393)
     * @param outDir root for the INDEX / ADULT_4 parquet tables
     * @param targetGeographies core areas (reference src/main.py:397)
+    * @param destinations table names under outDir (reference
+    *        src/main.py:214-217 env-driven destination switch)
     */
   def run(
       spark: SparkSession,
       stagingDir: String,
       outDir: String,
-      targetGeographies: Seq[String] = Schemas.defaultTargetGeographies): Seq[LoadResult] = {
+      targetGeographies: Seq[String] = Schemas.defaultTargetGeographies,
+      destinations: Destinations = Destinations()): Seq[LoadResult] = {
     Ingest.listStaged(stagingDir).flatMap { path =>
       val name = path.getFileName.toString
       Ingest.dispatch(name) match {
@@ -33,7 +50,7 @@ object Runner {
             else
               Staging.readSheet(spark, path.toString, Schemas.rawIndexSheet, skipRows = 10)
           val out = IndexPipeline(raw, targetGeographies)
-          val dest = s"$outDir/INDEX"
+          val dest = s"$outDir/${destinations.index}"
           Sink.overwriteTable(out, dest)
           Some(LoadResult(name, "index", dest, spark.read.parquet(dest).count()))
 
@@ -53,7 +70,7 @@ object Runner {
             else
               Staging.readSheet(spark, path.toString, Schemas.rawAdultSheet, skipRows = 9)
           val out = Adult4Pipeline(raw, targetGeographies, Ingest.diagnosisWindow(name), snapshot)
-          val dest = s"$outDir/ADULT_4"
+          val dest = s"$outDir/${destinations.adult4}"
           Sink.overwriteTable(out, dest)
           Some(LoadResult(name, "adult4", dest, spark.read.parquet(dest).count()))
 

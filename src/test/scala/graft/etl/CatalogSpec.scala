@@ -39,6 +39,53 @@ class CatalogSpec extends AnyFunSuite {
       Catalog.FileLink("https://files.nhs.uk/x/notes.pdf", None, "pdf"))
   }
 
+  test("resolveTargetFiles: exactly-one-match guard — 0 and many warn and skip") {
+    val links = Map(
+      "Index file" -> Catalog.FileLink("u1", None, "xlsx"),
+      "adult data" -> Catalog.FileLink("u2", None, "xlsx"),
+      "adult extra" -> Catalog.FileLink("u3", None, "xlsx"))
+    // exactly one
+    val (one, w1) = Catalog.resolveTargetFiles(links, Seq("Index"), "index")
+    assert(one === Seq("Index file") && w1.isEmpty)
+    // zero matches → warn, skip
+    val (none, w2) = Catalog.resolveTargetFiles(links, Seq("child"), "index")
+    assert(none.isEmpty && w2 === Seq("Warning: No files were found for the index publication."))
+    // multiple matches → warn, skip (the reference refuses to guess)
+    val (many, w3) = Catalog.resolveTargetFiles(links, Seq("adult"), "cancers-diagnosed")
+    assert(many.isEmpty && w3.head.startsWith("Warning: Multiple files were found"))
+  }
+
+  test("scrapeLatestData: offline composition — pages → links → resolve → staged files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-scrape").toString
+    val indexPage =
+      """<div id="resources">
+        |  <a href="https://f/Index%20file.xlsx">x</a>
+        |</div>""".stripMargin
+    val diagPage =
+      """<div id="resources">
+        |  <a href="https://f/adult%20a.xlsx">x</a>
+        |  <a href="https://f/adult%20b.xlsx">x</a>
+        |</div>""".stripMargin
+    val site = Map(
+      "PUB" ->
+        """<div id="latest-statistics"><a href="/p/index-2023">l</a></div>
+          |<div id="past-publications">
+          |  <a class="cta__button" href="/p/cancers-diagnosed-2023">p</a>
+          |</div>""".stripMargin.getBytes("UTF-8"),
+      "/p/index-2023" -> indexPage.getBytes("UTF-8"),
+      "/p/cancers-diagnosed-2023" -> diagPage.getBytes("UTF-8"),
+      "https://f/Index%20file.xlsx" -> "bytes!".getBytes("UTF-8"))
+    val warnings = scala.collection.mutable.Buffer[String]()
+    val staged = Catalog.scrapeLatestData(
+      "PUB", destDir = dir, fetchFn = site.get, warn = warnings += _)
+    // index target resolves to its single file and stages it
+    assert(staged === Seq("Index file.xlsx"))
+    assert(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "Index file.xlsx")) sameElements "bytes!".getBytes)
+    // the two-adult-file page warned and staged nothing
+    assert(warnings.exists(_.startsWith("Warning: Multiple files")))
+  }
+
   test("saveFile writes staged bytes (S6)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stage").toString
     Catalog.saveFile("abc".getBytes, "f.bin", dir)

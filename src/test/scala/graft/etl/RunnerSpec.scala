@@ -48,6 +48,24 @@ class RunnerSpec extends SparkSpec {
     assert(Views.benchmarkingStandards(adult.drop("_TIMESTAMP")).count() > 0)
   }
 
+  test("run: env-driven destinations rename the sink tables (dev_ prefix switch)") {
+    val staging = Files.createTempDirectory("graft-staging-dest")
+    val out = Files.createTempDirectory("graft-tables-dest").toString
+    val indexHeader = Schemas.rawIndexSheet.fieldNames.mkString(",")
+    Files.writeString(staging.resolve("Index_2018.csv"),
+      (1 to 10).map(i => s"preamble $i").mkString("\n") + "\n" +
+        indexHeader + "\n" +
+        "Cancer Alliance,NCL,E56000027,Breast,Female,All ages,Age-standardised,2018,1,100,71.5,70.0,73.0,1.0,0.5,\n")
+    val dests = Runner.Destinations.fromEnv(
+      Map("GRAFT_DEST_INDEX" -> "dev_INDEX"))   // ADULT_4 stays default
+    assert(dests === Runner.Destinations("dev_INDEX", "ADULT_4"))
+    val results = Runner.run(spark, staging.toString, out, destinations = dests)
+    assert(results.map(_.table) === Seq(s"$out/dev_INDEX"))
+    // the Breast/Female/All-ages row is REPLACED by its Persons copy → 1 row
+    assert(spark.read.parquet(s"$out/dev_INDEX").count() === 1)
+    assert(!new java.io.File(s"$out/INDEX").exists())
+  }
+
   test("run: xlsx adult workbook parses Table 4 AND the Notes snapshot (row 12 cell)") {
     import java.util.zip.{ZipEntry, ZipOutputStream}
     val staging = Files.createTempDirectory("graft-staging-xlsx")
