@@ -60,6 +60,42 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** dot product of two ArrayType(DoubleType) columns (k-means centroid
+    * math — embeddings cast up; means are inherently double). */
+  case class VectorDotF64(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "vector_dot_f64"
+
+    override def nullSafeEval(l: Any, r: Any): Any =
+      VectorKernels.dotF64(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.VectorKernels.dotF64($a, $b);")
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** L2 norm of an ArrayType(DoubleType) column. */
+  case class VectorNormF64(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "vector_norm_f64"
+
+    override def nullSafeEval(v: Any): Any =
+      math.sqrt(VectorKernels.normSqF64(v.asInstanceOf[ArrayData]))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = java.lang.Math.sqrt(graft.functions.VectorKernels.normSqF64($a));")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** 31-polynomial rolling hash mod 1e9+7 of a string column. */
   case class RollingHash31(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
@@ -82,11 +118,15 @@ object VectorExpressions {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("vector_dot_f32", es => VectorDotF32(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("vector_norm_f32", es => VectorNormF32(es.head), "built-in")
+    reg.createOrReplaceTempFunction("vector_dot_f64", es => VectorDotF64(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("vector_norm_f64", es => VectorNormF64(es.head), "built-in")
     reg.createOrReplaceTempFunction("rolling_hash31", es => RollingHash31(es.head), "built-in")
   }
 
   // Column-level entry points (require register(spark) on the session)
   def vector_dot_f32(a: Column, b: Column): Column = call_function("vector_dot_f32", a, b)
   def vector_norm_f32(a: Column): Column = call_function("vector_norm_f32", a)
+  def vector_dot_f64(a: Column, b: Column): Column = call_function("vector_dot_f64", a, b)
+  def vector_norm_f64(a: Column): Column = call_function("vector_norm_f64", a)
   def rolling_hash31(c: Column): Column = call_function("rolling_hash31", c)
 }

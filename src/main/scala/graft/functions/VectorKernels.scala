@@ -39,6 +39,31 @@ object VectorKernels {
     acc
   }
 
+  /** dot(a, b) over double arrays (k-means centroids), index order. */
+  def dotF64(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  /** Σ x_i² over a double array, index order. */
+  def normSqF64(a: ArrayData): Double = {
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i)
+      acc += x * x
+      i += 1
+    }
+    acc
+  }
+
   /** 31-polynomial rolling hash mod 1e9+7 over the string's UTF-16 chars
     * (≡ code points for BMP text; matches ascii(substr(s, i, 1)) folding). */
   def rollingHash31(s: UTF8String): Long = {

@@ -174,61 +174,137 @@ object Similarity {
         .select("query_id", "bucket", "neighbor_id", "cos_sim", "rnk")
   }
 
-  /** IVF-style ANN — the other scale path: a coarse quantizer assigns every
-    * vector to its nearest centroid cell; a query probes only its own cell.
-    * Centroids here are the deterministic seed set (vec_id < 8) so the
-    * oracle reproduces the assignment exactly; a production deployment
-    * would k-means them (same plan shape — the quantizer is data).
+  private val IvfK = 8          // coarse-quantizer cells
+  private val IvfIters = 2      // fixed Lloyd iterations (oracle unrolls them)
+  private val IvfProbes = 2     // cells each query probes
+
+  /** One Lloyd assignment: nearest centroid by cosine, cent_id tie-break.
+    * Centroids are a broadcast-tiny double-array table. */
+  private def assignCells(e: DataFrame, centDf: DataFrame): DataFrame =
+    e.crossJoin(broadcast(centDf))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("vec_id")
+          .orderBy(
+            (VectorExpressions.vector_dot_f64(
+              col("embedding").cast("array<double>"), col("cent_emb")) /
+              (col("nrm") * col("cent_nrm"))).desc,
+            col("cent_id"))))
+
+  /** Deterministic k-means coarse quantizer: seed centroids = the first
+    * [[IvfK]] vectors, exactly [[IvfIters]] Lloyd iterations, per-dimension
+    * means on the [[graft.Exact]] quantized-sum grid — every step is
+    * bitwise cross-engine-reproducible, so the DuckDB oracle replays the
+    * identical clustering. Each iteration collects only the K×64 centroid
+    * means to the driver (the data itself never moves); empty cells keep
+    * their previous centroid. */
+  private def kmeansCentroids(s: SparkSession, e: DataFrame): Seq[(Long, Seq[Double])] = {
+    import s.implicits._
+    var cents: Seq[(Long, Seq[Double])] = e.filter(col("vec_id") < IvfK)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+    for (_ <- 1 to IvfIters) {
+      val centDf = cents.toDF("cent_id", "cent_emb")
+        .withColumn("cent_nrm", VectorExpressions.vector_norm_f64(col("cent_emb")))
+      val means = assignCells(e, centDf)
+        .filter(col("rn") === 1)
+        .select(col("cent_id"), posexplode(col("embedding")))
+        .groupBy("cent_id", "pos")
+        .agg((graft.Exact.sumD(col("col").cast("double")) / count(lit(1))).as("m"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+      cents = cents.map { case (cid, prev) => (cid, means.getOrElse(cid, prev)) }
+    }
+    cents
+  }
+
+  /** DuckDB twin of [[Exact.sumD]]-based per-dimension mean. */
+  private def meanSql(x: String): String = s"${graft.Exact.sumSql(x)} / COUNT(*)"
+
+  /** One unrolled Lloyd iteration for the oracle: assignment from cent{n-1},
+    * quantized per-dimension means, COALESCE keeps empty cells' centroids. */
+  private def kmeansIterSql(n: Int): String = {
+    val prev = s"cent${n - 1}"
+    s"""asn$n AS (
+          SELECT e.vec_id, c.cent_id,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                    ORDER BY ${dotSql("e.embedding", "c.cent_emb")} / (e.nrm * c.cent_nrm) DESC,
+                                             c.cent_id) AS rn
+          FROM e CROSS JOIN $prev c),
+        upd$n AS (
+          SELECT a.cent_id, d.dim, ${meanSql("CAST(e.embedding[d.dim] AS DOUBLE)")} AS m
+          FROM asn$n a JOIN e ON e.vec_id = a.vec_id AND a.rn = 1
+          CROSS JOIN dims d
+          GROUP BY a.cent_id, d.dim),
+        cent$n AS (
+          SELECT p.cent_id,
+                 COALESCE(u.emb, p.cent_emb) AS cent_emb,
+                 ${normSql("COALESCE(u.emb, p.cent_emb)")} AS cent_nrm
+          FROM $prev p
+          LEFT JOIN (SELECT cent_id, list(m ORDER BY dim) AS emb
+                     FROM upd$n GROUP BY cent_id) u ON u.cent_id = p.cent_id)"""
+  }
+
+  /** IVF ANN — the coarse-quantizer scale path: deterministic k-means
+    * centroids ([[kmeansCentroids]]) partition the corpus into cells; each
+    * query MULTI-PROBES its top-[[IvfProbes]] cells (recall insurance at
+    * the cell boundary), candidates are the probed cells' members only.
     * The centroid table broadcasts; the candidate join keys on cell id —
-    * shuffle on cell, never all-pairs. */
+    * shuffle on cell, never all-pairs. Probe overlap is deduplicated
+    * before ranking. */
   val topkIvf = QuerySpec(
     "q_sim_ivf",
     s"""WITH $normedSql,
-        cent AS (SELECT vec_id AS cent_id, embedding AS cent_emb, nrm AS cent_nrm
-                 FROM e WHERE vec_id < 8),
-        asn AS (
-          SELECT vec_id, cent_id,
-                 ROW_NUMBER() OVER (PARTITION BY vec_id
-                                    ORDER BY ${dotSql("embedding", "cent_emb")} / (nrm * cent_nrm) DESC,
-                                             cent_id) AS rn
-          FROM e CROSS JOIN cent),
+        dims AS (SELECT UNNEST(generate_series(1, 64)) AS dim),
+        cent0 AS (SELECT vec_id AS cent_id,
+                         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent_emb,
+                         nrm AS cent_nrm
+                  FROM e WHERE vec_id < $IvfK),
+        ${(1 to IvfIters).map(kmeansIterSql).mkString(",\n")},
+        asnF AS (
+          SELECT e.vec_id, c.cent_id,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                    ORDER BY ${dotSql("e.embedding", "c.cent_emb")} / (e.nrm * c.cent_nrm) DESC,
+                                             c.cent_id) AS rn
+          FROM e CROSS JOIN cent$IvfIters c),
         cells AS (
           SELECT e.vec_id, e.embedding, e.nrm, a.cent_id AS cell
-          FROM e JOIN asn a ON a.vec_id = e.vec_id AND a.rn = 1),
+          FROM e JOIN asnF a ON a.vec_id = e.vec_id AND a.rn = 1),
+        qprobe AS (
+          SELECT e.vec_id, e.embedding, e.nrm, a.cent_id AS cell
+          FROM e JOIN asnF a ON a.vec_id = e.vec_id AND a.rn <= $IvfProbes
+          WHERE e.vec_id < 10),
         scored AS (
-          SELECT q.vec_id AS query_id, q.cell AS cell, c.vec_id AS neighbor_id,
+          SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                  ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos_sim
-          FROM cells q JOIN cells c ON q.cell = c.cell AND q.vec_id <> c.vec_id
-          WHERE q.vec_id < 10)
-        SELECT query_id, cell, neighbor_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
+          FROM qprobe q JOIN cells c ON q.cell = c.cell AND q.vec_id <> c.vec_id)
+        SELECT query_id, neighbor_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                            ORDER BY cos_sim DESC, neighbor_id) AS rnk
               FROM scored) t
         WHERE rnk <= 3""") {
     (s, d) =>
       val e = withNorm(s, d)
-      val cent = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"),
-          col("nrm").as("cent_nrm"))
-      val asn = e.select(col("vec_id"), col("embedding"), col("nrm"))
-        .crossJoin(broadcast(cent))
-        .withColumn("rn", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy("vec_id")
-            .orderBy(
-              (vector_dot_f32(col("embedding"), col("cent_emb")) / (col("nrm") * col("cent_nrm"))).desc,
-              col("cent_id"))))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id").as("cell"))
-      val q = asn.filter(col("vec_id") < 10)
+      val cents = kmeansCentroids(s, e)
+      import s.implicits._
+      val centDf = cents.toDF("cent_id", "cent_emb")
+        .withColumn("cent_nrm", VectorExpressions.vector_norm_f64(col("cent_emb")))
+      val asn = assignCells(e, centDf)
+      val cells = asn.filter(col("rn") === 1)
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+          col("nrm").as("c_nrm"), col("cent_id").as("cell"))
+      val qprobe = asn.filter(col("rn") <= IvfProbes && col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-          col("nrm").as("q_nrm"), col("cell"))
-      val c = asn.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
-        col("nrm").as("c_nrm"), col("cell"))
-      q.join(c, Seq("cell"))
+          col("nrm").as("q_nrm"), col("cent_id").as("cell"))
+      qprobe.join(cells, Seq("cell"))
         .filter(col("query_id") =!= col("neighbor_id"))
-        .withColumn("cos_sim",
-          vector_dot_f32(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
+        .select(col("query_id"), col("neighbor_id"),
+          (vector_dot_f32(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
+            .as("cos_sim"))
+        .distinct()
         .withColumn("rnk",
           row_number().over(
             org.apache.spark.sql.expressions.Window
@@ -236,7 +312,7 @@ object Similarity {
               .orderBy(col("cos_sim").desc, col("neighbor_id")))
             .cast("long"))
         .filter(col("rnk") <= 3)
-        .select("query_id", "cell", "neighbor_id", "cos_sim", "rnk")
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
   }
 
   /** Embedding-column quality screen: per-label norm profile + degenerate-

@@ -36,6 +36,24 @@ class VectorExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("vector_dot_f64 / vector_norm_f64 match the zip_with+aggregate fold bitwise") {
+    val dv = vecs.select(col("id"), col("v").cast("array<double>").as("v"))
+    val a = dv.toDF("a_id", "a")
+    val b = dv.toDF("b_id", "b")
+    val out = a.crossJoin(b).select(
+      vector_dot_f64(col("a"), col("b")).as("fast"),
+      expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)").as("hof"),
+      vector_norm_f64(col("a")).as("nfast"),
+      expr("sqrt(aggregate(transform(a, x -> x * x), 0D, (acc, v) -> acc + v))").as("nhof"))
+      .collect()
+    out.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))
+    }
+  }
+
   test("rolling_hash31 matches the aggregate() fold and handles empty strings") {
     VectorExpressions.register(spark)
     val out = Seq("hello world", "", "a", "spark graft engine")
