@@ -444,43 +444,56 @@ object TextDedup {
       val edges = pairs
         .union(pairs.select(col("b_id"), col("a_id")))
         .toDF("src", "dst")
-        .cache()
-      var labels = edges.select(col("src").as("id")).distinct()
-        .withColumn("label", col("id"))
-        .cache()
-      def labelSum(df: org.apache.spark.sql.DataFrame): Long =
-        df.agg(coalesce(org.apache.spark.sql.functions.sum("label"), lit(0L)))
-          .head().getLong(0)
-      var prevSum = labelSum(labels)
-      var rounds = 0
-      var converged = false
-      while (!converged && rounds < 30) {
-        val nbrMin = edges
-          .join(labels.toDF("dst", "dst_label"), "dst")
-          .groupBy("src").agg(min("dst_label").as("nbr_min"))
-          .toDF("id", "nbr_min")
-        val next = labels.join(nbrMin, Seq("id"), "left")
-          .select(col("id"),
-            least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-          .cache()
-        val nextSum = labelSum(next)
-        labels.unpersist()
-        labels = next
-        // labels only ever decrease, so an unchanged sum == fixpoint
-        converged = nextSum == prevSum
-        prevSum = nextSum
-        rounds += 1
-      }
-      // fail loudly rather than emit non-minimal cluster ids: 30 rounds
-      // bounds graph diameter, and a silent miss would diverge from the
-      // oracle's transitive closure
-      require(converged, s"label propagation did not converge in $rounds rounds")
-      val result = labels
+      connectedComponents(edges)
         .select(col("id").as("doc_id"), col("label").as("cluster_id"))
-        .localCheckpoint()
+  }
+
+  /** Iterative min-label propagation over an undirected edge list
+    * (`src`,`dst`; both directions present): each round is one distributed
+    * join+groupBy, rounds ≈ graph diameter, convergence detected by the
+    * monotone label sum. Every 5th round the labels are `localCheckpoint`ed
+    * instead of cached — the loop's lineage would otherwise deepen by two
+    * joins per round, and on high-diameter graphs (a 40-doc near-dup chain
+    * is diameter 39) plan compilation starts to dominate. The checkpoint
+    * bounds plan depth at ~5 rounds' worth regardless of diameter.
+    * Returns (`id`, `label`) with label = component minimum; fails loudly
+    * rather than emit non-minimal labels if `maxRounds` doesn't cover the
+    * diameter (a silent miss would diverge from the oracle's transitive
+    * closure). */
+  private[graft] def connectedComponents(edges0: DataFrame, maxRounds: Int = 30): DataFrame = {
+    val edges = edges0.toDF("src", "dst").cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .cache()
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum("label"), lit(0L))).head().getLong(0)
+    var prevSum = labelSum(labels)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val nbrMin = edges
+        .join(labels.toDF("dst", "dst_label"), "dst")
+        .groupBy("src").agg(min("dst_label").as("nbr_min"))
+        .toDF("id", "nbr_min")
+      val computed = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+      rounds += 1
+      val next =
+        if (rounds % 5 == 0) computed.localCheckpoint() // truncate lineage
+        else computed.cache()
+      val nextSum = labelSum(next)
       labels.unpersist()
-      edges.unpersist()
-      result
+      labels = next
+      // labels only ever decrease, so an unchanged sum == fixpoint
+      converged = nextSum == prevSum
+      prevSum = nextSum
+    }
+    require(converged, s"label propagation did not converge in $rounds rounds")
+    val result = labels.localCheckpoint()
+    labels.unpersist()
+    edges.unpersist()
+    result
   }
 
   /** The near-dup KEEP decision: every doc in a near-dup component keeps

@@ -1,0 +1,44 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Semantics of the dedup building blocks that have no SQL oracle surface
+  * of their own (the oracle queries exercise them only on the synthetic
+  * corpus' shallow graphs). */
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connectedComponents: 40-node chain (diameter 39) converges with bounded lineage") {
+    // a path graph is the worst case for min-label propagation: the minimum
+    // travels one hop per round, so this exercises ~8 localCheckpoint
+    // truncations — without them the loop's plan would be ~80 joins deep
+    val chain = (0L until 39L).map(i => (i, i + 1))
+    val edges = (chain ++ chain.map(_.swap)).toDF("src", "dst")
+    val labels = TextDedup.connectedComponents(edges, maxRounds = 60)
+    val out = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out.size === 40)
+    assert(out.values.forall(_ == 0L), "every node must reach the component minimum")
+    // the returned frame is checkpoint-backed: its plan is a scan, not the
+    // 40-round join tower (bounded depth is the point of the checkpoint)
+    val planDepth = labels.queryExecution.optimizedPlan.collect { case p => p }.size
+    assert(planDepth <= 3, s"expected a checkpoint-backed scan, got depth $planDepth")
+  }
+
+  test("connectedComponents: two separate components keep distinct minima") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+    val edges = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    val out = TextDedup.connectedComponents(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("connectedComponents fails loudly when maxRounds is under the diameter") {
+    val chain = (0L until 20L).map(i => (i, i + 1))
+    val edges = (chain ++ chain.map(_.swap)).toDF("src", "dst")
+    val e = intercept[IllegalArgumentException] {
+      TextDedup.connectedComponents(edges, maxRounds = 3)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+}
