@@ -20,12 +20,25 @@ object Tables {
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
     * rejects. Read it as raw nanos (legacy long mode) and truncate to
     * microseconds — exactly what DuckDB does on read, so oracle values
-    * match. */
+    * match.
+    *
+    * The nanos-as-long conf must come from the SESSION BUILDER (Verify/
+    * Bench/EntrySmoke/SparkSpec all set it): it is consulted again at plan
+    * and execution time, so a set-and-restore around this call would break
+    * the later action, and a plain set here would leak a session-wide
+    * reading change to every other TIMESTAMP(NANOS) parquet — library code
+    * checks, entry points decide. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    requireNanosAsLong(s)
     table(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
   }
+
+  private[graft] def requireNanosAsLong(s: SparkSession): Unit =
+    require(
+      s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+      "events.parquet carries TIMESTAMP(NANOS): start the session with " +
+        ".config(\"spark.sql.legacy.parquet.nanosAsLong\", \"true\")")
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

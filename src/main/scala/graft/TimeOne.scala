@@ -9,7 +9,9 @@ object TimeOne {
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // absorb session warmup on an unrelated trivial job
     spark.range(10).count()

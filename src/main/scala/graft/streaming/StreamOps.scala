@@ -21,9 +21,11 @@ object StreamOps {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** Streaming source over a directory of event parquet files. */
+  /** Streaming source over a directory of event parquet files. The
+    * nanos-as-long conf must come from the session builder (see
+    * [[graft.Tables.events]] — checked, not mutated, here). */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.Tables.requireNanosAsLong(spark)
     spark.readStream.schema(eventsRawSchema).parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
