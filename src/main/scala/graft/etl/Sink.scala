@@ -44,12 +44,14 @@ object Sink {
   /** Small-file compaction — lakehouse maintenance: rewrite a FLAT parquet
     * table into `targetFiles` right-sized files (streaming sinks and
     * frequent appends accumulate small files that throttle scan
-    * parallelism at 100 TB). The staged rewrite commits before the swap,
-    * but the delete+rename swap itself is two filesystem ops — on a crash
-    * between them the data survives in `<path>_compacting` (a real
-    * deployment swaps via a metastore/table-format pointer for true
-    * atomicity). Partition-layout tables are refused: flattening them
-    * would break later dynamic partition overwrites.
+    * parallelism at 100 TB). The swap is rename-aside → rename-in →
+    * delete-old: a restorable copy of the data exists at EVERY step (a
+    * crash leaves either `<path>` or `<path>_old`/`<path>_compacting`
+    * intact), and the no-table window is a single rename rather than a
+    * delete+rename pair. A real deployment swaps via a metastore/
+    * table-format pointer for true atomicity. Partition-layout tables are
+    * refused: flattening them would break later dynamic partition
+    * overwrites.
     */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String, targetFiles: Int): Unit = {
     require(targetFiles > 0)
@@ -62,11 +64,14 @@ object Sink {
       s"$path has a partition directory layout; compact would flatten it " +
         "and corrupt later dynamic partition overwrites - compact per partition instead")
     val staged = new org.apache.hadoop.fs.Path(path + "_compacting")
+    val old = new org.apache.hadoop.fs.Path(path + "_old")
     spark.read.parquet(path).repartition(targetFiles)
       .write.mode(SaveMode.Overwrite).parquet(staged.toString)
-    require(fs.delete(dst, true), s"failed to delete $dst before swap")
+    if (fs.exists(old)) require(fs.delete(old, true), s"failed to clear stale $old")
+    require(fs.rename(dst, old), s"rename $dst -> $old failed; table untouched")
     require(fs.rename(staged, dst),
-      s"rename $staged -> $dst failed; data is intact at $staged")
+      s"rename $staged -> $dst failed; original intact at $old, compacted at $staged")
+    require(fs.delete(old, true), s"failed to delete $old after swap (table is live)")
   }
 
   /** Bucketed managed table: rows hash-partitioned into `buckets` files by

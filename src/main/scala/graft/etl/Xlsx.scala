@@ -65,9 +65,20 @@ object Xlsx {
     try {
       val wb = slurp(zip, "xl/workbook.xml").getOrElse(
         throw new IllegalArgumentException(s"$path: not an xlsx (no xl/workbook.xml)"))
-      val rid = """<sheet\b[^>]*name="([^"]*)"[^>]*r:id="([^"]*)"[^>]*/?>""".r
-        .findAllMatchIn(wb)
-        .collectFirst { case m if unescape(m.group(1)) == sheetName => m.group(2) }
+      // match each <sheet> element first, then pull name and r:id with
+      // independent attribute regexes — non-Excel producers emit the two
+      // attributes in either order (mirrors the Relationship fallback below)
+      val nameAttr = """name="([^"]*)"""".r
+      val ridAttr = """r:id="([^"]*)"""".r
+      val rid = """<sheet\b[^>]*/?>""".r
+        .findAllIn(wb)
+        .flatMap { el =>
+          for {
+            n <- nameAttr.findFirstMatchIn(el).map(m => unescape(m.group(1)))
+            r <- ridAttr.findFirstMatchIn(el).map(_.group(1))
+          } yield (n, r)
+        }
+        .collectFirst { case (n, r) if n == sheetName => r }
         .getOrElse(throw new IllegalArgumentException(s"sheet '$sheetName' not found in $path"))
       val rels = slurp(zip, "xl/_rels/workbook.xml.rels").getOrElse("")
       val target = (s"""<Relationship\\b[^>]*Id="$rid"[^>]*Target="([^"]*)"""").r

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
@@ -65,6 +65,13 @@ object TemporalJoins {
     * filters residually. Shuffle on (key, bin): linear, skew-bounded by
     * bin population, the standard interval-join design at scale.
     */
+  /** Integer FLOOR division for bin ids: `(t - pmod(t, w)) div w` is the
+    * largest multiple of w ≤ t, exactly, for negative t too. A double
+    * divide + cast truncates toward ZERO, which shifts pre-1970 timestamps
+    * into the wrong bin and silently loses valid pairs at the boundary. */
+  private def binOf(tcol: String, w: Long): Column =
+    expr(s"($tcol - pmod($tcol, ${w}L)) div ${w}L")
+
   def rangeJoinBinned(
       left: DataFrame, right: DataFrame,
       keys: Seq[String], leftTime: String, rightTime: String,
@@ -72,11 +79,11 @@ object TemporalJoins {
     val lb = left
       .withColumn("_t_l", unix_micros(col(leftTime)))
       .withColumn("_bin", explode(array(
-        (col("_t_l") / windowMicros).cast("long"),
-        (col("_t_l") / windowMicros).cast("long") + 1)))
+        binOf("_t_l", windowMicros),
+        binOf("_t_l", windowMicros) + 1)))
     val rb = right
       .withColumn("_t_r", unix_micros(col(rightTime)))
-      .withColumn("_bin", (col("_t_r") / windowMicros).cast("long"))
+      .withColumn("_bin", binOf("_t_r", windowMicros))
     lb.join(rb, keys :+ "_bin")
       .filter(col("_t_r") > col("_t_l") && col("_t_r") <= col("_t_l") + windowMicros)
       .drop("_bin", "_t_l", "_t_r")

@@ -57,6 +57,26 @@ class XlsxSpec extends AnyFunSuite {
       Seq(Some("inline & escaped"), Some("rich text")))) // rich text concatenated
   }
 
+  test("sheet resolves when r:id precedes name (non-Excel attribute order)") {
+    val path = Files.createTempFile("graft-order", ".xlsx")
+    val zos = new ZipOutputStream(Files.newOutputStream(path))
+    def entry(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(content.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    entry("xl/workbook.xml",
+      """<workbook><sheets>
+        |<sheet r:id="rId1" sheetId="1" name="Data"/>
+        |</sheets></workbook>""".stripMargin)
+    entry("xl/_rels/workbook.xml.rels",
+      """<Relationships><Relationship Id="rId1" Type="ws" Target="worksheets/sheet1.xml"/></Relationships>""")
+    entry("xl/worksheets/sheet1.xml",
+      """<worksheet><sheetData><row r="1"><c r="A1"><v>42</v></c></row></sheetData></worksheet>""")
+    zos.close()
+    assert(Xlsx.readSheet(path.toString, "Data") === Seq(Seq(Some("42"))))
+  }
+
   test("Notes sheet first cell feeds the snapshot-date heuristic (F9 chain)") {
     val first = Xlsx.readSheet(makeWorkbook(), "Notes & definitions").head.head.get
     assert(Ingest.snapshotDate(first) === Some("December 2023"))

@@ -40,4 +40,21 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(binned.except(naive).count() === 0)
     assert(naive.except(binned).count() === 0)
   }
+
+  test("rangeJoinBinned bins pre-1970 timestamps consistently (floor, not truncate)") {
+    // negative micros: double-divide truncation toward zero would misalign
+    // left/right bins across the epoch boundary and drop valid pairs
+    val a = Seq(
+      (1L, 1L, ts("1969-12-31 23:55:00")),   // pair spans the epoch
+      (2L, 1L, ts("1969-12-31 23:40:00")))
+      .toDF("a_id", "user_id", "a_ts")
+    val b = Seq(
+      (10L, 1L, ts("1970-01-01 00:03:00")),  // 8 min after a_id=1
+      (11L, 1L, ts("1969-12-31 23:49:00")))  // 9 min after a_id=2
+      .toDF("b_id", "user_id", "b_ts")
+    val win = 600000000L // 10 min
+    val out = TemporalJoins.rangeJoinBinned(a, b, Seq("user_id"), "a_ts", "b_ts", win)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(out === Set((1L, 10L), (2L, 11L)))
+  }
 }
