@@ -81,6 +81,41 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("END-TO-END: real-file stream → windowedAgg → foreachBatch sink == batch on the final table") {
+    // the full production shape in one test: a file-stream over the real
+    // testdata events, windowed aggregation, foreachBatch into the batch
+    // sink, equality asserted on the PERSISTED table — not on an in-memory
+    // intermediate
+    val dir = java.nio.file.Files.createTempDirectory("graft-e2e-events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val sink = java.nio.file.Files.createTempDirectory("graft-e2e-sink").toString + "/agg"
+    val q = StreamOps.windowedAgg(StreamOps.readEvents(spark, dir.toString))
+      .writeStream.outputMode("complete")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.etl.Sink.overwriteTable(batch, sink)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    def keyed(df: org.apache.spark.sql.DataFrame) = df
+      .select("window_start", "event_type", "n_events", "total_value")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    val streamed = keyed(spark.read.parquet(sink))
+    val batch = keyed(graft.queries.EventsMultimodal.streamWindow
+      .fn(spark, "/root/testdata/sf0.001"))
+    assert(streamed.keySet === batch.keySet)
+    assert(streamed.nonEmpty)
+    streamed.foreach { case (k, (n, total)) =>
+      assert(n === batch(k)._1, s"n_events diverged at $k")
+      // stream side sums raw doubles; batch side uses the quantized
+      // cross-engine sum — identical up to the 1/256 grid
+      assert(math.abs(total - batch(k)._2) < 1e-2, s"total_value diverged at $k")
+    }
+  }
+
   test("dedupeStream drops re-delivered event ids within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
