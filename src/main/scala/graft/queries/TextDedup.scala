@@ -382,6 +382,49 @@ object TextDedup {
     }
   }
 
+  /** The production near-dup PAIR pipeline: LSH banding proposes candidate
+    * pairs (never an all-pairs comparison), then exact Jaccard verifies
+    * each candidate using the candidate docs' shingles ONLY — the
+    * intersection fans each pair out over its left doc's shingles and keeps
+    * those present in the right doc, so the work is candidate-linear
+    * (pairs × shingles-per-doc) rather than a full shingle self-join.
+    * Integer-only threshold: 5·|∩| ≥ |A|+|B| ⇔ J ≥ 0.25. This is the
+    * scale-safe composition of [[dedupMinhashLsh]] + [[dedupJaccard]]:
+    * banding bounds the candidate count, verification restores exactness. */
+  val dedupLshVerified = QuerySpec(
+    "q_dedup_lsh_verified",
+    s"""WITH ${shingleSql(3)},
+        $minhashCandSql,
+        sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        inter AS (
+          SELECT c.a_id, c.b_id, count(*) AS inter
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.a_id
+          JOIN sh b ON b.doc_id = c.b_id AND b.shingle = a.shingle
+          GROUP BY 1, 2)
+        SELECT i.a_id, i.b_id, i.inter, za.n AS n_a, zb.n AS n_b
+        FROM inter i
+        JOIN sz za ON za.doc_id = i.a_id
+        JOIN sz zb ON zb.doc_id = i.b_id
+        WHERE 5 * i.inter >= za.n + zb.n""") {
+    (s, d) =>
+      val sh = shingled(s, d, 3).cache()
+      val cand = minhashCandidates(minhashSig(sh))
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = cand
+        .join(sh.toDF("a_id", "shingle"), "a_id")
+        .join(sh.toDF("b_id", "shingle"), Seq("b_id", "shingle"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+      val result = inter
+        .join(sz.toDF("a_id", "n_a"), "a_id")
+        .join(sz.toDF("b_id", "n_b"), "b_id")
+        .filter(lit(5) * col("inter") >= col("n_a") + col("n_b"))
+        .select("a_id", "b_id", "inter", "n_a", "n_b")
+        .localCheckpoint()
+      sh.unpersist()
+      result
+  }
+
   /** SimHash: 16-bit fingerprint from the md5 nibbles of the doc's distinct
     * tokens — bit_j = sign of Σ_token (±1 by whether md5 nibble j has its
     * high bit set). Near-dup docs differ in few bits; here we emit the
@@ -677,6 +720,7 @@ object TextDedup {
   val specs: Seq[QuerySpec] = Seq(
     textStats, langId, ngramProfile, fingerprint,
     dedupExact, dedupJaccard, dedupMinhashLsh, dedupMinhashEstimate,
+    dedupLshVerified,
     dedupSimhash, dedupComponents, dedupKeep, dedupIncremental,
     curationPipeline, sampleDeterministic, sampleStratified, vocabTop)
 }
