@@ -53,6 +53,18 @@ object StreamOps {
       // still the same event (dropDuplicates(id, ts) would let it through)
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** Streaming incremental dedup against a STATIC corpus — the
+    * stream-static left_anti twin of the batch incremental pass
+    * (graft.queries.TextDedup.dedupIncremental): rows whose fingerprint
+    * already exists in the corpus never reach the sink. Stream-static
+    * anti-joins are stateless on the stream side (the static relation is
+    * re-read per micro-batch, or co-located when it is the bucketed corpus
+    * fingerprint table), so state never grows with corpus size. */
+  def dedupeAgainstCorpus(
+      stream: DataFrame, corpus: DataFrame,
+      fingerprintCol: String = "fingerprint"): DataFrame =
+    stream.join(corpus.select(fingerprintCol), Seq(fingerprintCol), "left_anti")
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   case class SessionState(sessionStart: Long, lastTs: Long, n: Long, total: Double)

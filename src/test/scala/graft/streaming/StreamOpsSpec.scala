@@ -138,6 +138,24 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupeAgainstCorpus: stream-static anti-join drops already-ingested fingerprints") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val corpus = Seq("fp_a", "fp_b").toDF("fingerprint")
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "fingerprint")
+    val q = StreamOps.dedupeAgainstCorpus(stream, corpus)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("corpus_dedup_out").start()
+    try {
+      input.addData((1L, "fp_a"), (2L, "fp_new"), (3L, "fp_b"), (4L, "fp_other"))
+      q.processAllAvailable()
+      val out = spark.table("corpus_dedup_out")
+        .select("doc_id").as[Long].collect().toSet
+      assert(out === Set(2L, 4L), "corpus fingerprints must be dropped, new ones kept")
+    } finally q.stop()
+  }
+
   test("sessionize: 30-min gap closes a session (flatMapGroupsWithState)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StreamOps.Event]
