@@ -74,6 +74,16 @@ class PlanSpec extends SparkSpec {
       s"cap is vacuous at test scale (raw max df=$rawMax) — lower MaxShingleDf")
   }
 
+  test("shingle df-cap executes as a broadcast anti-join (hot rows drop map-side)") {
+    // the cap must not cost a shuffle of the exploded shingle stream: the
+    // hot set is tiny and ships broadcast; a SortMergeJoin LeftAnti here
+    // would mean the whole stream shuffles just to apply the cap
+    val plan = graft.queries.TextDedup.shingled(spark, sf, 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected broadcast left_anti for the hot-shingle drop:\n$plan")
+  }
+
   test("incremental dedup vs bucketed corpus: NO exchange on the corpus side") {
     import graft.queries.TextDedup
     TextDedup.writeCorpusFingerprints(spark, sf, "corpus_fp", 4)
