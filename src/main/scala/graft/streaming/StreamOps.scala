@@ -32,12 +32,15 @@ object StreamOps {
 
   /** Tumbling-window counts + sums with a watermark: the streaming twin of
     * q_stream_window. Late events beyond 10 minutes are dropped; state for
-    * closed windows is evicted — bounded state at any scale. */
+    * closed windows is evicted — bounded state at any scale. The sum uses
+    * the same quantized-decimal form as the batch twin ([[graft.Exact]]),
+    * so stream and batch totals are BITWISE equal regardless of
+    * micro-batch boundaries or partial-aggregation order. */
   def windowedAgg(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+      .agg(count(lit(1)).as("n_events"), graft.Exact.sumD(col("value")).as("total_value"))
       .select(
         col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))

@@ -110,9 +110,10 @@ class StreamOpsSpec extends SparkSpec {
     assert(streamed.nonEmpty)
     streamed.foreach { case (k, (n, total)) =>
       assert(n === batch(k)._1, s"n_events diverged at $k")
-      // stream side sums raw doubles; batch side uses the quantized
-      // cross-engine sum — identical up to the 1/256 grid
-      assert(math.abs(total - batch(k)._2) < 1e-2, s"total_value diverged at $k")
+      // both sides use the quantized Exact sum → bitwise equal, regardless
+      // of micro-batch boundaries
+      assert(java.lang.Double.doubleToLongBits(total) ===
+        java.lang.Double.doubleToLongBits(batch(k)._2), s"total_value diverged at $k")
     }
   }
 
