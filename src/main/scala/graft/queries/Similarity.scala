@@ -174,6 +174,54 @@ object Similarity {
         .select("query_id", "bucket", "neighbor_id", "cos_sim", "rnk")
   }
 
+  /** Multi-probe sign-LSH: each query probes its own bucket AND all 8
+    * buckets at hamming distance 1 (one plane flipped) — the standard
+    * recall fix for near-boundary vectors, still bucket-equi: the probe
+    * fan-out is a constant ×9 on the (tiny) query side only; the corpus
+    * keeps exactly one bucket per vector, so no pair is generated twice.
+    * Same hyperplanes as [[topkLshBucketed]] (single-probe baseline kept
+    * for the recall comparison). */
+  val topkLshMultiprobe = QuerySpec(
+    "q_sim_lsh_multiprobe",
+    s"""WITH $normedSql,
+        bk AS (SELECT vec_id, embedding, nrm, ${bucketSql("embedding")} AS bucket FROM e),
+        qpr AS (
+          SELECT vec_id, embedding, nrm, xor(bucket, CAST(p.pw AS BIGINT)) AS bucket
+          FROM bk, (SELECT UNNEST([${(0L +: (0 until Planes).map(1L << _)).mkString(", ")}]) AS pw) p
+          WHERE vec_id < 10),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos_sim
+          FROM qpr q JOIN bk c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id)
+        SELECT query_id, neighbor_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY cos_sim DESC, neighbor_id) AS rnk
+              FROM scored) t
+        WHERE rnk <= 3""") {
+    (s, d) =>
+      val bk = withNorm(s, d)
+        .withColumn("bucket", bucketCol(col("embedding"), 64))
+      val probeWeights = 0L +: (0 until Planes).map(1L << _)
+      val q = bk.filter(col("vec_id") < 10)
+        .withColumn("pw", explode(array(probeWeights.map(lit): _*)))
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm"), expr("bucket ^ pw").as("bucket"))
+      val c = bk.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+        col("nrm").as("c_nrm"), col("bucket"))
+      q.join(c, Seq("bucket"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos_sim",
+          vector_dot_f32(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
+        .withColumn("rnk",
+          row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("query_id")
+              .orderBy(col("cos_sim").desc, col("neighbor_id")))
+            .cast("long"))
+        .filter(col("rnk") <= 3)
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
+  }
+
   private val IvfK = 8          // coarse-quantizer cells
   private val IvfIters = 2      // fixed Lloyd iterations (oracle unrolls them)
   private val IvfProbes = 2     // cells each query probes
@@ -340,5 +388,6 @@ object Similarity {
   }
 
   val specs: Seq[QuerySpec] = Seq(
-    embedCosineNearDup, topkBruteForce, topkLshBucketed, topkIvf, embedStats)
+    embedCosineNearDup, topkBruteForce, topkLshBucketed, topkLshMultiprobe,
+    topkIvf, embedStats)
 }
