@@ -466,20 +466,38 @@ object TextDedup {
     (s, d) => simhashDf(s, d)
   }
 
+  /** A band bucket with n members contributes O(n²) candidate pairs on one
+    * shuffle key — the LSH analogue of the hot-shingle skew bomb. Measured
+    * on this corpus at sf0.1: uncapped byte-banding produced 955k pairs
+    * from 5000 docs (the shared small vocabulary makes fingerprints
+    * cluster). Buckets above the cap carry no *near*-dup signal — a
+    * degenerate identical-fingerprint cluster is the exact-dedup family's
+    * job (groupBy(simhash) is linear) — so they are dropped from PAIR
+    * generation, same treatment as [[MaxShingleDf]]. */
+  private val MaxBandBucket = 25
+
   /** SimHash near-dup pairs via HAMMING BANDING: the 32-bit fingerprint
     * splits into 4 bytes; by pigeonhole, any pair within hamming
     * distance 3 agrees on at least one whole byte, so the candidate join
-    * is byte-equi (shuffle on (band, byte) — never all-pairs), then
-    * `bit_count(a XOR b) <= 1` verifies exactly (the synthetic corpus
-    * draws from a small shared vocabulary, so looser thresholds match
-    * most pairs; the banding guarantees recall up to hamming 3). Integer-only math,
-    * cross-engine exact. The SimHash analogue of [[dedupLshVerified]]. */
+    * is byte-equi (shuffle on (band, byte) — never all-pairs, and dense
+    * buckets dropped per [[MaxBandBucket]]), then `bit_count(a XOR b) <= 1`
+    * verifies exactly (the synthetic corpus draws from a small shared
+    * vocabulary, so looser thresholds match most pairs; the banding
+    * guarantees recall up to hamming 3 for docs outside degenerate
+    * buckets). Integer-only math, cross-engine exact. The SimHash analogue
+    * of [[dedupLshVerified]]. */
   val dedupSimhashHamming = QuerySpec(
     "q_dedup_simhash_hamming",
     s"""WITH $simhashSql,
-        bands AS (SELECT doc_id, simhash, b.band_id,
-                         (simhash >> (8 * b.band_id)) & 255 AS band_val
-                  FROM sim, (SELECT UNNEST(generate_series(0, 3)) AS band_id) b),
+        bands0 AS (SELECT doc_id, simhash, b.band_id,
+                          (simhash >> (8 * b.band_id)) & 255 AS band_val
+                   FROM sim, (SELECT UNNEST(generate_series(0, 3)) AS band_id) b),
+        dense AS (SELECT band_id, band_val FROM bands0
+                  GROUP BY 1, 2 HAVING count(*) > $MaxBandBucket),
+        bands AS (SELECT b.* FROM bands0 b
+                  WHERE NOT EXISTS (SELECT 1 FROM dense d
+                                    WHERE d.band_id = b.band_id
+                                      AND d.band_val = b.band_val)),
         cand AS (SELECT DISTINCT a.doc_id AS a_id, a.simhash AS a_sim,
                                  b.doc_id AS b_id, b.simhash AS b_sim
                  FROM bands a JOIN bands b
@@ -489,11 +507,16 @@ object TextDedup {
         FROM cand WHERE bit_count(xor(a_sim, b_sim)) <= 1""") {
     (s, d) =>
       val sim = simhashDf(s, d)
-      val bands = sim.select(col("doc_id"), col("simhash"),
+      val bands0 = sim.select(col("doc_id"), col("simhash"),
           explode(sequence(lit(0), lit(3))).as("band_id"))
         .withColumn("band_val", expr("shiftright(simhash, 8 * band_id) & 255"))
-      val cand = bands.toDF("a_id", "a_sim", "band_id", "band_val")
-        .join(bands.toDF("b_id", "b_sim", "band_id", "band_val"), Seq("band_id", "band_val"))
+      val dense = bands0.groupBy("band_id", "band_val")
+        .agg(count(lit(1)).as("n")).filter(col("n") > MaxBandBucket)
+        .select("band_id", "band_val")
+      // broadcast anti-join: dense buckets drop map-side, no extra shuffle
+      val bands = bands0.join(broadcast(dense), Seq("band_id", "band_val"), "left_anti")
+      val cand = bands.toDF("band_id", "band_val", "a_id", "a_sim")
+        .join(bands.toDF("band_id", "band_val", "b_id", "b_sim"), Seq("band_id", "band_val"))
         .filter(col("a_id") < col("b_id"))
         .select("a_id", "a_sim", "b_id", "b_sim")
         .distinct()
