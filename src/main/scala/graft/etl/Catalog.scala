@@ -100,12 +100,21 @@ object Catalog {
     (ids.flatten, warns.flatten)
   }
 
+  /** Resolve a possibly-relative href against the page it came from (NHSD
+    * pages emit site-relative links); garbage hrefs resolve to None rather
+    * than aborting the scrape. */
+  private[etl] def resolveHref(base: String, href: String): Option[String] =
+    scala.util.Try(URI.create(base).resolve(href).toString).toOption
+
   /** The scrape orchestrator (reference src/main.py:19-71): publication
     * page → first page whose url contains each target key → file links →
     * [[resolveTargetFiles]] → download each resolved file into the staging
-    * dir as `<id>.xlsx`. `fetchFn` is injectable so the whole composition
-    * unit-tests offline; warnings go to stderr like the reference's
-    * print(). Returns the staged filenames. */
+    * dir as `<id>.xlsx`. Hrefs are resolved against the page they came
+    * from (pages are typically site-relative); a target key matching no
+    * page, and any unresolvable/failed URL, warns and skips — one bad
+    * publication never aborts the batch. `fetchFn` is injectable so the
+    * whole composition unit-tests offline; warnings go to stderr like the
+    * reference's print(). Returns the staged filenames. */
   def scrapeLatestData(
       publicationUrl: String,
       targets: Seq[(String, Seq[String])] = Seq(
@@ -114,18 +123,27 @@ object Catalog {
       destDir: String = "./data",
       fetchFn: String => Option[Array[Byte]] = url => fetch(url),
       warn: String => Unit = System.err.println): Seq[String] = {
-    val pages = fetchFn(publicationUrl)
+    def fetchSafe(url: String): Option[Array[Byte]] =
+      scala.util.Try(fetchFn(url)).toOption.flatten.orElse {
+        warn(s"Warning: fetch failed for $url."); None
+      }
+    val pages = fetchSafe(publicationUrl)
       .map(b => parsePages(new String(b, "UTF-8"))).getOrElse(Seq.empty)
     val targetPages = targets.flatMap { case (key, targetIds) =>
-      pages.find(_.contains(key)).map(page => (key, targetIds, page))
+      pages.find(_.contains(key)) match {
+        case Some(page) => Some((key, targetIds, page))
+        case None =>
+          warn(s"Warning: No page was found for the $key publication.")
+          None
+      }
     }
     targetPages.flatMap { case (key, targetIds, page) =>
-      fetchFn(page).toSeq.flatMap { bytes =>
+      resolveHref(publicationUrl, page).flatMap(fetchSafe).toSeq.flatMap { bytes =>
         val links = parseFileLinks(new String(bytes, "UTF-8"))
         val (ids, warnings) = resolveTargetFiles(links, targetIds, key)
         warnings.foreach(warn)
         ids.flatMap { id =>
-          fetchFn(links(id).url).map { content =>
+          resolveHref(publicationUrl, links(id).url).flatMap(fetchSafe).map { content =>
             val fileName = id + ".xlsx"
             saveFile(content, fileName, destDir)
             fileName

@@ -86,6 +86,33 @@ class CatalogSpec extends AnyFunSuite {
     assert(warnings.exists(_.startsWith("Warning: Multiple files")))
   }
 
+  test("resolveHref: relative hrefs resolve against the page URL; garbage → None") {
+    assert(Catalog.resolveHref("https://digital.nhs.uk/pubs/survival", "/p/index-2023")
+      === Some("https://digital.nhs.uk/p/index-2023"))
+    assert(Catalog.resolveHref("https://digital.nhs.uk/pubs/survival",
+      "https://files.nhs.uk/x/a.xlsx") === Some("https://files.nhs.uk/x/a.xlsx"))
+    assert(Catalog.resolveHref("https://digital.nhs.uk", "ht tp://bad url") === None)
+  }
+
+  test("scrapeLatestData: target key with no matching page warns and skips") {
+    val site = Map(
+      "https://x/pub" ->
+        """<div id="latest-statistics"><a href="/p/index-2023">l</a></div>""".getBytes("UTF-8"),
+      "https://x/p/index-2023" ->
+        """<div id="resources"><a href="https://f/Index.xlsx">x</a></div>""".getBytes("UTF-8"),
+      "https://f/Index.xlsx" -> "b".getBytes("UTF-8"))
+    val warnings = scala.collection.mutable.Buffer[String]()
+    val dir = java.nio.file.Files.createTempDirectory("graft-scrape-miss").toString
+    val staged = Catalog.scrapeLatestData(
+      "https://x/pub",
+      targets = Seq("index" -> Seq("Index"), "renamed-slug" -> Seq("adult")),
+      destDir = dir, fetchFn = site.get, warn = warnings += _)
+    // relative page href resolved against the publication URL; index staged
+    assert(staged === Seq("Index.xlsx"))
+    // the missing publication is diagnosed, not silently dropped
+    assert(warnings.exists(_.contains("No page was found for the renamed-slug")))
+  }
+
   test("saveFile writes staged bytes (S6)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stage").toString
     Catalog.saveFile("abc".getBytes, "f.bin", dir)
