@@ -77,7 +77,8 @@ object EtlQueries {
              OR geo_code IN ('E56000027', 'E40000003', 'E92000001')),
         idx_b AS (
           SELECT * FROM idx_f
-          WHERE NOT (site = 'Breast' AND gender = 'Female' AND age = 'All ages')
+          -- keep-NULL negation, matching Spark's !(pred <=> true) / pandas ~mask
+          WHERE NOT coalesce(site = 'Breast' AND gender = 'Female' AND age = 'All ages', false)
           UNION ALL
           SELECT geo_type, geo_name, geo_code, site, 'Persons' AS gender, age, std,
                  diag_year, years_since, patients, survival, lower_ci, upper_ci,
@@ -95,7 +96,7 @@ object EtlQueries {
                  upper_ci AS "UPPER_CI", precision_v AS "PRECISION",
                  std_err AS "STANDARD_ERROR", data_substituted AS "IS_DATA_SUBTITUTED"
           FROM idx_b
-          WHERE replace(site, 'Index', 'Overall') <> 'Other')"""
+          WHERE replace(site, 'Index', 'Overall') IS DISTINCT FROM 'Other')"""
 
   /** Synthesized "Table 4" sheet CTE (raw_a4): one row per (area, combo)
     * with combo < 108 injective into (site, gender, std, years). */
