@@ -335,7 +335,10 @@ object Similarity {
               FROM scored) t
         WHERE rnk <= 3""") {
     (s, d) =>
-      val e = withNorm(s, d)
+      // cache: the Lloyd loop collects means once per iteration plus the
+      // final assignment — without it the embeddings scan + norm kernel
+      // re-run per pass
+      val e = withNorm(s, d).cache()
       val cents = kmeansCentroids(s, e)
       import s.implicits._
       val centDf = cents.toDF("cent_id", "cent_emb")
@@ -347,7 +350,7 @@ object Similarity {
       val qprobe = asn.filter(col("rn") <= IvfProbes && col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
           col("nrm").as("q_nrm"), col("cent_id").as("cell"))
-      qprobe.join(cells, Seq("cell"))
+      val result = qprobe.join(cells, Seq("cell"))
         .filter(col("query_id") =!= col("neighbor_id"))
         .select(col("query_id"), col("neighbor_id"),
           (vector_dot_f32(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
@@ -361,6 +364,10 @@ object Similarity {
             .cast("long"))
         .filter(col("rnk") <= 3)
         .select("query_id", "neighbor_id", "cos_sim", "rnk")
+        // tiny result: materialize so the embeddings cache releases now
+        .localCheckpoint()
+      e.unpersist()
+      result
   }
 
   /** Embedding-column quality screen: per-label norm profile + degenerate-

@@ -206,7 +206,8 @@ object TextDedup {
     * surviving hot set is tiny (boilerplate shingles), and the broadcast
     * ANTI-join drops hot rows map-side — the capped shingle stream is
     * produced without any shuffle of the exploded rows. Exposed
-    * private[graft] so OpsSpec can prove the hot-shingle guard directly. */
+    * private[graft] so PlanSpec can prove the hot-shingle guard directly
+    * (df bound + broadcast anti-join plan shape). */
   private[graft] def shingled(s: SparkSession, d: String, k: Int): DataFrame = {
     val raw = docs(s, d)
       .withColumn("ws", split(col("text"), " "))
@@ -456,7 +457,7 @@ object TextDedup {
     sums.select(col("doc_id"), fp.cast("long").as("simhash"))
   }
 
-  /** SimHash: 16-bit fingerprint from the md5 nibbles of the doc's distinct
+  /** SimHash: 32-bit fingerprint from the md5 nibbles of the doc's distinct
     * tokens — bit_j = sign of Σ_token (±1 by whether md5 nibble j has its
     * high bit set). Near-dup docs differ in few bits; the hamming-band
     * join below turns the fingerprints into pairs. */
@@ -506,10 +507,14 @@ object TextDedup {
         SELECT a_id, b_id, CAST(bit_count(xor(a_sim, b_sim)) AS BIGINT) AS hamming
         FROM cand WHERE bit_count(xor(a_sim, b_sim)) <= 1""") {
     (s, d) =>
-      val sim = simhashDf(s, d)
-      val bands0 = sim.select(col("doc_id"), col("simhash"),
+      // cache: the token-explode + 32 md5 sums feed three consumers (dense
+      // and both sides of the self-join) — same pattern as the shingle
+      // queries' cached sh
+      val bands0 = simhashDf(s, d)
+        .select(col("doc_id"), col("simhash"),
           explode(sequence(lit(0), lit(3))).as("band_id"))
         .withColumn("band_val", expr("shiftright(simhash, 8 * band_id) & 255"))
+        .cache()
       val dense = bands0.groupBy("band_id", "band_val")
         .agg(count(lit(1)).as("n")).filter(col("n") > MaxBandBucket)
         .select("band_id", "band_val")
@@ -520,10 +525,13 @@ object TextDedup {
         .filter(col("a_id") < col("b_id"))
         .select("a_id", "a_sim", "b_id", "b_sim")
         .distinct()
-      cand
+      val result = cand
         .withColumn("hamming", expr("CAST(bit_count(a_sim ^ b_sim) AS BIGINT)"))
         .filter(col("hamming") <= 1)
         .select("a_id", "b_id", "hamming")
+        .localCheckpoint()
+      bands0.unpersist()
+      result
   }
 
   /** Near-dup CLUSTERING: connected components over the Jaccard pair graph
