@@ -571,17 +571,20 @@ object TextDedup {
   }
 
   /** Iterative min-label propagation over an undirected edge list
-    * (`src`,`dst`; both directions present): each round is one distributed
-    * join+groupBy, rounds ≈ graph diameter, convergence detected by the
-    * monotone label sum. Every 5th round the labels are `localCheckpoint`ed
-    * instead of cached — the loop's lineage would otherwise deepen by two
-    * joins per round, and on high-diameter graphs (a 40-doc near-dup chain
-    * is diameter 39) plan compilation starts to dominate. The checkpoint
-    * bounds plan depth at ~5 rounds' worth regardless of diameter.
-    * Returns (`id`, `label`) with label = component minimum; fails loudly
-    * rather than emit non-minimal labels if `maxRounds` doesn't cover the
-    * diameter (a silent miss would diverge from the oracle's transitive
-    * closure). */
+    * (`src`,`dst`; both directions present), ACCELERATED by pointer
+    * jumping: each round first takes the neighbor minimum (reach +1 hop),
+    * then shortcuts `label ← min(label, label(label))` (reach ×2) — so
+    * convergence needs O(log diameter) rounds, not O(diameter) (the
+    * hash-to-min family; a 39-diameter chain converges in 6 rounds vs 39).
+    * Both steps only replace a label with another member's id and labels
+    * only decrease, so the monotone label-sum fixpoint check is unchanged:
+    * at fixpoint every neighbor pair has equal labels, hence label =
+    * component minimum. Every 5th round the labels are `localCheckpoint`ed
+    * instead of cached — the loop's lineage would otherwise deepen by
+    * three joins per round and plan compilation starts to dominate; the
+    * checkpoint bounds plan depth regardless of diameter. Fails loudly
+    * rather than emit non-minimal labels if `maxRounds` is too small (a
+    * silent miss would diverge from the oracle's transitive closure). */
   private[graft] def connectedComponents(edges0: DataFrame, maxRounds: Int = 30): DataFrame = {
     val edges = edges0.toDF("src", "dst").cache()
     var labels = edges.select(col("src").as("id")).distinct()
@@ -597,9 +600,20 @@ object TextDedup {
         .join(labels.toDF("dst", "dst_label"), "dst")
         .groupBy("src").agg(min("dst_label").as("nbr_min"))
         .toDF("id", "nbr_min")
-      val computed = labels.join(nbrMin, Seq("id"), "left")
+      val propagated = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+      // pointer jump: label(label(id)) — every label is a member id, so the
+      // self-join hits; left join guards the id==label base case cheaply.
+      // Deferred to round 3+: shallow graphs (near-dup cliques, the common
+      // case) converge before it runs and never pay the extra join; deep
+      // graphs still get the exponential reach.
+      val computed =
+        if (rounds < 2) propagated
+        else propagated
+          .join(propagated.toDF("label", "jump_label"), Seq("label"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("jump_label"), col("label"))).as("label"))
       rounds += 1
       val next =
         if (rounds % 5 == 0) computed.localCheckpoint() // truncate lineage

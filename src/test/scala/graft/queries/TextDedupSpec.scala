@@ -10,12 +10,12 @@ class TextDedupSpec extends SparkSpec {
   import spark.implicits._
 
   test("connectedComponents: 40-node chain (diameter 39) converges with bounded lineage") {
-    // a path graph is the worst case for min-label propagation: the minimum
-    // travels one hop per round, so this exercises ~8 localCheckpoint
-    // truncations — without them the loop's plan would be ~80 joins deep
+    // a path graph is the worst case for plain min-label propagation (one
+    // hop per round = 39 rounds); pointer jumping doubles reach per round,
+    // so the DEFAULT maxRounds=30 must comfortably cover it (~6 rounds)
     val chain = (0L until 39L).map(i => (i, i + 1))
     val edges = (chain ++ chain.map(_.swap)).toDF("src", "dst")
-    val labels = TextDedup.connectedComponents(edges, maxRounds = 60)
+    val labels = TextDedup.connectedComponents(edges)
     val out = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(out.size === 40)
     assert(out.values.forall(_ == 0L), "every node must reach the component minimum")
