@@ -33,6 +33,37 @@ class TextDedupSpec extends SparkSpec {
     assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connectedComponents == driver-side union-find on random graphs (property)") {
+    // the strongest guard on the pointer-jumping step: against a trusted
+    // sequential union-find on arbitrary random topologies
+    def unionFind(n: Int, es: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map((0L until n.toLong).map(i => i -> i): _*)
+      def find(x: Long): Long = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      (0L until n.toLong).map(i => i -> find(i)).toMap
+    }
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 8) {
+      val n = 5 + rnd.nextInt(10)
+      val es = (1 to (n + rnd.nextInt(n))).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter { case (a, b) => a != b }.distinct
+      if (es.nonEmpty) {
+        val edges = (es ++ es.map(_.swap)).toDF("src", "dst")
+        val got = TextDedup.connectedComponents(edges)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        val exp = unionFind(n, es)
+        // connectedComponents only labels nodes that appear in an edge
+        got.foreach { case (id, label) =>
+          assert(label === exp(id), s"trial $trial node $id: got $label expected ${exp(id)}")
+        }
+      }
+    }
+  }
+
   test("connectedComponents fails loudly when maxRounds is under the diameter") {
     val chain = (0L until 20L).map(i => (i, i + 1))
     val edges = (chain ++ chain.map(_.swap)).toDF("src", "dst")
