@@ -138,15 +138,17 @@ object Catalog {
       }
     }
     targetPages.flatMap { case (key, targetIds, page) =>
-      resolveHref(publicationUrl, page).flatMap(fetchSafe).toSeq.flatMap { bytes =>
-        val links = parseFileLinks(new String(bytes, "UTF-8"))
-        val (ids, warnings) = resolveTargetFiles(links, targetIds, key)
-        warnings.foreach(warn)
-        ids.flatMap { id =>
-          resolveHref(publicationUrl, links(id).url).flatMap(fetchSafe).map { content =>
-            val fileName = id + ".xlsx"
-            saveFile(content, fileName, destDir)
-            fileName
+      resolveHref(publicationUrl, page).toSeq.flatMap { pageUrl =>
+        fetchSafe(pageUrl).toSeq.flatMap { bytes =>
+          val links = parseFileLinks(new String(bytes, "UTF-8"))
+          val (ids, warnings) = resolveTargetFiles(links, targetIds, key)
+          warnings.foreach(warn)
+          ids.flatMap { id =>
+            resolveHref(pageUrl, links(id).url).flatMap(fetchSafe).map { content =>
+              val fileName = id + ".xlsx"
+              saveFile(content, fileName, destDir)
+              fileName
+            }
           }
         }
       }

@@ -440,9 +440,9 @@ object EtlQueries {
     (s, d) => Views.benchmarkingRank(adult4Table(s, d))
   }
 
-  /** REPORTING.BENCHMARKING_STANDARDS view: 7-way union stack → pivot. */
-  val etlBenchmarkStandards = QuerySpec(
-    "q_etl_benchmark_standards",
+  /** Shared WITH…stack prefix for the two BENCHMARKING_STANDARDS oracles;
+    * the final SELECT (and its aliases) is written explicitly per query. */
+  private val standardsStackSql =
     s"""WITH $adultPipelineSql,
         a4_base AS (
           SELECT "AREA_CODE", "AREA_NAME", "AREA_TYPE", $joinKeySql AS "JOIN_KEY",
@@ -472,7 +472,12 @@ object EtlQueries {
           UNION ALL
           SELECT "JOIN_KEY", 'Q3',
                  PERCENTILE_DISC(0.75) WITHIN GROUP (ORDER BY "SURVIVAL_PERCENT")
-          FROM ca GROUP BY 1)
+          FROM ca GROUP BY 1)"""
+
+  /** REPORTING.BENCHMARKING_STANDARDS view: 7-way union stack → pivot. */
+  val etlBenchmarkStandards = QuerySpec(
+    "q_etl_benchmark_standards",
+    s"""$standardsStackSql
         SELECT "JOIN_KEY",
                SUM(CASE WHEN standard = 'England' THEN "SURVIVAL_PERCENT" END) AS "ENGLAND",
                SUM(CASE WHEN standard = 'London' THEN "SURVIVAL_PERCENT" END) AS "LONDON",
@@ -486,15 +491,20 @@ object EtlQueries {
   }
 
   /** PUBLISHED.BENCHMARKING_STANDARDS — rename layer over the standards
-    * view (reference docs/reporting_benchmarking_standard.sql:99-113). */
+    * view (reference docs/reporting_benchmarking_standard.sql:99-113):
+    * same stack, dashboard-facing mixed-case aliases, written explicitly. */
   val etlPublishedStandards = QuerySpec(
     "q_etl_published_standards",
-    // same stack as q_etl_benchmark_standards, dashboard-facing aliases
-    etlBenchmarkStandards.oracle.get
-      .replace("""AS "ENGLAND"""", """AS "England"""")
-      .replace("""AS "LONDON"""", """AS "London"""")
-      .replace("""AS "BEST"""", """AS "Best"""")
-      .replace("""AS "WORST"""", """AS "Worst"""")) {
+    s"""$standardsStackSql
+        SELECT "JOIN_KEY",
+               SUM(CASE WHEN standard = 'England' THEN "SURVIVAL_PERCENT" END) AS "England",
+               SUM(CASE WHEN standard = 'London' THEN "SURVIVAL_PERCENT" END) AS "London",
+               SUM(CASE WHEN standard = 'Best' THEN "SURVIVAL_PERCENT" END) AS "Best",
+               SUM(CASE WHEN standard = 'Worst' THEN "SURVIVAL_PERCENT" END) AS "Worst",
+               SUM(CASE WHEN standard = 'Q1' THEN "SURVIVAL_PERCENT" END) AS "Q1",
+               SUM(CASE WHEN standard = 'Q2' THEN "SURVIVAL_PERCENT" END) AS "Q2",
+               SUM(CASE WHEN standard = 'Q3' THEN "SURVIVAL_PERCENT" END) AS "Q3"
+        FROM stack GROUP BY 1""") {
     (s, d) => Views.publishedBenchmarkingStandards(adult4Table(s, d))
   }
 

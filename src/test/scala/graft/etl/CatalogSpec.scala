@@ -113,6 +113,21 @@ class CatalogSpec extends AnyFunSuite {
     assert(warnings.exists(_.contains("No page was found for the renamed-slug")))
   }
 
+  test("scrapeLatestData: path-relative file hrefs resolve against the target page, not the publication") {
+    val site = Map(
+      "https://x/pub" ->
+        """<div id="latest-statistics"><a href="/p/index-2023">l</a></div>""".getBytes("UTF-8"),
+      "https://x/p/index-2023" ->
+        """<div id="resources"><a href="files/Index.xlsx">x</a></div>""".getBytes("UTF-8"),
+      // correct resolution: relative to https://x/p/index-2023 → /p/files/…
+      "https://x/p/files/Index.xlsx" -> "b".getBytes("UTF-8"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-scrape-rel").toString
+    val staged = Catalog.scrapeLatestData(
+      "https://x/pub", targets = Seq("index" -> Seq("Index")),
+      destDir = dir, fetchFn = site.get, warn = _ => ())
+    assert(staged === Seq("Index.xlsx"))
+  }
+
   test("saveFile writes staged bytes (S6)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stage").toString
     Catalog.saveFile("abc".getBytes, "f.bin", dir)
