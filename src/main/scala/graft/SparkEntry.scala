@@ -15,6 +15,7 @@ object SparkEntry {
       graft.queries.TextDedup.specs ++
       graft.queries.Similarity.specs ++
       graft.queries.EventsMultimodal.specs ++
+      graft.queries.Curation.specs ++
       graft.queries.EtlQueries.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -223,7 +223,7 @@ object TextDedup {
       .select("doc_id", "shingle")
   }
 
-  private def shingleSql(k: Int): String =
+  private[queries] def shingleSql(k: Int): String =
     s"""w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
         sh0 AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+${k - 1}], ' ') AS shingle
                 FROM w, UNNEST(generate_series(1, greatest(len(ws) - ${k - 1}, 0))) AS u(i)),
