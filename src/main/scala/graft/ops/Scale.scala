@@ -45,4 +45,42 @@ object Scale {
       .filter(col("_rn") <= k)
       .drop("_rn")
   }
+
+  /** Distributed running sum (two-phase scan). A plain
+    * `SUM OVER (PARTITION BY part ORDER BY ord)` serializes each partition
+    * group onto ONE task — with a handful of groups (e.g. per-source corpus
+    * shards) that is a hard wall at scale no matter how many executors
+    * exist. The classic fix is the parallel prefix scan: split each group
+    * into buckets by a caller-supplied expression that is MONOTONE
+    * NON-DECREASING in `orderCol` (e.g. `doc_id div 64`), sum per bucket,
+    * prefix-sum the tiny per-bucket totals (one small window), broadcast
+    * those offsets back, and run the running sum only WITHIN each bucket.
+    * Parallelism becomes #(group, bucket) instead of #group, and the result
+    * is bit-identical to the single-window form for integral values.
+    *
+    * `orderCol` must be unique within each group (ties across a bucket
+    * boundary would make bucketing order-dependent).
+    */
+  def prefixSum(
+      df: DataFrame, partCols: Seq[String], orderCol: String, valueCol: String,
+      bucket: Column, outCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withB = df.withColumn("_psb", bucket)
+    val grpB = (partCols :+ "_psb").map(col)
+    // phase 1: per-bucket totals (tiny — one row per (group, bucket))
+    val perBucket = withB.groupBy(grpB: _*).agg(sum(col(valueCol)).as("_psum"))
+    // phase 2: exclusive prefix over buckets; #buckets rows per group, so
+    // the single-task-per-group window is over a trivially small input
+    val wBuckets = Window.partitionBy(partCols.map(col): _*).orderBy(col("_psb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = perBucket
+      .withColumn("_poff", coalesce(sum(col("_psum")).over(wBuckets), lit(0L)))
+      .drop("_psum")
+    // phase 3: in-bucket running sum + broadcast bucket offset
+    val wInBucket = Window.partitionBy(grpB: _*).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    withB.join(broadcast(offsets), partCols :+ "_psb")
+      .withColumn(outCol, sum(col(valueCol)).over(wInBucket) + col("_poff"))
+      .drop("_psb", "_poff")
+  }
 }

@@ -186,8 +186,12 @@ object Curation {
     * emits one row per window it spans, with its begin/end offsets inside
     * the window. This is the standard packed-pretraining layout computed
     * WITHOUT materializing the concatenation: a per-shard running sum +
-    * integer chunk arithmetic. Partitioned by source, so the window never
-    * sees a global sort — at 100 TB each shard packs independently. */
+    * integer chunk arithmetic. The running sum goes through
+    * [[graft.ops.Scale.prefixSum]] (two-phase parallel scan) rather than a
+    * plain per-source window: with a handful of sources, `PARTITION BY
+    * source` would serialize the whole corpus onto #sources tasks — the
+    * prefix scan keeps parallelism at #(source, doc-id bucket) while
+    * producing the identical integral cumsum. */
   val packChunks = {
     val C = 128
     QuerySpec(
@@ -207,10 +211,9 @@ object Curation {
         val t = docs(s, d).select(
           col("doc_id"), col("source"),
           size(split(col("text"), " ")).cast("long").as("n_tok"))
-        val w = t.withColumn("cum",
-          sum("n_tok").over(org.apache.spark.sql.expressions.Window
-            .partitionBy("source").orderBy("doc_id")
-            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        val w = graft.ops.Scale.prefixSum(
+          t, Seq("source"), "doc_id", "n_tok",
+          bucket = expr("doc_id div 64"), outCol = "cum")
         w.select(col("source"), col("doc_id"), col("n_tok"), col("cum"),
             explode(expr(s"sequence((cum - n_tok) div $C, (cum - 1) div $C)")).as("chunk_id"))
           .select(
@@ -218,6 +221,209 @@ object Curation {
             greatest(col("cum") - col("n_tok") - col("chunk_id") * C, lit(0L)).as("off_begin"),
             least(col("cum") - col("chunk_id") * C, lit(C.toLong)).as("off_end"))
     }
+  }
+
+  /** DuckDB-side hex→BIGINT parse of `n` lowercase hex chars (DuckDB 1.0
+    * has no `conv`); sequential fold, deterministic. Spark twin:
+    * `conv(x, 16, 10)` cast to long. The lambda variable is deliberately
+    * obscure: DuckDB lambda parameters SHADOW outer columns, so a generic
+    * `i` here would silently capture a caller's `i` embedded in `e` (it
+    * did — one consistent-but-wrong hash per row, invisible at sf0.001
+    * because a self-consistent wrong hash still has no false negatives). */
+  private def hexSql(e: String, n: Int): String =
+    s"""list_reduce(list_transform(generate_series(1, $n),
+          hx_ch -> CAST(strpos('0123456789abcdef', substr($e, hx_ch, 1)) - 1 AS BIGINT)),
+        (a, c) -> a * 16 + c)"""
+
+  /** Distinct 32-bit (8-hex-char md5-prefix) hashes of the corpus' word
+    * 3-grams — the shared universe the KMV and HLL cardinality sketches
+    * both estimate, so their outputs are directly comparable. */
+  private def gram3h8(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .withColumn("ws", split(col("text"), " "))
+      .select(explode(expr(
+        """CASE WHEN size(ws) >= 3
+           THEN array_distinct(transform(sequence(1, size(ws) - 2),
+                                         i -> concat_ws(' ', slice(ws, i, 3))))
+           ELSE array() END""")).as("shingle"))
+      .select(substring(md5(col("shingle")), 1, 8).as("h8"))
+      .distinct()
+
+  // -------------------------------------------------------------------
+  // Bloom-filter membership pre-screen
+  // -------------------------------------------------------------------
+
+  /** Bloom-filter dedup pre-screen: build a 65536-bit bloom (2048 32-bit
+    * words, k=3) over the corpus' normalized content fingerprints, then
+    * probe a new batch (source src1 stands in for the incoming shard) and
+    * report bloom candidacy vs exact membership — the false-positive
+    * diagnostic. The three hash functions are disjoint 16-bit slices of
+    * the fingerprint itself (already an md5), so both engines compute
+    * them exactly; words stay 32-bit so every mask fits positive in an
+    * int64 (no cross-engine sign-bit hazards).
+    *
+    * The 100 TB shape: the built bloom is ≤2048 rows regardless of corpus
+    * size — it BROADCASTS to the probe side, so screening an incoming
+    * batch never shuffles the corpus. Exact membership (the expensive
+    * anti-join of q_dedup_incremental) then runs only on bloom survivors;
+    * no false negatives by construction (asserted in CurationSpec). */
+  val sketchBloom = {
+    val K = 3
+    QuerySpec(
+      "q_sketch_bloom",
+      s"""WITH fp AS (SELECT doc_id, source,
+                             ${TextDedup.normFingerprintSql} AS fp
+                      FROM documents),
+          corpus AS (SELECT DISTINCT fp FROM fp WHERE source <> 'src1'),
+          ch AS (SELECT ${hexSql(s"substr(fp, i * 4 + 1, 4)", 4)} AS h
+                 FROM corpus, UNNEST(generate_series(0, ${K - 1})) AS u(i)),
+          bloom AS (SELECT h // 32 AS word,
+                           bit_or(1::BIGINT << CAST(h % 32 AS INTEGER)) AS bits
+                    FROM ch GROUP BY 1),
+          pr AS (SELECT doc_id, fp FROM fp WHERE source = 'src1'),
+          ph AS (SELECT doc_id, fp, ${hexSql(s"substr(fp, i * 4 + 1, 4)", 4)} AS h
+                 FROM pr, UNNEST(generate_series(0, ${K - 1})) AS u(i)),
+          pj AS (SELECT ph.doc_id,
+                        CASE WHEN bloom.bits IS NOT NULL
+                              AND (bloom.bits & (1::BIGINT << CAST(ph.h % 32 AS INTEGER))) <> 0
+                             THEN 1 ELSE 0 END AS hit
+                 FROM ph LEFT JOIN bloom ON bloom.word = ph.h // 32),
+          cand AS (SELECT doc_id, CAST(min(hit) AS BIGINT) AS bloom_candidate
+                   FROM pj GROUP BY 1),
+          ex AS (SELECT DISTINCT pr.doc_id FROM pr JOIN corpus ON pr.fp = corpus.fp)
+          SELECT cand.doc_id, cand.bloom_candidate,
+                 CAST(CASE WHEN ex.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS exact_dup
+          FROM cand LEFT JOIN ex ON cand.doc_id = ex.doc_id""") {
+      (s, dd) =>
+        val fp = docs(s, dd).select(
+          col("doc_id"), col("source"), TextDedup.normFingerprint.as("fp"))
+        val hashes = array((0 until K).map(i =>
+          conv(substring(col("fp"), i * 4 + 1, 4), 16, 10).cast("long")): _*)
+        val corpus = fp.filter(col("source") =!= "src1").select("fp").distinct().cache()
+        val bloom = corpus.select(explode(hashes).as("h"))
+          .groupBy(expr("h div 32").as("word"))
+          .agg(expr("bit_or(shiftleft(cast(1 as bigint), cast(h % 32 as int)))").as("bits"))
+        val pr = fp.filter(col("source") === "src1").select("doc_id", "fp")
+        val pj = pr.select(col("doc_id"), explode(hashes).as("h"))
+          .withColumn("word", expr("h div 32"))
+          .join(broadcast(bloom), Seq("word"), "left")
+          .select(col("doc_id"),
+            when(col("bits").isNotNull &&
+              expr("(bits & shiftleft(cast(1 as bigint), cast(h % 32 as int))) <> 0"), 1L)
+              .otherwise(0L).as("hit"))
+        val cand = pj.groupBy("doc_id").agg(min("hit").cast("long").as("bloom_candidate"))
+        val ex = pr.join(corpus, Seq("fp"), "left_semi").select("doc_id").distinct()
+          .withColumn("_ex", lit(1L))
+        cand.join(ex, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("bloom_candidate"),
+            coalesce(col("_ex"), lit(0L)).as("exact_dup"))
+    }
+  }
+
+  // -------------------------------------------------------------------
+  // HyperLogLog cardinality sketch
+  // -------------------------------------------------------------------
+
+  /** HyperLogLog (m=64 registers) over the same 3-gram hash universe as
+    * [[sketchKmv]]: register = top 6 bits of the 32-bit hash, rho = first-1
+    * position in the remaining 26 bits (computed via binary STRING ops —
+    * `bin`/`lpad`/`instr` — identical in both engines; no floating log2).
+    * The harmonic sum Σ 2^-M_j uses integer shifts (`1.0 / (1 << M)`), so
+    * every addend is an exact power of two and the 64-term double sum is
+    * EXACT regardless of accumulation order — the whole estimate is then
+    * one deterministic double expression. Raw HLL estimate reported next
+    * to the true count (no small-range correction: `ln` is not bitwise
+    * portable across engines); `zero_regs` rides along so a reader can
+    * apply linear counting offline. Spark's own approx_count_distinct is
+    * the production path at scale — this pins the algorithm itself against
+    * an independent engine, which the opaque sketch cannot do. */
+  val sketchHll = QuerySpec(
+    "q_sketch_hll",
+    s"""WITH w AS (SELECT str_split(text, ' ') AS ws FROM documents),
+        sh AS (SELECT DISTINCT array_to_string(ws[i:i+2], ' ') AS shingle
+               FROM w, UNNEST(generate_series(1, greatest(len(ws) - 2, 0))) AS u(i)),
+        h AS (SELECT DISTINCT substr(md5(shingle), 1, 8) AS h8 FROM sh),
+        hv AS (SELECT ${hexSql("h8", 8)} AS h FROM h),
+        rr AS (SELECT h // 67108864 AS reg, h % 67108864 AS rest FROM hv),
+        rho AS (SELECT reg, CASE WHEN rest = 0 THEN 27
+                                 ELSE CAST(strpos(lpad(bin(rest), 26, '0'), '1') AS BIGINT)
+                            END AS rho
+                FROM rr),
+        regs AS (SELECT reg, max(rho) AS mreg FROM rho GROUP BY 1),
+        allr AS (SELECT unnest(generate_series(0, 63)) AS reg),
+        fin AS (SELECT coalesce(regs.mreg, 0) AS mreg
+                FROM allr LEFT JOIN regs ON regs.reg = allr.reg),
+        agg AS (SELECT SUM(1.0 / (1::BIGINT << CAST(mreg AS INTEGER))) AS sum_inv,
+                       CAST(SUM(CASE WHEN mreg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_regs
+                FROM fin),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS true_distinct FROM h)
+        SELECT CAST(64 AS BIGINT) AS m,
+               CAST(floor(CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / 64)
+                          * 64 * 64 / sum_inv) AS BIGINT) AS est_distinct,
+               zero_regs, true_distinct
+        FROM agg, tot""") {
+    (s, dd) =>
+      val h = gram3h8(s, dd).cache()
+      val rho = h
+        .select(conv(col("h8"), 16, 10).cast("long").as("h"))
+        .select(expr("h div 67108864").as("reg"), (col("h") % 67108864).as("rest"))
+        .select(col("reg"),
+          when(col("rest") === 0, 27L)
+            .otherwise(instr(lpad(bin(col("rest")), 26, "0"), "1").cast("long")).as("rho"))
+      val regs = rho.groupBy("reg").agg(max("rho").as("mreg"))
+      val allr = s.range(0, 64).toDF("reg")
+      val fin = allr.join(regs, Seq("reg"), "left")
+        .select(coalesce(col("mreg"), lit(0L)).as("mreg"))
+      val agg = fin.agg(
+        sum(expr("1.0 / shiftleft(cast(1 as bigint), cast(mreg as int))")).as("sum_inv"),
+        sum(when(col("mreg") === 0, 1L).otherwise(0L)).cast("long").as("zero_regs"))
+      val tot = h.agg(count(lit(1)).cast("long").as("true_distinct"))
+      agg.crossJoin(tot).select(
+        lit(64L).as("m"),
+        floor(lit(0.7213) / (lit(1.0) + lit(1.079) / lit(64)) * lit(64) * lit(64)
+          / col("sum_inv")).cast("long").as("est_distinct"),
+        col("zero_regs"), col("true_distinct"))
+  }
+
+  // -------------------------------------------------------------------
+  // Equi-depth histogram
+  // -------------------------------------------------------------------
+
+  /** Equi-depth (decile) histogram of order totals: one exact-percentile
+    * pass computes the 9 boundaries, which BROADCAST into a single
+    * counting scan — the two-scan shape that works at any scale (vs
+    * `ntile()`, whose unpartitioned window moves the whole table to one
+    * task). Boundaries are PERCENTILE_DISC — element SELECTION, not
+    * interpolation, so the doubles are bitwise-identical cross-engine;
+    * bucket membership is `Σ (v > p_i)`, deterministic for ties. At 100 TB
+    * the boundary pass would swap to approx_percentile (t-digest) — kept
+    * exact here because the opaque sketch cannot be oracle-matched. */
+  val histogramEquidepth = QuerySpec(
+    "q_histogram_equidepth",
+    s"""WITH b AS (SELECT ${(1 to 9).map(i =>
+            s"percentile_disc(0.$i) WITHIN GROUP (ORDER BY o_totalprice) AS p$i")
+            .mkString(", ")}
+                   FROM orders)
+        SELECT CAST(bucket AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n,
+               min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        FROM (SELECT o_totalprice,
+                     ${(1 to 9).map(i => s"(CASE WHEN o_totalprice > b.p$i THEN 1 ELSE 0 END)")
+                       .mkString(" + ")} AS bucket
+              FROM orders, b) t
+        GROUP BY 1""") {
+    (s, dd) =>
+      val o = Tables.orders(s, dd)
+      val b = o.agg(
+        expr("percentile_disc(0.1) WITHIN GROUP (ORDER BY o_totalprice)").as("p1"),
+        (2 to 9).map(i =>
+          expr(s"percentile_disc(0.$i) WITHIN GROUP (ORDER BY o_totalprice)").as(s"p$i")): _*)
+      val bucket = (1 to 9).map(i =>
+        when(col("o_totalprice") > col(s"p$i"), 1).otherwise(0)).reduce(_ + _)
+      o.select("o_totalprice").crossJoin(broadcast(b))
+        .select(col("o_totalprice"), bucket.cast("long").as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).cast("long").as("n"),
+          min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
   }
 
   // -------------------------------------------------------------------
@@ -251,16 +457,7 @@ object Curation {
                  (SELECT CAST(count(*) AS BIGINT) FROM h) AS true_distinct
           FROM agg""") {
       (s, d) =>
-        val h = docs(s, d)
-          .withColumn("ws", split(col("text"), " "))
-          .select(explode(expr(
-            """CASE WHEN size(ws) >= 3
-               THEN array_distinct(transform(sequence(1, size(ws) - 2),
-                                             i -> concat_ws(' ', slice(ws, i, 3))))
-               ELSE array() END""")).as("shingle"))
-          .select(substring(md5(col("shingle")), 1, 8).as("h8"))
-          .distinct()
-          .cache()
+        val h = gram3h8(s, d).cache()
         val km = h.orderBy("h8").limit(k)
           .agg(count(lit(1)).cast("long").as("k"), max("h8").as("kth_hex"))
         val tot = h.agg(count(lit(1)).cast("long").as("true_distinct"))
@@ -346,5 +543,6 @@ object Curation {
 
   val specs: Seq[QuerySpec] = Seq(
     decontaminate, textRepetition, piiRedact, sampleWeighted,
-    packChunks, sketchKmv, tfidfTopk, embedProject)
+    packChunks, sketchKmv, sketchBloom, sketchHll, histogramEquidepth,
+    tfidfTopk, embedProject)
 }

@@ -32,9 +32,9 @@ object TextDedup {
   /** THE normalized content fingerprint (lowercase → strip non-alnum →
     * trim → md5), shared by every exact-dedup pass so they can never
     * diverge; [[normFingerprintSql]] is its DuckDB twin. */
-  private def normFingerprint: Column =
+  private[queries] def normFingerprint: Column =
     md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9 ]", "")))
-  private val normFingerprintSql =
+  private[queries] val normFingerprintSql =
     "md5(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))"
 
   // -------------------------------------------------------------------

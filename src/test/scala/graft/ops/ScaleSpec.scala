@@ -31,4 +31,34 @@ class ScaleSpec extends SparkSpec {
     assert(out.count() === 15)
     assert(out.filter($"g" === 0).select("v").as[Int].collect().toSet === Set(100, 95, 90))
   }
+
+  test("prefixSum matches the single-window running sum exactly") {
+    import org.apache.spark.sql.expressions.Window
+    // 2 groups, sparse non-contiguous ids, values with sign changes
+    val df = (1 to 1000).map(i => (s"g${i % 2}", i.toLong * 3, (i % 7 - 3).toLong))
+      .toDF("grp", "ord", "v")
+    val naive = df.withColumn("cum",
+      sum("v").over(Window.partitionBy("grp").orderBy("ord")
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    val scanned = Scale.prefixSum(df, Seq("grp"), "ord", "v",
+      bucket = expr("ord div 100"), outCol = "cum")
+    assert(scanned.count() === naive.count())
+    assert(scanned.except(naive).count() === 0)
+    assert(naive.except(scanned).count() === 0)
+  }
+
+  test("prefixSum in-bucket windows partition by (group, bucket), not group alone") {
+    // the point of the two-phase scan: the big window's partitioning must
+    // include the bucket, so parallelism is #(group, bucket) not #group
+    val df = (1 to 100).map(i => ("only_group", i.toLong, 1L)).toDF("grp", "ord", "v")
+    val out = Scale.prefixSum(df, Seq("grp"), "ord", "v",
+      bucket = expr("ord div 10"), outCol = "cum")
+    val plan = out.queryExecution.optimizedPlan.toString
+    val windowSpecs = plan.linesIterator.filter(_.contains("specifiedwindowframe")).toSeq
+    // the full-data running-sum window must key on _psb as well as grp
+    assert(windowSpecs.exists(l => l.contains("_psb") && l.contains("ord")),
+      s"expected an in-bucket window keyed on _psb:\n$plan")
+    // and the result is still the plain 1..100 running sum
+    assert(out.orderBy("ord").select("cum").as[Long].collect().toSeq === (1L to 100L))
+  }
 }

@@ -1,0 +1,113 @@
+package graft.queries
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants + plan guards for the curation operators — the
+  * properties the DuckDB oracle cannot express (cross-query consistency,
+  * sketch guarantees, build-side choices).
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("packChunks: every doc's chunk offsets cover exactly its tokens, contiguously") {
+    val chunks = Curation.packChunks.fn(spark, sf).cache()
+    val nTok = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+    // coverage: per-doc sum of (off_end - off_begin) == token count
+    val covered = chunks.groupBy("doc_id")
+      .agg(sum(col("off_end") - col("off_begin")).as("covered"),
+        count(lit(1)).as("n_chunks"),
+        (max("chunk_id") - min("chunk_id") + 1).as("span"))
+    val bad = covered.join(nTok, "doc_id")
+      .filter(col("covered") =!= col("n_tok") || col("n_chunks") =!= col("span"))
+    assert(bad.count() === 0, "chunk offsets must tile each doc's tokens with contiguous chunk ids")
+    // offsets stay inside the context window
+    assert(chunks.filter(col("off_begin") < 0 || col("off_end") > 128 ||
+      col("off_begin") >= col("off_end")).count() === 0)
+  }
+
+  test("packChunks: adjacent docs in a shard abut inside the packed stream") {
+    // doc i's global end == doc i+1's global start, per source: the packing
+    // really is a concatenation, not per-doc restarts
+    val chunks = Curation.packChunks.fn(spark, sf)
+    val ends = chunks.groupBy("source", "doc_id")
+      .agg(max(col("chunk_id") * 128 + col("off_end")).as("g_end"),
+        min(col("chunk_id") * 128 + col("off_begin")).as("g_begin"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source").orderBy("doc_id")
+    val gaps = ends.withColumn("prev_end", lag("g_end", 1).over(w))
+      .filter(col("prev_end").isNotNull && col("g_begin") =!= col("prev_end"))
+    assert(gaps.count() === 0, "packed stream must be gap-free within each source shard")
+  }
+
+  test("sketchBloom: no false negatives; candidates are a superset of exact dups") {
+    val out = Curation.sketchBloom.fn(spark, sf).cache()
+    assert(out.filter(col("exact_dup") === 1 && col("bloom_candidate") === 0).count() === 0,
+      "a bloom filter must never reject a true member")
+    assert(out.count() > 0)
+  }
+
+  test("sketchHll: estimate lands within the expected error band of the true count") {
+    val row = Curation.sketchHll.fn(spark, sf).head()
+    val est = row.getAs[Long]("est_distinct").toDouble
+    val truth = row.getAs[Long]("true_distinct").toDouble
+    // m=64 → ~13% standard error; allow 4 sigma
+    assert(truth > 0)
+    assert(est / truth > 0.5 && est / truth < 2.0,
+      s"HLL estimate $est too far from true $truth")
+  }
+
+  test("decontaminate: train side only, and the eval-gram set is the broadcast side") {
+    val out = Curation.decontaminate.fn(spark, sf)
+    assert(out.filter(col("doc_id") % 20 === 0).count() === 0,
+      "eval docs must not appear as contaminated TRAIN docs")
+    val plan = out.queryExecution.executedPlan.toString
+    // both the df-cap anti-join and the eval-gram inner join must be
+    // broadcast: the exploded corpus-side shingle stream never shuffles
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus shingle stream must not shuffle for the eval join:\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"expected broadcast for df-cap AND eval-gram join:\n$plan")
+  }
+
+  test("piiRedact: redaction removes every pattern it counts") {
+    val out = Curation.piiRedact.fn(spark, sf).cache()
+    assert(out.filter(col("n_emails") < 1 || col("n_phones") < 1).count() === 0,
+      "synthesized text must contain the PII the scrub is exercised on")
+    val leftover = out.filter(
+      col("redacted").rlike("[a-z0-9.]+@[a-z0-9.]+") ||
+      col("redacted").rlike("[0-9]{2}-[0-9]{3}-[0-9]{4}"))
+    assert(leftover.count() === 0, "redacted text still matches a PII pattern")
+  }
+
+  test("sampleWeighted: rate_q=4 sources keep every document") {
+    val kept = Curation.sampleWeighted.fn(spark, sf).cache()
+    assert(kept.filter(col("rate_q") < 1 || col("rate_q") > 4).count() === 0)
+    val all4 = Tables.documents(spark, sf)
+      .filter(expr("CAST(substring(source, 4) AS INT) % 4 + 1") === 4)
+    assert(kept.filter(col("rate_q") === 4).count() === all4.count(),
+      "the 'zz' threshold must be a keep-all")
+  }
+
+  test("histogramEquidepth: buckets partition the table in value order") {
+    val h = Curation.histogramEquidepth.fn(spark, sf).cache()
+    val total = Tables.orders(spark, sf).count()
+    assert(h.agg(sum("n")).head.getLong(0) === total)
+    assert(h.count() === 10)
+    val rows = h.orderBy("bucket").collect()
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Double]("hi") <= b.getAs[Double]("lo"),
+        s"bucket ${a.getLong(0)} overlaps bucket ${b.getLong(0)}")
+    }
+  }
+
+  test("tfidfTopk: at most 3 distinct tokens per doc, rank-ordered by score") {
+    val out = Curation.tfidfTopk.fn(spark, sf).cache()
+    assert(out.filter(col("rnk") > 3).count() === 0)
+    val perDoc = out.groupBy("doc_id").agg(
+      count(lit(1)).as("n"), countDistinct("token").as("nd"))
+    assert(perDoc.filter(col("n") > 3 || col("n") =!= col("nd")).count() === 0)
+  }
+}
