@@ -389,15 +389,15 @@ object Curation {
   // Equi-depth histogram
   // -------------------------------------------------------------------
 
-  /** Equi-depth (decile) histogram of order totals: one exact-percentile
-    * pass computes the 9 boundaries, which BROADCAST into a single
-    * counting scan — the two-scan shape that works at any scale (vs
-    * `ntile()`, whose unpartitioned window moves the whole table to one
-    * task). Boundaries are PERCENTILE_DISC — element SELECTION, not
-    * interpolation, so the doubles are bitwise-identical cross-engine;
-    * bucket membership is `Σ (v > p_i)`, deterministic for ties. At 100 TB
-    * the boundary pass would swap to approx_percentile (t-digest) — kept
-    * exact here because the opaque sketch cannot be oracle-matched. */
+  /** Equi-depth (decile) histogram of order totals: exact decile
+    * boundaries via [[graft.ops.Quantiles.exactQuantiles]] (distributed
+    * bin-refinement selection — 3 parallel scans, no global sort, no
+    * per-quantile full-column buffer), inlined as LITERALS into a single
+    * counting scan (vs `ntile()`, whose unpartitioned window moves the
+    * whole table to one task). Boundaries are PERCENTILE_DISC — element
+    * SELECTION, not interpolation, so the doubles are bitwise-identical
+    * cross-engine regardless of which algorithm selected them; bucket
+    * membership is `Σ (v > p_i)`, deterministic for ties. */
   val histogramEquidepth = QuerySpec(
     "q_histogram_equidepth",
     s"""WITH b AS (SELECT ${(1 to 9).map(i =>
@@ -413,13 +413,11 @@ object Curation {
         GROUP BY 1""") {
     (s, dd) =>
       val o = Tables.orders(s, dd)
-      val b = o.agg(
-        expr("percentile_disc(0.1) WITHIN GROUP (ORDER BY o_totalprice)").as("p1"),
-        (2 to 9).map(i =>
-          expr(s"percentile_disc(0.$i) WITHIN GROUP (ORDER BY o_totalprice)").as(s"p$i")): _*)
-      val bucket = (1 to 9).map(i =>
-        when(col("o_totalprice") > col(s"p$i"), 1).otherwise(0)).reduce(_ + _)
-      o.select("o_totalprice").crossJoin(broadcast(b))
+      val ps = graft.ops.Quantiles.exactQuantiles(
+        o, "o_totalprice", (1 to 9).map(_ / 10.0))
+      val bucket = ps.map(p =>
+        when(col("o_totalprice") > lit(p), 1).otherwise(0)).reduce(_ + _)
+      o.select("o_totalprice")
         .select(col("o_totalprice"), bucket.cast("long").as("bucket"))
         .groupBy("bucket")
         .agg(count(lit(1)).cast("long").as("n"),

@@ -240,10 +240,27 @@ object EtlQueries {
         "p_retailprice AS `Net survival (%)`",
         "CASE WHEN p_partkey % 7 = 0 THEN NULL ELSE p_retailprice + 1.0 END AS `Overall survival (%)`")
 
+  /** The pipeline outputs are MATERIALIZED ONCE per (session, sf-dir) and
+    * shared by every view query over them — exactly the reference's
+    * topology, where the ETL writes PROCESSED.* tables and the reporting
+    * views read the stored table rather than re-running the pipeline
+    * (reference src/main.py writes INDEX/ADULT_4; docs/reporting_*.sql
+    * read them). `cache()` is the in-session stand-in for that write: the
+    * six adult4-family queries truncate their plans at the InMemoryRelation
+    * instead of each re-planning (and re-codegen'ing) the whole
+    * carve+generalise+unpivot subtree — at 100 TB this is the difference
+    * between running the pipeline once and running it six times. */
+  private val tableMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
   private def indexTable(s: SparkSession, d: String): DataFrame =
-    IndexPipeline(synthIndexRaw(s, d), Schemas.defaultTargetGeographies)
+    tableMemo.getOrElseUpdate((s, d, "index"),
+      IndexPipeline(synthIndexRaw(s, d), Schemas.defaultTargetGeographies).cache())
 
   private def adult4Table(s: SparkSession, d: String): DataFrame =
+    tableMemo.getOrElseUpdate((s, d, "adult4"), adult4Pipeline(s, d).cache())
+
+  private def adult4Pipeline(s: SparkSession, d: String): DataFrame =
     Adult4Pipeline(
       synthAdultRaw(s, d),
       Schemas.defaultTargetGeographies,
