@@ -74,6 +74,74 @@ object Sink {
     require(fs.delete(old, true), s"failed to delete $old after swap (table is live)")
   }
 
+  /** Manifest-indirection table: data lives in immutable generation dirs
+    * (`<base>/gen-N`); `<base>/MANIFEST` holds the live generation's name
+    * and is replaced ATOMICALLY (FileContext rename with OVERWRITE — atomic
+    * on both HDFS and local filesystems). Readers resolve the manifest and
+    * scan a complete, immutable directory, so — unlike [[compact]]'s
+    * rename-aside swap — there is NO window where the table path does not
+    * exist, and a rewrite never disturbs in-flight readers (the previous
+    * generation is retained until the NEXT rewrite). This is the root-
+    * pointer pattern table formats (Iceberg/Delta) build on, reduced to
+    * one pointer file for a filesystem-only sink. */
+  object Manifest {
+    private val Name = "MANIFEST"
+
+    private def fs(spark: org.apache.spark.sql.SparkSession, base: String) =
+      org.apache.hadoop.fs.FileSystem.get(new java.net.URI(base),
+        spark.sparkContext.hadoopConfiguration)
+
+    private def currentGen(
+        spark: org.apache.spark.sql.SparkSession, base: String): Option[Long] = {
+      val f = fs(spark, base)
+      val m = new org.apache.hadoop.fs.Path(base, Name)
+      if (!f.exists(m)) None
+      else {
+        val in = f.open(m)
+        try Some(new String(in.readAllBytes(), "UTF-8").trim.stripPrefix("gen-").toLong)
+        finally in.close()
+      }
+    }
+
+    /** Write `df` as the next generation and atomically repoint the
+      * manifest. Generations older than the immediately-previous one are
+      * deleted (the previous is kept for readers that resolved the
+      * manifest just before the swap). */
+    def overwrite(
+        spark: org.apache.spark.sql.SparkSession, base: String, df: DataFrame): Unit = {
+      val f = fs(spark, base)
+      val next = currentGen(spark, base).map(_ + 1).getOrElse(0L)
+      df.write.mode(SaveMode.Overwrite).parquet(s"$base/gen-$next")
+      val tmp = new org.apache.hadoop.fs.Path(base, s"$Name.tmp")
+      val out = f.create(tmp, true)
+      try out.write(s"gen-$next".getBytes("UTF-8")) finally out.close()
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        new java.net.URI(base), spark.sparkContext.hadoopConfiguration)
+      fc.rename(tmp, new org.apache.hadoop.fs.Path(base, Name),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      // retire generations older than the previous one
+      (0L until next - 1).foreach { g =>
+        val p = new org.apache.hadoop.fs.Path(base, s"gen-$g")
+        if (f.exists(p)) f.delete(p, true)
+      }
+    }
+
+    /** Resolve the live generation and read it. */
+    def read(spark: org.apache.spark.sql.SparkSession, base: String): DataFrame = {
+      val gen = currentGen(spark, base).getOrElse(
+        sys.error(s"no $Name at $base — not a manifest table"))
+      spark.read.parquet(s"$base/gen-$gen")
+    }
+
+    /** Compact the live generation into `targetFiles` files — a rewrite
+      * with zero reader-visible swap window. */
+    def compact(
+        spark: org.apache.spark.sql.SparkSession, base: String, targetFiles: Int): Unit = {
+      require(targetFiles > 0)
+      overwrite(spark, base, read(spark, base).repartition(targetFiles))
+    }
+  }
+
   /** Bucketed managed table: rows hash-partitioned into `buckets` files by
     * `bucketCol` and sorted within buckets. Two tables bucketed the same
     * way join WITHOUT a shuffle — at 100 TB this converts every recurring

@@ -467,6 +467,67 @@ object Curation {
   }
 
   // -------------------------------------------------------------------
+  // Deterministic train/val/test split
+  // -------------------------------------------------------------------
+
+  /** Content-hash train/val/test assignment (90/5/5 by md5 bucket) with
+    * per-source stratification counts. The assignment is a pure per-row
+    * projection — reshard-stable, engine-independent, no rand() — and the
+    * audit rollup is one groupBy. Splitting on CONTENT hash (not doc_id)
+    * means exact duplicates land in the same split, so train/test leakage
+    * through dup pairs is structurally impossible — the property a
+    * row-number split does not have. */
+  val splitAssign = QuerySpec(
+    "q_split_assign",
+    """WITH t AS (
+         SELECT source,
+                CASE WHEN substr(md5(text), 1, 2) < 'e6' THEN 'train'
+                     WHEN substr(md5(text), 1, 2) < 'f3' THEN 'val'
+                     ELSE 'test' END AS split
+         FROM documents)
+       SELECT source, split, CAST(count(*) AS BIGINT) AS n
+       FROM t GROUP BY 1, 2""") {
+    (s, d) =>
+      val bucket = substring(md5(col("text")), 1, 2)
+      docs(s, d).select(
+          col("source"),
+          when(bucket < "e6", "train").when(bucket < "f3", "val")
+            .otherwise("test").as("split"))
+        .groupBy("source", "split").agg(count(lit(1)).cast("long").as("n"))
+  }
+
+  // -------------------------------------------------------------------
+  // Cross-source overlap matrix
+  // -------------------------------------------------------------------
+
+  /** Source-pair duplication matrix: for every pair of sources, how many
+    * distinct contents appear in both — the "which crawls overlap" audit
+    * that decides dedup priority in a multi-source corpus. Shape: group by
+    * fingerprint → collect the distinct source set (bounded by #sources,
+    * tiny) → explode ordered pairs. One shuffle on the fingerprint; the
+    * pair explosion is per-fingerprint O(|sources|²) with |sources| ≤ 20,
+    * never O(docs²). */
+  val sourceOverlap = QuerySpec(
+    "q_source_overlap",
+    s"""WITH fp AS (SELECT DISTINCT ${TextDedup.normFingerprintSql} AS fp, source
+                    FROM documents),
+        grp AS (SELECT fp, list_sort(list(source)) AS srcs FROM fp GROUP BY 1),
+        pairs AS (SELECT a.src AS src_a, b.src AS src_b
+                  FROM grp, UNNEST(srcs) AS a(src), UNNEST(srcs) AS b(src)
+                  WHERE a.src < b.src)
+        SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_shared
+        FROM pairs GROUP BY 1, 2""") {
+    (s, d) =>
+      val fp = docs(s, d)
+        .select(TextDedup.normFingerprint.as("fp"), col("source")).distinct()
+      val grp = fp.groupBy("fp").agg(sort_array(collect_list("source")).as("srcs"))
+      grp.select(explode(col("srcs")).as("src_a"), col("srcs"))
+        .select(col("src_a"), explode(col("srcs")).as("src_b"))
+        .filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).cast("long").as("n_shared"))
+  }
+
+  // -------------------------------------------------------------------
   // TF-IDF keyword extraction
   // -------------------------------------------------------------------
 
@@ -542,5 +603,5 @@ object Curation {
   val specs: Seq[QuerySpec] = Seq(
     decontaminate, textRepetition, piiRedact, sampleWeighted,
     packChunks, sketchKmv, sketchBloom, sketchHll, histogramEquidepth,
-    tfidfTopk, embedProject)
+    splitAssign, sourceOverlap, tfidfTopk, embedProject)
 }

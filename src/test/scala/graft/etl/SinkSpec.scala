@@ -32,6 +32,28 @@ class SinkSpec extends SparkSpec {
     assert(back.agg(sum("k")).head().getLong(0) === 500L * 501 / 2)
   }
 
+  test("Manifest: atomic pointer swap, previous generation retained, older retired") {
+    val base = java.nio.file.Files.createTempDirectory("graft-manifest").toString + "/t"
+    Sink.Manifest.overwrite(spark, base, (1 to 100).map(i => (i, s"v$i")).toDF("k", "v"))
+    assert(Sink.Manifest.read(spark, base).count() === 100)
+    // a reader that resolved gen-0 BEFORE this overwrite must still work after it
+    val preSwap = spark.read.parquet(s"$base/gen-0")
+    Sink.Manifest.overwrite(spark, base, Seq((9, "z")).toDF("k", "v"))
+    assert(Sink.Manifest.read(spark, base).select("k").as[Int].collect().toSeq === Seq(9))
+    assert(preSwap.count() === 100, "in-flight reader of the previous generation broke")
+    // third overwrite retires gen-0, keeps gen-1
+    Sink.Manifest.overwrite(spark, base, Seq((7, "y")).toDF("k", "v"))
+    assert(!new java.io.File(s"$base/gen-0").exists, "gen-0 should be retired")
+    assert(new java.io.File(s"$base/gen-1").exists, "previous generation must be retained")
+    // compaction rewrites files without any reader-visible gap
+    Sink.Manifest.overwrite(spark, base,
+      (1 to 500).map(i => (i, s"v$i")).toDF("k", "v").repartition(40))
+    Sink.Manifest.compact(spark, base, targetFiles = 2)
+    val live = Sink.Manifest.read(spark, base)
+    assert(live.count() === 500)
+    assert(live.inputFiles.length === 2)
+  }
+
   test("overwritePartitioned: directory-per-value layout, pruned scans, dynamic overwrite") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString + "/t"
     val df = Seq(("click", 1L), ("click", 2L), ("view", 3L)).toDF("event_type", "v")
