@@ -770,7 +770,32 @@ object Relational {
         .select("o_orderkey", "cust", "o_totalprice", "c_name")
   }
 
+  /** Z-order (Morton) clustering key over two dimensions — the layout
+    * column [[graft.ops.Layout.writeZOrdered]] range-partitions on so
+    * file/row-group min-max stats prune on BOTH dimensions (a linear sort
+    * localizes only its leading key). The interleave is pure integer
+    * bit-arithmetic — codegen'd in Spark, replicated term-by-term in the
+    * oracle — over 16 low bits of each dimension. */
+  val zorderKey = {
+    val bits = 16
+    val zSql = (0 until bits).flatMap { j =>
+      Seq(s"((((o_custkey % 65536) >> $j) & 1) << ${2 * j})",
+        s"((((o_orderkey % 65536) >> $j) & 1) << ${2 * j + 1})")
+    }.mkString(" + ")
+    QuerySpec(
+      "q_zorder_key",
+      s"""SELECT o_orderkey, o_custkey, CAST($zSql AS BIGINT) AS z
+          FROM orders""") {
+      (s, d) =>
+        Tables.orders(s, d).select(
+          col("o_orderkey"), col("o_custkey"),
+          graft.ops.Layout.zValue(
+            Seq(col("o_custkey") % 65536, col("o_orderkey") % 65536), bits).as("z"))
+    }
+  }
+
   val specs: Seq[QuerySpec] = Seq(
+    zorderKey,
     sortLimit, pricingSummary, skewSaltedJoin, join5Revenue,
     rollupTotals, cubeTotals, countDistinct_, stringAgg, semiAntiJoin, setOps,
     scanProject, filterDisjunctive, derivedFlags, antiConjExclusion,
