@@ -68,6 +68,21 @@ object StreamOps {
       fingerprintCol: String = "fingerprint"): DataFrame =
     stream.join(corpus.select(fingerprintCol), Seq(fingerprintCol), "left_anti")
 
+  /** Publish each micro-batch's full (complete-mode) aggregate as an
+    * ATOMIC snapshot generation: foreachBatch → [[graft.etl.Sink.Manifest]]
+    * .overwrite. A reader resolving the manifest at ANY instant — including
+    * mid-publication — sees one complete, immutable generation; the
+    * previous generation stays on disk until the next swap, so in-flight
+    * scans never break. This is streaming refresh with batch-consistent
+    * reads, vs a truncate-replace sink whose table path flickers. */
+  def publishSnapshots(
+      aggregated: DataFrame, base: String): org.apache.spark.sql.streaming.StreamingQuery =
+    aggregated.writeStream.outputMode("complete")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.etl.Sink.Manifest.overwrite(batch.sparkSession, base, batch)
+      }
+      .start()
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   case class SessionState(sessionStart: Long, lastTs: Long, n: Long, total: Double)

@@ -58,6 +58,29 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("publishSnapshots: each micro-batch lands as an atomic manifest generation") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-snap").toString + "/agg"
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val events = input.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = StreamOps.publishSnapshots(StreamOps.windowedAgg(events), base)
+    try {
+      input.addData((1L, ts("2024-01-01 00:10:00"), 1L, "click", 1.0))
+      q.processAllAvailable()
+      val snap1 = graft.etl.Sink.Manifest.read(spark, base)
+      assert(snap1.agg(org.apache.spark.sql.functions.sum("n_events")).head.getLong(0) === 1L)
+      // a reader holding the first generation survives the next publication
+      val firstGenFiles = snap1.inputFiles
+      input.addData((2L, ts("2024-01-01 00:20:00"), 1L, "click", 2.0),
+        (3L, ts("2024-01-01 01:20:00"), 1L, "view", 5.0))
+      q.processAllAvailable()
+      val snap2 = graft.etl.Sink.Manifest.read(spark, base)
+      assert(snap2.agg(org.apache.spark.sql.functions.sum("n_events")).head.getLong(0) === 3L)
+      assert(firstGenFiles.forall(f => new java.io.File(new java.net.URI(f)).exists),
+        "previous generation must survive one more publication for in-flight readers")
+    } finally q.stop()
+  }
+
   test("file-stream over real testdata events == batch q_stream_window grouping") {
     // the streaming file source wants a directory: stage the events file
     val dir = java.nio.file.Files.createTempDirectory("graft-events")
