@@ -47,6 +47,32 @@ class ScaleSpec extends SparkSpec {
     assert(naive.except(scanned).count() === 0)
   }
 
+  test("prefixSum == single window on random groups/gaps/buckets (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import org.apache.spark.sql.expressions.Window
+    val rowGen = for {
+      g <- Gen.choose(0, 3)
+      ord <- Gen.choose(0L, 5000L)
+      v <- Gen.choose(-50L, 50L)
+    } yield (s"g$g", ord, v)
+    (0 until 5).foreach { i =>
+      val rows = Gen.nonEmptyListOf(rowGen)
+        .apply(Gen.Parameters.default.withSize(80), Seed(7L + i)).get
+        // orderCol must be unique within each group
+        .groupBy(r => (r._1, r._2)).values.map(_.head).toSeq
+      val bucketWidth = Seq(1, 7, 64, 10000)(i % 4) // incl. degenerate 1-per and all-in-one
+      val df = rows.toDF("grp", "ord", "v")
+      val naive = df.withColumn("cum",
+        sum("v").over(Window.partitionBy("grp").orderBy("ord")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      val scanned = Scale.prefixSum(df, Seq("grp"), "ord", "v",
+        bucket = expr(s"ord div $bucketWidth"), outCol = "cum")
+      assert(scanned.except(naive).count() === 0 && naive.except(scanned).count() === 0,
+        s"prefixSum diverged at seed ${7 + i}, bucketWidth $bucketWidth")
+    }
+  }
+
   test("prefixSum in-bucket windows partition by (group, bucket), not group alone") {
     // the point of the two-phase scan: the big window's partitioning must
     // include the bucket, so parallelism is #(group, bucket) not #group
