@@ -600,7 +600,79 @@ object Curation {
     }
   }
 
+  // -------------------------------------------------------------------
+  // End-to-end ingest composite
+  // -------------------------------------------------------------------
+
+  /** The whole ingest pass for one incoming shard (src1), operators
+    * chained the way a production run chains them: exact-dedup screen
+    * against the corpus (anti-join on the shared fingerprint — the
+    * bloom pre-screen of [[sketchBloom]] is a transparent accelerator
+    * here: it only prunes anti-join probes, never changes the result) →
+    * Gopher-style repetition gates → minimum-length gate → content-hash
+    * split assignment. One corpus-side shuffle (the anti-join), one
+    * explode-aggregate keyed on doc_id; everything else is per-row
+    * projection. */
+  val curationIngest = QuerySpec(
+    "q_curation_ingest",
+    s"""WITH fp AS (SELECT doc_id, source, text,
+                           ${TextDedup.normFingerprintSql} AS fp
+                    FROM documents),
+        corpus AS (SELECT DISTINCT fp FROM fp WHERE source <> 'src1'),
+        fresh AS (SELECT doc_id, source, text FROM fp
+                  WHERE source = 'src1'
+                    AND fp NOT IN (SELECT fp FROM corpus)),
+        w AS (SELECT doc_id, source, text, str_split(text, ' ') AS ws FROM fresh),
+        base AS (SELECT doc_id, source, text,
+                        CAST(len(ws) AS BIGINT) AS n_words,
+                        CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct
+                 FROM w),
+        bg AS (SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS bigram
+               FROM w, UNNEST(generate_series(1, greatest(len(ws) - 1, 0))) AS u(i)),
+        tp AS (SELECT doc_id, max(n) AS top_bigram_n
+               FROM (SELECT doc_id, bigram, count(*) AS n FROM bg GROUP BY 1, 2) t
+               GROUP BY 1),
+        gated AS (SELECT base.doc_id, base.source, base.text, base.n_words
+                  FROM base JOIN tp ON base.doc_id = tp.doc_id
+                  WHERE base.n_words >= 5
+                    AND base.n_distinct * 2 >= base.n_words
+                    AND tp.top_bigram_n * 10 <= (base.n_words - 1) * 3)
+        SELECT doc_id, source, n_words,
+               CASE WHEN substr(md5(text), 1, 2) < 'e6' THEN 'train'
+                    WHEN substr(md5(text), 1, 2) < 'f3' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM gated""") {
+    (s, d) =>
+      val fp = docs(s, d).select(
+        col("doc_id"), col("source"), col("text"), TextDedup.normFingerprint.as("fp"))
+      val corpus = fp.filter(col("source") =!= "src1").select("fp").distinct()
+      val fresh = fp.filter(col("source") === "src1")
+        .join(corpus, Seq("fp"), "left_anti")
+        .select(col("doc_id"), col("source"), col("text"), split(col("text"), " ").as("ws"))
+      val base = fresh.select(
+        col("doc_id"), col("source"), col("text"),
+        size(col("ws")).cast("long").as("n_words"),
+        size(array_distinct(col("ws"))).cast("long").as("n_distinct"))
+      val tp = fresh.select(col("doc_id"), explode(expr(
+          """CASE WHEN size(ws) >= 2
+             THEN transform(sequence(1, size(ws) - 1), i -> concat_ws(' ', slice(ws, i, 2)))
+             ELSE array() END""")).as("bigram"))
+        .groupBy("doc_id", "bigram").agg(count(lit(1)).as("n"))
+        .groupBy("doc_id").agg(max("n").as("top_bigram_n"))
+      val bucket = substring(md5(col("text")), 1, 2)
+      base.join(tp, Seq("doc_id"))
+        // integer-only gates: ratio thresholds as cross-multiplication, so
+        // neither engine evaluates a float boundary
+        .filter(col("n_words") >= 5 &&
+          col("n_distinct") * 2 >= col("n_words") &&
+          col("top_bigram_n") * 10 <= (col("n_words") - 1) * 3)
+        .select(col("doc_id"), col("source"), col("n_words"),
+          when(bucket < "e6", "train").when(bucket < "f3", "val")
+            .otherwise("test").as("split"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
+    curationIngest,
     decontaminate, textRepetition, piiRedact, sampleWeighted,
     packChunks, sketchKmv, sketchBloom, sketchHll, histogramEquidepth,
     splitAssign, sourceOverlap, tfidfTopk, embedProject)
