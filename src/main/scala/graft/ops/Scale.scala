@@ -38,10 +38,12 @@ object Scale {
     * Catalyst already lowers orderBy+limit to TakeOrderedAndProject for the
     * global case; this is the grouped analogue (one shuffle on the group
     * key, sort only within groups). */
-  def topKPerGroup(df: DataFrame, groupCols: Seq[String], orderCol: Column, k: Int): DataFrame = {
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String], orderCol: Column, k: Int,
+      tieBreakers: Column*): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     df.withColumn("_rn",
-        row_number().over(Window.partitionBy(groupCols.map(col): _*).orderBy(orderCol)))
+        row_number().over(Window.partitionBy(groupCols.map(col): _*)
+          .orderBy(orderCol +: tieBreakers: _*)))
       .filter(col("_rn") <= k)
       .drop("_rn")
   }

@@ -601,6 +601,35 @@ object Curation {
   }
 
   // -------------------------------------------------------------------
+  // Balanced per-source sampling
+  // -------------------------------------------------------------------
+
+  /** Balanced sample: exactly `k` docs per source, chosen by content-hash
+    * order (reshard-stable, engine-independent — the distributed analogue
+    * of "shuffle each shard with a fixed seed and take k"). Runs as
+    * [[graft.ops.Scale.topKPerGroup]], which Spark lowers to partial+final
+    * WindowGroupLimit: per-partition bounded heaps, no full sort of any
+    * group — the per-group sample that still works when one source holds
+    * 10¹¹ rows. doc_id breaks md5 ties so the pick is total-ordered. */
+  val sampleBalanced = {
+    val k = 10
+    QuerySpec(
+      "q_sample_balanced",
+      s"""SELECT doc_id, source
+          FROM (SELECT doc_id, source,
+                       ROW_NUMBER() OVER (PARTITION BY source
+                                          ORDER BY md5(text), doc_id) AS rn
+                FROM documents) t
+          WHERE rn <= $k""") {
+      (s, d) =>
+        graft.ops.Scale.topKPerGroup(
+          docs(s, d).select(col("doc_id"), col("source"), md5(col("text")).as("h")),
+          Seq("source"), col("h"), k, col("doc_id"))
+          .select("doc_id", "source")
+    }
+  }
+
+  // -------------------------------------------------------------------
   // End-to-end ingest composite
   // -------------------------------------------------------------------
 
@@ -672,7 +701,7 @@ object Curation {
   }
 
   val specs: Seq[QuerySpec] = Seq(
-    curationIngest,
+    curationIngest, sampleBalanced,
     decontaminate, textRepetition, piiRedact, sampleWeighted,
     packChunks, sketchKmv, sketchBloom, sketchHll, histogramEquidepth,
     splitAssign, sourceOverlap, tfidfTopk, embedProject)

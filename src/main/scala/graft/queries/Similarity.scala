@@ -303,9 +303,10 @@ object Similarity {
     * The centroid table broadcasts; the candidate join keys on cell id —
     * shuffle on cell, never all-pairs. Probe overlap is deduplicated
     * before ranking. */
-  val topkIvf = QuerySpec(
-    "q_sim_ivf",
-    s"""WITH $normedSql,
+  /** The whole IVF WITH-chain, ending in CTE `ivf` (top-3 per query) —
+    * shared by the q_sim_ivf oracle and the recall diagnostic. */
+  private val ivfChainSql =
+    s"""$normedSql,
         dims AS (SELECT UNNEST(generate_series(1, 64)) AS dim),
         cent0 AS (SELECT vec_id AS cent_id,
                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent_emb,
@@ -328,13 +329,23 @@ object Similarity {
         scored AS (
           SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                  ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos_sim
-          FROM qprobe q JOIN cells c ON q.cell = c.cell AND q.vec_id <> c.vec_id)
-        SELECT query_id, neighbor_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
-        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                                           ORDER BY cos_sim DESC, neighbor_id) AS rnk
-              FROM scored) t
-        WHERE rnk <= 3""") {
-    (s, d) =>
+          FROM qprobe q JOIN cells c ON q.cell = c.cell AND q.vec_id <> c.vec_id),
+        ivf AS (
+          SELECT query_id, neighbor_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
+          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                             ORDER BY cos_sim DESC, neighbor_id) AS rnk
+                FROM scored) t
+          WHERE rnk <= 3)"""
+
+  val topkIvf = QuerySpec(
+    "q_sim_ivf",
+    s"""WITH $ivfChainSql
+        SELECT query_id, neighbor_id, cos_sim, rnk FROM ivf""") {
+    (s, d) => ivfTopkDf(s, d)
+  }
+
+  /** Spark side of the IVF chain (shared by q_sim_ivf and q_sim_recall). */
+  private def ivfTopkDf(s: SparkSession, d: String): DataFrame = {
       // cache: the Lloyd loop collects means once per iteration plus the
       // final assignment — without it the embeddings scan + norm kernel
       // re-run per pass
@@ -370,6 +381,52 @@ object Similarity {
       result
   }
 
+  /** Recall@3 of the IVF index against exact brute force — the acceptance
+    * gate every ANN deployment runs before trusting the index (an ANN
+    * path with unmeasured recall is a silent data-loss bug). Ground truth
+    * re-ranks the full corpus for the 10 probe queries only (ground truth
+    * is always computed on a small query sample, so this stays cheap at
+    * any corpus size); the hit count is an integer and the recall a single
+    * division of identical integers — deterministic cross-engine. */
+  val topkRecall = QuerySpec(
+    "q_sim_recall",
+    s"""WITH $ivfChainSql,
+        bfs AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                    ORDER BY ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC,
+                                             c.vec_id) AS rnk
+          FROM e q JOIN e c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id < 10),
+        bf AS (SELECT query_id, neighbor_id FROM bfs WHERE rnk <= 3)
+        SELECT bf.query_id,
+               CAST(count(ivf.neighbor_id) AS BIGINT) AS n_hit,
+               count(ivf.neighbor_id) * 1.0 / 3 AS recall_at_3
+        FROM bf LEFT JOIN ivf ON ivf.query_id = bf.query_id
+                             AND ivf.neighbor_id = bf.neighbor_id
+        GROUP BY 1""") {
+    (s, d) =>
+      val ivf = ivfTopkDf(s, d).select(col("query_id"), col("neighbor_id"))
+        .withColumn("_m", lit(1))
+      val e = withNorm(s, d)
+      val q = e.filter(col("vec_id") < 10).toDF("query_id", "q_label", "q_emb", "q_nrm")
+      val c = e.toDF("neighbor_id", "c_label", "c_emb", "c_nrm")
+      val bf = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos_sim",
+          vector_dot_f32(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("query_id")
+            .orderBy(col("cos_sim").desc, col("neighbor_id"))))
+        .filter(col("rnk") <= 3)
+        .select("query_id", "neighbor_id")
+      bf.join(ivf, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(sum(coalesce(col("_m"), lit(0))).cast("long").as("n_hit"))
+        .select(col("query_id"), col("n_hit"),
+          (col("n_hit") * lit(1.0) / lit(3)).as("recall_at_3"))
+  }
+
   /** Embedding-column quality screen: per-label norm profile + degenerate-
     * vector detection (zero/denormal norms break cosine math downstream) —
     * the validation pass a pipeline runs before trusting a new embedding
@@ -396,5 +453,5 @@ object Similarity {
 
   val specs: Seq[QuerySpec] = Seq(
     embedCosineNearDup, topkBruteForce, topkLshBucketed, topkLshMultiprobe,
-    topkIvf, embedStats)
+    topkIvf, topkRecall, embedStats)
 }
