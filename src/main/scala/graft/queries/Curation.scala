@@ -255,12 +255,15 @@ object Curation {
 
   /** Bloom-filter dedup pre-screen: build a 65536-bit bloom (2048 32-bit
     * words, k=3) over the corpus' normalized content fingerprints, then
-    * probe a new batch (source src1 stands in for the incoming shard) and
-    * report bloom candidacy vs exact membership — the false-positive
-    * diagnostic. The three hash functions are disjoint 16-bit slices of
-    * the fingerprint itself (already an md5), so both engines compute
-    * them exactly; words stay 32-bit so every mask fits positive in an
-    * int64 (no cross-engine sign-bit hazards).
+    * probe a batch and report bloom candidacy vs exact membership — the
+    * false-positive/false-negative diagnostic. The corpus is doc_id%4≠1
+    * and the probe batch doc_id%2=1, so HALF the probes (doc_id%4=3) are
+    * known members — positive controls that make the no-false-negative
+    * property non-vacuous on this dup-free corpus — while the other half
+    * (doc_id%4=1) measures false positives. The three hash functions are
+    * disjoint 16-bit slices of the fingerprint itself (already an md5),
+    * so both engines compute them exactly; words stay 32-bit so every
+    * mask fits positive in an int64 (no cross-engine sign-bit hazards).
     *
     * The 100 TB shape: the built bloom is ≤2048 rows regardless of corpus
     * size — it BROADCASTS to the probe side, so screening an incoming
@@ -274,13 +277,13 @@ object Curation {
       s"""WITH fp AS (SELECT doc_id, source,
                              ${TextDedup.normFingerprintSql} AS fp
                       FROM documents),
-          corpus AS (SELECT DISTINCT fp FROM fp WHERE source <> 'src1'),
+          corpus AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 4 <> 1),
           ch AS (SELECT ${hexSql(s"substr(fp, i * 4 + 1, 4)", 4)} AS h
                  FROM corpus, UNNEST(generate_series(0, ${K - 1})) AS u(i)),
           bloom AS (SELECT h // 32 AS word,
                            bit_or(1::BIGINT << CAST(h % 32 AS INTEGER)) AS bits
                     FROM ch GROUP BY 1),
-          pr AS (SELECT doc_id, fp FROM fp WHERE source = 'src1'),
+          pr AS (SELECT doc_id, fp FROM fp WHERE doc_id % 2 = 1),
           ph AS (SELECT doc_id, fp, ${hexSql(s"substr(fp, i * 4 + 1, 4)", 4)} AS h
                  FROM pr, UNNEST(generate_series(0, ${K - 1})) AS u(i)),
           pj AS (SELECT ph.doc_id,
@@ -299,11 +302,11 @@ object Curation {
           col("doc_id"), col("source"), TextDedup.normFingerprint.as("fp"))
         val hashes = array((0 until K).map(i =>
           conv(substring(col("fp"), i * 4 + 1, 4), 16, 10).cast("long")): _*)
-        val corpus = fp.filter(col("source") =!= "src1").select("fp").distinct().cache()
+        val corpus = fp.filter(col("doc_id") % 4 =!= 1).select("fp").distinct().cache()
         val bloom = corpus.select(explode(hashes).as("h"))
           .groupBy(expr("h div 32").as("word"))
           .agg(expr("bit_or(shiftleft(cast(1 as bigint), cast(h % 32 as int)))").as("bits"))
-        val pr = fp.filter(col("source") === "src1").select("doc_id", "fp")
+        val pr = fp.filter(col("doc_id") % 2 === 1).select("doc_id", "fp")
         val pj = pr.select(col("doc_id"), explode(hashes).as("h"))
           .withColumn("word", expr("h div 32"))
           .join(broadcast(bloom), Seq("word"), "left")
