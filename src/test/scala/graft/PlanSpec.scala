@@ -104,6 +104,23 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q_sample_balanced lowers to partial+final WindowGroupLimit") {
+    // the balanced sample must stay bounded-heap per partition — a full
+    // per-group sort here would regress the one shape that makes
+    // k-per-source sampling viable on a 10^11-row source
+    val plan = SparkEntry.queries("q_sample_balanced")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(plan.contains("Partial") && plan.contains("Final"), plan)
+  }
+
+  test("q_curation_ingest: corpus screen is a broadcast anti-join at test scale") {
+    val plan = formatted("q_curation_ingest")
+    assert(plan.contains("LeftAnti"), s"dedup screen must be an anti-join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no SMJ expected at broadcastable corpus size:\n$plan")
+  }
+
   test("q_sim_topk: the QUERY SET is the broadcast build side; the corpus streams") {
     val plan = formatted("q_sim_topk")
     // q is the left relation → BuildLeft proves the tiny filtered query set is
