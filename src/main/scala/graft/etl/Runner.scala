@@ -27,6 +27,15 @@ object Runner {
         adult4 = env.getOrElse("GRAFT_DEST_ADULT4", "ADULT_4"))
   }
 
+  /** How table writes land. [[StagedOverwrite]] is the reference's
+    * truncate-replace ([[Sink.overwriteTable]]); [[ManifestPointer]]
+    * publishes through [[Sink.Manifest]] generations — the same rows plus
+    * the `_TIMESTAMP` stamp, but with an atomic pointer swap so dashboard
+    * readers never hit a mid-load table. */
+  sealed trait SinkMode
+  case object StagedOverwrite extends SinkMode
+  case object ManifestPointer extends SinkMode
+
   /** @param stagingDir directory of staged workbooks (post-scrape state;
     *        reference ./data, src/main.py:390-393)
     * @param outDir root for the INDEX / ADULT_4 parquet tables
@@ -39,7 +48,17 @@ object Runner {
       stagingDir: String,
       outDir: String,
       targetGeographies: Seq[String] = Schemas.defaultTargetGeographies,
-      destinations: Destinations = Destinations()): Seq[LoadResult] = {
+      destinations: Destinations = Destinations(),
+      sinkMode: SinkMode = StagedOverwrite): Seq[LoadResult] = {
+    def publish(df: org.apache.spark.sql.DataFrame, dest: String): Long = sinkMode match {
+      case StagedOverwrite =>
+        Sink.overwriteTable(df, dest)
+        spark.read.parquet(dest).count()
+      case ManifestPointer =>
+        Sink.Manifest.overwrite(spark, dest,
+          df.withColumn("_TIMESTAMP", org.apache.spark.sql.functions.current_timestamp()))
+        Sink.Manifest.read(spark, dest).count()
+    }
     Ingest.listStaged(stagingDir).flatMap { path =>
       val name = path.getFileName.toString
       Ingest.dispatch(name) match {
@@ -51,8 +70,7 @@ object Runner {
               Staging.readSheet(spark, path.toString, Schemas.rawIndexSheet, skipRows = 10)
           val out = IndexPipeline(raw, targetGeographies)
           val dest = s"$outDir/${destinations.index}"
-          Sink.overwriteTable(out, dest)
-          Some(LoadResult(name, "index", dest, spark.read.parquet(dest).count()))
+          Some(LoadResult(name, "index", dest, publish(out, dest)))
 
         case Ingest.AdultFile =>
           // reference src/main.py:80-84: skiprows=10 makes sheet row 11 the
@@ -71,8 +89,7 @@ object Runner {
               Staging.readSheet(spark, path.toString, Schemas.rawAdultSheet, skipRows = 9)
           val out = Adult4Pipeline(raw, targetGeographies, Ingest.diagnosisWindow(name), snapshot)
           val dest = s"$outDir/${destinations.adult4}"
-          Sink.overwriteTable(out, dest)
-          Some(LoadResult(name, "adult4", dest, spark.read.parquet(dest).count()))
+          Some(LoadResult(name, "adult4", dest, publish(out, dest)))
 
         case Ingest.UnknownFile => None
       }

@@ -48,6 +48,35 @@ class RunnerSpec extends SparkSpec {
     assert(Views.benchmarkingStandards(adult.drop("_TIMESTAMP")).count() > 0)
   }
 
+  test("run: ManifestPointer mode publishes both tables as atomic generations") {
+    val staging = Files.createTempDirectory("graft-staging-m")
+    val out = Files.createTempDirectory("graft-tables-m").toString
+    val indexHeader = Schemas.rawIndexSheet.fieldNames.mkString(",")
+    Files.writeString(staging.resolve("Index_2018.csv"),
+      (1 to 10).map(i => s"preamble $i").mkString("\n") + "\n" +
+        indexHeader + "\n" +
+        "Cancer Alliance,NCL,E56000027,Breast,Female,All ages,Age-standardised,2018,1,100,71.5,70.0,73.0,1.0,0.5,\n")
+    val adultHeader = Schemas.rawAdultSheet.fieldNames.mkString(",")
+    Files.writeString(staging.resolve("adult_survival_2017_2021.csv"),
+      (1 to 9).map(i => s"preamble $i").mkString("\n") + "\n" +
+        adultHeader + "\n" +
+        "Cancer Alliance,NCL,E56000027,Breast,Female,Age-standardised (5 age groups),1,100,71.0,72.0\n")
+
+    val results = Runner.run(spark, staging.toString, out,
+      sinkMode = Runner.ManifestPointer)
+    assert(results.map(_.kind).sorted === Seq("adult4", "index"))
+    // the table roots are manifest tables, not bare parquet dirs
+    val index = Sink.Manifest.read(spark, s"$out/INDEX")
+    assert(index.columns.contains("_TIMESTAMP"))
+    assert(index.count() === results.find(_.kind == "index").get.rows)
+    // a re-run lands as the next generation; readers of the old one survive
+    val preSwap = index.cache(); preSwap.count()
+    Runner.run(spark, staging.toString, out, sinkMode = Runner.ManifestPointer)
+    assert(Sink.Manifest.read(spark, s"$out/INDEX").count() === index.count())
+    assert(preSwap.count() > 0)
+    preSwap.unpersist()
+  }
+
   test("run: env-driven destinations rename the sink tables (dev_ prefix switch)") {
     val staging = Files.createTempDirectory("graft-staging-dest")
     val out = Files.createTempDirectory("graft-tables-dest").toString
