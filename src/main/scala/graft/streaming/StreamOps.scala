@@ -97,6 +97,26 @@ object StreamOps {
     * flush and their state evicts; tests use the NoTimeout default (a
     * processing-time timeout keeps scheduling wake-up batches, which never
     * lets `processAllAvailable` quiesce). */
+  /** Stream–stream time-interval join: pair each click with the same
+    * user's views from the preceding 10 minutes. BOTH sides carry
+    * watermarks and the join condition bounds the event-time gap, so
+    * Spark can evict buffered rows once the other side's watermark passes
+    * them — state stays proportional to the interval, not the stream.
+    * (An unbounded-condition stream-stream join would buffer forever;
+    * the time bound is what makes this a 100 TB-viable operator.) */
+  def joinWithinInterval(clicks: DataFrame, views: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val v = views.withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+    c.join(v,
+      c("user_id") === v("user_id") &&
+        col("view_ts") <= col("click_ts") &&
+        col("view_ts") >= col("click_ts") - expr("INTERVAL 10 MINUTES"))
+      .select(c("user_id"), col("click_id"), col("view_id"),
+        col("click_ts"), col("view_ts"))
+  }
+
   def sessionize(
       events: Dataset[Event],
       timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout): Dataset[SessionOut] = {

@@ -140,6 +140,30 @@ class StreamOpsSpec extends SparkSpec {
     }
   }
 
+  test("joinWithinInterval: clicks pair with same-user views in the 10-min lookback only") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicksIn = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val viewsIn = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    val joined = StreamOps.joinWithinInterval(
+      clicksIn.toDF().toDF(cols: _*), viewsIn.toDF().toDF(cols: _*))
+    val q = joined.writeStream.format("memory").queryName("interval_join")
+      .outputMode("append").start()
+    try {
+      viewsIn.addData(
+        (10L, ts("2024-01-01 00:05:00"), 1L, "view", 0.0),  // 3 min before → pairs
+        (11L, ts("2024-01-01 00:07:30"), 1L, "view", 0.0),  // 30s before → pairs
+        (12L, ts("2024-01-01 00:09:00"), 1L, "view", 0.0),  // AFTER the click → no
+        (13L, ts("2023-12-31 23:00:00"), 1L, "view", 0.0),  // 68 min before → no
+        (14L, ts("2024-01-01 00:06:00"), 2L, "view", 0.0))  // other user → no
+      clicksIn.addData((1L, ts("2024-01-01 00:08:00"), 1L, "click", 1.0))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT view_id FROM interval_join ORDER BY view_id")
+        .as[Long].collect().toSeq
+      assert(got === Seq(10L, 11L))
+    } finally q.stop()
+  }
+
   test("dedupeStream drops re-delivered event ids within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
