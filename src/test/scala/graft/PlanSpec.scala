@@ -121,6 +121,20 @@ class PlanSpec extends SparkSpec {
       s"no SMJ expected at broadcastable corpus size:\n$plan")
   }
 
+  test("q_tfidf_topk: per-doc top-3 is WindowGroupLimit-bounded, not a full per-doc sort") {
+    val plan = SparkEntry.queries("q_tfidf_topk")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("q_sketch_kmv: the k-min selection runs as TakeOrdered, never a global sort") {
+    // scaladoc claims per-partition top-k + tiny merge; pin it — a global
+    // Sort+Limit here would shuffle every distinct hash to one task
+    val plan = SparkEntry.queries("q_sketch_kmv")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("q_sim_topk: the QUERY SET is the broadcast build side; the corpus streams") {
     val plan = formatted("q_sim_topk")
     // q is the left relation → BuildLeft proves the tiny filtered query set is
