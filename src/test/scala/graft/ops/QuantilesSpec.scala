@@ -33,4 +33,24 @@ class QuantilesSpec extends SparkSpec {
     assert(Quantiles.exactQuantiles(df, "v", Seq(0.5, 1.0), bins = 2) === Seq(1.0, 2.0))
     assert(Quantiles.exactQuantiles(df, "v", Seq(0.01)) === Seq(1.0))
   }
+
+  test("exactQuantiles recurses when an outlier crams the mass into one bin") {
+    // one 1e12 outlier stretches the range so ALL other values share bin 0;
+    // tiny maxBinRows forces the recursive refinement path
+    val vals = (1 to 2000).map(_ * 0.001) :+ 1e12
+    val df = vals.toDF("v")
+    val got = Quantiles.exactQuantiles(df, "v", qs, bins = 4, maxBinRows = 100)
+    assert(got === discOracle(df, "v"))
+  }
+
+  test("exactQuantiles survives sub-ulp ranges and mixed ±huge values") {
+    // width underflows to 0: {0, minSubnormal}
+    val tiny = Seq(0.0, java.lang.Double.MIN_VALUE, java.lang.Double.MIN_VALUE).toDF("v")
+    assert(Quantiles.exactQuantiles(tiny, "v", Seq(0.33, 1.0))
+      === Seq(0.0, java.lang.Double.MIN_VALUE))
+    // width overflows to Inf: ±MaxValue
+    val huge = Seq(-java.lang.Double.MAX_VALUE, 0.0, java.lang.Double.MAX_VALUE).toDF("v")
+    assert(Quantiles.exactQuantiles(huge, "v", Seq(0.5))
+      === Seq(0.0))
+  }
 }
