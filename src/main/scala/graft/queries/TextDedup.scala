@@ -327,6 +327,50 @@ object TextDedup {
     (s, d) => minhashCandidates(minhashSig(shingled(s, d, 3)))
   }
 
+  /** LSH recall gate — the dedup analogue of q_sim_recall: every TRUE
+    * near-dup pair (exact 3-gram Jaccard ≥ 0.5, the regime 4×2 banding is
+    * tuned to catch) is checked against the LSH candidate set. A pair the
+    * bands miss is a duplicate that survives dedup silently, so this is
+    * the number to watch when retuning bands/rows — and unlike the
+    * estimate diagnostic it measures the CANDIDATE stage, where the real
+    * recall loss happens. Truth side reuses the df-capped shingle stream;
+    * candidate side reuses the exact banding plumbing of the production
+    * pass, so the gate can never drift from what it gates. */
+  val dedupLshRecall = QuerySpec(
+    "q_dedup_lsh_recall",
+    s"""WITH ${shingleSql(3)},
+        sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+               FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+        truth AS (SELECT pr.a_id, pr.b_id
+                  FROM pr JOIN sz sa ON sa.doc_id = pr.a_id
+                          JOIN sz sb ON sb.doc_id = pr.b_id
+                  WHERE 3 * pr.inter >= sa.n + sb.n),
+        $minhashCandSql
+        SELECT t.a_id, t.b_id,
+               CAST(CASE WHEN c.a_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS lsh_hit
+        FROM truth t LEFT JOIN cand c ON c.a_id = t.a_id AND c.b_id = t.b_id""") {
+    (s, d) =>
+      val sh = shingled(s, d, 3).cache()
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val truth = sh.toDF("a_id", "shingle")
+        .join(sh.toDF("b_id", "shingle"), "shingle")
+        .filter(col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+        .join(sz.toDF("a_id", "n_a"), "a_id")
+        .join(sz.toDF("b_id", "n_b"), "b_id")
+        .filter(lit(3) * col("inter") >= col("n_a") + col("n_b"))
+        .select("a_id", "b_id")
+      val cand = minhashCandidates(minhashSig(sh)).withColumn("_c", lit(1))
+      val result = truth.join(cand, Seq("a_id", "b_id"), "left")
+        .select(col("a_id"), col("b_id"),
+          coalesce(col("_c"), lit(0)).cast("long").as("lsh_hit"))
+        .localCheckpoint()
+      sh.unpersist()
+      result
+  }
+
   /** MinHash accuracy check: for every LSH candidate pair, the signature
     * agreement count (estimates Jaccard as matches/K) beside the TRUE
     * 3-gram shingle-intersection counts — the estimator-vs-exact diagnostic
@@ -813,7 +857,7 @@ object TextDedup {
   val specs: Seq[QuerySpec] = Seq(
     textStats, langId, ngramProfile, fingerprint,
     dedupExact, dedupJaccard, dedupMinhashLsh, dedupMinhashEstimate,
-    dedupLshVerified,
+    dedupLshVerified, dedupLshRecall,
     dedupSimhash, dedupSimhashHamming, dedupComponents, dedupKeep, dedupIncremental,
     curationPipeline, sampleDeterministic, sampleStratified, vocabTop)
 }
