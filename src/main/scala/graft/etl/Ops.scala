@@ -61,7 +61,7 @@ object Ops {
   /** F6 — header normalization (reference src/main.py:187-189): newline→
     * space, strip, space→underscore, lowercase. */
   def normalizeHeaders(df: DataFrame): DataFrame =
-    df.toDF(df.columns.map(c =>
+    df.toDF(df.columns.toIndexedSeq.map(c =>
       c.replace("\n", " ").trim.replaceAll(" ", "_").toLowerCase): _*)
 
   /** P7 — load-boundary projection: keep exactly the mapped columns, in

@@ -51,7 +51,7 @@ object Views {
     * same observable surface as `SELECT * EXCLUDE _TIMESTAMP`). */
   def reportingIndex(index: DataFrame): DataFrame = {
     val core = index.filter(col("IS_AREA_CORE") === true)
-    core.unionByName(indexBestCa(index).select(core.columns.map(col): _*))
+    core.unionByName(indexBestCa(index).select(core.columns.toIndexedSeq.map(col): _*))
       .withColumn("SORT_SITE",
         when(col("CANCER_SITE") === "Overall", 1).otherwise(2).cast("long"))
       .withColumn("SORT_GENDER",

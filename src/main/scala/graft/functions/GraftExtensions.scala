@@ -12,8 +12,10 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  // 3-arg ctor: the only non-deprecated form without the validated
+  // group/source taxonomy; usage lives in the expressions' scaladoc
   private def info(name: String, usage: String) =
-    new ExpressionInfo("graft.functions.VectorExpressions", null, name, usage, "")
+    new ExpressionInfo("graft.functions.VectorExpressions", null, name)
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((

@@ -35,13 +35,13 @@ object TemporalJoins {
     val l2 = left.select(
       keys.map(col) ++ Seq(
         col(leftTime).as("_t"), lit(0).as("_side"),
-        struct(leftPayload.map(col): _*).as("_l"),
+        struct(leftPayload.toIndexedSeq.map(col): _*).as("_l"),
         lit(null).cast(rStruct).as("_r")): _*)
     val r2 = right.select(
       keys.map(col) ++ Seq(
         col(rightTime).as("_t"), lit(1).as("_side"),
         lit(null).cast(lStruct).as("_l"),
-        struct(rightPayload.map(col): _*).as("_r")): _*)
+        struct(rightPayload.toIndexedSeq.map(col): _*).as("_r")): _*)
 
     val w = Window
       .partitionBy(keys.map(col): _*)
