@@ -381,16 +381,52 @@ object Similarity {
       result
   }
 
-  /** Recall@3 of the IVF index against exact brute force — the acceptance
-    * gate every ANN deployment runs before trusting the index (an ANN
-    * path with unmeasured recall is a silent data-loss bug). Ground truth
-    * re-ranks the full corpus for the 10 probe queries only (ground truth
-    * is always computed on a small query sample, so this stays cheap at
-    * any corpus size); the hit count is an integer and the recall a single
-    * division of identical integers — deterministic cross-engine. */
+  /** Recall@3 of EVERY approximate index against exact brute force — the
+    * acceptance gate an ANN deployment runs before trusting an index (an
+    * ANN path with unmeasured recall is a silent data-loss bug), and the
+    * comparison that justifies multi-probe's ×9 probe fan-out over
+    * single-probe LSH. Ground truth re-ranks the full corpus for the 10
+    * probe queries only (always computed on a small query sample, so it
+    * stays cheap at any corpus size); hit counts are integers and the
+    * recall a single division of identical integers — deterministic
+    * cross-engine.
+    *
+    * What it shows on this testdata (near-uniform random embeddings, the
+    * HARD case for angle-based LSH): mean recall@3 at sf0.01 is ivf 0.90,
+    * lsh_multiprobe 0.20, single-probe lsh 0.00 — 8 hyperplanes give 256
+    * buckets, and uniform vectors' nearest neighbors sit at wide angles,
+    * so bucket collision is rare. The lesson the gate encodes: plane
+    * count must track corpus density AND similarity distribution (fewer
+    * planes / more probes for diffuse embeddings; IVF's probed-cell
+    * fraction is the analogous knob) — and none of that tuning is
+    * trustworthy without this measurement. */
   val topkRecall = QuerySpec(
     "q_sim_recall",
     s"""WITH $ivfChainSql,
+        bk AS (SELECT vec_id, embedding, nrm, ${bucketSql("embedding")} AS bucket FROM e),
+        lsc AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos_sim
+          FROM bk q JOIN bk c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+          WHERE q.vec_id < 10),
+        lsh AS (SELECT query_id, neighbor_id
+                FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                                   ORDER BY cos_sim DESC, neighbor_id) AS rnk
+                      FROM lsc) t
+                WHERE rnk <= 3),
+        qpr AS (
+          SELECT vec_id, embedding, nrm, xor(bucket, CAST(p.pw AS BIGINT)) AS bucket
+          FROM bk, (SELECT UNNEST([${(0L +: (0 until Planes).map(1L << _)).mkString(", ")}]) AS pw) p
+          WHERE vec_id < 10),
+        msc AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos_sim
+          FROM qpr q JOIN bk c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id),
+        mp AS (SELECT query_id, neighbor_id
+               FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                                  ORDER BY cos_sim DESC, neighbor_id) AS rnk
+                     FROM msc) t
+               WHERE rnk <= 3),
         bfs AS (
           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                  ROW_NUMBER() OVER (PARTITION BY q.vec_id
@@ -399,15 +435,22 @@ object Similarity {
           FROM e q JOIN e c ON q.vec_id <> c.vec_id
           WHERE q.vec_id < 10),
         bf AS (SELECT query_id, neighbor_id FROM bfs WHERE rnk <= 3)
-        SELECT bf.query_id,
-               CAST(count(ivf.neighbor_id) AS BIGINT) AS n_hit,
-               count(ivf.neighbor_id) * 1.0 / 3 AS recall_at_3
-        FROM bf LEFT JOIN ivf ON ivf.query_id = bf.query_id
-                             AND ivf.neighbor_id = bf.neighbor_id
-        GROUP BY 1""") {
+        SELECT 'ivf' AS method, bf.query_id,
+               CAST(count(x.neighbor_id) AS BIGINT) AS n_hit,
+               count(x.neighbor_id) * 1.0 / 3 AS recall_at_3
+        FROM bf LEFT JOIN ivf x ON x.query_id = bf.query_id AND x.neighbor_id = bf.neighbor_id
+        GROUP BY 1, 2
+        UNION ALL
+        SELECT 'lsh', bf.query_id, CAST(count(x.neighbor_id) AS BIGINT),
+               count(x.neighbor_id) * 1.0 / 3
+        FROM bf LEFT JOIN lsh x ON x.query_id = bf.query_id AND x.neighbor_id = bf.neighbor_id
+        GROUP BY 1, 2
+        UNION ALL
+        SELECT 'lsh_multiprobe', bf.query_id, CAST(count(x.neighbor_id) AS BIGINT),
+               count(x.neighbor_id) * 1.0 / 3
+        FROM bf LEFT JOIN mp x ON x.query_id = bf.query_id AND x.neighbor_id = bf.neighbor_id
+        GROUP BY 1, 2""") {
     (s, d) =>
-      val ivf = ivfTopkDf(s, d).select(col("query_id"), col("neighbor_id"))
-        .withColumn("_m", lit(1))
       val e = withNorm(s, d)
       val q = e.filter(col("vec_id") < 10).toDF("query_id", "q_label", "q_emb", "q_nrm")
       val c = e.toDF("neighbor_id", "c_label", "c_emb", "c_nrm")
@@ -420,11 +463,17 @@ object Similarity {
             .orderBy(col("cos_sim").desc, col("neighbor_id"))))
         .filter(col("rnk") <= 3)
         .select("query_id", "neighbor_id")
-      bf.join(ivf, Seq("query_id", "neighbor_id"), "left")
-        .groupBy("query_id")
-        .agg(sum(coalesce(col("_m"), lit(0))).cast("long").as("n_hit"))
-        .select(col("query_id"), col("n_hit"),
-          (col("n_hit") * lit(1.0) / lit(3)).as("recall_at_3"))
+        .cache()
+      def recallOf(method: String, approx: DataFrame): DataFrame =
+        bf.join(approx.select("query_id", "neighbor_id").withColumn("_m", lit(1)),
+            Seq("query_id", "neighbor_id"), "left")
+          .groupBy("query_id")
+          .agg(sum(coalesce(col("_m"), lit(0))).cast("long").as("n_hit"))
+          .select(lit(method).as("method"), col("query_id"), col("n_hit"),
+            (col("n_hit") * lit(1.0) / lit(3)).as("recall_at_3"))
+      recallOf("ivf", ivfTopkDf(s, d))
+        .unionByName(recallOf("lsh", topkLshBucketed.fn(s, d)))
+        .unionByName(recallOf("lsh_multiprobe", topkLshMultiprobe.fn(s, d)))
   }
 
   /** Embedding-column quality screen: per-label norm profile + degenerate-
