@@ -300,21 +300,10 @@ object Curation {
       (s, dd) =>
         val fp = docs(s, dd).select(
           col("doc_id"), col("source"), TextDedup.normFingerprint.as("fp"))
-        val hashes = array((0 until K).map(i =>
-          conv(substring(col("fp"), i * 4 + 1, 4), 16, 10).cast("long")): _*)
         val corpus = fp.filter(col("doc_id") % 4 =!= 1).select("fp").distinct().cache()
-        val bloom = corpus.select(explode(hashes).as("h"))
-          .groupBy(expr("h div 32").as("word"))
-          .agg(expr("bit_or(shiftleft(cast(1 as bigint), cast(h % 32 as int)))").as("bits"))
+        val bloom = graft.ops.Bloom.build(corpus)
         val pr = fp.filter(col("doc_id") % 2 === 1).select("doc_id", "fp")
-        val pj = pr.select(col("doc_id"), explode(hashes).as("h"))
-          .withColumn("word", expr("h div 32"))
-          .join(broadcast(bloom), Seq("word"), "left")
-          .select(col("doc_id"),
-            when(col("bits").isNotNull &&
-              expr("(bits & shiftleft(cast(1 as bigint), cast(h % 32 as int))) <> 0"), 1L)
-              .otherwise(0L).as("hit"))
-        val cand = pj.groupBy("doc_id").agg(min("hit").cast("long").as("bloom_candidate"))
+        val cand = graft.ops.Bloom.candidacy(pr, bloom, Seq("doc_id"))
         val ex = pr.join(corpus, Seq("fp"), "left_semi").select("doc_id").distinct()
           .withColumn("_ex", lit(1L))
         cand.join(ex, Seq("doc_id"), "left")
@@ -637,14 +626,16 @@ object Curation {
   // -------------------------------------------------------------------
 
   /** The whole ingest pass for one incoming shard (src1), operators
-    * chained the way a production run chains them: exact-dedup screen
-    * against the corpus (anti-join on the shared fingerprint — the
-    * bloom pre-screen of [[sketchBloom]] is a transparent accelerator
-    * here: it only prunes anti-join probes, never changes the result) →
-    * Gopher-style repetition gates → minimum-length gate → content-hash
-    * split assignment. One corpus-side shuffle (the anti-join), one
-    * explode-aggregate keyed on doc_id; everything else is per-row
-    * projection. */
+    * chained the way a production run chains them: BLOOM pre-screen
+    * ([[graft.ops.Bloom]]) → exact-dedup anti-join on the bloom
+    * SURVIVORS only → Gopher-style repetition gates → minimum-length
+    * gate → content-hash split assignment. The ORACLE computes the plain
+    * anti-join with no bloom at all — the hash-match is therefore an
+    * end-to-end proof that the pre-screen is transparent (no false
+    * negatives ⇒ bloom-negative rows are definitely fresh and bypass the
+    * join; bloom-positive rows still get the exact check). At corpus ≫
+    * batch scale this converts the anti-join's probe side from the whole
+    * batch to the ~fp-rate × batch sliver the bloom can't clear. */
   val curationIngest = QuerySpec(
     "q_curation_ingest",
     s"""WITH fp AS (SELECT doc_id, source, text,
@@ -677,9 +668,16 @@ object Curation {
     (s, d) =>
       val fp = docs(s, d).select(
         col("doc_id"), col("source"), col("text"), TextDedup.normFingerprint.as("fp"))
-      val corpus = fp.filter(col("source") =!= "src1").select("fp").distinct()
-      val fresh = fp.filter(col("source") === "src1")
+      val corpus = fp.filter(col("source") =!= "src1").select("fp").distinct().cache()
+      val batch = fp.filter(col("source") === "src1")
+      // bloom pre-screen: only possible-members pay the exact anti-join;
+      // bloom-negatives are definitely fresh (no false negatives)
+      val cand = graft.ops.Bloom.candidacy(
+        batch, graft.ops.Bloom.build(corpus), Seq("doc_id"))
+      val batchC = batch.join(cand, "doc_id")
+      val fresh = batchC.filter(col("bloom_candidate") === 1)
         .join(corpus, Seq("fp"), "left_anti")
+        .unionByName(batchC.filter(col("bloom_candidate") === 0))
         .select(col("doc_id"), col("source"), col("text"), split(col("text"), " ").as("ws"))
       val base = fresh.select(
         col("doc_id"), col("source"), col("text"),
