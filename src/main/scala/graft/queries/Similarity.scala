@@ -103,6 +103,11 @@ object Similarity {
 
   private val Planes = 8
 
+  /** Multi-probe masks: the home bucket plus every hamming-(1|2) flip. */
+  private val ProbeMasks: Seq[Long] =
+    (0L +: (0 until Planes).map(1L << _)) ++
+      (for { p <- 0 until Planes; q <- p + 1 until Planes } yield (1L << p) | (1L << q))
+
   /** Sign-LSH bucket id: 8 pseudo-random hyperplanes whose ±1 weights are
     * derived from md5(plane‖dim) — shared, deterministic "randomness" that
     * both engines reproduce (the oracle recomputes the same md5 in SQL;
@@ -174,20 +179,24 @@ object Similarity {
         .select("query_id", "bucket", "neighbor_id", "cos_sim", "rnk")
   }
 
-  /** Multi-probe sign-LSH: each query probes its own bucket AND all 8
-    * buckets at hamming distance 1 (one plane flipped) — the standard
-    * recall fix for near-boundary vectors, still bucket-equi: the probe
-    * fan-out is a constant ×9 on the (tiny) query side only; the corpus
-    * keeps exactly one bucket per vector, so no pair is generated twice.
-    * Same hyperplanes as [[topkLshBucketed]] (single-probe baseline kept
-    * for the recall comparison). */
+  /** Multi-probe sign-LSH: each query probes its own bucket AND every
+    * bucket within hamming distance 2 (≤2 planes flipped, 1+8+28 = 37
+    * probes) — the standard recall fix for near-boundary vectors, still
+    * bucket-equi: the probe fan-out is a constant ×37 on the (tiny)
+    * query side only; the corpus keeps exactly one bucket per vector, so
+    * no pair is generated twice. Same hyperplanes as [[topkLshBucketed]]
+    * (single-probe baseline kept for the recall comparison). Probe depth
+    * is the knob [[topkRecall]] measures: on this corpus hamming-1
+    * probing scored 0.20 mean recall@3, hamming-2 raises it (diffuse
+    * random embeddings put true neighbors several plane-flips away —
+    * the gate, not intuition, is what justifies the extra fan-out). */
   val topkLshMultiprobe = QuerySpec(
     "q_sim_lsh_multiprobe",
     s"""WITH $normedSql,
         bk AS (SELECT vec_id, embedding, nrm, ${bucketSql("embedding")} AS bucket FROM e),
         qpr AS (
           SELECT vec_id, embedding, nrm, xor(bucket, CAST(p.pw AS BIGINT)) AS bucket
-          FROM bk, (SELECT UNNEST([${(0L +: (0 until Planes).map(1L << _)).mkString(", ")}]) AS pw) p
+          FROM bk, (SELECT UNNEST([${ProbeMasks.mkString(", ")}]) AS pw) p
           WHERE vec_id < 10),
         scored AS (
           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -201,7 +210,7 @@ object Similarity {
     (s, d) =>
       val bk = withNorm(s, d)
         .withColumn("bucket", bucketCol(col("embedding"), 64))
-      val probeWeights = 0L +: (0 until Planes).map(1L << _)
+      val probeWeights = ProbeMasks
       val q = bk.filter(col("vec_id") < 10)
         .withColumn("pw", explode(array(probeWeights.map(lit): _*)))
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
@@ -393,13 +402,15 @@ object Similarity {
     *
     * What it shows on this testdata (near-uniform random embeddings, the
     * HARD case for angle-based LSH): mean recall@3 at sf0.01 is ivf 0.90,
-    * lsh_multiprobe 0.20, single-probe lsh 0.00 — 8 hyperplanes give 256
+    * lsh_multiprobe 0.40, single-probe lsh 0.00 — 8 hyperplanes give 256
     * buckets, and uniform vectors' nearest neighbors sit at wide angles,
-    * so bucket collision is rare. The lesson the gate encodes: plane
-    * count must track corpus density AND similarity distribution (fewer
-    * planes / more probes for diffuse embeddings; IVF's probed-cell
-    * fraction is the analogous knob) — and none of that tuning is
-    * trustworthy without this measurement. */
+    * so bucket collision is rare. The gate already drove one tuning
+    * round: hamming-1 probing measured 0.20, so the probe set was
+    * widened to hamming-2 (×37 fan-out), doubling recall. The lesson it
+    * encodes: plane count and probe depth must track corpus density AND
+    * similarity distribution (IVF's probed-cell fraction is the
+    * analogous knob) — and none of that tuning is trustworthy without
+    * this measurement. */
   val topkRecall = QuerySpec(
     "q_sim_recall",
     s"""WITH $ivfChainSql,
@@ -416,7 +427,7 @@ object Similarity {
                 WHERE rnk <= 3),
         qpr AS (
           SELECT vec_id, embedding, nrm, xor(bucket, CAST(p.pw AS BIGINT)) AS bucket
-          FROM bk, (SELECT UNNEST([${(0L +: (0 until Planes).map(1L << _)).mkString(", ")}]) AS pw) p
+          FROM bk, (SELECT UNNEST([${ProbeMasks.mkString(", ")}]) AS pw) p
           WHERE vec_id < 10),
         msc AS (
           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
