@@ -493,30 +493,37 @@ object Curation {
   // -------------------------------------------------------------------
 
   /** Source-pair duplication matrix: for every pair of sources, how many
-    * distinct contents appear in both — the "which crawls overlap" audit
-    * that decides dedup priority in a multi-source corpus. Shape: group by
-    * fingerprint → collect the distinct source set (bounded by #sources,
-    * tiny) → explode ordered pairs. One shuffle on the fingerprint; the
-    * pair explosion is per-fingerprint O(|sources|²) with |sources| ≤ 20,
-    * never O(docs²). */
+    * NEAR-duplicate pairs (MinHash-LSH candidates — the same banding the
+    * production dedup runs) straddle them — the "which crawls overlap"
+    * audit that decides dedup priority in a multi-source corpus. Keyed on
+    * near-dup rather than exact content because this testdata (like most
+    * curated multi-source corpora post-exact-dedup) has ZERO byte-exact
+    * cross-source duplicates — an exact-fingerprint matrix would be
+    * vacuously empty (CurationSpec guards non-vacuity). Sources are
+    * least/greatest-canonicalized, so (a,b) and (b,a) collapse;
+    * same-source rows measure within-crawl redundancy. The candidate set
+    * is band-bucketed and df-capped — never O(docs²). */
   val sourceOverlap = QuerySpec(
     "q_source_overlap",
-    s"""WITH fp AS (SELECT DISTINCT ${TextDedup.normFingerprintSql} AS fp, source
-                    FROM documents),
-        grp AS (SELECT fp, list_sort(list(source)) AS srcs FROM fp GROUP BY 1),
-        pairs AS (SELECT a.src AS src_a, b.src AS src_b
-                  FROM grp, UNNEST(srcs) AS a(src), UNNEST(srcs) AS b(src)
-                  WHERE a.src < b.src)
-        SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_shared
-        FROM pairs GROUP BY 1, 2""") {
+    s"""WITH ${TextDedup.shingleSql(3)},
+        ${TextDedup.minhashCandSql},
+        d AS (SELECT doc_id, source FROM documents)
+        SELECT least(da.source, db.source) AS src_a,
+               greatest(da.source, db.source) AS src_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM cand JOIN d da ON da.doc_id = cand.a_id
+                  JOIN d db ON db.doc_id = cand.b_id
+        GROUP BY 1, 2""") {
     (s, d) =>
-      val fp = docs(s, d)
-        .select(TextDedup.normFingerprint.as("fp"), col("source")).distinct()
-      val grp = fp.groupBy("fp").agg(sort_array(collect_list("source")).as("srcs"))
-      grp.select(explode(col("srcs")).as("src_a"), col("srcs"))
-        .select(col("src_a"), explode(col("srcs")).as("src_b"))
-        .filter(col("src_a") < col("src_b"))
-        .groupBy("src_a", "src_b").agg(count(lit(1)).cast("long").as("n_shared"))
+      val cand = TextDedup.minhashCandidates(
+        TextDedup.minhashSig(TextDedup.shingled(s, d, 3)))
+      val dim = docs(s, d).select(col("doc_id"), col("source"))
+      cand.join(dim.toDF("a_id", "src_x"), "a_id")
+        .join(dim.toDF("b_id", "src_y"), "b_id")
+        .groupBy(
+          least(col("src_x"), col("src_y")).as("src_a"),
+          greatest(col("src_x"), col("src_y")).as("src_b"))
+        .agg(count(lit(1)).cast("long").as("n_shared"))
   }
 
   // -------------------------------------------------------------------

@@ -282,7 +282,7 @@ object TextDedup {
     s"SELECT doc_id, $b AS band_id, $cols AS band_val FROM sig"
   }.mkString(" UNION ALL ")
 
-  private val minhashCandSql =
+  private[queries] val minhashCandSql =
     s"""sig AS (SELECT doc_id, $minhashSigSql FROM sh GROUP BY doc_id),
         bands AS ($minhashBandsSql),
         cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
@@ -290,13 +290,13 @@ object TextDedup {
                    ON a.band_id = b.band_id AND a.band_val = b.band_val
                       AND a.doc_id < b.doc_id)"""
 
-  private def minhashSig(sh: DataFrame): DataFrame = {
+  private[queries] def minhashSig(sh: DataFrame): DataFrame = {
     val hashCols = (0 until MinhashK).map(i =>
       min(md5(concat(col("shingle"), lit(s"#$i")))).as(s"h$i"))
     sh.groupBy("doc_id").agg(hashCols.head, hashCols.tail: _*)
   }
 
-  private def minhashCandidates(sig: DataFrame): DataFrame = {
+  private[queries] def minhashCandidates(sig: DataFrame): DataFrame = {
     val bands = sig.select(col("doc_id"), explode(array(
       (0 until MinhashK / BandSize).map { b =>
         struct(

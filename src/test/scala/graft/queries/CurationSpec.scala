@@ -116,6 +116,15 @@ class CurationSpec extends SparkSpec {
       "the 'zz' threshold must be a keep-all")
   }
 
+  test("sourceOverlap: non-vacuous, canonicalized, and includes cross-source pairs") {
+    val out = Curation.sourceOverlap.fn(spark, sf).cache()
+    assert(out.count() > 0, "overlap matrix is empty — the diagnostic is vacuous")
+    assert(out.filter(col("src_a") > col("src_b")).count() === 0,
+      "pairs must be least/greatest-canonicalized")
+    assert(out.filter(col("src_a") =!= col("src_b")).count() > 0,
+      "no cross-source near-dups found — the audit's whole point")
+  }
+
   test("histogramEquidepth: buckets partition the table in value order") {
     val h = Curation.histogramEquidepth.fn(spark, sf).cache()
     val total = Tables.orders(spark, sf).count()
