@@ -43,7 +43,7 @@ object Curation {
         FROM tr JOIN ev ON tr.shingle = ev.shingle
         GROUP BY 1""") {
     (s, d) =>
-      val sh = TextDedup.shingled(s, d, 5).cache()
+      val sh = TextDedup.shingled(s, d, 5)
       val evalGrams = sh.filter(col("doc_id") % 20 === 0).select("shingle").distinct()
       val train = sh.filter(col("doc_id") % 20 =!= 0)
       // sh is (doc_id, shingle)-distinct, so count(*) == distinct overlap
@@ -515,8 +515,7 @@ object Curation {
                   JOIN d db ON db.doc_id = cand.b_id
         GROUP BY 1, 2""") {
     (s, d) =>
-      val cand = TextDedup.minhashCandidates(
-        TextDedup.minhashSig(TextDedup.shingled(s, d, 3)))
+      val cand = TextDedup.minhashCandShared(s, d)
       val dim = docs(s, d).select(col("doc_id"), col("source"))
       cand.join(dim.toDF("a_id", "src_x"), "a_id")
         .join(dim.toDF("b_id", "src_y"), "b_id")

@@ -208,7 +208,21 @@ object TextDedup {
     * produced without any shuffle of the exploded rows. Exposed
     * private[graft] so PlanSpec can prove the hot-shingle guard directly
     * (df bound + broadcast anti-join plan shape). */
-  private[graft] def shingled(s: SparkSession, d: String, k: Int): DataFrame = {
+  private[graft] def shingled(s: SparkSession, d: String, k: Int): DataFrame =
+    memo.getOrElseUpdate((s, d, s"shingled$k"), shingledFresh(s, d, k).cache())
+
+  /** Session-scoped shared materializations of the dedup intermediates
+    * (df-capped shingle streams, MinHash signatures, LSH candidates) —
+    * the production topology: a corpus snapshot's shingles/signatures are
+    * computed ONCE and every consumer (Jaccard, LSH, the estimate and
+    * recall diagnostics, verification, components, the overlap audit)
+    * reads the same materialized table; `cache()` is the in-session
+    * stand-in for that write. Plan-shape tests use [[shingledFresh]] (the
+    * builder), since the memoized form plans as an InMemoryTableScan. */
+  private val memo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  private[graft] def shingledFresh(s: SparkSession, d: String, k: Int): DataFrame = {
     val raw = docs(s, d)
       .withColumn("ws", split(col("text"), " "))
       .select(col("doc_id"), explode(expr(
@@ -248,7 +262,7 @@ object TextDedup {
                 JOIN sz sb ON sb.doc_id = pr.b_id
         WHERE 11 * pr.inter >= sa.n + sb.n""") {
     (s, d) =>
-      val sh = shingled(s, d, 5).cache()
+      val sh = shingled(s, d, 5)
       val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val a = sh.toDF("a_id", "shingle")
       val b = sh.toDF("b_id", "shingle")
@@ -260,10 +274,9 @@ object TextDedup {
         .join(sz.toDF("b_id", "n_b"), "b_id")
         .filter(lit(11) * col("inter") >= col("n_a") + col("n_b"))
         .select("a_id", "b_id", "inter", "n_a", "n_b")
-        // tiny result: materialize via localCheckpoint so the shingle cache
-        // can be released instead of lingering across queries
+        // tiny result: materialize eagerly so downstream consumers
+        // (components/keep) reuse rows, not lineage
         .localCheckpoint()
-      sh.unpersist()
       result
   }
 
@@ -311,6 +324,12 @@ object TextDedup {
       .distinct()
   }
 
+  private[queries] def minhashSigShared(s: SparkSession, d: String): DataFrame =
+    memo.getOrElseUpdate((s, d, "sig3"), minhashSig(shingled(s, d, 3)).cache())
+
+  private[queries] def minhashCandShared(s: SparkSession, d: String): DataFrame =
+    memo.getOrElseUpdate((s, d, "cand3"), minhashCandidates(minhashSigShared(s, d)).cache())
+
   /** MinHash + LSH banding: signature_i = min(md5(shingle ⊕ seed_i)) over
     * the doc's 3-word shingles; 4 bands of 2 hashes; docs sharing any band
     * bucket become candidate pairs. The band-bucket join replaces the
@@ -324,7 +343,7 @@ object TextDedup {
         FROM bands a JOIN bands b
           ON a.band_id = b.band_id AND a.band_val = b.band_val
              AND a.doc_id < b.doc_id""") {
-    (s, d) => minhashCandidates(minhashSig(shingled(s, d, 3)))
+    (s, d) => minhashCandShared(s, d)
   }
 
   /** LSH recall gate — the dedup analogue of q_sim_recall: every TRUE
@@ -352,7 +371,7 @@ object TextDedup {
                CAST(CASE WHEN c.a_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS lsh_hit
         FROM truth t LEFT JOIN cand c ON c.a_id = t.a_id AND c.b_id = t.b_id""") {
     (s, d) =>
-      val sh = shingled(s, d, 3).cache()
+      val sh = shingled(s, d, 3)
       val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val truth = sh.toDF("a_id", "shingle")
         .join(sh.toDF("b_id", "shingle"), "shingle")
@@ -362,12 +381,11 @@ object TextDedup {
         .join(sz.toDF("b_id", "n_b"), "b_id")
         .filter(lit(3) * col("inter") >= col("n_a") + col("n_b"))
         .select("a_id", "b_id")
-      val cand = minhashCandidates(minhashSig(sh)).withColumn("_c", lit(1))
+      val cand = minhashCandShared(s, d).withColumn("_c", lit(1))
       val result = truth.join(cand, Seq("a_id", "b_id"), "left")
         .select(col("a_id"), col("b_id"),
           coalesce(col("_c"), lit(0)).cast("long").as("lsh_hit"))
         .localCheckpoint()
-      sh.unpersist()
       result
   }
 
@@ -397,9 +415,9 @@ object TextDedup {
           JOIN sz zb ON zb.doc_id = c.b_id
           LEFT JOIN inter i ON i.a_id = c.a_id AND i.b_id = c.b_id""") {
       (s, d) =>
-        val sh = shingled(s, d, 3).cache()
-        val sig = minhashSig(sh).cache()
-        val cand = minhashCandidates(sig)
+        val sh = shingled(s, d, 3)
+        val sig = minhashSigShared(s, d)
+        val cand = minhashCandShared(s, d)
         val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
         val inter = sh.toDF("a_id", "shingle")
           .join(sh.toDF("b_id", "shingle"), "shingle")
@@ -421,8 +439,6 @@ object TextDedup {
             coalesce(col("inter"), lit(0L)).as("inter"),
             col("n_a"), col("n_b"))
           .localCheckpoint()
-        sh.unpersist()
-        sig.unpersist()
         result
     }
   }
@@ -453,8 +469,8 @@ object TextDedup {
         JOIN sz zb ON zb.doc_id = i.b_id
         WHERE 5 * i.inter >= za.n + zb.n""") {
     (s, d) =>
-      val sh = shingled(s, d, 3).cache()
-      val cand = minhashCandidates(minhashSig(sh))
+      val sh = shingled(s, d, 3)
+      val cand = minhashCandShared(s, d)
       val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = cand
         .join(sh.toDF("a_id", "shingle"), "a_id")
@@ -466,7 +482,6 @@ object TextDedup {
         .filter(lit(5) * col("inter") >= col("n_a") + col("n_b"))
         .select("a_id", "b_id", "inter", "n_a", "n_b")
         .localCheckpoint()
-      sh.unpersist()
       result
   }
 

@@ -55,7 +55,7 @@ class PlanSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     import graft.queries.TextDedup
     // the capped stream that feeds every shingle self-join
-    val capped = TextDedup.shingled(spark, sf, 3)
+    val capped = TextDedup.shingledFresh(spark, sf, 3)
     val cappedMax = capped.groupBy("shingle").count()
       .agg(max("count")).head.getLong(0)
     assert(cappedMax <= TextDedup.MaxShingleDf,
@@ -78,7 +78,7 @@ class PlanSpec extends SparkSpec {
     // the cap must not cost a shuffle of the exploded shingle stream: the
     // hot set is tiny and ships broadcast; a SortMergeJoin LeftAnti here
     // would mean the whole stream shuffles just to apply the cap
-    val plan = graft.queries.TextDedup.shingled(spark, sf, 3)
+    val plan = graft.queries.TextDedup.shingledFresh(spark, sf, 3)
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
       s"expected broadcast left_anti for the hot-shingle drop:\n$plan")

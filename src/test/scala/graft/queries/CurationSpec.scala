@@ -89,12 +89,14 @@ class CurationSpec extends SparkSpec {
     assert(out.filter(col("doc_id") % 20 === 0).count() === 0,
       "eval docs must not appear as contaminated TRAIN docs")
     val plan = out.queryExecution.executedPlan.toString
-    // both the df-cap anti-join and the eval-gram inner join must be
-    // broadcast: the exploded corpus-side shingle stream never shuffles
+    // the eval-gram join must broadcast: the corpus-side shingle stream
+    // (a shared InMemoryRelation since the dedup-family memoization; its
+    // df-cap anti-join shape is pinned in PlanSpec via shingledFresh)
+    // never shuffles for the eval join
     assert(!plan.contains("SortMergeJoin"),
       s"corpus shingle stream must not shuffle for the eval join:\n$plan")
-    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
-      s"expected broadcast for df-cap AND eval-gram join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast for the eval-gram join:\n$plan")
   }
 
   test("piiRedact: redaction removes every pattern it counts") {
