@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Broadcastable bloom filter over md5-hex fingerprints — the membership
@@ -12,6 +12,11 @@ import org.apache.spark.sql.functions._
   * larger corpora scale m, shard the filter by fingerprint prefix, or
   * keep per-shard blooms; the query shape is unchanged.
   *
+  * The filter is METADATA-sized (16 KB dense), so probing is a pure
+  * per-row projection against an array LITERAL ([[candidateCol]]) — no
+  * join, no shuffle, no explode; the only distributed work is the build
+  * aggregation over the corpus.
+  *
   * The guarantee that makes pre-screening TRANSPARENT: no false
   * negatives, ever — dropping bloom-negative rows from an exact
   * membership check cannot change its result, only shrink its input
@@ -20,31 +25,36 @@ import org.apache.spark.sql.functions._
   */
 object Bloom {
   val Bits = 65536
+  val Words = Bits / 32
   val K = 3
 
-  private def hashes(fpCol: String) = array((0 until K).map(i =>
-    conv(substring(col(fpCol), i * 4 + 1, 4), 16, 10).cast("long")): _*)
-
-  /** Aggregate distinct fingerprints into ≤2048 (word, bits) rows. */
+  /** Aggregate distinct fingerprints into ≤[[Words]] (word, bits) rows. */
   def build(fps: DataFrame, fpCol: String = "fp"): DataFrame =
-    fps.select(explode(hashes(fpCol)).as("h"))
+    fps.select(explode(array((0 until K).map(i =>
+        conv(substring(col(fpCol), i * 4 + 1, 4), 16, 10).cast("long")): _*)).as("h"))
       .groupBy(expr("h div 32").as("word"))
       .agg(expr("bit_or(shiftleft(cast(1 as bigint), cast(h % 32 as int)))").as("bits"))
 
-  /** Per-row membership candidacy: `keyCols` + `bloom_candidate` (1 =
-    * possibly in the filter's set, 0 = definitely not). The bloom side
-    * broadcasts; the probe side pays one explode(K) + one groupBy on its
-    * own key — never a shuffle of the filtered corpus. */
-  def candidacy(
-      probes: DataFrame, bloom: DataFrame, keyCols: Seq[String],
-      fpCol: String = "fp"): DataFrame =
-    probes.select(keyCols.map(col) :+ explode(hashes(fpCol)).as("h"): _*)
-      .withColumn("word", expr("h div 32"))
-      .join(broadcast(bloom), Seq("word"), "left")
-      .select(keyCols.map(col) :+
-        when(col("bits").isNotNull &&
-          expr("(bits & shiftleft(cast(1 as bigint), cast(h % 32 as int))) <> 0"), 1L)
-          .otherwise(0L).as("hit"): _*)
-      .groupBy(keyCols.map(col): _*)
-      .agg(min("hit").cast("long").as("bloom_candidate"))
+  /** Densify the built filter to a driver-side word array — [[Words]]
+    * longs (16 KB), the same metadata legitimacy class as a histogram or
+    * a convergence check. */
+  def collectBits(bloom: DataFrame): Array[Long] = {
+    val arr = new Array[Long](Words)
+    bloom.collect().foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
+    arr
+  }
+
+  /** Per-row membership test of `fpCol` against a densified filter: true
+    * ⇔ all K bits set (possibly a member); false ⇔ definitely not. Pure
+    * codegen projection — the array rides in the plan as one literal. */
+  def candidateCol(fpCol: String, bits: Array[Long]): Column = {
+    require(bits.length == Words)
+    val lut = typedLit(bits.toIndexedSeq)
+    (0 until K).map { i =>
+      val hSql = s"cast(conv(substring($fpCol, ${i * 4 + 1}, 4), 16, 10) as bigint)"
+      val word = expr(s"cast(($hSql div 32) as int)")
+      val mask = expr(s"shiftleft(cast(1 as bigint), cast($hSql % 32 as int))")
+      element_at(lut, word + 1).bitwiseAND(mask) =!= 0
+    }.reduce(_ && _)
+  }
 }

@@ -301,12 +301,13 @@ object Curation {
         val fp = docs(s, dd).select(
           col("doc_id"), col("source"), TextDedup.normFingerprint.as("fp"))
         val corpus = fp.filter(col("doc_id") % 4 =!= 1).select("fp").distinct().cache()
-        val bloom = graft.ops.Bloom.build(corpus)
+        val bits = graft.ops.Bloom.collectBits(graft.ops.Bloom.build(corpus))
         val pr = fp.filter(col("doc_id") % 2 === 1).select("doc_id", "fp")
-        val cand = graft.ops.Bloom.candidacy(pr, bloom, Seq("doc_id"))
         val ex = pr.join(corpus, Seq("fp"), "left_semi").select("doc_id").distinct()
           .withColumn("_ex", lit(1L))
-        cand.join(ex, Seq("doc_id"), "left")
+        pr.withColumn("bloom_candidate",
+            when(graft.ops.Bloom.candidateCol("fp", bits), 1L).otherwise(0L))
+          .join(ex, Seq("doc_id"), "left")
           .select(col("doc_id"), col("bloom_candidate"),
             coalesce(col("_ex"), lit(0L)).as("exact_dup"))
     }
@@ -676,14 +677,14 @@ object Curation {
         col("doc_id"), col("source"), col("text"), TextDedup.normFingerprint.as("fp"))
       val corpus = fp.filter(col("source") =!= "src1").select("fp").distinct().cache()
       val batch = fp.filter(col("source") === "src1")
-      // bloom pre-screen: only possible-members pay the exact anti-join;
+      // bloom pre-screen (pure per-row projection against the 16 KB
+      // filter literal): only possible-members pay the exact anti-join;
       // bloom-negatives are definitely fresh (no false negatives)
-      val cand = graft.ops.Bloom.candidacy(
-        batch, graft.ops.Bloom.build(corpus), Seq("doc_id"))
-      val batchC = batch.join(cand, "doc_id")
-      val fresh = batchC.filter(col("bloom_candidate") === 1)
+      val isCand = graft.ops.Bloom.candidateCol(
+        "fp", graft.ops.Bloom.collectBits(graft.ops.Bloom.build(corpus)))
+      val fresh = batch.filter(isCand)
         .join(corpus, Seq("fp"), "left_anti")
-        .unionByName(batchC.filter(col("bloom_candidate") === 0))
+        .unionByName(batch.filter(!isCand))
         .select(col("doc_id"), col("source"), col("text"), split(col("text"), " ").as("ws"))
       val base = fresh.select(
         col("doc_id"), col("source"), col("text"),
