@@ -278,6 +278,37 @@ object Similarity {
     cents
   }
 
+  /** The Lloyd loop is driver-coordinated (two collects per iteration), so
+    * its result is memoized per (session, dir) — q_sim_ivf, q_sim_recall,
+    * q_semdedup and q_cluster_kmeans share one quantizer fit, mirroring a
+    * production deployment where the coarse quantizer is trained once and
+    * reused by every index build and dedup pass. */
+  private val centMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Seq[(Long, Seq[Double])]]
+
+  private def centroidsShared(s: SparkSession, d: String): Seq[(Long, Seq[Double])] =
+    centMemo.getOrElseUpdate((s, d), {
+      val e = withNorm(s, d).cache()
+      try kmeansCentroids(s, e) finally { e.unpersist(); () }
+    })
+
+  /** Shared derived-DataFrame memo (same pattern as TextDedup.memo). */
+  private val memo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  /** Final cell assignment (vec_id, embedding, nrm, cell) — Spark twin of
+    * the `cells` CTE in [[cellsChainSql]]; cached once per session. */
+  private def cellsShared(s: SparkSession, d: String): DataFrame =
+    memo.getOrElseUpdate((s, d, "cells"), {
+      import s.implicits._
+      val centDf = centroidsShared(s, d).toDF("cent_id", "cent_emb")
+        .withColumn("cent_nrm", VectorExpressions.vector_norm_f64(col("cent_emb")))
+      assignCells(withNorm(s, d), centDf)
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id").as("cell"))
+        .cache()
+    })
+
   /** DuckDB twin of [[Exact.sumD]]-based per-dimension mean. */
   private def meanSql(x: String): String = s"${graft.Exact.sumSql(x)} / COUNT(*)"
 
@@ -312,9 +343,11 @@ object Similarity {
     * The centroid table broadcasts; the candidate join keys on cell id —
     * shuffle on cell, never all-pairs. Probe overlap is deduplicated
     * before ranking. */
-  /** The whole IVF WITH-chain, ending in CTE `ivf` (top-3 per query) —
-    * shared by the q_sim_ivf oracle and the recall diagnostic. */
-  private val ivfChainSql =
+  /** The shared k-means WITH-chain, ending in CTE `cells` (final cell
+    * assignment: vec_id, embedding, nrm, cell) — the oracle twin of
+    * [[cellsShared]], reused by q_sim_ivf, q_sim_recall, q_semdedup and
+    * q_cluster_kmeans. */
+  private val cellsChainSql =
     s"""$normedSql,
         dims AS (SELECT UNNEST(generate_series(1, 64)) AS dim),
         cent0 AS (SELECT vec_id AS cent_id,
@@ -330,7 +363,12 @@ object Similarity {
           FROM e CROSS JOIN cent$IvfIters c),
         cells AS (
           SELECT e.vec_id, e.embedding, e.nrm, a.cent_id AS cell
-          FROM e JOIN asnF a ON a.vec_id = e.vec_id AND a.rn = 1),
+          FROM e JOIN asnF a ON a.vec_id = e.vec_id AND a.rn = 1)"""
+
+  /** The whole IVF WITH-chain, ending in CTE `ivf` (top-3 per query) —
+    * shared by the q_sim_ivf oracle and the recall diagnostic. */
+  private val ivfChainSql =
+    s"""$cellsChainSql,
         qprobe AS (
           SELECT e.vec_id, e.embedding, e.nrm, a.cent_id AS cell
           FROM e JOIN asnF a ON a.vec_id = e.vec_id AND a.rn <= $IvfProbes
@@ -359,7 +397,7 @@ object Similarity {
       // final assignment — without it the embeddings scan + norm kernel
       // re-run per pass
       val e = withNorm(s, d).cache()
-      val cents = kmeansCentroids(s, e)
+      val cents = centroidsShared(s, d)
       import s.implicits._
       val centDf = cents.toDF("cent_id", "cent_emb")
         .withColumn("cent_nrm", VectorExpressions.vector_norm_f64(col("cent_emb")))
@@ -487,6 +525,74 @@ object Similarity {
         .unionByName(recallOf("lsh_multiprobe", topkLshMultiprobe.fn(s, d)))
   }
 
+  /** Cosine threshold for semantic dedup. On this corpus (near-uniform
+    * random embeddings, all-pairs p99 cosine ≈ 0.29, max ≈ 0.51) 0.3 sits
+    * in the discriminating range: within-cell pairs above it exist (the
+    * quantizer groups high-cosine vectors) but most members survive —
+    * SemDedupSpec guards both sides of that non-vacuity. */
+  private val SemTau = 0.3
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the corpus with the SAME deterministic k-means coarse
+    * quantizer as IVF, then within each cell drop every vector that has a
+    * lower-id cell-mate at cosine ≥ τ (deterministic canonical-keep; the
+    * paper keeps the member farthest from the centroid — id-order is the
+    * reproducible variant an oracle can replay). Output: every vector with
+    * its cell and a kept flag.
+    *
+    * Scale design: the pairwise cosine join is CELL-equi — shuffle keys
+    * are cell ids, never all-pairs — and K grows with the corpus
+    * (K ≈ N / target_cell_size) so Σ|cell|² stays ~N × cell_size. This is
+    * the embedding-space analogue of LSH banding: blocking first, exact
+    * scoring only inside blocks. The quantizer fit is shared with
+    * q_sim_ivf via [[centroidsShared]]. */
+  val semDedup = QuerySpec(
+    "q_semdedup",
+    s"""WITH $cellsChainSql,
+        dup AS (
+          SELECT DISTINCT b.vec_id
+          FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+          WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= $SemTau)
+        SELECT c.vec_id, c.cell, (d.vec_id IS NULL) AS kept
+        FROM cells c LEFT JOIN dup d ON d.vec_id = c.vec_id""") {
+    (s, d) =>
+      val cells = cellsShared(s, d)
+      val a = cells.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+        col("nrm").as("a_nrm"), col("cell"))
+      val b = cells.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+        col("nrm").as("b_nrm"), col("cell"))
+      val dup = a.join(b, Seq("cell"))
+        .filter(col("a_id") < col("b_id"))
+        .filter(vector_dot_f32(col("a_emb"), col("b_emb"))
+          / (col("a_nrm") * col("b_nrm")) >= SemTau)
+        .select(col("b_id").as("vec_id"))
+        .distinct()
+      cells.select("vec_id", "cell")
+        .join(dup.withColumn("_d", lit(1)), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"), col("_d").isNull.as("kept"))
+  }
+
+  /** K-means clustering summary: per-cell membership counts + norm profile
+    * — the sanity dashboard a clustering/IVF deployment watches (empty or
+    * mega cells mean the quantizer needs re-fitting; norm drift means the
+    * embedding distribution moved). One groupBy over the shared cell
+    * assignment; the mean routes through the deterministic quantized sum. */
+  val clusterStats = QuerySpec(
+    "q_cluster_kmeans",
+    s"""WITH $cellsChainSql
+        SELECT cell, COUNT(1) AS n_members,
+               MIN(vec_id) AS min_id, MAX(vec_id) AS max_id,
+               ${graft.Exact.sumSql("nrm")} / COUNT(1) AS mean_norm
+        FROM cells GROUP BY 1""") {
+    (s, d) =>
+      cellsShared(s, d).groupBy("cell")
+        .agg(
+          count(lit(1)).as("n_members"),
+          min("vec_id").as("min_id"),
+          max("vec_id").as("max_id"),
+          (graft.Exact.sumD(col("nrm")) / count(lit(1))).as("mean_norm"))
+  }
+
   /** Embedding-column quality screen: per-label norm profile + degenerate-
     * vector detection (zero/denormal norms break cosine math downstream) —
     * the validation pass a pipeline runs before trusting a new embedding
@@ -513,5 +619,5 @@ object Similarity {
 
   val specs: Seq[QuerySpec] = Seq(
     embedCosineNearDup, topkBruteForce, topkLshBucketed, topkLshMultiprobe,
-    topkIvf, topkRecall, embedStats)
+    topkIvf, topkRecall, semDedup, clusterStats, embedStats)
 }
