@@ -280,6 +280,84 @@ object TextDedup {
       result
   }
 
+  /** Span length (tokens) for substring-level dedup. 8 is long enough that
+    * chance collisions are negligible (vocab^8 keyspace) but short enough
+    * to catch the copied spans the near-dup corpus actually contains
+    * (~1000 cross-doc duplicated 8-grams at sf0.01 — measured, so the
+    * operator is non-vacuous at test scale). */
+  private val SpanK = 8
+
+  /** Substring-level dedup, the distributed shape of ExactSubstr (Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499 §4.1): find token spans of length ≥ [[SpanK]] that
+    * appear in more than one document and STRIP them, keeping the rest of
+    * the doc — document-level dedup misses boilerplate embedded in
+    * otherwise-unique pages, which is exactly what this catches.
+    *
+    * The suffix-array of the paper is replaced by positional k-gram
+    * hashing, which Spark distributes linearly: (1) every token position
+    * emits one md5'd k-gram — shuffle carries 32 B hashes, never text;
+    * (2) grams in ≥2 distinct docs are found with one partial-aggregated
+    * groupBy (hot boilerplate grams ship pre-aggregated counts, no row
+    * fan-out); (3) marking is a semi-join of occurrences against the dup
+    * grams — output is linear in occurrences, so unlike the pair joins in
+    * the Jaccard family there is NO quadratic key and NO df-cap needed;
+    * (4) the per-doc duplicated-position set masks tokens via an indexed
+    * array filter (codegen'd, no UDF). Emits per doc: token count,
+    * duplicated-token count, dup ratio, and the cleaned text. */
+  val dedupSubstring = QuerySpec(
+    "q_dedup_substring",
+    s"""WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+        tt AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n_tokens FROM w),
+        g AS (SELECT doc_id, pq AS p, md5(array_to_string(ws[pq:pq+${SpanK - 1}], ' ')) AS gram_h
+              FROM tt, UNNEST(generate_series(1, greatest(len(ws) - ${SpanK - 1}, 0))) AS u(pq)),
+        dg AS (SELECT gram_h FROM g GROUP BY gram_h HAVING COUNT(DISTINCT doc_id) >= 2),
+        dp AS (SELECT DISTINCT g.doc_id, qq AS pos
+               FROM g JOIN dg USING (gram_h), UNNEST(generate_series(g.p, g.p + ${SpanK - 1})) AS v(qq)),
+        ds AS (SELECT doc_id, list_sort(list(pos)) AS dup_pos FROM dp GROUP BY doc_id)
+        SELECT tt.doc_id, tt.n_tokens,
+               CAST(COALESCE(len(ds.dup_pos), 0) AS BIGINT) AS n_dup_tokens,
+               CAST(COALESCE(len(ds.dup_pos), 0) AS BIGINT) * 1.0
+                 / nullif(tt.n_tokens, 0) AS dup_ratio,
+               COALESCE(array_to_string(list_filter(ws, (tok_zz, ix_zz) ->
+                 NOT list_contains(COALESCE(ds.dup_pos, []), ix_zz)), ' '), '') AS clean_text
+        FROM tt LEFT JOIN ds ON ds.doc_id = tt.doc_id""") {
+    (s, d) =>
+      val toks = docs(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .withColumn("n_tokens", size(col("ws")).cast("long"))
+      val grams = toks
+        .select(col("doc_id"), col("ws"),
+          explode(expr(
+            s"""CASE WHEN size(ws) >= $SpanK
+                THEN sequence(1, size(ws) - ${SpanK - 1})
+                ELSE CAST(array() AS array<int>) END""")).as("p"))
+        .withColumn("gram_h", md5(expr(s"concat_ws(' ', slice(ws, p, $SpanK))")))
+        .select("doc_id", "p", "gram_h")
+      val dupGrams = grams.groupBy("gram_h")
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") >= 2)
+        .select("gram_h")
+      val dupPos = grams.join(dupGrams, Seq("gram_h"))
+        .select(col("doc_id"),
+          explode(expr(s"sequence(p, p + ${SpanK - 1})")).as("pos"))
+        .distinct()
+      val dupSet = dupPos.groupBy("doc_id")
+        .agg(sort_array(collect_set(col("pos"))).as("dup_pos"))
+      toks.join(dupSet, Seq("doc_id"), "left")
+        .withColumn("dp", coalesce(col("dup_pos"), expr("CAST(array() AS array<int>)")))
+        .select(
+          col("doc_id"),
+          col("n_tokens"),
+          size(col("dp")).cast("long").as("n_dup_tokens"),
+          (size(col("dp")).cast("long") * lit(1.0) / nonZero(col("n_tokens"))).as("dup_ratio"),
+          // Spark's filter-lambda index is 0-based; positions are 1-based
+          // (DuckDB's list_filter index is 1-based, so the oracle compares
+          // ix directly)
+          expr("concat_ws(' ', filter(ws, (tok_zz, ix_zz) -> NOT array_contains(dp, ix_zz + 1)))")
+            .as("clean_text"))
+  }
+
   private val MinhashK = 8   // signature length
   private val BandSize = 2   // rows per band → 4 bands
 
@@ -871,7 +949,7 @@ object TextDedup {
 
   val specs: Seq[QuerySpec] = Seq(
     textStats, langId, ngramProfile, fingerprint,
-    dedupExact, dedupJaccard, dedupMinhashLsh, dedupMinhashEstimate,
+    dedupExact, dedupJaccard, dedupSubstring, dedupMinhashLsh, dedupMinhashEstimate,
     dedupLshVerified, dedupLshRecall,
     dedupSimhash, dedupSimhashHamming, dedupComponents, dedupKeep, dedupIncremental,
     curationPipeline, sampleDeterministic, sampleStratified, vocabTop)

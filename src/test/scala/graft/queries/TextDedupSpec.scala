@@ -72,4 +72,33 @@ class TextDedupSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("did not converge"))
   }
+
+  test("dedupSubstring: non-vacuous, counts consistent, clean text tiles the kept tokens") {
+    val sf = "/root/testdata/sf0.001"
+    val out = TextDedup.dedupSubstring.fn(spark, sf).cache()
+    // the corpus must exercise every regime: untouched docs, partially
+    // stripped docs, and fully-duplicated docs (measured present at sf0.001)
+    assert(out.filter(col("n_dup_tokens") === 0).count() > 0, "no untouched docs — k too small")
+    assert(out.filter(col("n_dup_tokens") > 0 && col("n_dup_tokens") < col("n_tokens")).count() > 0,
+      "no partially-stripped docs")
+    assert(out.filter(col("n_dup_tokens") === col("n_tokens")).count() > 0,
+      "no fully-duplicated docs — the near-dup corpus should contain some")
+    // clean_text's token count must equal the kept-token count exactly
+    val bad = out.filter(col("n_dup_tokens") < col("n_tokens"))
+      .filter(size(split(col("clean_text"), " ")).cast("long")
+        =!= col("n_tokens") - col("n_dup_tokens"))
+    assert(bad.count() === 0, "clean_text must contain exactly the non-duplicated tokens")
+    // a duplicated span needs >= 2 docs by definition
+    assert(out.filter(col("n_dup_tokens") > 0).count() >= 2)
+  }
+
+  test("dedupSubstring: marking is linear — no pair join anywhere in the plan") {
+    val plan = TextDedup.dedupSubstring.fn(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    // the only joins are gram-hash semi/inner joins and the final per-doc
+    // left join — none of them key two document sides on the same derived
+    // value, so no O(df²) key exists (unlike the capped Jaccard family)
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
 }
