@@ -15,6 +15,7 @@ object SparkEntry {
       graft.queries.TextDedup.specs ++
       graft.queries.Similarity.specs ++
       graft.queries.EventsMultimodal.specs ++
+      graft.queries.MergeOps.specs ++
       graft.queries.Curation.specs ++
       graft.queries.EtlQueries.specs
 

@@ -1,0 +1,128 @@
+package graft.queries
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Lakehouse merge operators: MERGE-INTO upsert (SCD type 1) and
+  * slowly-changing-dimension type 2 history maintenance — the write-side
+  * primitives a corpus/lakehouse deployment runs on every ingest batch
+  * (the reference's truncate+append sink is the degenerate case; these are
+  * the incremental forms that avoid rewriting 100 TB to change 1 GB).
+  *
+  * The change batch is derived deterministically from the corpus itself so
+  * the DuckDB oracle can replay it: updates touch doc_id % 10 == 3
+  * (re-sourced, content grown), inserts arrive under fresh ids
+  * (doc_id % 10 == 7, shifted by 1e6 — disjoint from every real id).
+  *
+  * Scale design: both operators are single hash-joins keyed on the natural
+  * key — the merge shuffles (key, 3 columns), never document text. With
+  * the target persisted bucketed-by-key ([[graft.etl.Sink.overwriteBucketed]];
+  * plan proof in PlanSpec's bucketed-corpus anti-join), the target side
+  * joins with NO exchange, so an ingest batch costs one scan of the batch
+  * plus a co-located join — the same topology as q_dedup_incremental.
+  */
+object MergeOps {
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+
+  /** Target view of the corpus (text dropped: merges move metadata; the
+    * text column would ride along untouched in a real table rewrite). */
+  private def target(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+
+  private def updates(s: SparkSession, d: String): DataFrame =
+    docs(s, d).filter(col("doc_id") % 10 === 3)
+      .select(col("doc_id"), col("lang"), lit("patched").as("source"),
+        (col("n_chars") + 1000).as("n_chars"))
+
+  private def inserts(s: SparkSession, d: String): DataFrame =
+    docs(s, d).filter(col("doc_id") % 10 === 7)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+        lit("fresh").as("source"), col("n_chars"))
+
+  private val targetSql =
+    "t AS (SELECT doc_id, lang, source, n_chars FROM documents)"
+  private val batchSql =
+    """u AS (SELECT doc_id, lang, 'patched' AS source, n_chars + 1000 AS n_chars
+            FROM documents WHERE doc_id % 10 = 3),
+       i AS (SELECT doc_id + 1000000 AS doc_id, lang, 'fresh' AS source, n_chars
+            FROM documents WHERE doc_id % 10 = 7)"""
+
+  /** MERGE INTO (SCD type 1): update matched keys in place, insert new
+    * keys, keep the rest — one FULL OUTER hash join on the key, batch side
+    * wins on conflict. Emits the merged table plus the per-row `op` audit
+    * column a production merge logs. */
+  val mergeUpsert = QuerySpec(
+    "q_merge_upsert",
+    s"""WITH $targetSql,
+        $batchSql,
+        b AS (SELECT * FROM u UNION ALL SELECT * FROM i)
+        SELECT COALESCE(b.doc_id, t.doc_id) AS doc_id,
+               COALESCE(b.lang, t.lang) AS lang,
+               COALESCE(b.source, t.source) AS source,
+               COALESCE(b.n_chars, t.n_chars) AS n_chars,
+               CASE WHEN b.doc_id IS NOT NULL AND t.doc_id IS NOT NULL THEN 'update'
+                    WHEN b.doc_id IS NOT NULL THEN 'insert'
+                    ELSE 'keep' END AS op
+        FROM t FULL OUTER JOIN b ON b.doc_id = t.doc_id""") {
+    (s, d) =>
+      val t = target(s, d).toDF("t_id", "t_lang", "t_source", "t_n")
+      val b = updates(s, d).unionByName(inserts(s, d))
+        .toDF("b_id", "b_lang", "b_source", "b_n")
+      t.join(b, col("b_id") === col("t_id"), "full_outer")
+        .select(
+          coalesce(col("b_id"), col("t_id")).as("doc_id"),
+          coalesce(col("b_lang"), col("t_lang")).as("lang"),
+          coalesce(col("b_source"), col("t_source")).as("source"),
+          coalesce(col("b_n"), col("t_n")).as("n_chars"),
+          when(col("b_id").isNotNull && col("t_id").isNotNull, "update")
+            .when(col("b_id").isNotNull, "insert")
+            .otherwise("keep").as("op"))
+  }
+
+  /** SCD type 2: instead of overwriting, updated keys CLOSE their current
+    * version (valid_to = the new generation, is_current = false) and open
+    * a new one; inserts open version 1; untouched rows stay current with
+    * an open interval. The apply is two key-equi semi/anti joins plus
+    * unions — no window, no full rewrite; generation numbers stand in for
+    * load timestamps so the oracle replays bit-identically. */
+  val mergeScd2 = QuerySpec(
+    "q_merge_scd2",
+    s"""WITH $targetSql,
+        $batchSql
+        SELECT t.doc_id, t.source, t.n_chars,
+               CAST(1 AS BIGINT) AS version, CAST(1 AS BIGINT) AS valid_from,
+               CAST(2 AS BIGINT) AS valid_to, FALSE AS is_current
+        FROM t WHERE EXISTS (SELECT 1 FROM u WHERE u.doc_id = t.doc_id)
+        UNION ALL
+        SELECT t.doc_id, t.source, t.n_chars,
+               CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(NULL AS BIGINT), TRUE
+        FROM t WHERE NOT EXISTS (SELECT 1 FROM u WHERE u.doc_id = t.doc_id)
+        UNION ALL
+        SELECT doc_id, source, n_chars,
+               CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(NULL AS BIGINT), TRUE
+        FROM u
+        UNION ALL
+        SELECT doc_id, source, n_chars,
+               CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(NULL AS BIGINT), TRUE
+        FROM i""") {
+    (s, d) =>
+      val t = target(s, d)
+      val u = updates(s, d)
+      val ukeys = u.select("doc_id")
+      def versioned(df: DataFrame, version: Int, from: Int,
+                    to: Option[Int], current: Boolean): DataFrame =
+        df.select(col("doc_id"), col("source"), col("n_chars"),
+          lit(version).cast("long").as("version"),
+          lit(from).cast("long").as("valid_from"),
+          to.map(lit(_)).getOrElse(lit(null)).cast("long").as("valid_to"),
+          lit(current).as("is_current"))
+      versioned(t.join(ukeys, Seq("doc_id"), "left_semi"), 1, 1, Some(2), current = false)
+        .unionByName(versioned(t.join(ukeys, Seq("doc_id"), "left_anti"), 1, 1, None, current = true))
+        .unionByName(versioned(u, 2, 2, None, current = true))
+        .unionByName(versioned(inserts(s, d), 1, 2, None, current = true))
+  }
+
+  val specs: Seq[QuerySpec] = Seq(mergeUpsert, mergeScd2)
+}
