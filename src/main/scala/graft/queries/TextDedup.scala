@@ -905,6 +905,45 @@ object TextDedup {
         .select("token", "n", "rnk")
   }
 
+  /** Zipf/coverage profile of the full vocabulary: every token type ranked
+    * by frequency with its CUMULATIVE corpus share — the curve a tokenizer
+    * design reads off ("how many types cover 95% of tokens" sets the vocab
+    * size; a too-flat head is a data-quality smell). Counting shuffles
+    * once on token (map-side partial agg); ranking then runs on the
+    * aggregated TYPE table, orders of magnitude smaller than the corpus.
+    * The cumulative sum goes through [[graft.ops.Scale.prefixSum]]'s
+    * two-phase scan (bit-identical to the single-window form for integer
+    * counts), so the running total never serializes the type table onto
+    * one task — the rank window is the only single-task step, and it sees
+    * types, not tokens. */
+  val vocabZipf = QuerySpec(
+    "q_vocab_zipf",
+    """WITH tok AS (SELECT u.token FROM documents, UNNEST(str_split(text, ' ')) AS u(token)),
+       cnt AS (SELECT token, count(*) AS n FROM tok GROUP BY 1),
+       rk AS (SELECT token, n,
+                     CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS BIGINT) AS rnk
+              FROM cnt),
+       tot AS (SELECT SUM(n) AS total FROM cnt)
+       SELECT token, n, rnk,
+              CAST(SUM(n) OVER (ORDER BY rnk) AS BIGINT) AS cum_n,
+              CAST(SUM(n) OVER (ORDER BY rnk) AS BIGINT) * 1.0 / tot.total AS cum_share
+       FROM rk, tot""") {
+    (s, d) =>
+      val cnt = docs(s, d)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+      val ranked = cnt.withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("n").desc, col("token")))
+          .cast("long"))
+      val total = cnt.agg(sum(col("n")).as("total"))
+      graft.ops.Scale.prefixSum(ranked, Seq.empty, "rnk", "n",
+          bucket = expr("rnk div 8"), outCol = "cum_n")
+        .crossJoin(broadcast(total))
+        .select(col("token"), col("n"), col("rnk"), col("cum_n"),
+          (col("cum_n") * lit(1.0) / col("total")).as("cum_share"))
+  }
+
   /** The composed curation pass — what a training-data pipeline actually
     * runs per shard: quality gate (token count, alpha ratio, stopword
     * ratio) ∧ exact-dedup canonicality (min doc_id per normalized
@@ -952,5 +991,5 @@ object TextDedup {
     dedupExact, dedupJaccard, dedupSubstring, dedupMinhashLsh, dedupMinhashEstimate,
     dedupLshVerified, dedupLshRecall,
     dedupSimhash, dedupSimhashHamming, dedupComponents, dedupKeep, dedupIncremental,
-    curationPipeline, sampleDeterministic, sampleStratified, vocabTop)
+    curationPipeline, sampleDeterministic, sampleStratified, vocabTop, vocabZipf)
 }
