@@ -278,6 +278,35 @@ object Relational {
           .cast("long").as("rnk"))
   }
 
+  /** The full analytic-window surface beyond RANK: lag/lead offsets,
+    * first_value, ntile bucketing, percent_rank and cume_dist — one
+    * window definition, partitioned on the HIGH-cardinality customer key
+    * (at scale: one shuffle on o_custkey, per-customer sort, no
+    * single-task window). Offsets and first_value pass doubles through
+    * untouched; percent_rank/cume_dist are ratios of identical integers —
+    * all bitwise cross-engine. */
+  val windowExtras = QuerySpec(
+    "q_window_extras",
+    """SELECT o_orderkey, o_custkey, o_totalprice,
+              lag(o_totalprice) OVER w AS prev_price,
+              lead(o_totalprice) OVER w AS next_price,
+              first_value(o_totalprice) OVER w AS first_price,
+              CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+              percent_rank() OVER w AS pct_rank,
+              cume_dist() OVER w AS cdist
+       FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)""") {
+    (s, d) =>
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        lag("o_totalprice", 1).over(w).as("prev_price"),
+        lead("o_totalprice", 1).over(w).as("next_price"),
+        first("o_totalprice").over(w).as("first_price"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cdist"))
+  }
+
   /** A2 — COUNT(1) grouped denominator over non-null measures
     * (docs/reporting_rank.sql:18-31). */
   val groupedCount = QuerySpec(
@@ -673,6 +702,73 @@ object Relational {
         .agg(count(lit(1)).as("n"))
   }
 
+  /** Explicit GROUPING SETS (the general form ROLLUP/CUBE lower to), with
+    * GROUPING() markers distinguishing "aggregated over" from a genuine
+    * NULL group value — still ONE aggregation pass: Catalyst expands the
+    * sets via Expand, so adding a set costs map-side rows, not an extra
+    * scan. */
+  val groupingSetsTotals = QuerySpec(
+    "q_grouping_sets",
+    """SELECT l_returnflag, l_linestatus, COUNT(1) AS n,
+              CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+              CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls
+       FROM lineitem
+       GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""") {
+    (s, d) =>
+      li(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq.empty),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          grouping("l_returnflag").cast("long").as("g_rf"),
+          grouping("l_linestatus").cast("long").as("g_ls"))
+  }
+
+  /** Multi-pass blocked fuzzy match: edit-distance pairing of
+    * near-identical part names — the entity-resolution shape. Candidates
+    * come from TWO equi-join blocking passes — (brand, size) and
+    * (brand, first name token) — unioned and deduplicated; single-key
+    * blocking provably misses matches (at sf0.001 every edit-distance≤2
+    * pair differs in size, so pass 1 alone finds nothing). Exactly the
+    * LSH-banding idea in attribute space: each pass is an equi-join
+    * (hash shuffle on the block key, never all-pairs), recall comes from
+    * the union of passes, and the expensive levenshtein only runs on
+    * in-block pairs. */
+  val fuzzyMatch = QuerySpec(
+    "q_fuzzy_match",
+    """WITH p AS (SELECT p_partkey, p_name, p_brand, p_size,
+                         string_split(p_name, ' ')[1] AS tok0 FROM part),
+       cand AS (
+         SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+                a.p_name AS a_name, b.p_name AS b_name
+         FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+                          AND a.p_partkey < b.p_partkey
+         UNION
+         SELECT a.p_partkey, b.p_partkey, a.p_name, b.p_name
+         FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.tok0 = b.tok0
+                          AND a.p_partkey < b.p_partkey)
+       SELECT a_key, b_key, a_name, b_name,
+              CAST(levenshtein(a_name, b_name) AS BIGINT) AS edit_dist
+       FROM cand WHERE levenshtein(a_name, b_name) <= 2""") {
+    (s, d) =>
+      val p = Tables.part(s, d)
+        .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_size"),
+          element_at(split(col("p_name"), " "), 1).as("tok0"))
+      val a = p.toDF("a_key", "a_name", "p_brand", "p_size", "tok0")
+      val b = p.toDF("b_key", "b_name", "p_brand", "p_size", "tok0")
+      def pass(keys: Seq[String]): org.apache.spark.sql.DataFrame =
+        a.join(b, keys)
+          .filter(col("a_key") < col("b_key"))
+          .select("a_key", "b_key", "a_name", "b_name")
+      pass(Seq("p_brand", "p_size"))
+        .unionByName(pass(Seq("p_brand", "tok0")))
+        .distinct()
+        .withColumn("edit_dist", levenshtein(col("a_name"), col("b_name")).cast("long"))
+        .filter(col("edit_dist") <= 2)
+        .select("a_key", "b_key", "a_name", "b_name", "edit_dist")
+  }
+
   /** Exact grouped COUNT(DISTINCT) — the two-phase distinct aggregation
     * (partial distinct per partition, exchange on (group, value), final
     * count); contrast with the Count-Min sketch for when exactness is
@@ -797,11 +893,12 @@ object Relational {
   val specs: Seq[QuerySpec] = Seq(
     zorderKey,
     sortLimit, pricingSummary, skewSaltedJoin, join5Revenue,
-    rollupTotals, cubeTotals, countDistinct_, stringAgg, semiAntiJoin, setOps,
+    rollupTotals, cubeTotals, groupingSetsTotals, fuzzyMatch,
+    countDistinct_, stringAgg, semiAntiJoin, setOps,
     scanProject, filterDisjunctive, derivedFlags, antiConjExclusion,
     loadProjection, viewFilter, generaliseKeep, generaliseReplace,
     unpivotMetrics, carveParenthetical, stringFuncs, sortKeys, concatKey,
-    stampDropped, windowRank, groupedCount, groupedMaxMin, groupByAllMax,
+    stampDropped, windowRank, windowExtras, groupedCount, groupedMaxMin, groupByAllMax,
     sqlGroupByAll,
     percentileDisc, pivotStandards, leftJoinOnConst, unionStack,
     rankQuartile, benchmarkStandards)
