@@ -905,6 +905,76 @@ object TextDedup {
         .select("token", "n", "rnk")
   }
 
+  /** Fixed-point PageRank over the near-dup candidate graph — the
+    * centrality pass a curation pipeline runs to pick REPRESENTATIVE
+    * documents out of duplicate neighborhoods (a high-rank doc is near-dup
+    * to many others; its cluster is boilerplate-heavy). Nodes are the docs
+    * appearing in [[minhashCandShared]] pairs, edges symmetrized, damping
+    * 0.85, exactly 3 iterations.
+    *
+    * All arithmetic is INTEGER fixed-point (rank scaled by 10¹²,
+    * contributions via integral division) — the reproducibility trick
+    * production graph engines use, and what lets the oracle unroll the
+    * identical iterations in SQL with bit-equal results (double-valued PR
+    * sums would diverge across engines by addition order).
+    *
+    * Scale shape per iteration: one equi-join of edges to ranks on src
+    * (co-partitioned across iterations — the exchange on src is reused),
+    * one shuffle on dst for the partial-aggregated contribution sum. No
+    * driver-side state: N rides along as a broadcast one-row table. The
+    * candidate graph is the LSH output, so edge count is bounded by the
+    * banding design, not N². */
+  val pagerank = {
+    val Scale = 1000000000000L  // 10^12 — integer rank units
+    def iterSql(i: Int): String = {
+      val prev = s"pr${i - 1}"
+      s"""ct$i AS (SELECT e.dst AS doc_id, CAST(SUM(p.pr // d.deg) AS BIGINT) AS contrib
+                   FROM edges e JOIN $prev p ON p.doc_id = e.src
+                                JOIN deg d ON d.src = e.src
+                   GROUP BY 1),
+          pr$i AS (SELECT nodes.doc_id,
+                          (15 * ($Scale // nn.n)) // 100
+                            + (85 * COALESCE(ct$i.contrib, 0)) // 100 AS pr
+                   FROM nodes CROSS JOIN nn
+                   LEFT JOIN ct$i ON ct$i.doc_id = nodes.doc_id)"""
+    }
+    QuerySpec(
+      "q_pagerank",
+      s"""WITH ${shingleSql(3)},
+          $minhashCandSql,
+          edges AS (SELECT a_id AS src, b_id AS dst FROM cand
+                    UNION ALL SELECT b_id, a_id FROM cand),
+          nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+          nn AS (SELECT COUNT(*) AS n FROM nodes),
+          deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+          pr0 AS (SELECT doc_id, $Scale // nn.n AS pr FROM nodes CROSS JOIN nn),
+          ${(1 to 3).map(iterSql).mkString(",\n")}
+          SELECT doc_id, pr FROM pr3""") {
+      (s, d) =>
+        val cand = minhashCandShared(s, d)
+        val edges = cand.select(col("a_id").as("src"), col("b_id").as("dst"))
+          .unionByName(cand.select(col("b_id").as("src"), col("a_id").as("dst")))
+        val nodes = edges.select(col("src").as("doc_id")).distinct()
+        val nn = broadcast(nodes.agg(count(lit(1)).as("n")))
+        val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        var pr = nodes.crossJoin(nn)
+          .select(col("doc_id"), expr(s"$Scale div n").as("pr"))
+        for (_ <- 1 to 3) {
+          val contrib = edges
+            .join(pr.toDF("src", "pr"), "src")
+            .join(deg, "src")
+            .groupBy(col("dst").as("doc_id"))
+            .agg(sum(expr("pr div deg")).as("contrib"))
+          pr = nodes.crossJoin(nn)
+            .join(contrib, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              expr(s"(15 * ($Scale div n)) div 100 + (85 * coalesce(contrib, 0)) div 100")
+                .as("pr"))
+        }
+        pr
+    }
+  }
+
   /** Zipf/coverage profile of the full vocabulary: every token type ranked
     * by frequency with its CUMULATIVE corpus share — the curve a tokenizer
     * design reads off ("how many types cover 95% of tokens" sets the vocab
@@ -991,5 +1061,6 @@ object TextDedup {
     dedupExact, dedupJaccard, dedupSubstring, dedupMinhashLsh, dedupMinhashEstimate,
     dedupLshVerified, dedupLshRecall,
     dedupSimhash, dedupSimhashHamming, dedupComponents, dedupKeep, dedupIncremental,
-    curationPipeline, sampleDeterministic, sampleStratified, vocabTop, vocabZipf)
+    curationPipeline, sampleDeterministic, sampleStratified, vocabTop, vocabZipf,
+    pagerank)
 }

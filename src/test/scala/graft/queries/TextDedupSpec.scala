@@ -92,6 +92,23 @@ class TextDedupSpec extends SparkSpec {
     assert(out.filter(col("n_dup_tokens") > 0).count() >= 2)
   }
 
+  test("pagerank: rank mass is conserved up to truncation and spreads non-degenerately") {
+    val sf = "/root/testdata/sf0.001"
+    val out = TextDedup.pagerank.fn(spark, sf).cache()
+    val scale = 1000000000000L
+    val total = out.agg(sum("pr")).head.getLong(0)
+    // integral division only ever drops mass: the total must stay within
+    // a few percent below the fixed-point unit and never exceed it
+    assert(total <= scale, s"rank mass exceeded the fixed-point unit: $total")
+    assert(total >= (scale * 0.90).toLong, s"too much mass lost to truncation: $total")
+    // a connected candidate graph must differentiate ranks
+    val (mx, mn) = (out.agg(max("pr")).head.getLong(0), out.agg(min("pr")).head.getLong(0))
+    assert(mx > mn, "all ranks equal — the iteration did nothing")
+    // every rank holds at least the damping floor
+    val n = out.count()
+    assert(out.filter(col("pr") < (15L * (scale / n)) / 100L).count() === 0)
+  }
+
   test("dedupSubstring: marking is linear — no pair join anywhere in the plan") {
     val plan = TextDedup.dedupSubstring.fn(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
