@@ -309,7 +309,7 @@ object TextDedup {
     "q_dedup_substring",
     s"""WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
         tt AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n_tokens FROM w),
-        g AS (SELECT doc_id, pq AS p, md5(array_to_string(ws[pq:pq+${SpanK - 1}], ' ')) AS gram_h
+        g AS (SELECT doc_id, pq AS p, substr(md5(array_to_string(ws[pq:pq+${SpanK - 1}], ' ')), 1, 16) AS gram_h
               FROM tt, UNNEST(generate_series(1, greatest(len(ws) - ${SpanK - 1}, 0))) AS u(pq)),
         dg AS (SELECT gram_h FROM g GROUP BY gram_h HAVING COUNT(DISTINCT doc_id) >= 2),
         dp AS (SELECT DISTINCT g.doc_id, qq AS pos
@@ -332,7 +332,9 @@ object TextDedup {
             s"""CASE WHEN size(ws) >= $SpanK
                 THEN sequence(1, size(ws) - ${SpanK - 1})
                 ELSE CAST(array() AS array<int>) END""")).as("p"))
-        .withColumn("gram_h", md5(expr(s"concat_ws(' ', slice(ws, p, $SpanK))")))
+        // 64-bit truncation halves the dominant shuffle (one key per token
+        // position) while keeping collisions negligible (#positions ≪ 2^32)
+        .withColumn("gram_h", substring(md5(expr(s"concat_ws(' ', slice(ws, p, $SpanK))")), 1, 16))
         .select("doc_id", "p", "gram_h")
       val dupGrams = grams.groupBy("gram_h")
         .agg(countDistinct(col("doc_id")).as("df"))
