@@ -18,6 +18,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo("graft.functions.VectorExpressions", null, name)
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // operator-optimization batch (fixpoint): the rewrite is idempotent
+    ext.injectOptimizerRule(_ => graft.plans.LevenshteinPruning)
     ext.injectFunction((
       FunctionIdentifier("vector_dot_f32"),
       info("vector_dot_f32", "vector_dot_f32(a, b) - dot product of two float arrays in double"),

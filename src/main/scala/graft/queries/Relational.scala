@@ -752,6 +752,9 @@ object Relational {
               CAST(levenshtein(a_name, b_name) AS BIGINT) AS edit_dist
        FROM cand WHERE levenshtein(a_name, b_name) <= 2""") {
     (s, d) =>
+      // the threshold filter below is rewritten to the banded O(k·n) DP +
+      // length pre-filter by the custom optimizer rule (PlanSpec pins it)
+      graft.plans.LevenshteinPruning.register(s)
       val p = Tables.part(s, d)
         .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_size"),
           element_at(split(col("p_name"), " "), 1).as("tok0"))
