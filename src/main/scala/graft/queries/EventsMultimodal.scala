@@ -30,6 +30,31 @@ object EventsMultimodal {
           Exact.sumD(col("value")).as("total_value"))
   }
 
+  /** Sliding (hopping) 1-hour windows every 30 minutes — the batch twin of
+    * graft.streaming.StreamOps.slidingAgg. Spark's window() assigns each
+    * event to its duration/slide = 2 covering windows in one Expand (no
+    * join); the oracle unnests the same two half-hour-aligned starts.
+    * Alignment is to the epoch in both engines, so starts agree exactly. */
+  val streamSliding = QuerySpec(
+    "q_stream_sliding",
+    s"""WITH wins AS (
+          SELECT event_type, value, u.ws AS window_start
+          FROM events,
+               UNNEST([time_bucket(INTERVAL '30 minutes', ts),
+                       time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS u(ws))
+        SELECT window_start, event_type, COUNT(1) AS n_events,
+               ${Exact.sumSql("value")} AS total_value
+        FROM wins GROUP BY 1, 2""") {
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(
+          window(col("ts"), "1 hour", "30 minutes").getField("start").as("window_start"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          Exact.sumD(col("value")).as("total_value"))
+  }
+
   /** Gap-based sessionization: a new session starts after >30 min of user
     * inactivity. lag + running-sum over a per-user ordered window — the
     * batch twin of `flatMapGroupsWithState` sessionization. Shuffles once
@@ -279,6 +304,6 @@ object EventsMultimodal {
   }
 
   val specs: Seq[QuerySpec] = Seq(
-    streamWindow, sessionize, multimodalMeta, asofJoin, rangeJoinBinned,
+    streamWindow, streamSliding, sessionize, multimodalMeta, asofJoin, rangeJoinBinned,
     sketchCountMin, rollingFrames, funnel, jsonExtract)
 }

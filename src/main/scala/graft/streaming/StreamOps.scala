@@ -45,6 +45,21 @@ object StreamOps {
         col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Sliding (hopping) windowed aggregation: 1-hour windows every 30
+    * minutes — each event contributes to exactly duration/slide = 2
+    * windows, the overlap smoothing a tumbling window can't give. State =
+    * open windows × keys, still watermark-bounded (×2 vs tumbling). Batch
+    * twin: q_stream_sliding (same plan minus the watermark); totals stay
+    * bitwise stream==batch through [[graft.Exact]]. */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), graft.Exact.sumD(col("value")).as("total_value"))
+      .select(
+        col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
   /** Streaming exact dedup: drop re-deliveries of the same event id, with
     * a watermark bounding the id-set state (ids older than the horizon are
     * evicted — without it, state grows forever). The streaming twin of the

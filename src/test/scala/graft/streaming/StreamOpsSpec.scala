@@ -104,6 +104,31 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("slidingAgg: file stream == batch q_stream_sliding, every event in 2 windows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-events-sliding")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val q = StreamOps.slidingAgg(StreamOps.readEvents(spark, dir.toString))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sliding_stream_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sliding_stream_out")
+        .select("window_start", "event_type", "n_events", "total_value")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      val batch = graft.queries.EventsMultimodal.streamSliding
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+      // hopping invariant: summed per-window counts == 2 × event count
+      val total = streamed.toSeq.map(_._3).sum
+      val nEvents = spark.read.parquet(dir.resolve("events.parquet").toString).count()
+      assert(total === 2 * nEvents, "every event must land in exactly duration/slide windows")
+    } finally q.stop()
+  }
+
   test("END-TO-END: real-file stream → windowedAgg → foreachBatch sink == batch on the final table") {
     // the full production shape in one test: a file-stream over the real
     // testdata events, windowed aggregation, foreachBatch into the batch
