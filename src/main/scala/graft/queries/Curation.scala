@@ -708,9 +708,59 @@ object Curation {
             .otherwise("test").as("split"))
   }
 
+  /** Declarative data-quality audit (the Deequ/dbt-test shape): a single
+    * scan computes every constraint's metric, then one stack() emits the
+    * long-format report — constraint, measured metric, threshold, pass.
+    * Mix of structural checks (key uniqueness, completeness), semantic
+    * checks (accepted lang values, n_chars consistent with the text
+    * column) and a distribution gate (min-length coverage) that genuinely
+    * FAILS on this corpus (0.90-0.93 < 0.95) so the report is non-vacuous
+    * on both sides. At 100 TB this is one partial-aggregated pass — the
+    * audit costs a scan, never a shuffle of rows (the agg row is a single
+    * tuple). */
+  val qualityAudit = QuerySpec(
+    "q_quality_audit",
+    """WITH a AS (
+         SELECT COUNT(1) AS n,
+                COUNT(DISTINCT doc_id) AS dd,
+                SUM(CASE WHEN doc_id IS NOT NULL THEN 1 ELSE 0 END) AS id_nn,
+                SUM(CASE WHEN text IS NOT NULL THEN 1 ELSE 0 END) AS tx_nn,
+                SUM(CASE WHEN lang IN ('en','de','fr','es','zh') THEN 1 ELSE 0 END) AS lang_ok,
+                SUM(CASE WHEN n_chars = length(text) THEN 1 ELSE 0 END) AS nc_ok,
+                SUM(CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END) AS len_ok
+         FROM documents)
+       SELECT c.check_name, c.metric, c.threshold, c.metric >= c.threshold AS passed
+       FROM a, LATERAL (VALUES
+         ('doc_id_unique',     dd * 1.0 / n,      1.0),
+         ('doc_id_complete',   id_nn * 1.0 / n,   1.0),
+         ('text_complete',     tx_nn * 1.0 / n,   1.0),
+         ('lang_accepted',     lang_ok * 1.0 / n, 1.0),
+         ('n_chars_consistent', nc_ok * 1.0 / n,  1.0),
+         ('min_len_coverage',  len_ok * 1.0 / n,  0.95)) AS c(check_name, metric, threshold)""") {
+    (s, d) =>
+      val a = docs(s, d).agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("doc_id")).as("dd"),
+        sum(when(col("doc_id").isNotNull, 1).otherwise(0)).as("id_nn"),
+        sum(when(col("text").isNotNull, 1).otherwise(0)).as("tx_nn"),
+        sum(when(col("lang").isin("en", "de", "fr", "es", "zh"), 1).otherwise(0)).as("lang_ok"),
+        sum(when(col("n_chars") === length(col("text")), 1).otherwise(0)).as("nc_ok"),
+        sum(when(col("n_chars") >= 100, 1).otherwise(0)).as("len_ok"))
+      a.select(expr(
+          """stack(6,
+               'doc_id_unique',      dd * 1.0 / n,      1.0D,
+               'doc_id_complete',    id_nn * 1.0 / n,   1.0D,
+               'text_complete',      tx_nn * 1.0 / n,   1.0D,
+               'lang_accepted',      lang_ok * 1.0 / n, 1.0D,
+               'n_chars_consistent', nc_ok * 1.0 / n,   1.0D,
+               'min_len_coverage',   len_ok * 1.0 / n,  0.95D)
+             AS (check_name, metric, threshold)"""))
+        .withColumn("passed", col("metric") >= col("threshold"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     curationIngest, sampleBalanced,
     decontaminate, textRepetition, piiRedact, sampleWeighted,
     packChunks, sketchKmv, sketchBloom, sketchHll, histogramEquidepth,
-    splitAssign, sourceOverlap, tfidfTopk, embedProject)
+    splitAssign, sourceOverlap, tfidfTopk, embedProject, qualityAudit)
 }

@@ -55,6 +55,42 @@ object EventsMultimodal {
           Exact.sumD(col("value")).as("total_value"))
   }
 
+  /** Built-in session windows: groupBy(session_window(ts, gap)) — the
+    * DECLARATIVE sessionization Spark lowers to a single sort-merge
+    * session aggregation (and runs unchanged under readStream with
+    * per-key merging state). Sessions are half-open [first, last + gap):
+    * an event exactly gap after its predecessor starts a NEW session, so
+    * the oracle's gap test is >=, not > (the q_sessionize lag-chain uses
+    * the > convention — both conventions exist in the wild, which is
+    * exactly why the boundary is pinned here). */
+  val sessionWindow = QuerySpec(
+    "q_session_window",
+    s"""WITH g AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        se AS (
+          SELECT user_id, ts, value,
+                 SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+          FROM g)
+        SELECT user_id, min(ts) AS session_start,
+               max(ts) + INTERVAL '30 minutes' AS session_end,
+               COUNT(1) AS n_events, ${Exact.sumSql("value")} AS total_value
+        FROM se GROUP BY user_id, sid""") {
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), Exact.sumD(col("value")).as("total_value"))
+        .select(
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("user_id"), col("n_events"), col("total_value"))
+  }
+
   /** Gap-based sessionization: a new session starts after >30 min of user
     * inactivity. lag + running-sum over a per-user ordered window — the
     * batch twin of `flatMapGroupsWithState` sessionization. Shuffles once
@@ -304,6 +340,7 @@ object EventsMultimodal {
   }
 
   val specs: Seq[QuerySpec] = Seq(
-    streamWindow, streamSliding, sessionize, multimodalMeta, asofJoin, rangeJoinBinned,
+    streamWindow, streamSliding, sessionWindow, sessionize, multimodalMeta,
+    asofJoin, rangeJoinBinned,
     sketchCountMin, rollingFrames, funnel, jsonExtract)
 }

@@ -146,4 +146,17 @@ class CurationSpec extends SparkSpec {
       count(lit(1)).as("n"), countDistinct("token").as("nd"))
     assert(perDoc.filter(col("n") > 3 || col("n") =!= col("nd")).count() === 0)
   }
+
+  test("qualityAudit: reports both passing and failing constraints, metrics in [0,1]") {
+    val out = Curation.qualityAudit.fn(spark, sf).cache()
+    assert(out.count() === 6)
+    assert(out.filter(col("passed") === true).count() > 0,
+      "an audit where everything fails means the constraints are miswired")
+    assert(out.filter(col("passed") === false).count() > 0,
+      "an audit where everything passes tests nothing — min_len_coverage is tuned to fail here")
+    assert(out.filter(col("metric") < 0 || col("metric") > 1).count() === 0)
+    // the single-scan claim: no exchange of data rows, only the agg tuple
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), "the audit must not join row data")
+  }
 }
