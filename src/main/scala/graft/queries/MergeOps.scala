@@ -124,5 +124,40 @@ object MergeOps {
         .unionByName(versioned(inserts(s, d), 1, 2, None, current = true))
   }
 
-  val specs: Seq[QuerySpec] = Seq(mergeUpsert, mergeScd2)
+  /** Order-independent table checksum — the anti-entropy primitive that
+    * verifies a migration/replica/merge byte-for-byte WITHOUT sorting:
+    * each row folds to a 56-bit hash of its canonical string and the
+    * table signature is the XOR-fold (commutative + associative, so
+    * partition order, shuffle order and partial aggregation can't change
+    * it — no Exact-style quantization needed, unlike SUMs). One scan per
+    * table, constant-size output; comparing source and target signatures
+    * after q_merge_upsert/SCD2 is how a 100 TB copy is validated in one
+    * pass. */
+  val tableChecksum = QuerySpec(
+    "q_table_checksum",
+    """WITH d AS (SELECT CAST(('0x' || substr(md5(
+             CAST(doc_id AS VARCHAR) || '|' || lang || '|' || source || '|' ||
+             CAST(n_chars AS VARCHAR) || '|' || md5(text)), 1, 14)) AS BIGINT) AS h
+           FROM documents),
+         o AS (SELECT CAST(('0x' || substr(md5(
+             CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus || '|' ||
+             CAST(o_custkey AS VARCHAR)), 1, 14)) AS BIGINT) AS h
+           FROM orders)
+       SELECT 'documents' AS table_name, COUNT(1) AS n_rows,
+              CAST(bit_xor(h) AS BIGINT) AS checksum FROM d
+       UNION ALL
+       SELECT 'orders', COUNT(1), CAST(bit_xor(h) AS BIGINT) FROM o""") {
+    (s, d) =>
+      def sig(df: DataFrame, name: String, canon: org.apache.spark.sql.Column): DataFrame =
+        df.select(conv(substring(md5(canon), 1, 14), 16, 10).cast("long").as("h"))
+          .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").cast("long").as("checksum"))
+          .select(lit(name).as("table_name"), col("n_rows"), col("checksum"))
+      sig(docs(s, d), "documents",
+        concat_ws("|", col("doc_id"), col("lang"), col("source"),
+          col("n_chars"), md5(col("text"))))
+        .unionByName(sig(Tables.orders(s, d), "orders",
+          concat_ws("|", col("o_orderkey"), col("o_orderstatus"), col("o_custkey"))))
+  }
+
+  val specs: Seq[QuerySpec] = Seq(mergeUpsert, mergeScd2, tableChecksum)
 }

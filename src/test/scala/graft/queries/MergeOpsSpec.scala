@@ -48,4 +48,23 @@ class MergeOpsSpec extends SparkSpec {
     assert(versions.filter(col("count") === 2).count() ===
       Tables.documents(spark, sf).filter(col("doc_id") % 10 === 3).count())
   }
+
+  test("tableChecksum: invariant under repartitioning, sensitive to any row change") {
+    import org.apache.spark.sql.DataFrame
+    def sig(df: DataFrame): Long = df
+      .select(conv(substring(md5(concat_ws("|", col("doc_id"), col("source"))), 1, 14), 16, 10)
+        .cast("long").as("h"))
+      .agg(expr("bit_xor(h)")).head.getLong(0)
+    val d = Tables.documents(spark, sf).select("doc_id", "source")
+    val base = sig(d)
+    // XOR-fold must not care how rows are distributed or ordered
+    assert(sig(d.repartition(13)) === base)
+    assert(sig(d.orderBy(col("doc_id").desc)) === base)
+    // ...but must catch a single changed row
+    val tampered = d.withColumn("source",
+      when(col("doc_id") === 0, lit("tampered")).otherwise(col("source")))
+    assert(sig(tampered) !== base)
+    // and a dropped row
+    assert(sig(d.filter(col("doc_id") =!= 1)) !== base)
+  }
 }
