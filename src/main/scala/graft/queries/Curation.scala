@@ -758,9 +758,85 @@ object Curation {
         .withColumn("passed", col("metric") >= col("threshold"))
   }
 
+  private val BpeMerges = 5
+
+  /** BPE vocabulary trainer — the first [[BpeMerges]] byte-pair-encoding
+    * merges learned from the corpus, the tokenizer-training step of a
+    * pretraining pipeline. The classic algorithm (Sennrich et al. 2016,
+    * arXiv:1508.07909): split words to characters, count adjacent symbol
+    * pairs weighted by word frequency, merge the most frequent pair
+    * everywhere, repeat. Emits the merge table (rank, pair, count) that a
+    * tokenizer would then apply.
+    *
+    * Scale shape: the ONLY corpus-sized pass is the word count (one
+    * map-side-combined shuffle of tokens); every merge iteration runs on
+    * the aggregated word-frequency table — types, not tokens — which is
+    * orders of magnitude smaller (the standard trick that makes BPE
+    * training tractable on any corpus). Like the k-means quantizer, each
+    * iteration collects exactly ONE row (the winning pair) to the driver.
+    *
+    * Determinism: pair counts are integers, the winner ties-break
+    * lexicographically, and the merge rewrite uses literal (non-regex)
+    * replace whose left-to-right non-overlapping scan is identical in
+    * Spark and DuckDB — ' a a a a ' merging (a,a) yields ' aa a a ' in
+    * both engines (pinned by the oracle replaying all rounds). */
+  val bpeMerges = {
+    def sqlQuote(x: String): String = "'" + x.replace("'", "''") + "'"
+    def iterSql(i: Int): String = {
+      val prev = s"wc${i - 1}"
+      s"""p$i AS (SELECT s.syms[pj] AS a, s.syms[pj + 1] AS b, CAST(SUM(s.n) AS BIGINT) AS cnt
+                  FROM (SELECT string_split(trim(ws), ' ') AS syms, n FROM $prev) s,
+                       UNNEST(generate_series(1, greatest(len(s.syms) - 1, 0))) AS u(pj)
+                  GROUP BY 1, 2),
+          t$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
+          wc$i AS (SELECT replace(ws,
+                     ' ' || (SELECT a FROM t$i) || ' ' || (SELECT b FROM t$i) || ' ',
+                     ' ' || (SELECT a FROM t$i) || (SELECT b FROM t$i) || ' ') AS ws, n
+                   FROM $prev)"""
+    }
+    QuerySpec(
+      "q_bpe_merges",
+      s"""WITH tok AS (SELECT u.w FROM documents, UNNEST(str_split(text, ' ')) AS u(w)),
+          wc0 AS (SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS ws,
+                         CAST(COUNT(*) AS BIGINT) AS n
+                  FROM tok GROUP BY 1),
+          ${(1 to BpeMerges).map(iterSql).mkString(",\n")}
+          ${(1 to BpeMerges).map(i =>
+            s"SELECT CAST($i AS BIGINT) AS merge_rank, a, b, cnt FROM t$i")
+            .mkString("\n UNION ALL ")}""") {
+      (s, d) =>
+        var wc = docs(s, d)
+          .select(explode(split(col("text"), " ")).as("w"))
+          .groupBy(concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("ws"))
+          .agg(count(lit(1)).as("n"))
+          // the type table is tiny and every iteration rescans it
+          .localCheckpoint()
+        val merges = (1 to BpeMerges).map { i =>
+          val top = wc
+            .select(split(trim(col("ws")), " ").as("syms"), col("n"))
+            .select(explode(expr(
+              """CASE WHEN size(syms) >= 2 THEN sequence(1, size(syms) - 1)
+                 ELSE CAST(array() AS array<int>) END""")).as("pj"),
+              col("syms"), col("n"))
+            .select(expr("syms[pj - 1]").as("a"), expr("syms[pj]").as("b"), col("n"))
+            .groupBy("a", "b").agg(sum("n").cast("long").as("cnt"))
+            .orderBy(col("cnt").desc, col("a"), col("b"))
+            .limit(1).head()
+          val (a, b, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
+          wc = wc.select(expr(
+            s"replace(ws, ${sqlQuote(s" $a $b ")}, ${sqlQuote(s" $a$b ")})").as("ws"),
+            col("n"))
+          (i.toLong, a, b, cnt)
+        }
+        import s.implicits._
+        merges.toDF("merge_rank", "a", "b", "cnt")
+    }
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     curationIngest, sampleBalanced,
     decontaminate, textRepetition, piiRedact, sampleWeighted,
     packChunks, sketchKmv, sketchBloom, sketchHll, histogramEquidepth,
-    splitAssign, sourceOverlap, tfidfTopk, embedProject, qualityAudit)
+    splitAssign, sourceOverlap, tfidfTopk, embedProject, qualityAudit,
+    bpeMerges)
 }

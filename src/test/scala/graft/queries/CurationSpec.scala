@@ -147,6 +147,20 @@ class CurationSpec extends SparkSpec {
     assert(perDoc.filter(col("n") > 3 || col("n") =!= col("nd")).count() === 0)
   }
 
+  test("bpeMerges: 5 ranked merges with non-increasing counts over single-char seeds") {
+    val out = Curation.bpeMerges.fn(spark, sf).orderBy("merge_rank").collect()
+    assert(out.length === 5)
+    // any pair at step i+1 either existed at step i (count can only have
+    // shrunk) or was created by the merge (count bounded by the merged
+    // pair's) — so the winning count is non-increasing
+    val counts = out.map(_.getLong(3))
+    assert(counts.zip(counts.tail).forall { case (x, y) => x >= y },
+      s"merge counts must be non-increasing: ${counts.mkString(",")}")
+    // early merges operate on raw characters; merged symbols grow later
+    assert(out.forall(r => r.getString(1).nonEmpty && r.getString(2).nonEmpty))
+    assert(out.head.getString(1).length === 1 && out.head.getString(2).length === 1)
+  }
+
   test("qualityAudit: reports both passing and failing constraints, metrics in [0,1]") {
     val out = Curation.qualityAudit.fn(spark, sf).cache()
     assert(out.count() === 6)
