@@ -780,57 +780,105 @@ object Curation {
     * replace whose left-to-right non-overlapping scan is identical in
     * Spark and DuckDB — ' a a a a ' merging (a,a) yields ' aa a a ' in
     * both engines (pinned by the oracle replaying all rounds). */
-  val bpeMerges = {
-    def sqlQuote(x: String): String = "'" + x.replace("'", "''") + "'"
-    def iterSql(i: Int): String = {
-      val prev = s"wc${i - 1}"
-      s"""p$i AS (SELECT s.syms[pj] AS a, s.syms[pj + 1] AS b, CAST(SUM(s.n) AS BIGINT) AS cnt
-                  FROM (SELECT string_split(trim(ws), ' ') AS syms, n FROM $prev) s,
-                       UNNEST(generate_series(1, greatest(len(s.syms) - 1, 0))) AS u(pj)
-                  GROUP BY 1, 2),
-          t$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
-          wc$i AS (SELECT replace(ws,
-                     ' ' || (SELECT a FROM t$i) || ' ' || (SELECT b FROM t$i) || ' ',
-                     ' ' || (SELECT a FROM t$i) || (SELECT b FROM t$i) || ' ') AS ws, n
-                   FROM $prev)"""
-    }
-    QuerySpec(
-      "q_bpe_merges",
-      s"""WITH tok AS (SELECT u.w FROM documents, UNNEST(str_split(text, ' ')) AS u(w)),
-          wc0 AS (SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS ws,
-                         CAST(COUNT(*) AS BIGINT) AS n
-                  FROM tok GROUP BY 1),
-          ${(1 to BpeMerges).map(iterSql).mkString(",\n")}
-          ${(1 to BpeMerges).map(i =>
-            s"SELECT CAST($i AS BIGINT) AS merge_rank, a, b, cnt FROM t$i")
-            .mkString("\n UNION ALL ")}""") {
-      (s, d) =>
-        var wc = docs(s, d)
-          .select(explode(split(col("text"), " ")).as("w"))
-          .groupBy(concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("ws"))
-          .agg(count(lit(1)).as("n"))
-          // the type table is tiny and every iteration rescans it
-          .localCheckpoint()
-        val merges = (1 to BpeMerges).map { i =>
-          val top = wc
-            .select(split(trim(col("ws")), " ").as("syms"), col("n"))
-            .select(explode(expr(
-              """CASE WHEN size(syms) >= 2 THEN sequence(1, size(syms) - 1)
-                 ELSE CAST(array() AS array<int>) END""")).as("pj"),
-              col("syms"), col("n"))
-            .select(expr("syms[pj - 1]").as("a"), expr("syms[pj]").as("b"), col("n"))
-            .groupBy("a", "b").agg(sum("n").cast("long").as("cnt"))
-            .orderBy(col("cnt").desc, col("a"), col("b"))
-            .limit(1).head()
-          val (a, b, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
-          wc = wc.select(expr(
-            s"replace(ws, ${sqlQuote(s" $a $b ")}, ${sqlQuote(s" $a$b ")})").as("ws"),
-            col("n"))
-          (i.toLong, a, b, cnt)
-        }
-        import s.implicits._
-        merges.toDF("merge_rank", "a", "b", "cnt")
-    }
+  private def sqlQuote(x: String): String = "'" + x.replace("'", "''") + "'"
+
+  /** One BPE training run per (session, dir): the merge table plus the
+    * final symbolized type table (w → ws after all merges), shared by the
+    * trainer query and the tokenizer apply — train once, apply everywhere,
+    * exactly the production split. */
+  private val bpeMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (Seq[(Long, String, String, Long)], DataFrame)]
+
+  private def bpeTrain(s: SparkSession, d: String): (Seq[(Long, String, String, Long)], DataFrame) =
+    bpeMemo.getOrElseUpdate((s, d), {
+      var wc = docs(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("n"))
+        .select(col("w"),
+          concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("ws"), col("n"))
+        // the type table is tiny and every iteration rescans it
+        .localCheckpoint()
+      val merges = (1 to BpeMerges).map { i =>
+        val top = wc
+          .select(split(trim(col("ws")), " ").as("syms"), col("n"))
+          .select(explode(expr(
+            """CASE WHEN size(syms) >= 2 THEN sequence(1, size(syms) - 1)
+               ELSE CAST(array() AS array<int>) END""")).as("pj"),
+            col("syms"), col("n"))
+          .select(expr("syms[pj - 1]").as("a"), expr("syms[pj]").as("b"), col("n"))
+          .groupBy("a", "b").agg(sum("n").cast("long").as("cnt"))
+          .orderBy(col("cnt").desc, col("a"), col("b"))
+          .limit(1).head()
+        val (a, b, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
+        wc = wc.select(col("w"), expr(
+          s"replace(ws, ${sqlQuote(s" $a $b ")}, ${sqlQuote(s" $a$b ")})").as("ws"),
+          col("n"))
+        (i.toLong, a, b, cnt)
+      }
+      (merges, wc.localCheckpoint())
+    })
+
+  private def bpeIterSql(i: Int): String = {
+    val prev = s"wc${i - 1}"
+    s"""p$i AS MATERIALIZED (SELECT s.syms[pj] AS a, s.syms[pj + 1] AS b, CAST(SUM(s.n) AS BIGINT) AS cnt
+                FROM (SELECT string_split(trim(ws), ' ') AS syms, n FROM $prev) s,
+                     UNNEST(generate_series(1, greatest(len(s.syms) - 1, 0))) AS u(pj)
+                GROUP BY 1, 2),
+        t$i AS MATERIALIZED (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
+        wc$i AS MATERIALIZED (SELECT w, replace(ws,
+                   ' ' || (SELECT a FROM t$i) || ' ' || (SELECT b FROM t$i) || ' ',
+                   ' ' || (SELECT a FROM t$i) || (SELECT b FROM t$i) || ' ') AS ws, n
+                 FROM $prev)"""
+  }
+
+  private val bpeChainSql =
+    s"""tok AS (SELECT u.w FROM documents, UNNEST(str_split(text, ' ')) AS u(w)),
+        wc0 AS MATERIALIZED (SELECT w, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS ws,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM tok GROUP BY w),
+        ${(1 to BpeMerges).map(bpeIterSql).mkString(",\n")}"""
+
+  val bpeMerges = QuerySpec(
+    "q_bpe_merges",
+    s"""WITH $bpeChainSql
+        ${(1 to BpeMerges).map(i =>
+          s"SELECT CAST($i AS BIGINT) AS merge_rank, a, b, cnt FROM t$i")
+          .mkString("\n UNION ALL ")}""") {
+    (s, d) =>
+      import s.implicits._
+      bpeTrain(s, d)._1.toDF("merge_rank", "a", "b", "cnt")
+  }
+
+  /** BPE tokenizer APPLY — the companion to [[bpeMerges]]: count each
+    * document's tokens under the learned merges and report the
+    * chars-per-token compression, the number tokenizer/vocab decisions
+    * are judged by. The corpus never rewrites text: token counts come
+    * from BROADCAST-joining the exploded words to the symbolized TYPE
+    * table (train once on types, apply by map-side lookup — no shuffle
+    * of document content; the per-doc groupBy ships two longs). */
+  val bpeTokenize = QuerySpec(
+    "q_bpe_tokenize",
+    s"""WITH $bpeChainSql,
+        tt AS (SELECT w, CAST(len(string_split(trim(ws), ' ')) AS BIGINT) AS n_syms
+               FROM wc$BpeMerges),
+        dt AS (SELECT d2.doc_id, u.w
+               FROM documents d2, UNNEST(str_split(d2.text, ' ')) AS u(w)),
+        agg AS (SELECT dt.doc_id, CAST(COUNT(1) AS BIGINT) AS n_words,
+                       CAST(SUM(tt.n_syms) AS BIGINT) AS n_bpe_tokens
+                FROM dt JOIN tt ON tt.w = dt.w GROUP BY 1)
+        SELECT a2.doc_id, a2.n_words, a2.n_bpe_tokens,
+               d3.n_chars * 1.0 / a2.n_bpe_tokens AS chars_per_token
+        FROM agg a2 JOIN documents d3 ON d3.doc_id = a2.doc_id""") {
+    (s, d) =>
+      val tt = bpeTrain(s, d)._2
+        .select(col("w"), size(split(trim(col("ws")), " ")).cast("long").as("n_syms"))
+      val dt = docs(s, d).select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      dt.join(broadcast(tt), "w")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"), sum("n_syms").cast("long").as("n_bpe_tokens"))
+        .join(docs(s, d).select("doc_id", "n_chars"), "doc_id")
+        .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),
+          (col("n_chars") * lit(1.0) / col("n_bpe_tokens")).as("chars_per_token"))
   }
 
   val specs: Seq[QuerySpec] = Seq(
@@ -838,5 +886,5 @@ object Curation {
     decontaminate, textRepetition, piiRedact, sampleWeighted,
     packChunks, sketchKmv, sketchBloom, sketchHll, histogramEquidepth,
     splitAssign, sourceOverlap, tfidfTopk, embedProject, qualityAudit,
-    bpeMerges)
+    bpeMerges, bpeTokenize)
 }
