@@ -790,15 +790,23 @@ object Curation {
     .empty[(SparkSession, String), (Seq[(Long, String, String, Long)], DataFrame)]
 
   private def bpeTrain(s: SparkSession, d: String): (Seq[(Long, String, String, Long)], DataFrame) =
-    bpeMemo.getOrElseUpdate((s, d), {
-      var wc = docs(s, d)
+    bpeMemo.getOrElseUpdate((s, d), bpeTrainOn(
+      docs(s, d)
         .select(explode(split(col("text"), " ")).as("w"))
-        .groupBy("w").agg(count(lit(1)).as("n"))
+        .groupBy("w").agg(count(lit(1)).as("n")),
+      BpeMerges))
+
+  /** The merge loop over an arbitrary (w, n) word-frequency table —
+    * private[queries] so the property spec can drive it with generated
+    * corpora against a reference implementation. */
+  private[queries] def bpeTrainOn(wordCounts: DataFrame, rounds: Int)
+      : (Seq[(Long, String, String, Long)], DataFrame) = {
+      var wc = wordCounts
         .select(col("w"),
           concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("ws"), col("n"))
         // the type table is tiny and every iteration rescans it
         .localCheckpoint()
-      val merges = (1 to BpeMerges).map { i =>
+      val merges = (1 to rounds).map { i =>
         val top = wc
           .select(split(trim(col("ws")), " ").as("syms"), col("n"))
           .select(explode(expr(
@@ -816,7 +824,7 @@ object Curation {
         (i.toLong, a, b, cnt)
       }
       (merges, wc.localCheckpoint())
-    })
+  }
 
   private def bpeIterSql(i: Int): String = {
     val prev = s"wc${i - 1}"
