@@ -104,11 +104,15 @@ object Sink {
     }
 
     /** Write `df` as the next generation and atomically repoint the
-      * manifest. Generations older than the immediately-previous one are
-      * deleted (the previous is kept for readers that resolved the
-      * manifest just before the swap). */
+      * manifest. The newest `keepGenerations` generations survive (the
+      * default keeps the live one plus its predecessor, for readers that
+      * resolved the manifest just before the swap); raising it buys
+      * [[readAt]] time travel at the cost of storage — the Iceberg/Delta
+      * snapshot-retention trade, in one knob. */
     def overwrite(
-        spark: org.apache.spark.sql.SparkSession, base: String, df: DataFrame): Unit = {
+        spark: org.apache.spark.sql.SparkSession, base: String, df: DataFrame,
+        keepGenerations: Int = 2): Unit = {
+      require(keepGenerations >= 2, "must keep at least the live + previous generation")
       val f = fs(spark, base)
       val next = currentGen(spark, base).map(_ + 1).getOrElse(0L)
       df.write.mode(SaveMode.Overwrite).parquet(s"$base/gen-$next")
@@ -119,8 +123,8 @@ object Sink {
         new java.net.URI(base), spark.sparkContext.hadoopConfiguration)
       fc.rename(tmp, new org.apache.hadoop.fs.Path(base, Name),
         org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-      // retire generations older than the previous one
-      (0L until next - 1).foreach { g =>
+      // retire generations beyond the retention horizon
+      (0L to next - keepGenerations).foreach { g =>
         val p = new org.apache.hadoop.fs.Path(base, s"gen-$g")
         if (f.exists(p)) f.delete(p, true)
       }
@@ -131,6 +135,28 @@ object Sink {
       val gen = currentGen(spark, base).getOrElse(
         sys.error(s"no $Name at $base — not a manifest table"))
       spark.read.parquet(s"$base/gen-$gen")
+    }
+
+    /** Time-travel read: a PINNED generation (`AS OF` semantics). Fails
+      * loudly when the generation has been retired by retention — a silent
+      * fallback to live data would be a correctness bug in any consumer
+      * doing reproducible reprocessing. */
+    def readAt(spark: org.apache.spark.sql.SparkSession, base: String, gen: Long): DataFrame = {
+      val f = fs(spark, base)
+      val p = new org.apache.hadoop.fs.Path(base, s"gen-$gen")
+      if (!f.exists(p))
+        sys.error(s"generation $gen at $base is retired or never existed " +
+          s"(available: ${generations(spark, base).mkString(",")})")
+      spark.read.parquet(p.toString)
+    }
+
+    /** Generations still on disk, oldest first. */
+    def generations(spark: org.apache.spark.sql.SparkSession, base: String): Seq[Long] = {
+      val f = fs(spark, base)
+      val b = new org.apache.hadoop.fs.Path(base)
+      if (!f.exists(b)) Seq.empty
+      else f.listStatus(b).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("gen-")).map(_.stripPrefix("gen-").toLong).sorted
     }
 
     /** Compact the live generation into `targetFiles` files — a rewrite

@@ -54,6 +54,23 @@ class SinkSpec extends SparkSpec {
     assert(live.inputFiles.length === 2)
   }
 
+  test("Manifest time travel: readAt pins a generation, retention bounds it, retired reads fail loudly") {
+    val base = java.nio.file.Files.createTempDirectory("graft-tt").toString + "/t"
+    (0 to 3).foreach { v =>
+      Sink.Manifest.overwrite(spark, base,
+        Seq((v, s"gen$v")).toDF("k", "v"), keepGenerations = 3)
+    }
+    assert(Sink.Manifest.generations(spark, base) === Seq(1L, 2L, 3L))
+    // AS OF semantics: each retained generation reads back its own data
+    (1 to 3).foreach { g =>
+      assert(Sink.Manifest.readAt(spark, base, g).select("v").head.getString(0) === s"gen$g")
+    }
+    assert(Sink.Manifest.read(spark, base).select("v").head.getString(0) === "gen3")
+    // a retired generation must error, never silently fall back to live
+    val e = intercept[RuntimeException](Sink.Manifest.readAt(spark, base, 0))
+    assert(e.getMessage.contains("retired"))
+  }
+
   test("overwritePartitioned: directory-per-value layout, pruned scans, dynamic overwrite") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString + "/t"
     val df = Seq(("click", 1L), ("click", 2L), ("view", 3L)).toDF("event_type", "v")
