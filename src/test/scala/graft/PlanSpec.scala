@@ -146,4 +146,24 @@ class PlanSpec extends SparkSpec {
     // predicate is pushed into (exactly one of) the embeddings scans
     assert(plan.contains("LessThan(vec_id,10)"), "query-set filter not pushed to scan")
   }
+
+  test("q_window_extras: column pruning survives the window — the scan reads 3 columns") {
+    val plan = formatted("q_window_extras")
+    assert(plan.contains("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint,o_totalprice:double>"),
+      "a window over 3 columns must not widen the orders scan")
+    // one shuffle (on o_custkey) feeds one sort feeding ALL six window
+    // functions (formatted mode lists Exchange arguments separately)
+    assert("hashpartitioning\\(o_custkey".r.findAllIn(plan).size === 1,
+      "all six window functions must share the single per-customer exchange")
+    assert("\\(\\d+\\) Window".r.findAllIn(plan).size === 1,
+      "the six window expressions must collapse into one Window operator")
+  }
+
+  test("q_merge_upsert: one full-outer join on the key, no extra exchanges after AQE") {
+    val plan = formatted("q_merge_upsert")
+    assert(plan.contains("FullOuter"), "merge must be a single full-outer join")
+    // both sides shuffle once on the key; nothing re-exchanges the result
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"expected at most the two key exchanges, got $exchanges")
+  }
 }
