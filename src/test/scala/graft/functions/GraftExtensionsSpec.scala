@@ -27,6 +27,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(r.getDouble(0) === 11.0)
       assert(r.getDouble(1) === 5.0)
       assert(r.getLong(2) === ('a'.toLong * 31 + 'b'.toLong) % 1000000007L)
+      // the injected optimizer rule is live in this session too: a
+      // levenshtein threshold filter plans as the banded form
+      val df = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+        .filter("levenshtein(p_name, 'red widget') <= 2")
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert("levenshtein\\([^)]*Some\\(2\\)\\)".r.findFirstIn(plan).isDefined,
+        s"injectOptimizerRule must apply LevenshteinPruning:\n$plan")
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()
