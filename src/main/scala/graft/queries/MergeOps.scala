@@ -159,5 +159,32 @@ object MergeOps {
           concat_ws("|", col("o_orderkey"), col("o_orderstatus"), col("o_custkey"))))
   }
 
-  val specs: Seq[QuerySpec] = Seq(mergeUpsert, mergeScd2, tableChecksum)
+  /** Incremental aggregate maintenance (the IVM primitive): an existing
+    * per-key aggregate table absorbs a new batch by MERGING partial
+    * states — count adds, and even the double SUM adds exactly because
+    * [[graft.Exact]] quantizes every addend to the 1/256 grid first, which
+    * makes the sum associative: (Σ base) + (Σ batch) is bit-equal to
+    * Σ (base ∪ batch). At 100 TB this is the difference between scanning
+    * the delta and rescanning the world on every refresh. The oracle IS
+    * the from-scratch recompute, so the equivalence is what the hash
+    * compare proves. Base/batch stand in for "yesterday's table" and
+    * "today's ingest" (orderkey mod 4). */
+  val aggIncremental = QuerySpec(
+    "q_agg_incremental",
+    s"""SELECT o_orderstatus, COUNT(1) AS n_orders,
+               ${graft.Exact.sumSql("o_totalprice")} AS total_price
+        FROM orders GROUP BY 1""") {
+    (s, d) =>
+      def partial(df: DataFrame): DataFrame =
+        df.groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("pn"), graft.Exact.sumD(col("o_totalprice")).as("pt"))
+      val base = Tables.orders(s, d).filter(col("o_orderkey") % 4 =!= 1)
+      val batch = Tables.orders(s, d).filter(col("o_orderkey") % 4 === 1)
+      partial(base).unionByName(partial(batch))
+        .groupBy("o_orderstatus")
+        .agg(sum(col("pn")).cast("long").as("n_orders"),
+          sum(col("pt")).as("total_price"))
+  }
+
+  val specs: Seq[QuerySpec] = Seq(mergeUpsert, mergeScd2, tableChecksum, aggIncremental)
 }
