@@ -731,12 +731,12 @@ object Curation {
          FROM documents)
        SELECT c.check_name, c.metric, c.threshold, c.metric >= c.threshold AS passed
        FROM a, LATERAL (VALUES
-         ('doc_id_unique',     dd * 1.0 / n,      1.0),
-         ('doc_id_complete',   id_nn * 1.0 / n,   1.0),
-         ('text_complete',     tx_nn * 1.0 / n,   1.0),
-         ('lang_accepted',     lang_ok * 1.0 / n, 1.0),
-         ('n_chars_consistent', nc_ok * 1.0 / n,  1.0),
-         ('min_len_coverage',  len_ok * 1.0 / n,  0.95)) AS c(check_name, metric, threshold)""") {
+         ('doc_id_unique',     dd / CAST(n AS DOUBLE),      CAST(1.0 AS DOUBLE)),
+         ('doc_id_complete',   id_nn / CAST(n AS DOUBLE),   CAST(1.0 AS DOUBLE)),
+         ('text_complete',     tx_nn / CAST(n AS DOUBLE),   CAST(1.0 AS DOUBLE)),
+         ('lang_accepted',     lang_ok / CAST(n AS DOUBLE), CAST(1.0 AS DOUBLE)),
+         ('n_chars_consistent', nc_ok / CAST(n AS DOUBLE),  CAST(1.0 AS DOUBLE)),
+         ('min_len_coverage',  len_ok / CAST(n AS DOUBLE),  CAST(0.95 AS DOUBLE))) AS c(check_name, metric, threshold)""") {
     (s, d) =>
       val a = docs(s, d).agg(
         count(lit(1)).as("n"),
@@ -746,14 +746,18 @@ object Curation {
         sum(when(col("lang").isin("en", "de", "fr", "es", "zh"), 1).otherwise(0)).as("lang_ok"),
         sum(when(col("n_chars") === length(col("text")), 1).otherwise(0)).as("nc_ok"),
         sum(when(col("n_chars") >= 100, 1).otherwise(0)).as("len_ok"))
+      // metric must be DOUBLE on both engines (int/int IEEE division is
+      // correctly rounded, hence bitwise-identical); a `* 1.0` form would
+      // make Spark emit decimal(38,16) while DuckDB emits double, which
+      // hash-mismatches even though the values render equal
       a.select(expr(
           """stack(6,
-               'doc_id_unique',      dd * 1.0 / n,      1.0D,
-               'doc_id_complete',    id_nn * 1.0 / n,   1.0D,
-               'text_complete',      tx_nn * 1.0 / n,   1.0D,
-               'lang_accepted',      lang_ok * 1.0 / n, 1.0D,
-               'n_chars_consistent', nc_ok * 1.0 / n,   1.0D,
-               'min_len_coverage',   len_ok * 1.0 / n,  0.95D)
+               'doc_id_unique',      dd / CAST(n AS DOUBLE),      1.0D,
+               'doc_id_complete',    id_nn / CAST(n AS DOUBLE),   1.0D,
+               'text_complete',      tx_nn / CAST(n AS DOUBLE),   1.0D,
+               'lang_accepted',      lang_ok / CAST(n AS DOUBLE), 1.0D,
+               'n_chars_consistent', nc_ok / CAST(n AS DOUBLE),   1.0D,
+               'min_len_coverage',   len_ok / CAST(n AS DOUBLE),  0.95D)
              AS (check_name, metric, threshold)"""))
         .withColumn("passed", col("metric") >= col("threshold"))
   }
