@@ -14,7 +14,12 @@ object Bench {
     // absorb session/executor init so it isn't billed to whichever query
     // happens to run first
     spark.range(1000).selectExpr("sum(id)").collect()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // opt-in single-query iteration filter (the driver never sets it)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop-datasource write, NOT count(): count() lets Catalyst prune the
       // final projection, so pure-projection queries (string kernels,

@@ -954,24 +954,36 @@ object TextDedup {
           SELECT doc_id, pr FROM pr3""") {
       (s, d) =>
         val cand = minhashCandShared(s, d)
+        // The graph invariants (edges with degree attached, node set) are
+        // tiny relative to the corpus — the LSH banding bounds them — and
+        // every iteration re-reads them, so materialize once and truncate
+        // their lineage back to the cached candidate table. Joining degree
+        // onto edges HERE removes a per-iteration join: each round is then
+        // one equi-join (rank onto edges) plus one contribution shuffle.
         val edges = cand.select(col("a_id").as("src"), col("b_id").as("dst"))
           .unionByName(cand.select(col("b_id").as("src"), col("a_id").as("dst")))
-        val nodes = edges.select(col("src").as("doc_id")).distinct()
-        val nn = broadcast(nodes.agg(count(lit(1)).as("n")))
         val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-        var pr = nodes.crossJoin(nn)
-          .select(col("doc_id"), expr(s"$Scale div n").as("pr"))
-        for (_ <- 1 to 3) {
-          val contrib = edges
+        val edgesDeg = edges.join(deg, "src").localCheckpoint()
+        val nodes = edgesDeg.select(col("src").as("doc_id")).distinct()
+          .localCheckpoint()
+        val nn = broadcast(nodes.agg(count(lit(1)).as("n")))
+        val base = nodes.crossJoin(nn)
+        var pr = base.select(col("doc_id"), expr(s"$Scale div n").as("pr"))
+        for (i <- 1 to 3) {
+          val contrib = edgesDeg
             .join(pr.toDF("src", "pr"), "src")
-            .join(deg, "src")
             .groupBy(col("dst").as("doc_id"))
             .agg(sum(expr("pr div deg")).as("contrib"))
-          pr = nodes.crossJoin(nn)
+          val next = base
             .join(contrib, Seq("doc_id"), "left")
             .select(col("doc_id"),
               expr(s"(15 * ($Scale div n)) div 100 + (85 * coalesce(contrib, 0)) div 100")
                 .as("pr"))
+          // eager per-round checkpoint: the rank table is |nodes| rows, so
+          // materializing it is cheap, and it keeps every round's physical
+          // plan two shuffles deep instead of growing 3 joins per round
+          // (the GraphX/Pregel pattern; dedupComponents does the same)
+          pr = if (i < 3) next.localCheckpoint() else next
         }
         pr
     }
