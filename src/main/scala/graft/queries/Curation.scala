@@ -893,10 +893,150 @@ object Curation {
           (col("n_chars") * lit(1.0) / col("n_bpe_tokens")).as("chars_per_token"))
   }
 
+  // -------------------------------------------------------------------
+  // Mixture-rate computation
+  // -------------------------------------------------------------------
+
+  /** Mixture-rate SOLVER — the step BEFORE [[sampleWeighted]]: given
+    * per-source token counts (measured from the corpus in one aggregation
+    * pass) and target mixture weights, derive each source's sampling rate
+    * (downsampling when it holds more than its share) and epoch count
+    * (upsampling repeats when it holds less) — the "set the pretraining
+    * mix" computation (DoReMi/Pile-style, with fixed weights). Weights
+    * derive from the source id so the oracle replays them.
+    *
+    * Determinism: the rate is ONE division of two exact integers
+    * (w·T / W·n_tok, both < 2⁵³), so both engines produce the identical
+    * correctly-rounded double; epochs stay entirely in integer ceil
+    * arithmetic. The corpus-sized work is a single groupBy(source) token
+    * count — everything after runs on #sources rows. */
+  val mixRates = QuerySpec(
+    "q_mix_rates",
+    """WITH t AS (SELECT source,
+                         CAST(substr(source, 4) AS INTEGER) % 4 + 1 AS w,
+                         CAST(SUM(CAST(len(str_split(text, ' ')) AS BIGINT)) AS BIGINT) AS n_tok
+                  FROM documents GROUP BY 1, 2),
+         g AS (SELECT CAST(SUM(w) AS BIGINT) AS tw, CAST(SUM(n_tok) AS BIGINT) AS tt FROM t)
+         SELECT source, n_tok, CAST(w AS BIGINT) AS weight,
+                least(CAST(1.0 AS DOUBLE),
+                      CAST(w * tt AS DOUBLE) / CAST(tw * n_tok AS DOUBLE)) AS rate,
+                CAST((w * tt + tw * n_tok - 1) // (tw * n_tok) AS BIGINT) AS epochs
+         FROM t CROSS JOIN g""") {
+    (s, d) =>
+      val t = docs(s, d)
+        .groupBy(col("source"),
+          (expr("CAST(substring(source, 4) AS INT)") % 4 + 1).as("w"))
+        .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_tok"))
+      val g = broadcast(t.agg(
+        sum("w").cast("long").as("tw"), sum("n_tok").cast("long").as("tt")))
+      t.crossJoin(g).select(
+        col("source"), col("n_tok"), col("w").cast("long").as("weight"),
+        least(lit(1.0),
+          (col("w") * col("tt")).cast("double") /
+            (col("tw") * col("n_tok")).cast("double")).as("rate"),
+        expr("(w * tt + tw * n_tok - 1) div (tw * n_tok)").cast("long").as("epochs"))
+  }
+
+  // -------------------------------------------------------------------
+  // KMV sketch algebra: pairwise source Jaccard
+  // -------------------------------------------------------------------
+
+  /** Pairwise vocabulary Jaccard between ALL sources via KMV (bottom-k)
+    * sketch MERGE — the sketch-algebra pass that turns "compare 20 crawls'
+    * vocabularies" from 190 corpus-sized set intersections into one
+    * corpus scan plus arithmetic on 64-row sketches. Each source keeps its
+    * k smallest md5(token) values (k=64, [[graft.ops.Scale.topKPerGroup]]
+    * — partial+final WindowGroupLimit, never a full sort); a pair's merged
+    * sketch is the k smallest of the union, and the Jaccard estimate is
+    * the fraction of those present in BOTH sketches (Beyer et al.'s
+    * K-Min-Values estimator). The EXACT Jaccard rides along from the
+    * (source, token) table — each token touches ≤ sources² pairs, linear
+    * in vocabulary — so the result table itself exhibits the estimator's
+    * error. All counts integer; both ratios are single divisions. */
+  val kmvJaccard = {
+    val k = 64
+    QuerySpec(
+      "q_kmv_jaccard",
+      s"""WITH tok AS (SELECT DISTINCT source, u.token
+                       FROM documents, UNNEST(str_split(text, ' ')) AS u(token)),
+          h AS (SELECT source, md5(token) AS h FROM tok),
+          sk AS (SELECT source, h FROM (
+                   SELECT source, h,
+                          ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+                   FROM h) t
+                 WHERE rn <= $k),
+          srcs AS (SELECT DISTINCT source FROM tok),
+          pairs AS (SELECT a.source AS source_a, b.source AS source_b
+                    FROM srcs a JOIN srcs b ON a.source < b.source),
+          u AS (SELECT p.source_a, p.source_b, s.h
+                FROM pairs p JOIN sk s ON s.source = p.source_a
+                UNION ALL
+                SELECT p.source_a, p.source_b, s.h
+                FROM pairs p JOIN sk s ON s.source = p.source_b),
+          g AS (SELECT source_a, source_b, h, count(*) AS sides
+                FROM u GROUP BY 1, 2, 3),
+          r AS (SELECT source_a, source_b, sides,
+                       ROW_NUMBER() OVER (PARTITION BY source_a, source_b
+                                          ORDER BY h) AS rn
+                FROM g),
+          est AS (SELECT source_a, source_b,
+                         CAST(SUM(CASE WHEN sides = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+                  FROM r WHERE rn <= $k GROUP BY 1, 2),
+          ex AS (SELECT a.source AS source_a, b.source AS source_b,
+                        CAST(count(*) AS BIGINT) AS n_inter
+                 FROM tok a JOIN tok b
+                   ON a.token = b.token AND a.source < b.source
+                 GROUP BY 1, 2),
+          card AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1)
+          SELECT e.source_a, e.source_b, e.n_both,
+                 CAST(e.n_both AS DOUBLE) / $k AS est_jaccard,
+                 CAST(COALESCE(x.n_inter, 0) AS DOUBLE)
+                   / CAST(ca.n + cb.n - COALESCE(x.n_inter, 0) AS DOUBLE) AS exact_jaccard
+          FROM est e
+          LEFT JOIN ex x ON x.source_a = e.source_a AND x.source_b = e.source_b
+          JOIN card ca ON ca.source = e.source_a
+          JOIN card cb ON cb.source = e.source_b""") {
+      (s, d) =>
+        val tok = docs(s, d)
+          .select(col("source"), explode(split(col("text"), " ")).as("token"))
+          .distinct().cache()
+        val skr = graft.ops.Scale.topKPerGroup(
+          tok.select(col("source"), md5(col("token")).as("h")),
+          Seq("source"), col("h"), k).toDF("src", "h")
+        val srcs = tok.select("source").distinct()
+        val pairs = broadcast(
+          srcs.toDF("source_a").crossJoin(srcs.toDF("source_b"))
+            .filter(col("source_a") < col("source_b")))
+        val u = pairs.join(skr, col("src") === col("source_a"))
+          .select("source_a", "source_b", "h")
+          .unionByName(pairs.join(skr, col("src") === col("source_b"))
+            .select("source_a", "source_b", "h"))
+        val g = u.groupBy("source_a", "source_b", "h").agg(count(lit(1)).as("sides"))
+        val est = graft.ops.Scale.topKPerGroup(
+            g, Seq("source_a", "source_b"), col("h"), k)
+          .groupBy("source_a", "source_b")
+          .agg(sum(when(col("sides") === 2, 1L).otherwise(0L)).cast("long").as("n_both"))
+        val ex = tok.toDF("source_a", "tk")
+          .join(tok.toDF("source_b", "tk2"),
+            col("tk") === col("tk2") && col("source_a") < col("source_b"))
+          .groupBy("source_a", "source_b").agg(count(lit(1)).cast("long").as("n_inter"))
+        val card = tok.groupBy("source").agg(count(lit(1)).cast("long").as("n"))
+        est
+          .join(ex, Seq("source_a", "source_b"), "left")
+          .join(card.toDF("source_a", "na"), "source_a")
+          .join(card.toDF("source_b", "nb"), "source_b")
+          .select(col("source_a"), col("source_b"), col("n_both"),
+            (col("n_both").cast("double") / k).as("est_jaccard"),
+            (coalesce(col("n_inter"), lit(0L)).cast("double") /
+              (col("na") + col("nb") - coalesce(col("n_inter"), lit(0L))).cast("double"))
+              .as("exact_jaccard"))
+    }
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     curationIngest, sampleBalanced,
     decontaminate, textRepetition, piiRedact, sampleWeighted,
     packChunks, sketchKmv, sketchBloom, sketchHll, histogramEquidepth,
     splitAssign, sourceOverlap, tfidfTopk, embedProject, qualityAudit,
-    bpeMerges, bpeTokenize)
+    bpeMerges, bpeTokenize, mixRates, kmvJaccard)
 }

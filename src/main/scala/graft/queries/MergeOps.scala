@@ -186,5 +186,81 @@ object MergeOps {
           sum(col("pt")).as("total_price"))
   }
 
-  val specs: Seq[QuerySpec] = Seq(mergeUpsert, mergeScd2, tableChecksum, aggIncremental)
+  /** Change-data-capture feed between two table snapshots — the read-side
+    * twin of [[mergeUpsert]]: given yesterday's and today's state of the
+    * corpus table, emit the Delta-CDF-shaped change rows (`insert`,
+    * `delete`, `update_preimage`/`update_postimage`) a downstream
+    * incremental consumer replays. The new snapshot applies a
+    * deterministic batch the oracle can rebuild: doc_id % 10 == 3 patched,
+    * % 10 == 5 deleted, % 10 == 7 re-inserted under fresh ids.
+    *
+    * Scale shape: ONE full-outer hash join on the key, then a single-pass
+    * explode that emits 0–2 change rows per joined row — the oracle's
+    * four-branch UNION ALL form would scan both snapshots four times.
+    * Row equality is null-safe (`<=>` / IS NOT DISTINCT FROM), so the
+    * diff never misreads a NULL as a change. */
+  val cdcDiff = QuerySpec(
+    "q_cdc_diff",
+    s"""WITH $targetSql,
+        n AS (SELECT doc_id, lang,
+                     CASE WHEN doc_id % 10 = 3 THEN 'patched' ELSE source END AS source,
+                     CASE WHEN doc_id % 10 = 3 THEN n_chars + 1000 ELSE n_chars END AS n_chars
+              FROM documents WHERE doc_id % 10 <> 5
+              UNION ALL
+              SELECT doc_id + 1000000, lang, 'fresh', n_chars
+              FROM documents WHERE doc_id % 10 = 7),
+        same AS (SELECT t.doc_id FROM t JOIN n ON n.doc_id = t.doc_id
+                 WHERE t.lang IS NOT DISTINCT FROM n.lang
+                   AND t.source IS NOT DISTINCT FROM n.source
+                   AND t.n_chars IS NOT DISTINCT FROM n.n_chars)
+        SELECT t.doc_id, t.lang, t.source, t.n_chars, 'delete' AS change_type
+        FROM t WHERE NOT EXISTS (SELECT 1 FROM n WHERE n.doc_id = t.doc_id)
+        UNION ALL
+        SELECT n.doc_id, n.lang, n.source, n.n_chars, 'insert'
+        FROM n WHERE NOT EXISTS (SELECT 1 FROM t WHERE t.doc_id = n.doc_id)
+        UNION ALL
+        SELECT t.doc_id, t.lang, t.source, t.n_chars, 'update_preimage'
+        FROM t JOIN n ON n.doc_id = t.doc_id
+        WHERE t.doc_id NOT IN (SELECT doc_id FROM same)
+        UNION ALL
+        SELECT n.doc_id, n.lang, n.source, n.n_chars, 'update_postimage'
+        FROM n JOIN t ON t.doc_id = n.doc_id
+        WHERE n.doc_id NOT IN (SELECT doc_id FROM same)""") {
+    (s, d) =>
+      val t = target(s, d).toDF("t_id", "t_lang", "t_source", "t_n")
+      val base = target(s, d)
+      val nw = base.filter(col("doc_id") % 10 =!= 5)
+        .select(col("doc_id"), col("lang"),
+          when(col("doc_id") % 10 === 3, "patched").otherwise(col("source")).as("source"),
+          when(col("doc_id") % 10 === 3, col("n_chars") + 1000).otherwise(col("n_chars")).as("n_chars"))
+        .unionByName(base.filter(col("doc_id") % 10 === 7)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+            lit("fresh").as("source"), col("n_chars")))
+        .toDF("n_id", "n_lang", "n_source", "n_n")
+      val joined = t.join(nw, col("n_id") === col("t_id"), "full_outer")
+      val sameRow = col("t_lang") <=> col("n_lang") &&
+        col("t_source") <=> col("n_source") && col("t_n") <=> col("n_n")
+      // one pass: each joined row explodes to its (old-side, new-side)
+      // candidates, classified and filtered — no re-scan per change type
+      joined
+        .select(col("*"), explode(array(
+          struct(lit("old").as("side"), col("t_id").as("doc_id"), col("t_lang").as("lang"),
+            col("t_source").as("source"), col("t_n").as("n_chars")),
+          struct(lit("new").as("side"), col("n_id").as("doc_id"), col("n_lang").as("lang"),
+            col("n_source").as("source"), col("n_n").as("n_chars")))).as("r"))
+        .withColumn("change_type",
+          when(col("r.side") === "old",
+            when(col("n_id").isNull, "delete")
+              .when(col("t_id").isNotNull && !sameRow, "update_preimage"))
+          .otherwise(
+            when(col("t_id").isNull, "insert")
+              .when(col("n_id").isNotNull && !sameRow, "update_postimage")))
+        .filter(col("change_type").isNotNull)
+        .select(col("r.doc_id").as("doc_id"), col("r.lang").as("lang"),
+          col("r.source").as("source"), col("r.n_chars").as("n_chars"),
+          col("change_type"))
+  }
+
+  val specs: Seq[QuerySpec] =
+    Seq(mergeUpsert, mergeScd2, tableChecksum, aggIncremental, cdcDiff)
 }

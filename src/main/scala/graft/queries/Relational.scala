@@ -893,8 +893,41 @@ object Relational {
     }
   }
 
+  /** WITH RECURSIVE (Spark 4's recursive CTE, SPARK-24497): ancestor
+    * expansion over the implicit supplier hierarchy parent(s) = s div 2 —
+    * the org-chart/BOM traversal shape SQL engines express recursively.
+    * Each recursion step JOINs back to the supplier table (the distributed
+    * case, not pure arithmetic unrolling), and depth is bounded by
+    * log₂(max key), so the fixpoint converges in ~20 iterations at any SF
+    * (well under Spark's 100-level recursion limit). Spark executes each
+    * step as an incremental UNION over the previous frontier — the same
+    * loop dedupComponents hand-rolls — and the frontier halves per step,
+    * so no iteration outgrows the first. */
+  val recursiveCte = QuerySpec(
+    "q_recursive_cte",
+    """WITH RECURSIVE anc AS (
+         SELECT s_suppkey AS id, s_suppkey // 2 AS anc_id, CAST(1 AS BIGINT) AS depth
+         FROM supplier WHERE s_suppkey // 2 >= 1
+         UNION ALL
+         SELECT a.id, s.s_suppkey // 2, a.depth + 1
+         FROM anc a JOIN supplier s ON s.s_suppkey = a.anc_id
+         WHERE s.s_suppkey // 2 >= 1)
+       SELECT id, anc_id, depth FROM anc""") {
+    (s, d) =>
+      Tables.supplier(s, d).createOrReplaceTempView("supplier")
+      s.sql(
+        """WITH RECURSIVE anc AS (
+          |  SELECT s_suppkey AS id, s_suppkey div 2 AS anc_id, CAST(1 AS BIGINT) AS depth
+          |  FROM supplier WHERE s_suppkey div 2 >= 1
+          |  UNION ALL
+          |  SELECT a.id, s.s_suppkey div 2, a.depth + 1
+          |  FROM anc a JOIN supplier s ON s.s_suppkey = a.anc_id
+          |  WHERE s.s_suppkey div 2 >= 1)
+          |SELECT id, anc_id, depth FROM anc""".stripMargin)
+  }
+
   val specs: Seq[QuerySpec] = Seq(
-    zorderKey,
+    zorderKey, recursiveCte,
     sortLimit, pricingSummary, skewSaltedJoin, join5Revenue,
     rollupTotals, cubeTotals, groupingSetsTotals, fuzzyMatch,
     countDistinct_, stringAgg, semiAntiJoin, setOps,

@@ -617,7 +617,63 @@ object Similarity {
           sum(when(col("nrm") < 1e-6, 1).otherwise(0)).as("n_degenerate"))
   }
 
+  /** Int8 scalar quantization of the embedding column — the 4× storage/
+    * bandwidth compression an ANN serving tier applies before indexing
+    * (per-dimension absmax symmetric quantization, the faiss `SQ8` /
+    * sentence-transformers int8 scheme). Pass 1 computes the 64 per-dim
+    * absmax scales (one explode + groupBy, corpus-sized but 2 columns
+    * wide); pass 2 broadcasts the 64-entry scale vector and quantizes
+    * every vector in a single codegen'd projection, emitting the int8
+    * codes plus the max absolute reconstruction error per vector (the
+    * fidelity audit column).
+    *
+    * Determinism: float→double casts are exact; each lane is
+    * round(v·127/m) where both engines see the identical double operands
+    * in the identical order, and round-half-away ties agree; the
+    * reconstruction error is a max (order-independent) over per-lane
+    * doubles computed with the same expression tree. The scale floor
+    * (1e-30) only guards an all-zero dimension. */
+  val embedQuantize = QuerySpec(
+    "q_embed_quantize",
+    """WITH dm AS (SELECT j, greatest(max(abs(CAST(embedding[j] AS DOUBLE))),
+                                      CAST(1e-30 AS DOUBLE)) AS m
+                   FROM embeddings, UNNEST(generate_series(1, 64)) AS u(j)
+                   GROUP BY 1),
+         sl AS (SELECT list(m ORDER BY j) AS sl FROM dm)
+       SELECT vec_id, label,
+              array_to_string(list_transform(generate_series(1, 64),
+                qz_j -> CAST(round(CAST(embedding[qz_j] AS DOUBLE)
+                                   * CAST(127 AS DOUBLE) / sl[qz_j]) AS BIGINT)), ',') AS q,
+              list_max(list_transform(generate_series(1, 64),
+                qz_j -> abs(CAST(embedding[qz_j] AS DOUBLE)
+                            - CAST(round(CAST(embedding[qz_j] AS DOUBLE)
+                                         * CAST(127 AS DOUBLE) / sl[qz_j]) AS BIGINT)
+                              * sl[qz_j] / CAST(127 AS DOUBLE)))) AS max_abs_err
+       FROM embeddings CROSS JOIN sl""") {
+    (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val dm = e.select(posexplode(col("embedding")).as(Seq("j0", "v")))
+        .groupBy((col("j0") + 1).as("j"))
+        .agg(greatest(max(abs(col("v").cast("double"))), lit(1e-30)).as("m"))
+      // 64 rows -> one array column, ordered by dimension (array_sort on
+      // the (j, m) struct sorts by j), broadcast to the quantizing scan
+      val sl = broadcast(dm.agg(
+        expr("transform(array_sort(collect_list(struct(j, m))), x -> x.m)").as("sl")))
+      e.crossJoin(sl).select(
+        col("vec_id"), col("label"),
+        expr("""array_join(transform(sequence(1, 64),
+                  qz_j -> CAST(round(CAST(element_at(embedding, qz_j) AS DOUBLE)
+                                     * CAST(127 AS DOUBLE) / element_at(sl, qz_j)) AS BIGINT)), ',')""")
+          .as("q"),
+        expr("""array_max(transform(sequence(1, 64),
+                  qz_j -> abs(CAST(element_at(embedding, qz_j) AS DOUBLE)
+                              - CAST(round(CAST(element_at(embedding, qz_j) AS DOUBLE)
+                                           * CAST(127 AS DOUBLE) / element_at(sl, qz_j)) AS BIGINT)
+                                * element_at(sl, qz_j) / CAST(127 AS DOUBLE))))""")
+          .as("max_abs_err"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     embedCosineNearDup, topkBruteForce, topkLshBucketed, topkLshMultiprobe,
-    topkIvf, topkRecall, semDedup, clusterStats, embedStats)
+    topkIvf, topkRecall, semDedup, clusterStats, embedStats, embedQuantize)
 }

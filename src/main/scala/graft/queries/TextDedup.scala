@@ -989,6 +989,59 @@ object TextDedup {
     }
   }
 
+  /** Triangle census of the near-dup candidate graph: triangle count,
+    * wedge (open-triple) count, and the global clustering coefficient
+    * 3·Δ/wedges — the structural health check a dedup pipeline reads
+    * before trusting connected components (a clustering coefficient near 1
+    * means candidate neighborhoods are genuine duplicate cliques; near 0
+    * means the LSH bands are chaining unrelated docs and the component
+    * pass will over-merge).
+    *
+    * The classic distributed formulation: edges kept in canonical a<b
+    * orientation, triangles enumerated as two hash joins (wedge build on
+    * the middle vertex, then a closing-edge equi-join on BOTH endpoints) —
+    * never an all-pairs product, and every join key is an edge endpoint,
+    * so it partitions on vertex id at any scale. Wedges are
+    * Σ deg·(deg−1)/2 over the symmetrized degree table — pure integer
+    * arithmetic, so the coefficient's single division is the only double
+    * op and both engines round it identically. */
+  val triangleCount = QuerySpec(
+    "q_triangle_count",
+    s"""WITH ${shingleSql(3)},
+        $minhashCandSql,
+        tri AS (SELECT count(*) AS n_triangles
+                FROM cand e1
+                JOIN cand e2 ON e2.a_id = e1.b_id
+                JOIN cand e3 ON e3.a_id = e1.a_id AND e3.b_id = e2.b_id),
+        deg AS (SELECT v, count(*) AS dg FROM (
+                  SELECT a_id AS v FROM cand
+                  UNION ALL SELECT b_id FROM cand) e GROUP BY 1),
+        wdg AS (SELECT COALESCE(SUM(dg * (dg - 1) // 2), 0) AS n_wedges FROM deg)
+        SELECT CAST(n_triangles AS BIGINT) AS n_triangles,
+               CAST(n_wedges AS BIGINT) AS n_wedges,
+               CASE WHEN n_wedges > 0
+                    THEN 3.0 * n_triangles / CAST(n_wedges AS DOUBLE)
+                    ELSE 0.0 END AS clustering_coeff
+        FROM tri CROSS JOIN wdg""") {
+    (s, d) =>
+      val cand = minhashCandShared(s, d)
+      val e1 = cand.toDF("a", "b")
+      val e2 = cand.toDF("b", "c")
+      val e3 = cand.toDF("a", "c")
+      val tri = e1.join(e2, "b").join(e3, Seq("a", "c"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val deg = cand.select(col("a_id").as("v"))
+        .unionByName(cand.select(col("b_id").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("dg"))
+      val wdg = deg.agg(coalesce(sum(expr("dg * (dg - 1) div 2")), lit(0L)).as("n_wedges"))
+      tri.crossJoin(wdg)
+        .select(col("n_triangles").cast("long").as("n_triangles"),
+          col("n_wedges").cast("long").as("n_wedges"),
+          when(col("n_wedges") > 0,
+            lit(3.0) * col("n_triangles") / col("n_wedges").cast("double"))
+            .otherwise(0.0).as("clustering_coeff"))
+  }
+
   /** Zipf/coverage profile of the full vocabulary: every token type ranked
     * by frequency with its CUMULATIVE corpus share — the curve a tokenizer
     * design reads off ("how many types cover 95% of tokens" sets the vocab
@@ -1076,5 +1129,5 @@ object TextDedup {
     dedupLshVerified, dedupLshRecall,
     dedupSimhash, dedupSimhashHamming, dedupComponents, dedupKeep, dedupIncremental,
     curationPipeline, sampleDeterministic, sampleStratified, vocabTop, vocabZipf,
-    pagerank)
+    pagerank, triangleCount)
 }
