@@ -339,8 +339,90 @@ object EventsMultimodal {
         .agg(count(lit(1)).as("n"), min("k").as("min_k"), max("k").as("max_k"))
   }
 
+  /** Date-spine gap filling with forward fill — the time-series
+    * regularization pass (make every (user, day) exist, carry the last
+    * observed value across silent days) that feeds rolling features and
+    * charting. The spine is generated per key from its own [min, max] day
+    * (sequence + explode — no driver-side calendar), the observed daily
+    * aggregate left-joins onto it, and the carry-forward is
+    * `last(value, ignoreNulls)` over an unbounded-preceding frame.
+    *
+    * Scale shape: everything keys on user_id — the daily pre-aggregation
+    * shuffles once, the spine join and the fill window reuse that
+    * partitioning, and no window ever spans more than one key's days. The
+    * daily sum routes through [[graft.Exact]] so the carried doubles are
+    * bitwise cross-engine. */
+  val gapFill = QuerySpec(
+    "q_gap_fill",
+    s"""WITH dv AS (SELECT user_id, CAST(ts AS DATE) AS d,
+                           CAST(count(*) AS BIGINT) AS n_events,
+                           ${graft.Exact.sumSql("value")} AS day_value
+                    FROM events GROUP BY 1, 2),
+        b AS (SELECT user_id, min(d) AS d0, max(d) AS d1 FROM dv GROUP BY 1),
+        sp AS (SELECT user_id, CAST(u.gs AS DATE) AS d
+               FROM b, UNNEST(generate_series(b.d0, b.d1, INTERVAL 1 DAY)) AS u(gs))
+        SELECT sp.user_id, sp.d,
+               COALESCE(dv.n_events, 0) AS n_events,
+               (dv.n_events IS NULL) AS is_gap,
+               last_value(dv.day_value IGNORE NULLS)
+                 OVER (PARTITION BY sp.user_id ORDER BY sp.d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+        FROM sp LEFT JOIN dv ON dv.user_id = sp.user_id AND dv.d = sp.d""") {
+    (s, d) =>
+      val dv = Tables.events(s, d)
+        .groupBy(col("user_id"), col("ts").cast("date").as("d"))
+        .agg(count(lit(1)).as("n_events"), graft.Exact.sumD(col("value")).as("day_value"))
+      val sp = dv.groupBy("user_id").agg(min("d").as("d0"), max("d").as("d1"))
+        .select(col("user_id"), explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
+      val w = Window.partitionBy("user_id").orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      sp.join(dv, Seq("user_id", "d"), "left")
+        .select(col("user_id"), col("d"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          col("n_events").isNull.as("is_gap"),
+          last(col("day_value"), ignoreNulls = true).over(w).as("filled_value"))
+  }
+
+  /** Per-group z-score outlier flagging — the statistical anomaly gate a
+    * metrics pipeline runs per segment (here per event_type). Both moments
+    * come from ONE grouped pass (Σx and Σx² via [[graft.Exact]], so the
+    * partial-aggregation order can't perturb them); the tiny per-group
+    * moment table broadcasts back onto the event scan, making the whole
+    * operator one shuffle of #groups rows plus two corpus-local
+    * projections. Variance uses the E[x²]−mean² form — fine here because
+    * the quantized sums are exact, not approximated. */
+  val outlierZscore = QuerySpec(
+    "q_outlier_zscore",
+    s"""WITH m AS (SELECT event_type,
+                          CAST(count(*) AS BIGINT) AS n,
+                          ${graft.Exact.sumSql("value")} AS sx,
+                          ${graft.Exact.sumSql("value * value")} AS sxx
+                   FROM events GROUP BY 1),
+        st AS (SELECT event_type, n, sx / n AS mean,
+                      sqrt(greatest(sxx / n - (sx / n) * (sx / n),
+                                    CAST(0 AS DOUBLE))) AS sd
+               FROM m)
+        SELECT e.event_id, e.event_type, e.value,
+               (e.value - st.mean) / st.sd AS z
+        FROM events e JOIN st ON st.event_type = e.event_type
+        WHERE abs((e.value - st.mean) / st.sd) > 2.0""") {
+    (s, d) =>
+      val ev = Tables.events(s, d)
+      val m = ev.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        graft.Exact.sumD(col("value")).as("sx"),
+        graft.Exact.sumD(col("value") * col("value")).as("sxx"))
+      val st = m.select(col("event_type"), (col("sx") / col("n")).as("mean"),
+        sqrt(greatest(col("sxx") / col("n") - (col("sx") / col("n")) * (col("sx") / col("n")),
+          lit(0.0))).as("sd"))
+      ev.join(broadcast(st), "event_type")
+        .withColumn("z", (col("value") - col("mean")) / col("sd"))
+        .filter(abs(col("z")) > 2.0)
+        .select("event_id", "event_type", "value", "z")
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     streamWindow, streamSliding, sessionWindow, sessionize, multimodalMeta,
     asofJoin, rangeJoinBinned,
-    sketchCountMin, rollingFrames, funnel, jsonExtract)
+    sketchCountMin, rollingFrames, funnel, jsonExtract, gapFill, outlierZscore)
 }

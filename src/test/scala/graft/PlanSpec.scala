@@ -166,4 +166,63 @@ class PlanSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(exchanges <= 2, s"expected at most the two key exchanges, got $exchanges")
   }
+
+  test("q_cdc_diff: single-pass diff — one full-outer join, explode, three scans") {
+    val plan = formatted("q_cdc_diff")
+    assert(plan.contains("FullOuter"), "the diff must join full-outer")
+    assert("""\(\d+\) \w*Join""".r.findAllIn(plan).size === 1,
+      s"the diff must be exactly one join operator:\n$plan")
+    assert(plan.contains("Generate") && plan.contains("explode"),
+      "change rows must come from one explode pass")
+    // old side scans documents once, the synthesized new snapshot twice —
+    // the oracle's four-branch UNION ALL form costs 8+; regressing to it
+    // would double-scan both 100 TB snapshots per change type
+    val scans = "documents.parquet".r.findAllIn(plan).size
+    assert(scans === 3, s"expected 3 documents scans, got $scans:\n$plan")
+  }
+
+  test("q_embed_quantize: the 64-entry scale vector broadcasts; corpus never shuffles") {
+    val plan = formatted("q_embed_quantize")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "scales must join via broadcast cross-join")
+    // the quantizing pass must not exchange the embeddings table: the only
+    // shuffle is the 64-row dimension aggregation
+    val exchanges = "hashpartitioning\\(j".r.findAllIn(plan).size
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2,
+      s"only the tiny per-dim agg may shuffle:\n$plan")
+  }
+
+  test("q_kmv_jaccard: per-source sketches stay WindowGroupLimit-bounded") {
+    val plan = SparkEntry.queries("q_kmv_jaccard")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      "bottom-k sketch selection must be a bounded heap, not a full per-source sort")
+  }
+
+  test("q_gap_fill: spine join and forward fill reuse the user_id partitioning") {
+    val plan = formatted("q_gap_fill")
+    assert("\\(\\d+\\) Window".r.findAllIn(plan).size === 1,
+      "one Window operator carries the forward fill")
+    assert(!plan.contains("SortMergeJoin") || plan.contains("hashpartitioning(user_id"),
+      s"spine join must key on user_id:\n$plan")
+  }
+
+  test("q_outlier_zscore: the per-group moment table broadcasts back onto the scan") {
+    val plan = formatted("q_outlier_zscore")
+    assert(plan.contains("BroadcastHashJoin"),
+      "moments must broadcast — an SMJ here shuffles the full event stream")
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q_triangle_count: closing joins are equi-joins, never a cartesian product") {
+    val plan = formatted("q_triangle_count")
+    assert(!plan.contains("CartesianProduct"),
+      s"triangle enumeration must stay equi-keyed:\n$plan")
+  }
+
+  test("q_pagerank: per-round checkpoints truncate the iteration lineage") {
+    val plan = formatted("q_pagerank")
+    assert(plan.contains("ExistingRDD"),
+      "rank iterations must read the checkpointed previous round, not replay it")
+  }
 }
