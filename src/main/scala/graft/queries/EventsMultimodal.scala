@@ -421,8 +421,40 @@ object EventsMultimodal {
         .select("event_id", "event_type", "value", "z")
   }
 
+  /** Time-based RANGE window frames: per-user trailing-1-hour statistics —
+    * the VALUE-based frame ([[rollingFrames]] is the ROWS twin). Spark's
+    * rangeBetween needs a numeric ordering column, so the frame runs over
+    * epoch microseconds (exactly what DuckDB's `RANGE BETWEEN <n>
+    * PRECEDING` sees via epoch_us) — identical frame boundaries by
+    * construction, including ties. Count/min/max only: order-safe
+    * cross-engine with no float accumulation. Same scale shape as every
+    * per-user window: one shuffle on user_id, sort within partitions. */
+  val rollingTime = QuerySpec(
+    "q_rolling_time",
+    """WITH e AS (SELECT event_id, user_id, value, epoch_us(ts) AS ts_us FROM events)
+       SELECT event_id, user_id,
+              COUNT(1) OVER w AS n_1h,
+              min(value) OVER w AS min_1h,
+              max(value) OVER w AS max_1h
+       FROM e
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""") {
+    (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts_us")
+        .rangeBetween(-3600000000L, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("value"),
+          unix_micros(col("ts")).as("ts_us"))
+        .select(
+          col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("n_1h"),
+          min("value").over(w).as("min_1h"),
+          max("value").over(w).as("max_1h"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     streamWindow, streamSliding, sessionWindow, sessionize, multimodalMeta,
     asofJoin, rangeJoinBinned,
-    sketchCountMin, rollingFrames, funnel, jsonExtract, gapFill, outlierZscore)
+    sketchCountMin, rollingFrames, funnel, jsonExtract, gapFill, outlierZscore,
+    rollingTime)
 }

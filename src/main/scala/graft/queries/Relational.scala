@@ -926,8 +926,31 @@ object Relational {
           |SELECT id, anc_id, depth FROM anc""".stripMargin)
   }
 
+  /** Schema-drift union — the batch-append shape every long-lived table
+    * hits when an upstream adds/drops columns mid-history: the old batch
+    * carries `o_totalprice`, the new batch replaced it with `priority`.
+    * `unionByName(allowMissingColumns = true)` aligns by NAME and
+    * null-fills each side's missing columns (positional UNION would
+    * silently mis-bind or fail); the oracle spells out the aligned
+    * NULL-padded union the operator is contracted to produce. Pure
+    * narrow op — no shuffle at any scale. */
+  val schemaDrift = QuerySpec(
+    "q_schema_drift",
+    """SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS priority
+       FROM orders WHERE o_orderkey % 2 = 0
+       UNION ALL
+       SELECT o_orderkey, CAST(NULL AS DOUBLE), o_orderpriority
+       FROM orders WHERE o_orderkey % 2 = 1""") {
+    (s, d) =>
+      val v1 = Tables.orders(s, d).filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val v2 = Tables.orders(s, d).filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_orderpriority").as("priority"))
+      v1.unionByName(v2, allowMissingColumns = true)
+  }
+
   val specs: Seq[QuerySpec] = Seq(
-    zorderKey, recursiveCte,
+    zorderKey, recursiveCte, schemaDrift,
     sortLimit, pricingSummary, skewSaltedJoin, join5Revenue,
     rollupTotals, cubeTotals, groupingSetsTotals, fuzzyMatch,
     countDistinct_, stringAgg, semiAntiJoin, setOps,

@@ -119,15 +119,25 @@ object StreamOps {
     * them — state stays proportional to the interval, not the stream.
     * (An unbounded-condition stream-stream join would buffer forever;
     * the time bound is what makes this a 100 TB-viable operator.) */
-  def joinWithinInterval(clicks: DataFrame, views: DataFrame): DataFrame = {
+  /** `joinType` extends the operator to the OUTER stream-stream case:
+    * with "left_outer", a click whose lookback window closes (both
+    * watermarks past click_ts) without any view emits once with NULL
+    * view columns — the "unattributed click" row an attribution pipeline
+    * needs, producible only because the watermarks bound how long the
+    * engine must wait before declaring no match. */
+  def joinWithinInterval(
+      clicks: DataFrame, views: DataFrame,
+      joinType: String = "inner"): DataFrame = {
     val c = clicks.withWatermark("ts", "10 minutes")
       .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
     val v = views.withWatermark("ts", "10 minutes")
-      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+      .select(col("user_id").as("v_user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
     c.join(v,
-      c("user_id") === v("user_id") &&
+      c("user_id") === v("v_user_id") &&
         col("view_ts") <= col("click_ts") &&
-        col("view_ts") >= col("click_ts") - expr("INTERVAL 10 MINUTES"))
+        col("view_ts") >= col("click_ts") - expr("INTERVAL 10 MINUTES"),
+      joinType)
       .select(c("user_id"), col("click_id"), col("view_id"),
         col("click_ts"), col("view_ts"))
   }

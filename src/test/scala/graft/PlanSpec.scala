@@ -225,4 +225,33 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("ExistingRDD"),
       "rank iterations must read the checkpointed previous round, not replay it")
   }
+
+  test("runtime bloom-filter join: a selective dim filter injects a bloom probe on the fact side") {
+    // the runtime-filter path that matters at 100 TB: when the dimension
+    // side of a shuffle join is filtered selectively, Spark builds a bloom
+    // over its join keys and pre-filters the fact scan (InjectRuntimeFilter)
+    // — rows that can't match never enter the fact-side exchange. Pin that
+    // the engine's tables + plans are eligible for it (thresholds lowered
+    // to fire at test scale; at production scale the defaults govern).
+    import org.apache.spark.sql.functions._
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val prev = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set(keys(0), "true")
+      spark.conf.set(keys(1), "0")
+      spark.conf.set(keys(2), "-1") // force a shuffle join: that's the case bloom helps
+      val o = Tables.orders(spark, sf).filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val l = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+      val plan = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"expected an injected bloom-filter probe on the fact side:\n$plan")
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
 }

@@ -189,6 +189,41 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("joinWithinInterval left_outer: an unattributed click emits NULLs once its window closes") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicksIn = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val viewsIn = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    val joined = StreamOps.joinWithinInterval(
+      clicksIn.toDF().toDF(cols: _*), viewsIn.toDF().toDF(cols: _*), "left_outer")
+    val q = joined.writeStream.format("memory").queryName("interval_outer")
+      .outputMode("append").start()
+    try {
+      // user 1's click has a view in-window; user 3's click has none
+      viewsIn.addData((10L, ts("2024-01-01 00:05:00"), 1L, "view", 0.0))
+      clicksIn.addData(
+        (1L, ts("2024-01-01 00:08:00"), 1L, "click", 1.0),
+        (3L, ts("2024-01-01 00:08:00"), 3L, "click", 1.0))
+      q.processAllAvailable()
+      // push BOTH watermarks far past click_ts + interval so the engine can
+      // prove no view will ever arrive for user 3 — only then may the outer
+      // row (with NULL view columns) be emitted
+      viewsIn.addData((99L, ts("2024-01-01 02:00:00"), 9L, "view", 0.0))
+      clicksIn.addData((98L, ts("2024-01-01 02:00:00"), 9L, "click", 0.0))
+      q.processAllAvailable()
+      // one more batch: outer rows flush on the watermark AFTER the advance
+      viewsIn.addData((97L, ts("2024-01-01 02:30:00"), 9L, "view", 0.0))
+      clicksIn.addData((96L, ts("2024-01-01 02:30:00"), 9L, "click", 0.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+          "SELECT click_id, view_id FROM interval_outer WHERE click_id IN (1, 3)")
+        .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toSet
+      assert(rows === Set((1L, Some(10L)), (3L, None)),
+        "matched click pairs; unmatched click emits exactly one NULL-view row")
+    } finally q.stop()
+  }
+
   test("dedupeStream drops re-delivered event ids within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
