@@ -1033,10 +1033,51 @@ object Curation {
     }
   }
 
+  // -------------------------------------------------------------------
+  // Per-document overlapping chunking (RAG-style)
+  // -------------------------------------------------------------------
+
+  /** Per-document sliding-window chunk index: 64-token windows every 48
+    * tokens (16-token overlap) — the RAG/long-context chunking layout, as
+    * opposed to [[packChunks]]' cross-document concatenation. Chunk count
+    * stays in integer ceil arithmetic with NON-NEGATIVE operands only
+    * (DuckDB `//` and Spark `div` agree on non-negatives; they'd diverge
+    * floor-vs-trunc below zero), and the index is computed from per-row
+    * token counts alone — a pure explode, no shuffle, no text
+    * materialization. */
+  val chunkOverlap = {
+    val W = 64; val S = 48
+    QuerySpec(
+      "q_chunk_overlap",
+      s"""WITH t AS (SELECT doc_id,
+                            CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok
+                     FROM documents)
+          SELECT doc_id, CAST(u.c AS BIGINT) AS chunk_id,
+                 u.c * $S AS tok_begin,
+                 least(u.c * $S + $W, n_tok) AS tok_end,
+                 least(u.c * $S + $W, n_tok) - u.c * $S AS n_chunk_tokens
+          FROM t, UNNEST(generate_series(0,
+                 CASE WHEN n_tok > $W THEN (n_tok - $W + ${S - 1}) // $S ELSE 0 END)) AS u(c)""") {
+      (s, d) =>
+        docs(s, d)
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tok"))
+          .select(col("doc_id"), col("n_tok"),
+            explode(expr(
+              s"sequence(0, CASE WHEN n_tok > $W THEN (n_tok - $W + ${S - 1}) div $S ELSE 0 END)"))
+              .as("chunk_id"))
+          .select(col("doc_id"), col("chunk_id"),
+            (col("chunk_id") * S).as("tok_begin"),
+            least(col("chunk_id") * S + W, col("n_tok")).as("tok_end"),
+            (least(col("chunk_id") * S + W, col("n_tok")) - col("chunk_id") * S)
+              .as("n_chunk_tokens"))
+    }
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     curationIngest, sampleBalanced,
     decontaminate, textRepetition, piiRedact, sampleWeighted,
     packChunks, sketchKmv, sketchBloom, sketchHll, histogramEquidepth,
     splitAssign, sourceOverlap, tfidfTopk, embedProject, qualityAudit,
-    bpeMerges, bpeTokenize, mixRates, kmvJaccard)
+    bpeMerges, bpeTokenize, mixRates, kmvJaccard, chunkOverlap)
 }

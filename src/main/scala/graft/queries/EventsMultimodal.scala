@@ -452,9 +452,37 @@ object EventsMultimodal {
           max("value").over(w).as("max_1h"))
   }
 
+  /** Per-group winsorization: clip each segment's values to its own
+    * [p05, p95] — the robust-normalization twin of [[outlierZscore]]
+    * (clip, don't drop). The per-group bounds are PERCENTILE_DISC
+    * (element SELECTION — bitwise cross-engine, no interpolation
+    * arithmetic), computed in one grouped pass over #groups rows of
+    * state, then broadcast back onto the scan; the clip itself is a pure
+    * codegen least/greatest projection. */
+  val winsorize = QuerySpec(
+    "q_winsorize",
+    """WITH p AS (SELECT event_type,
+                         percentile_disc(0.05) WITHIN GROUP (ORDER BY value) AS lo,
+                         percentile_disc(0.95) WITHIN GROUP (ORDER BY value) AS hi
+                  FROM events GROUP BY 1)
+       SELECT e.event_id, e.event_type, e.value,
+              least(greatest(e.value, p.lo), p.hi) AS clipped,
+              (e.value < p.lo OR e.value > p.hi) AS was_clipped
+       FROM events e JOIN p ON p.event_type = e.event_type""") {
+    (s, d) =>
+      val ev = Tables.events(s, d)
+      val p = ev.groupBy("event_type").agg(
+        expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY value)").as("lo"),
+        expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY value)").as("hi"))
+      ev.join(broadcast(p), "event_type")
+        .select(col("event_id"), col("event_type"), col("value"),
+          least(greatest(col("value"), col("lo")), col("hi")).as("clipped"),
+          (col("value") < col("lo") || col("value") > col("hi")).as("was_clipped"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     streamWindow, streamSliding, sessionWindow, sessionize, multimodalMeta,
     asofJoin, rangeJoinBinned,
     sketchCountMin, rollingFrames, funnel, jsonExtract, gapFill, outlierZscore,
-    rollingTime)
+    rollingTime, winsorize)
 }
