@@ -32,5 +32,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("rolling_hash31"),
       info("rolling_hash31", "rolling_hash31(s) - 31-polynomial rolling hash mod 1e9+7"),
       es => VectorExpressions.RollingHash31(es.head)))
+    ext.injectFunction((
+      FunctionIdentifier("kmv_sketch"),
+      info("kmv_sketch", "kmv_sketch(hash_col, k) - bottom-k distinct values, sorted"),
+      SketchAggregates.build))
   }
 }

@@ -1074,10 +1074,56 @@ object Curation {
     }
   }
 
+  /** The KMV sketch as a CUSTOM AGGREGATE FUNCTION
+    * ([[graft.functions.SketchAggregates.KmvSketchAgg]], a
+    * TypedImperativeAggregate): per-source bottom-16 distinct token-hash
+    * values in ONE groupBy — the aggregation buffer itself holds the
+    * bound, so the shuffle carries ≤k longs per (map partition × source)
+    * where the window form ([[sketchKmv]], [[kmvJaccard]]) ranks the full
+    * hash stream after the shuffle. Union-then-truncate merging is
+    * order-independent, which is what makes this oracle-verifiable: DuckDB
+    * reproduces the identical sketch with a sort+slice. The estimator
+    * rides along: (n−1)·2³²/max over the 32-bit hash space. Sketch emitted
+    * comma-joined (the driver compare can't hash LIST cells). */
+  val kmvAgg = {
+    val k = 16
+    QuerySpec(
+      "q_kmv_agg",
+      s"""WITH tok AS (SELECT DISTINCT source, u.token
+                       FROM documents, UNNEST(str_split(text, ' ')) AS u(token)),
+          h AS (SELECT source, list_reduce(list_transform(generate_series(1, 8),
+                         zz -> CAST(strpos('0123456789abcdef',
+                                           substr(md5(token), zz, 1)) - 1 AS BIGINT)),
+                       (zza, zzc) -> zza * 16 + zzc) AS hv
+                FROM tok),
+          sk AS (SELECT source, list_sort(list(DISTINCT hv))[1:$k] AS skl
+                 FROM h GROUP BY 1)
+          SELECT source,
+                 array_to_string(list_transform(skl, zzq -> CAST(zzq AS VARCHAR)), ',') AS sketch,
+                 CAST(len(skl) AS BIGINT) AS n_held,
+                 CAST((len(skl) - 1) * 4294967296 // skl[-1] AS BIGINT) AS est_distinct
+          FROM sk""") {
+      (s, d) =>
+        graft.functions.SketchAggregates.register(s)
+        docs(s, d)
+          .select(col("source"), explode(split(col("text"), " ")).as("token"))
+          .distinct()
+          .select(col("source"),
+            expr("CAST(conv(substr(md5(token), 1, 8), 16, 10) AS BIGINT)").as("hv"))
+          .groupBy("source")
+          .agg(graft.functions.SketchAggregates.kmv_sketch(col("hv"), k).as("sk"))
+          .select(col("source"),
+            expr("concat_ws(',', transform(sk, zzq -> CAST(zzq AS STRING)))").as("sketch"),
+            size(col("sk")).cast("long").as("n_held"),
+            expr("(size(sk) - 1) * 4294967296L div element_at(sk, -1)").cast("long")
+              .as("est_distinct"))
+    }
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     curationIngest, sampleBalanced,
     decontaminate, textRepetition, piiRedact, sampleWeighted,
     packChunks, sketchKmv, sketchBloom, sketchHll, histogramEquidepth,
     splitAssign, sourceOverlap, tfidfTopk, embedProject, qualityAudit,
-    bpeMerges, bpeTokenize, mixRates, kmvJaccard, chunkOverlap)
+    bpeMerges, bpeTokenize, mixRates, kmvJaccard, chunkOverlap, kmvAgg)
 }

@@ -480,9 +480,202 @@ object EventsMultimodal {
           (col("value") < col("lo") || col("value") > col("hi")).as("was_clipped"))
   }
 
+  /** Gaps-and-islands interval coalescing with VARIABLE-length intervals —
+    * the union-of-intervals pass behind utilization/coverage metrics.
+    * Each event opens [ts, ts + value minutes); overlapping or touching
+    * intervals per user merge into one island. `session_window` cannot
+    * express this (its gap is a constant); the classic formulation is a
+    * running MAX of interval ends over a per-key ordered window: a new
+    * island starts exactly when an interval begins after every prior end.
+    * Islands are contiguous by construction, so union length = end−start.
+    *
+    * Scale shape: one shuffle on user_id; both windows share the sort; the
+    * final aggregation reuses the same partitioning. All arithmetic is
+    * epoch-microsecond integers (the duration is floor(value·6e7) — one
+    * IEEE multiply, identical cross-engine). */
+  val intervalMerge = QuerySpec(
+    "q_interval_merge",
+    """WITH iv AS (SELECT user_id, event_id, epoch_us(ts) AS s_us,
+                          epoch_us(ts) + CAST(floor(value * 60000000) AS BIGINT) AS e_us
+                   FROM events),
+       g AS (SELECT user_id, event_id, s_us, e_us,
+                    CASE WHEN max(e_us) OVER wp IS NULL OR s_us > max(e_us) OVER wp
+                         THEN 1 ELSE 0 END AS new_island
+             FROM iv
+             WINDOW wp AS (PARTITION BY user_id ORDER BY s_us, e_us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+       isl AS (SELECT user_id, s_us, e_us,
+                      SUM(new_island) OVER (PARTITION BY user_id ORDER BY s_us, e_us, event_id
+                                            ROWS UNBOUNDED PRECEDING) AS island_id
+               FROM g)
+       SELECT user_id, CAST(island_id AS BIGINT) AS island_id,
+              min(s_us) AS island_start_us, max(e_us) AS island_end_us,
+              CAST(count(*) AS BIGINT) AS n_intervals,
+              max(e_us) - min(s_us) AS covered_us
+       FROM isl GROUP BY 1, 2""") {
+    (s, d) =>
+      val iv = Tables.events(s, d).select(
+        col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("s_us"),
+        (unix_micros(col("ts")) + floor(col("value") * 60000000d).cast("long")).as("e_us"))
+      val ord = Window.partitionBy("user_id").orderBy("s_us", "e_us", "event_id")
+      val prevMax = max("e_us").over(ord.rowsBetween(Window.unboundedPreceding, -1))
+      iv.withColumn("new_island", when(prevMax.isNull || col("s_us") > prevMax, 1).otherwise(0))
+        .withColumn("island_id",
+          sum("new_island").over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long"))
+        .groupBy("user_id", "island_id")
+        .agg(
+          min("s_us").as("island_start_us"),
+          max("e_us").as("island_end_us"),
+          count(lit(1)).as("n_intervals"),
+          (max("e_us") - min("s_us")).as("covered_us"))
+  }
+
+  /** First-order Markov transition matrix over per-user event sequences —
+    * the behavioral-model fit (and sequence-sanity check) run before
+    * training on event streams. One per-user lag gives consecutive pairs;
+    * the (src, dst) count plus a #src-partitioned window turn counts into
+    * row-normalized transition probabilities. The probability is ONE
+    * division of two exact BIGINTs — deterministic cross-engine.
+    *
+    * Scale: the lag shuffles once on user_id; the transition table is
+    * #types² rows, so the normalizing window is trivially small. */
+  val markovTransitions = QuerySpec(
+    "q_markov_transitions",
+    """WITH t AS (SELECT user_id, event_type,
+                         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+                  FROM events),
+       c AS (SELECT prev_type AS src_type, event_type AS dst_type,
+                    CAST(count(*) AS BIGINT) AS n
+             FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+       SELECT src_type, dst_type, n,
+              CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY src_type) AS DOUBLE) AS p
+       FROM c""") {
+    (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          lag("event_type", 1).over(w).as("prev_type"))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type").as("src_type"), col("event_type").as("dst_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p",
+          col("n").cast("double")
+            / sum("n").over(Window.partitionBy("src_type")).cast("double"))
+  }
+
+  /** Median-absolute-deviation outlier gate — the robust twin of
+    * [[outlierZscore]] (immune to the outliers it hunts, where mean/stddev
+    * are dragged by them). Both statistics are PERCENTILE_DISC element
+    * SELECTIONS — no accumulation arithmetic at all, so cross-engine
+    * equality is structural. Two grouped passes (median, then median of
+    * |x−median|), each producing a #groups-row table broadcast back onto
+    * the scan; the flag itself is a codegen comparison. */
+  val anomalyMad = QuerySpec(
+    "q_anomaly_mad",
+    """WITH med AS (SELECT event_type,
+                           percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS med
+                    FROM events GROUP BY 1),
+       dev AS (SELECT e.event_id, e.event_type, e.value, m.med,
+                      abs(e.value - m.med) AS adev
+               FROM events e JOIN med m USING (event_type)),
+       mad AS (SELECT event_type,
+                      percentile_disc(0.5) WITHIN GROUP (ORDER BY adev) AS mad
+               FROM dev GROUP BY 1)
+       SELECT d.event_id, d.event_type, d.value, d.med, mad.mad
+       FROM dev d JOIN mad USING (event_type)
+       WHERE d.adev > 3 * mad.mad""") {
+    (s, d) =>
+      val ev = Tables.events(s, d)
+      val med = ev.groupBy("event_type")
+        .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("med"))
+      val dev = ev.join(broadcast(med), "event_type")
+        .withColumn("adev", abs(col("value") - col("med")))
+      val mad = dev.groupBy("event_type")
+        .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)").as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .filter(col("adev") > lit(3d) * col("mad"))
+        .select("event_id", "event_type", "value", "med", "mad")
+  }
+
+  /** Cohort retention matrix: users grouped by FIRST-seen day, activity
+    * counted by distinct users at each day offset — the
+    * who-comes-back-when table behind every retention curve. Two grouped
+    * passes: the first-seen day per user (one shuffle on user_id), joined
+    * back onto the stream (AQE broadcasts the user-day table when it fits;
+    * at production scale it's an equi-shuffle join on user_id — the same
+    * key the first pass just partitioned by, so the join reuses that
+    * partitioning), then a distinct-count per (cohort, offset) cell.
+    * Integers and dates end-to-end. */
+  val retentionCohorts = QuerySpec(
+    "q_retention_cohorts",
+    """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY 1)
+       SELECT f.cohort_day,
+              CAST(date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS BIGINT) AS day_offset,
+              CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+       FROM events e JOIN f USING (user_id)
+       GROUP BY 1, 2""") {
+    (s, d) =>
+      val ev = Tables.events(s, d)
+      val f = ev.groupBy("user_id").agg(min(col("ts").cast("date")).as("cohort_day"))
+      ev.join(f, "user_id")
+        .groupBy(col("cohort_day"),
+          datediff(col("ts").cast("date"), col("cohort_day")).cast("long").as("day_offset"))
+        .agg(countDistinct("user_id").as("n_users"))
+  }
+
+  /** Period-over-period deltas: per-segment daily totals with absolute and
+    * relative change vs the previous observed day — the trend table behind
+    * monitoring dashboards and drift alerts. The daily total routes
+    * through [[graft.Exact]] (order-proof sums); delta and pct_change are
+    * then single IEEE operations on those exact values, so cross-engine
+    * equality holds through the division. One grouped pass + one window
+    * over the #segments×#days aggregate — the window input is tiny. */
+  val periodDelta = QuerySpec(
+    "q_period_delta",
+    s"""WITH dv AS (SELECT event_type, CAST(ts AS DATE) AS d,
+                           ${Exact.sumSql("value")} AS day_total
+                    FROM events GROUP BY 1, 2)
+        SELECT event_type, d, day_total,
+               day_total - lag(day_total) OVER w AS delta,
+               day_total / lag(day_total) OVER w - 1 AS pct_change
+        FROM dv
+        WINDOW w AS (PARTITION BY event_type ORDER BY d)""") {
+    (s, d) =>
+      val w = Window.partitionBy("event_type").orderBy("d")
+      Tables.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+        .agg(Exact.sumD(col("value")).as("day_total"))
+        .select(col("event_type"), col("d"), col("day_total"),
+          (col("day_total") - lag("day_total", 1).over(w)).as("delta"),
+          (col("day_total") / lag("day_total", 1).over(w) - 1).as("pct_change"))
+  }
+
+  /** JSON serialization round-trip: pack typed columns into a JSON string
+    * (to_json) and parse them back (from_json with an explicit schema) —
+    * the interchange plumbing of every JSONL export/ingest hop. The oracle
+    * reads the ORIGINAL columns: the query only hash-matches if the round
+    * trip is lossless, including doubles (shortest-representation print →
+    * exact re-parse). Pure codegen projections, no shuffle at all. */
+  val jsonRoundtrip = QuerySpec(
+    "q_json_roundtrip",
+    """SELECT event_id, user_id, event_type, value FROM events""") {
+    (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          to_json(struct(col("user_id"), col("event_type"), col("value"))).as("j"))
+        .select(col("event_id"),
+          from_json(col("j"),
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "user_id BIGINT, event_type STRING, value DOUBLE")).as("r"))
+        .select(col("event_id"), col("r.user_id"), col("r.event_type"), col("r.value"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     streamWindow, streamSliding, sessionWindow, sessionize, multimodalMeta,
     asofJoin, rangeJoinBinned,
     sketchCountMin, rollingFrames, funnel, jsonExtract, gapFill, outlierZscore,
-    rollingTime, winsorize)
+    rollingTime, winsorize, intervalMerge, markovTransitions, anomalyMad,
+    retentionCohorts, periodDelta, jsonRoundtrip)
 }

@@ -949,8 +949,43 @@ object Relational {
       v1.unionByName(v2, allowMissingColumns = true)
   }
 
+  /** Pareto frontier (skyline): parts no other part beats on BOTH price
+    * (lower is better) and size (higher is better) — the data-selection
+    * shape behind "best trade-off" curation cuts. The oracle is the
+    * quadratic NOT-EXISTS definition; the engine's plan is LINEAR: collapse
+    * to one max-size row per distinct price (map-side combinable), compute
+    * the best size over all STRICTLY cheaper prices with a running-max
+    * window, and keep a part iff nothing cheaper ties-or-beats its size and
+    * nothing at its own price strictly beats it. Equal-(price, size)
+    * duplicates survive together, exactly as NOT EXISTS keeps them.
+    *
+    * Scale: the window runs over the per-PRICE aggregate (≤ #distinct
+    * prices — orders of magnitude below the table, price grids are small),
+    * single ordered pass; the verdict table broadcasts back onto the scan.
+    * The raw table is never self-joined. */
+  val paretoFront = QuerySpec(
+    "q_pareto_front",
+    """SELECT p.p_partkey, p.p_name, p.p_retailprice, p.p_size
+       FROM part p
+       WHERE NOT EXISTS (
+         SELECT 1 FROM part q
+         WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+           AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))""") {
+    (s, d) =>
+      val parts = Tables.part(s, d)
+      val byPrice = parts.groupBy("p_retailprice").agg(max("p_size").as("max_sz"))
+      val wCheaper = Window.orderBy("p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val verdict = byPrice
+        .withColumn("best_cheaper", max("max_sz").over(wCheaper))
+      parts.join(broadcast(verdict), Seq("p_retailprice"))
+        .filter(col("p_size") === col("max_sz")
+          && (col("best_cheaper").isNull || col("best_cheaper") < col("p_size")))
+        .select("p_partkey", "p_name", "p_retailprice", "p_size")
+  }
+
   val specs: Seq[QuerySpec] = Seq(
-    zorderKey, recursiveCte, schemaDrift,
+    zorderKey, recursiveCte, schemaDrift, paretoFront,
     sortLimit, pricingSummary, skewSaltedJoin, join5Revenue,
     rollupTotals, cubeTotals, groupingSetsTotals, fuzzyMatch,
     countDistinct_, stringAgg, semiAntiJoin, setOps,

@@ -1123,8 +1123,71 @@ object TextDedup {
         (quality && col("doc_id") === col("canonical_id")).as("keep"))
   }
 
+  /** Inverted-index shard: word-BIGRAM → document frequency, total term
+    * frequency, and the first-10 posting list — the retrieval-side index
+    * built next to a training corpus (dedup forensics, contamination
+    * lookups, BM25 prep). Bigrams rather than unigrams because the
+    * synthetic corpus has only ~31 word types; the bigram key space (~900)
+    * exercises a real df distribution. Postings are the SORTED distinct
+    * doc_ids truncated to 10 and comma-joined — deterministic, and the
+    * truncation is the posting-list paging a real index does anyway.
+    *
+    * Scale: one explode + one groupBy on the bigram key (near-uniform —
+    * hot boilerplate bigrams would need the df-cap treatment of
+    * [[shingled]], which this table's df profile doesn't require);
+    * collect_set is bounded per key by the distinct-doc count, and the
+    * emitted slice is constant-size. */
+  val invertedIndex = QuerySpec(
+    "q_inverted_index",
+    """WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+       bg AS (SELECT doc_id, array_to_string(ws[zzi:zzi+1], ' ') AS bigram
+              FROM w, UNNEST(generate_series(1, greatest(len(ws) - 1, 0))) AS u(zzi))
+       SELECT bigram,
+              CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+              CAST(count(*) AS BIGINT) AS tf,
+              array_to_string(list_transform(list_sort(list(DISTINCT doc_id))[1:10],
+                                             zzq -> CAST(zzq AS VARCHAR)), ',') AS postings
+       FROM bg GROUP BY 1""") {
+    (s, d) =>
+      docs(s, d)
+        .withColumn("ws", split(col("text"), " "))
+        .select(col("doc_id"), explode(expr(
+          """CASE WHEN size(ws) >= 2
+             THEN transform(sequence(1, size(ws) - 1), zzi -> concat_ws(' ', slice(ws, zzi, 2)))
+             ELSE array() END""")).as("bigram"))
+        .groupBy("bigram")
+        .agg(
+          countDistinct("doc_id").as("df"),
+          count(lit(1)).as("tf"),
+          expr("concat_ws(',', transform(slice(array_sort(collect_set(doc_id)), 1, 10), " +
+            "zzq -> CAST(zzq AS STRING)))").as("postings"))
+  }
+
+  /** Degree distribution of the near-dup candidate graph — the first
+    * structural read on LSH output (a heavy right tail means a band is
+    * chaining unrelated docs; [[triangleCount]] then tells whether tails
+    * are cliques or stars). Computed entirely on the candidate table the
+    * session already materialized: one fan-out to directed edges, a
+    * per-node count, and a count-of-counts — every stage keys on
+    * near-unique ids, nothing touches document text. */
+  val degreeDist = QuerySpec(
+    "q_degree_dist",
+    s"""WITH ${shingleSql(3)},
+        $minhashCandSql,
+        ends AS (SELECT a_id AS doc_id FROM cand UNION ALL SELECT b_id FROM cand),
+        deg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS degree FROM ends GROUP BY 1)
+        SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+        FROM deg GROUP BY 1""") {
+    (s, d) =>
+      val cand = minhashCandShared(s, d)
+      cand.select(col("a_id").as("doc_id"))
+        .unionByName(cand.select(col("b_id").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+        .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
-    textStats, langId, ngramProfile, fingerprint,
+    textStats, langId, ngramProfile, fingerprint, invertedIndex, degreeDist,
     dedupExact, dedupJaccard, dedupSubstring, dedupMinhashLsh, dedupMinhashEstimate,
     dedupLshVerified, dedupLshRecall,
     dedupSimhash, dedupSimhashHamming, dedupComponents, dedupKeep, dedupIncremental,

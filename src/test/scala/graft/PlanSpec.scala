@@ -254,4 +254,44 @@ class PlanSpec extends SparkSpec {
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
     }
   }
+
+  test("q_interval_merge: both windows and the island aggregation share ONE user_id shuffle") {
+    val plan = formatted("q_interval_merge")
+    val shuffles = """\(\d+\) Exchange\b""".r.findAllIn(plan).size
+    // hashpartitioning(user_id) satisfies the (user_id, island_id) grouping
+    // (subset clustering), so the final agg must NOT re-shuffle
+    assert(shuffles == 1, s"expected 1 shuffle, got $shuffles:\n$plan")
+  }
+
+  test("q_markov_transitions: normalizing window runs over the #types² table, not the events") {
+    val plan = formatted("q_markov_transitions")
+    // lag shuffle (events) + transition-count agg + src-partition window —
+    // everything after the first exchange carries #types² rows
+    val shuffles = """\(\d+\) Exchange\b""".r.findAllIn(plan).size
+    assert(shuffles == 3, s"expected 3 shuffles, got $shuffles:\n$plan")
+    assert("events.parquet".r.findAllIn(plan).size == 1, "one event scan")
+  }
+
+  test("q_anomaly_mad: both robust-statistic tables broadcast back onto the scan") {
+    val plan = formatted("q_anomaly_mad")
+    assert("""BroadcastHashJoin""".r.findAllIn(plan).size >= 2,
+      s"median and MAD tables must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q_pareto_front: linear skyline — no self-join of the raw table, verdict broadcasts") {
+    val plan = formatted("q_pareto_front")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+      s"skyline must not pair-join the table:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), "per-price verdict should broadcast")
+    // raw scan + per-price aggregate scan only — the quadratic oracle form
+    // would show a third
+    assert("part.parquet".r.findAllIn(plan).size == 2, plan)
+  }
+
+  test("q_inverted_index: one exploded pass, no joins") {
+    val plan = formatted("q_inverted_index")
+    assert(!plan.contains("Join"), s"index build is explode+aggregate only:\n$plan")
+    assert("documents.parquet".r.findAllIn(plan).size == 1, "one corpus scan")
+  }
 }
