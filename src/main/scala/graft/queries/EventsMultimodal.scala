@@ -672,10 +672,54 @@ object EventsMultimodal {
         .select(col("event_id"), col("r.user_id"), col("r.event_type"), col("r.value"))
   }
 
+  /** Per-segment ordinary-least-squares trend: slope and intercept of
+    * value over time from the four classic sufficient statistics
+    * (Σx, Σy, Σxy, Σx²) in ONE grouped pass — the distributed regression
+    * shape: no per-group iteration, no driver math, merges as plain sums.
+    * x is whole DAYS since a fixed epoch (2024-01-01, the testdata's
+    * origin): small integers keep every product exactly representable, so
+    * the [[graft.Exact]] quantization is lossless here and the closed-form
+    * slope/intercept are single IEEE expressions over exact values —
+    * identical cross-engine as long as both sides parenthesize alike
+    * (they do, verbatim). */
+  val linearFit = QuerySpec(
+    "q_linear_fit",
+    s"""WITH p AS (SELECT event_type,
+                          CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS DOUBLE) AS x,
+                          value AS y
+                   FROM events),
+        m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                     ${Exact.sumSql("x")} AS sx, ${Exact.sumSql("y")} AS sy,
+                     ${Exact.sumSql("x * y")} AS sxy, ${Exact.sumSql("x * x")} AS sxx
+              FROM p GROUP BY 1)
+        SELECT event_type, n,
+               (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+               (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept
+        FROM m""") {
+    (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+            .cast("double").as("x"),
+          col("value").as("y"))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          Exact.sumD(col("x")).as("sx"), Exact.sumD(col("y")).as("sy"),
+          Exact.sumD(col("x") * col("y")).as("sxy"),
+          Exact.sumD(col("x") * col("x")).as("sxx"))
+        .select(col("event_type"), col("n"),
+          ((col("n") * col("sxy") - col("sx") * col("sy"))
+            / (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"),
+          ((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy"))
+            / (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx"))
+            / col("n")).as("intercept"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     streamWindow, streamSliding, sessionWindow, sessionize, multimodalMeta,
     asofJoin, rangeJoinBinned,
     sketchCountMin, rollingFrames, funnel, jsonExtract, gapFill, outlierZscore,
     rollingTime, winsorize, intervalMerge, markovTransitions, anomalyMad,
-    retentionCohorts, periodDelta, jsonRoundtrip)
+    retentionCohorts, periodDelta, jsonRoundtrip, linearFit)
 }

@@ -984,8 +984,32 @@ object Relational {
         .select("p_partkey", "p_name", "p_retailprice", "p_size")
   }
 
+  /** LATERAL correlated subquery with ORDER BY + LIMIT — the "top-N per
+    * outer row" SQL surface. Spark DECORRELATES the lateral subquery into
+    * a WindowGroupLimit (partial+final bounded heaps) + one broadcast
+    * join — exactly the plan [[graft.ops.Scale.topKPerGroup]] builds by
+    * hand, proving the declarative SQL form reaches the same scale shape.
+    * Tie-broken on (acctbal DESC, name) so the top-2 is unique. */
+  val lateralTopk = QuerySpec(
+    "q_lateral_topk",
+    """SELECT n.n_name, t.s_name, t.s_acctbal
+       FROM nation n, LATERAL (
+         SELECT s_name, s_acctbal FROM supplier
+         WHERE s_nationkey = n.n_nationkey
+         ORDER BY s_acctbal DESC, s_name LIMIT 2) t""") {
+    (s, d) =>
+      Tables.nation(s, d).createOrReplaceTempView("nation")
+      Tables.supplier(s, d).createOrReplaceTempView("supplier")
+      s.sql(
+        """SELECT n.n_name, t.s_name, t.s_acctbal
+          |FROM nation n, LATERAL (
+          |  SELECT s_name, s_acctbal FROM supplier
+          |  WHERE s_nationkey = n.n_nationkey
+          |  ORDER BY s_acctbal DESC, s_name LIMIT 2) t""".stripMargin)
+  }
+
   val specs: Seq[QuerySpec] = Seq(
-    zorderKey, recursiveCte, schemaDrift, paretoFront,
+    zorderKey, recursiveCte, schemaDrift, paretoFront, lateralTopk,
     sortLimit, pricingSummary, skewSaltedJoin, join5Revenue,
     rollupTotals, cubeTotals, groupingSetsTotals, fuzzyMatch,
     countDistinct_, stringAgg, semiAntiJoin, setOps,

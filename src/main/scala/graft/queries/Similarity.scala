@@ -673,7 +673,63 @@ object Similarity {
           .as("max_abs_err"))
   }
 
+  /** Embedding-distribution drift: per-label centroid of two cohorts (even
+    * vs odd vec_id — the deterministic stand-in for "last snapshot vs
+    * this one") and the L2 distance between the centroids — the
+    * embedding-space drift monitor run before retraining an ANN index or
+    * trusting cached assignments. Per-dim means come from ONE grouped pass
+    * over the exploded (label, cohort, dim) stream routed through
+    * [[graft.Exact]]; the 64 squared diffs then reduce in DIM ORDER via a
+    * sequential fold (collect→sort→aggregate ≙ DuckDB's ordered
+    * list_reduce, playbook rule 2) so the final sqrt sees bitwise-equal
+    * input cross-engine. Scale: everything keys on (label, cohort, dim) —
+    * 2·64·#labels aggregation cells; no vector ever crosses the wire
+    * whole. */
+  val centroidShift = QuerySpec(
+    "q_centroid_shift",
+    s"""WITH e AS (SELECT label, vec_id % 2 AS grp, u.zzi - 1 AS dim,
+                          CAST(embedding[u.zzi] AS DOUBLE) AS v
+                   FROM embeddings,
+                        UNNEST(generate_series(1, len(embedding))) AS u(zzi)),
+        m AS (SELECT label, grp, dim, ${graft.Exact.sumSql("v")} / count(*) AS mean
+              FROM e GROUP BY 1, 2, 3),
+        j AS (SELECT a.label, a.dim, (a.mean - b.mean) * (a.mean - b.mean) AS sq
+              FROM m a JOIN m b ON a.label = b.label AND a.dim = b.dim
+                                   AND a.grp = 0 AND b.grp = 1),
+        c AS (SELECT label,
+                     CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                     CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+              FROM embeddings GROUP BY 1)
+        SELECT j.label, c.n_a, c.n_b,
+               sqrt(list_reduce(list(j.sq ORDER BY j.dim), (zza, zzx) -> zza + zzx)) AS shift
+        FROM j JOIN c USING (label)
+        GROUP BY j.label, c.n_a, c.n_b""") {
+    (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val m = emb
+        .select(col("label"), (col("vec_id") % 2).as("grp"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("label"), col("grp"), col("dim"), col("v").cast("double").as("v"))
+        .groupBy("label", "grp", "dim")
+        .agg((graft.Exact.sumD(col("v")) / count(lit(1))).as("mean"))
+      val a = m.filter(col("grp") === 0).select(col("label"), col("dim"), col("mean").as("ma"))
+      val b = m.filter(col("grp") === 1).select(col("label"), col("dim"), col("mean").as("mb"))
+      val sq = a.join(b, Seq("label", "dim"))
+        .select(col("label"), col("dim"),
+          ((col("ma") - col("mb")) * (col("ma") - col("mb"))).as("sq"))
+        .groupBy("label")
+        .agg(expr(
+          "sqrt(aggregate(array_sort(collect_list(struct(dim, sq))), 0D, (zza, zzx) -> zza + zzx.sq))")
+          .as("shift"))
+      val cnt = emb.groupBy("label").agg(
+        sum(when(col("vec_id") % 2 === 0, 1).otherwise(0)).cast("long").as("n_a"),
+        sum(when(col("vec_id") % 2 === 1, 1).otherwise(0)).cast("long").as("n_b"))
+      sq.join(broadcast(cnt), "label")
+        .select("label", "n_a", "n_b", "shift")
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     embedCosineNearDup, topkBruteForce, topkLshBucketed, topkLshMultiprobe,
-    topkIvf, topkRecall, semDedup, clusterStats, embedStats, embedQuantize)
+    topkIvf, topkRecall, semDedup, clusterStats, embedStats, embedQuantize,
+    centroidShift)
 }

@@ -289,6 +289,29 @@ class PlanSpec extends SparkSpec {
     assert("part.parquet".r.findAllIn(plan).size == 2, plan)
   }
 
+  test("q_lateral_topk: the LATERAL subquery decorrelates into WindowGroupLimit, not a loop") {
+    val plan = formatted("q_lateral_topk")
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-outer-row LIMIT must lower to bounded heaps:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),
+      "decorrelation must produce a single equi-join")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q_linear_fit: all four sufficient statistics in ONE aggregation pass") {
+    val plan = formatted("q_linear_fit")
+    assert("events.parquet".r.findAllIn(plan).size == 1,
+      s"one event scan computes sx/sy/sxy/sxx together:\n$plan")
+    val shuffles = """\(\d+\) Exchange\b""".r.findAllIn(plan).size
+    assert(shuffles == 1, s"expected 1 shuffle, got $shuffles:\n$plan")
+  }
+
+  test("q_centroid_shift: no whole vector crosses the wire — shuffles key on (label, grp, dim)") {
+    val plan = formatted("q_centroid_shift")
+    assert(plan.contains("hashpartitioning(label"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q_inverted_index: one exploded pass, no joins") {
     val plan = formatted("q_inverted_index")
     assert(!plan.contains("Join"), s"index build is explode+aggregate only:\n$plan")
