@@ -716,10 +716,40 @@ object EventsMultimodal {
             / col("n")).as("intercept"))
   }
 
+  /** Sequential path mining: the 20 most common 3-step event-type paths
+    * across user sessions — the [[markovTransitions]] extension to
+    * length-3 patterns (what a funnel designer reads before hand-writing
+    * one). Two lags over the SAME per-user sort (one window shuffle, not
+    * two), then a count over ≤ #types³ path keys; the top-20 is a
+    * TakeOrdered with a total tie-break, so the cut is deterministic. */
+  val seqPaths = QuerySpec(
+    "q_seq_paths",
+    """WITH t AS (SELECT user_id, event_type,
+                         lag(event_type, 1) OVER w AS p1,
+                         lag(event_type, 2) OVER w AS p2
+                  FROM events
+                  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+       SELECT p2 || '>' || p1 || '>' || event_type AS path,
+              CAST(count(*) AS BIGINT) AS n
+       FROM t WHERE p2 IS NOT NULL
+       GROUP BY 1 ORDER BY n DESC, path LIMIT 20""") {
+    (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .select(col("event_type"),
+          lag("event_type", 1).over(w).as("p1"),
+          lag("event_type", 2).over(w).as("p2"))
+        .filter(col("p2").isNotNull)
+        .select(concat_ws(">", col("p2"), col("p1"), col("event_type")).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path"))
+        .limit(20)
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     streamWindow, streamSliding, sessionWindow, sessionize, multimodalMeta,
     asofJoin, rangeJoinBinned,
     sketchCountMin, rollingFrames, funnel, jsonExtract, gapFill, outlierZscore,
     rollingTime, winsorize, intervalMerge, markovTransitions, anomalyMad,
-    retentionCohorts, periodDelta, jsonRoundtrip, linearFit)
+    retentionCohorts, periodDelta, jsonRoundtrip, linearFit, seqPaths)
 }

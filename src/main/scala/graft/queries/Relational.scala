@@ -846,6 +846,27 @@ object Relational {
         .unionByName(supN.except(custN).withColumn("src", lit("supplier_only")))
   }
 
+  /** Multiset set operations — INTERSECT ALL / EXCEPT ALL (bag semantics:
+    * min-of-counts / count-difference per key), the twin of [[setOps]]'
+    * distinct forms. Spark's intersectAll/exceptAll lower to a count
+    * aggregate + generator replication, not a join explosion — duplicates
+    * are carried as counts through the shuffle. */
+  val setOpsAll = QuerySpec(
+    "q_set_ops_all",
+    """SELECT n, 'both_multiset' AS src FROM (
+         SELECT s_nationkey AS n FROM supplier
+         INTERSECT ALL SELECT c_nationkey FROM customer) t
+       UNION ALL
+       SELECT n, 'supplier_surplus' FROM (
+         SELECT s_nationkey AS n FROM supplier
+         EXCEPT ALL SELECT c_nationkey FROM customer) t""") {
+    (s, d) =>
+      val supN = Tables.supplier(s, d).select(col("s_nationkey").as("n"))
+      val custN = Tables.customer(s, d).select(col("c_nationkey").as("n"))
+      supN.intersectAll(custN).withColumn("src", lit("both_multiset"))
+        .unionByName(supN.exceptAll(custN).withColumn("src", lit("supplier_surplus")))
+  }
+
   /** Skew-safe join — a power-law key (every low-key order collapses onto
     * key 0, the classic hot-entity distribution) joined via
     * ops.Scale.saltedJoin: the hot key's rows split across 8 salted
@@ -1012,7 +1033,7 @@ object Relational {
     zorderKey, recursiveCte, schemaDrift, paretoFront, lateralTopk,
     sortLimit, pricingSummary, skewSaltedJoin, join5Revenue,
     rollupTotals, cubeTotals, groupingSetsTotals, fuzzyMatch,
-    countDistinct_, stringAgg, semiAntiJoin, setOps,
+    countDistinct_, stringAgg, semiAntiJoin, setOps, setOpsAll,
     scanProject, filterDisjunctive, derivedFlags, antiConjExclusion,
     loadProjection, viewFilter, generaliseKeep, generaliseReplace,
     unpivotMetrics, carveParenthetical, stringFuncs, sortKeys, concatKey,
