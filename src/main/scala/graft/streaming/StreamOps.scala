@@ -142,6 +142,42 @@ object StreamOps {
         col("click_ts"), col("view_ts"))
   }
 
+  case class Totals(n: Long, sumCents: Long)
+  case class TotalsOut(user_id: Long, n_events: Long, total_cents: Long)
+
+  /** Per-key running totals on Spark 4's `transformWithState` — the
+    * successor API to [state|flatMap]GroupsWithState: typed per-key state
+    * handles (ValueState/ListState/MapState) with per-state TTL, timers,
+    * and a RocksDB-backed store, replacing the single opaque GroupState
+    * blob. One ValueState[(count, cents)] per user; every micro-batch
+    * emits the user's updated lifetime totals (Update mode). Values
+    * accumulate as INTEGER cents, so totals are exact under any
+    * micro-batch slicing — the stream==batch equality the spec pins.
+    * State is O(distinct users); production deployments add a TTLConfig
+    * to evict dormant keys, which this API scopes PER STATE, not per
+    * processor (the improvement over GroupState timeouts). */
+  def runningTotals(events: Dataset[Event]): Dataset[TotalsOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig, TimerValues, ValueState}
+    class RunningTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, TotalsOut] {
+      @transient private var state: ValueState[Totals] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        state = getHandle.getValueState[Totals](
+          "totals", org.apache.spark.sql.Encoders.product[Totals], TTLConfig.NONE)
+      override def handleInputRows(
+          key: Long, rows: Iterator[Event], tv: TimerValues): Iterator[TotalsOut] = {
+        val prev = if (state.exists()) state.get() else Totals(0L, 0L)
+        var n = prev.n; var s = prev.sumCents
+        rows.foreach { e => n += 1; s += math.round(e.value * 100) }
+        state.update(Totals(n, s))
+        Iterator.single(TotalsOut(key, n, s))
+      }
+    }
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor(), TimeMode.None(), OutputMode.Update())
+  }
+
   def sessionize(
       events: Dataset[Event],
       timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout): Dataset[SessionOut] = {

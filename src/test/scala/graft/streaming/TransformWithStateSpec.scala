@@ -1,0 +1,50 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** transformWithState (Spark 4's typed-state streaming API) must produce
+  * exact running totals regardless of micro-batch slicing, persist state
+  * across batches in the RocksDB store, and emit one Update row per
+  * touched key per batch.
+  */
+class TransformWithStateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(id: Long, user: Long, value: Double) =
+    StreamOps.Event(id, Timestamp.valueOf("2024-01-01 10:00:00"), user, "click", value)
+
+  test("running totals accumulate across micro-batches, exactly, per key") {
+    // transformWithState requires the RocksDB state store provider
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[StreamOps.Event]
+      val q = StreamOps.runningTotals(input.toDS())
+        .writeStream.format("memory").queryName("tws_totals")
+        .outputMode("update").start()
+      try {
+        input.addData(ev(1, 7, 1.25), ev(2, 7, 2.50), ev(3, 9, 10.00))
+        q.processAllAvailable()
+        val afterB1 = spark.table("tws_totals").as[StreamOps.TotalsOut]
+          .collect().map(t => t.user_id -> ((t.n_events, t.total_cents))).toMap
+        assert(afterB1 === Map(7L -> ((2L, 375L)), 9L -> ((1L, 1000L))))
+
+        // second batch touches user 7 only: state must carry the first batch
+        input.addData(ev(4, 7, 0.25))
+        q.processAllAvailable()
+        val rows = spark.table("tws_totals").as[StreamOps.TotalsOut].collect()
+        val latest7 = rows.filter(_.user_id == 7L).maxBy(_.n_events)
+        assert(latest7.n_events === 3L && latest7.total_cents === 400L)
+        // untouched key emits nothing in the second batch
+        assert(rows.count(_.user_id == 9L) === 1)
+      } finally q.stop()
+    } finally prev.fold(
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass"))(
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", _))
+  }
+}
