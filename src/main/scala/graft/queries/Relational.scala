@@ -867,6 +867,79 @@ object Relational {
         .unionByName(supN.exceptAll(custN).withColumn("src", lit("supplier_surplus")))
   }
 
+  /** Per-group Pearson correlation from sufficient statistics — the same
+    * one-pass distributed-stats shape as q_linear_fit (five Exact sums in
+    * one grouped aggregation, closed form after). Spark's built-in corr()
+    * is a streaming covariance accumulator whose result depends on
+    * partial-merge order; routing the moments through [[Exact]] instead
+    * makes the correlation a deterministic expression over exact values.
+    *
+    * The price is pre-scaled by /1024 — an EXACT exponent shift (and
+    * correlation is scale-invariant) — because Exact's double→DECIMAL
+    * cast is only exact while quantized addends stay ≤ ~17 significant
+    * digits: raw l_extendedprice² (~1e10 + 8 fraction digits = 19) broke
+    * that contract by 4 ulps on one group at sf0.001 (Spark casts via
+    * shortest-string, DuckDB via the exact binary expansion — the
+    * divergence Exact exists to sidestep). Scaled, y² ≤ 1e4: 13 digits,
+    * safely inside. */
+  val corrStats = QuerySpec(
+    "q_corr",
+    s"""WITH p AS (SELECT l_returnflag, l_quantity AS x,
+                          l_extendedprice / 1024 AS y
+                   FROM lineitem),
+        m AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                     ${Exact.sumSql("x")} AS sx,
+                     ${Exact.sumSql("y")} AS sy,
+                     ${Exact.sumSql("x * y")} AS sxy,
+                     ${Exact.sumSql("x * x")} AS sxx,
+                     ${Exact.sumSql("y * y")} AS syy
+              FROM p GROUP BY 1)
+        SELECT l_returnflag, n,
+               (n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS r
+        FROM m""") {
+    (s, d) =>
+      li(s, d)
+        .select(col("l_returnflag"), col("l_quantity").as("x"),
+          (col("l_extendedprice") / 1024).as("y"))
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          Exact.sumD(col("x")).as("sx"),
+          Exact.sumD(col("y")).as("sy"),
+          Exact.sumD(col("x") * col("y")).as("sxy"),
+          Exact.sumD(col("x") * col("x")).as("sxx"),
+          Exact.sumD(col("y") * col("y")).as("syy"))
+        .select(col("l_returnflag"), col("n"),
+          ((col("n") * col("sxy") - col("sx") * col("sy"))
+            / (sqrt(col("n") * col("sxx") - col("sx") * col("sx"))
+              * sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("r"))
+  }
+
+  /** Deterministic MODE: the most frequent value per group with a TOTAL
+    * tie-break (highest count, then smallest value) — built-in mode()
+    * breaks ties arbitrarily in both engines, so the honest operator is
+    * count + WindowGroupLimit, which also map-side combines where a naive
+    * mode would ship raw values. */
+  val modeValue = QuerySpec(
+    "q_mode",
+    """WITH c AS (SELECT l_returnflag, l_quantity, CAST(count(*) AS BIGINT) AS cnt
+                  FROM lineitem GROUP BY 1, 2),
+       r AS (SELECT l_returnflag, l_quantity, cnt,
+                    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                       ORDER BY cnt DESC, l_quantity) AS rn
+             FROM c)
+       SELECT l_returnflag, l_quantity AS mode_value, cnt AS mode_count
+       FROM r WHERE rn = 1""") {
+    (s, d) =>
+      val c = li(s, d).groupBy("l_returnflag", "l_quantity")
+        .agg(count(lit(1)).as("cnt"))
+      graft.ops.Scale.topKPerGroup(
+        c, Seq("l_returnflag"), col("cnt").desc, 1, col("l_quantity").asc)
+        .select(col("l_returnflag"), col("l_quantity").as("mode_value"),
+          col("cnt").as("mode_count"))
+  }
+
   /** Skew-safe join — a power-law key (every low-key order collapses onto
     * key 0, the classic hot-entity distribution) joined via
     * ops.Scale.saltedJoin: the hot key's rows split across 8 salted
@@ -1033,7 +1106,7 @@ object Relational {
     zorderKey, recursiveCte, schemaDrift, paretoFront, lateralTopk,
     sortLimit, pricingSummary, skewSaltedJoin, join5Revenue,
     rollupTotals, cubeTotals, groupingSetsTotals, fuzzyMatch,
-    countDistinct_, stringAgg, semiAntiJoin, setOps, setOpsAll,
+    countDistinct_, stringAgg, semiAntiJoin, setOps, setOpsAll, corrStats, modeValue,
     scanProject, filterDisjunctive, derivedFlags, antiConjExclusion,
     loadProjection, viewFilter, generaliseKeep, generaliseReplace,
     unpivotMetrics, carveParenthetical, stringFuncs, sortKeys, concatKey,
