@@ -18,8 +18,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo("graft.functions.VectorExpressions", null, name)
 
   override def apply(ext: SparkSessionExtensions): Unit = {
-    // operator-optimization batch (fixpoint): the rewrite is idempotent
+    // operator-optimization batch (fixpoint): both rewrites are idempotent
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinPruning)
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinBinning)
     ext.injectFunction((
       FunctionIdentifier("vector_dot_f32"),
       info("vector_dot_f32", "vector_dot_f32(a, b) - dot product of two float arrays in double"),

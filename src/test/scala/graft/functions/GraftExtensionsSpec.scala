@@ -34,6 +34,20 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val plan = df.queryExecution.optimizedPlan.toString
       assert("levenshtein\\([^)]*Some\\(2\\)\\)".r.findFirstIn(plan).isDefined,
         s"injectOptimizerRule must apply LevenshteinPruning:\n$plan")
+      // kmv_sketch (custom aggregate) resolves through SQL
+      val sk = spark.sql(
+        "SELECT kmv_sketch(x, 2) AS sk FROM VALUES (5L), (3L), (9L), (3L) AS t(x)").head()
+      assert(sk.getSeq[Long](0) === Seq(3L, 5L))
+      // the range-join binning rule is live too: the naive bounded-range
+      // join plans with the bin explode
+      import org.apache.spark.sql.functions.col
+      val ev = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      val l = ev.select(col("o_orderkey").as("lk"), col("o_custkey").as("lt"))
+      val rr = ev.select(col("o_orderkey").as("rk"), col("o_custkey").as("rt"))
+      val rj = l.join(rr, col("rt") > col("lt") && col("rt") <= col("lt") + 100L)
+      assert(rj.queryExecution.optimizedPlan
+        .collect { case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g }
+        .nonEmpty, "injectOptimizerRule must apply RangeJoinBinning")
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()
