@@ -769,11 +769,93 @@ object EventsMultimodal {
           expr("percentile(value, 0.9)").as("p90"))
   }
 
+  /** The NAIVE bounded-range join, planned by the
+    * [[graft.plans.RangeJoinBinning]] optimizer rule: the query text is
+    * the nested-loop form every user writes first; the rule rewrites it
+    * to the binned equi-join ([[rangeJoinBinned]] is the hand-built twin
+    * this must stay identical to). Putting the naive form through the
+    * driver's correctness gate proves the rewrite end-to-end, not just in
+    * unit tests; PlanSpec pins that the explode actually fired. */
+  val rangeJoinAuto = QuerySpec(
+    "q_range_join_auto",
+    """SELECT a.event_id AS a_id, b.event_id AS b_id, a.user_id
+       FROM events a JOIN events b
+         ON a.user_id = b.user_id
+        AND a.event_type = 'click' AND b.event_type = 'purchase'
+        AND epoch_us(b.ts) > epoch_us(a.ts)
+        AND epoch_us(b.ts) <= epoch_us(a.ts) + 600000000""") {
+    (s, d) =>
+      graft.plans.RangeJoinBinning.register(s)
+      val ev = Tables.events(s, d)
+      val a = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("a_id"), col("user_id"), unix_micros(col("ts")).as("a_t"))
+      val b = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("b_id"), col("user_id").as("b_user"),
+          unix_micros(col("ts")).as("b_t"))
+      a.join(b,
+        col("user_id") === col("b_user")
+          && col("b_t") > col("a_t") && col("b_t") <= col("a_t") + 600000000L)
+        .select("a_id", "b_id", "user_id")
+  }
+
+  /** Per-segment skewness and excess kurtosis from the first four moments
+    * in one Exact pass — the distribution-shape profile (is this metric
+    * long-tailed? peaked?) read before choosing clip bounds. Built-in
+    * skewness()/kurtosis() are merge-order-dependent accumulators; the
+    * sufficient-statistics form is deterministic. `value` is pre-scaled
+    * by /1024 (exact shift; both statistics are scale-invariant) so even
+    * the 4th-power addends sit far inside the exact-decimal-cast envelope
+    * (playbook #1's magnitude limit). */
+  val momentsProfile = QuerySpec(
+    "q_moments",
+    s"""WITH p AS (SELECT event_type, value / 1024 AS x FROM events),
+        m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                     ${Exact.sumSql("x")} AS s1,
+                     ${Exact.sumSql("x * x")} AS s2,
+                     ${Exact.sumSql("x * x * x")} AS s3,
+                     ${Exact.sumSql("x * x * x * x")} AS s4
+              FROM p GROUP BY 1),
+        c AS (SELECT event_type, n, s1 / n AS mu,
+                     s2 / n - (s1 / n) * (s1 / n) AS m2,
+                     s3 / n - 3 * (s1 / n) * (s2 / n)
+                       + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+                     s4 / n - 4 * (s1 / n) * (s3 / n)
+                       + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                       - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+              FROM m)
+        SELECT event_type, n,
+               m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2)) AS skewness,
+               m4 / (m2 * m2) - 3 AS kurtosis
+        FROM c""") {
+    (s, d) =>
+      val x = (col("value") / 1024).as("x")
+      val m = Tables.events(s, d)
+        .select(col("event_type"), x)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          Exact.sumD(col("x")).as("s1"),
+          Exact.sumD(col("x") * col("x")).as("s2"),
+          Exact.sumD(col("x") * col("x") * col("x")).as("s3"),
+          Exact.sumD(col("x") * col("x") * col("x") * col("x")).as("s4"))
+      val mu = col("s1") / col("n")
+      val c = m.select(col("event_type"), col("n"), mu.as("mu"),
+        (col("s2") / col("n") - mu * mu).as("m2"),
+        (col("s3") / col("n") - lit(3) * mu * (col("s2") / col("n"))
+          + lit(2) * mu * mu * mu).as("m3"),
+        (col("s4") / col("n") - lit(4) * mu * (col("s3") / col("n"))
+          + lit(6) * mu * mu * (col("s2") / col("n"))
+          - lit(3) * mu * mu * mu * mu).as("m4"))
+      c.select(col("event_type"), col("n"),
+        (col("m3") / (sqrt(col("m2")) * sqrt(col("m2")) * sqrt(col("m2")))).as("skewness"),
+        (col("m4") / (col("m2") * col("m2")) - 3).as("kurtosis"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     streamWindow, streamSliding, sessionWindow, sessionize, multimodalMeta,
     asofJoin, rangeJoinBinned,
     sketchCountMin, rollingFrames, funnel, jsonExtract, gapFill, outlierZscore,
     rollingTime, winsorize, intervalMerge, markovTransitions, anomalyMad,
     retentionCohorts, periodDelta, jsonRoundtrip, linearFit, seqPaths,
-    percentileCont)
+    percentileCont, rangeJoinAuto, momentsProfile)
 }

@@ -312,6 +312,20 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q_range_join_auto: the RangeJoinBinning rule fires — bin explode, no nested loop") {
+    val df = SparkEntry.queries("q_range_join_auto")(spark, sf)
+    try {
+      val opt = df.queryExecution.optimizedPlan
+      assert(opt.collect {
+        case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+      }.size == 1, s"expected the bin explode:\n$opt")
+      val phys = df.queryExecution.executedPlan.toString
+      assert(!phys.contains("BroadcastNestedLoopJoin") && !phys.contains("CartesianProduct"),
+        s"naive range join must not plan as a nested loop:\n$phys")
+    } finally spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ eq graft.plans.RangeJoinBinning)
+  }
+
   test("q_inverted_index: one exploded pass, no joins") {
     val plan = formatted("q_inverted_index")
     assert(!plan.contains("Join"), s"index build is explode+aggregate only:\n$plan")
