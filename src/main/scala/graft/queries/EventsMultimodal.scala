@@ -851,11 +851,56 @@ object EventsMultimodal {
         (col("m4") / (col("m2") * col("m2")) - 3).as("kurtosis"))
   }
 
+  /** Time-weighted average: each observation holds until the user's next
+    * event, so its weight is the interval LENGTH — the TWAP/duty-cycle
+    * aggregation for irregular time series, where a plain mean
+    * over-counts bursts. One per-user lead() gives hold durations
+    * (integer microseconds; the final observation gets zero weight —
+    * half-open convention), then Σ(value·dur)/Σ(dur) per user.
+    *
+    * Determinism WITHOUT quantization: the weighted sum runs in exact
+    * INTEGER units (cents × micro-durations). Per-user durations
+    * TELESCOPE to the user's observed span (≤ the corpus month,
+    * ~2.6e12 µs), so Σ(cents·dur) ≤ 5e4·2.6e12 ≈ 1.3e17 — inside int64
+    * in both engines; the final casts round the SAME exact integers, and
+    * the double divisions are single IEEE ops. One shuffle on user_id;
+    * window and aggregation share it. */
+  val twap = QuerySpec(
+    "q_twap",
+    """WITH h AS (SELECT user_id, value, epoch_us(ts) AS t_us,
+                         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                  ORDER BY ts, event_id) AS t_next
+                  FROM events),
+       w AS (SELECT user_id,
+                    CAST(round(value * 100) AS BIGINT) AS cents,
+                    t_next - t_us AS dur
+             FROM h WHERE t_next IS NOT NULL)
+       SELECT user_id,
+              CAST(CAST(SUM(cents * dur) AS BIGINT) AS DOUBLE)
+                / CAST(CAST(SUM(dur) AS BIGINT) AS DOUBLE) / 100 AS twap,
+              CAST(count(*) AS BIGINT) AS n_intervals
+       FROM w GROUP BY 1""") {
+    (s, d) =>
+      val win = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("value"), unix_micros(col("ts")).as("t_us"),
+          lead(unix_micros(col("ts")), 1).over(win).as("t_next"))
+        .filter(col("t_next").isNotNull)
+        .select(col("user_id"),
+          round(col("value") * 100).cast("long").as("cents"),
+          (col("t_next") - col("t_us")).as("dur"))
+        .groupBy("user_id")
+        .agg(
+          (sum(col("cents") * col("dur")).cast("double")
+            / sum(col("dur")).cast("double") / 100).as("twap"),
+          count(lit(1)).as("n_intervals"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     streamWindow, streamSliding, sessionWindow, sessionize, multimodalMeta,
     asofJoin, rangeJoinBinned,
     sketchCountMin, rollingFrames, funnel, jsonExtract, gapFill, outlierZscore,
     rollingTime, winsorize, intervalMerge, markovTransitions, anomalyMad,
     retentionCohorts, periodDelta, jsonRoundtrip, linearFit, seqPaths,
-    percentileCont, rangeJoinAuto, momentsProfile)
+    percentileCont, rangeJoinAuto, momentsProfile, twap)
 }
