@@ -1186,8 +1186,51 @@ object TextDedup {
         .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
   }
 
+  /** Asymmetric CONTAINMENT over LSH candidates: |A∩B| against EACH side's
+    * own size — the "is A a subset-duplicate of B" detector (quote
+    * inclusion, boilerplate wrapping, doc-in-doc). Jaccard misses these:
+    * a tweet embedded in an article has tiny J but containment ≈ 1 on the
+    * tweet's side. Same candidate-linear intersection as
+    * [[dedupLshVerified]]; the verdict is the integer test
+    * 4·|∩| ≥ 3·min(|A|,|B|) (containment ≥ 0.75 on the smaller side),
+    * with both directed ratios emitted. */
+  val dedupContainment = QuerySpec(
+    "q_dedup_containment",
+    s"""WITH ${shingleSql(3)},
+        $minhashCandSql,
+        sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        inter AS (
+          SELECT c.a_id, c.b_id, count(*) AS inter
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.a_id
+          JOIN sh b ON b.doc_id = c.b_id AND b.shingle = a.shingle
+          GROUP BY 1, 2)
+        SELECT i.a_id, i.b_id, i.inter, za.n AS n_a, zb.n AS n_b,
+               CAST(i.inter AS DOUBLE) / za.n AS containment_in_b,
+               CAST(i.inter AS DOUBLE) / zb.n AS containment_in_a
+        FROM inter i
+        JOIN sz za ON za.doc_id = i.a_id
+        JOIN sz zb ON zb.doc_id = i.b_id
+        WHERE 4 * i.inter >= 3 * least(za.n, zb.n)""") {
+    (s, d) =>
+      val sh = shingled(s, d, 3)
+      val cand = minhashCandShared(s, d)
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      cand
+        .join(sh.toDF("a_id", "shingle"), "a_id")
+        .join(sh.toDF("b_id", "shingle"), Seq("b_id", "shingle"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+        .join(sz.toDF("a_id", "n_a"), "a_id")
+        .join(sz.toDF("b_id", "n_b"), "b_id")
+        .filter(lit(4) * col("inter") >= lit(3) * least(col("n_a"), col("n_b")))
+        .select(col("a_id"), col("b_id"), col("inter"), col("n_a"), col("n_b"),
+          (col("inter").cast("double") / col("n_a")).as("containment_in_b"),
+          (col("inter").cast("double") / col("n_b")).as("containment_in_a"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     textStats, langId, ngramProfile, fingerprint, invertedIndex, degreeDist,
+    dedupContainment,
     dedupExact, dedupJaccard, dedupSubstring, dedupMinhashLsh, dedupMinhashEstimate,
     dedupLshVerified, dedupLshRecall,
     dedupSimhash, dedupSimhashHamming, dedupComponents, dedupKeep, dedupIncremental,
