@@ -588,8 +588,13 @@ object EventsMultimodal {
        WHERE d.adev > 3 * mad.mad""") {
     (s, d) =>
       val ev = Tables.events(s, d)
+      // med is #groups rows; materialize it so the two passes that
+      // broadcast it don't each re-run its corpus-sized aggregation
+      // (4 event scans → 3, the operator's floor: med pass, mad pass,
+      // gate pass)
       val med = ev.groupBy("event_type")
         .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("med"))
+        .localCheckpoint()
       val dev = ev.join(broadcast(med), "event_type")
         .withColumn("adev", abs(col("value") - col("med")))
       val mad = dev.groupBy("event_type")
