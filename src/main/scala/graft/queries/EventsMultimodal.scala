@@ -901,11 +901,58 @@ object EventsMultimodal {
           count(lit(1)).as("n_intervals"))
   }
 
+  /** Three-step funnel (view → click ≤30 min → purchase ≤1 h after the
+    * FIRST click), written as two NAIVE bounded-range joins — both
+    * rewritten to binned equi-joins by [[graft.plans.RangeJoinBinning]],
+    * proving the rule composes through an intermediate aggregation. The
+    * chain anchors each stage on the first (min) qualifying event, the
+    * standard funnel attribution rule, so every stage is a grouped min —
+    * deterministic. Output is the one-row stage-count summary. */
+  val funnel3 = QuerySpec(
+    "q_funnel3",
+    """WITH v AS (SELECT event_id AS v_id, user_id, epoch_us(ts) AS v_t
+                  FROM events WHERE event_type = 'view'),
+       c AS (SELECT user_id AS cu, epoch_us(ts) AS c_t
+             FROM events WHERE event_type = 'click'),
+       p AS (SELECT user_id AS pu, epoch_us(ts) AS p_t
+             FROM events WHERE event_type = 'purchase'),
+       s1 AS (SELECT v.v_id, v.user_id, min(c.c_t) AS fc
+              FROM v JOIN c ON c.cu = v.user_id
+                AND c.c_t > v.v_t AND c.c_t <= v.v_t + 1800000000
+              GROUP BY 1, 2),
+       s2 AS (SELECT s1.v_id, min(p.p_t) AS fp
+              FROM s1 JOIN p ON p.pu = s1.user_id
+                AND p.p_t > s1.fc AND p.p_t <= s1.fc + 3600000000
+              GROUP BY 1)
+       SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_views,
+              (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_clicked,
+              (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_converted""") {
+    (s, d) =>
+      graft.plans.RangeJoinBinning.register(s)
+      val ev = Tables.events(s, d)
+      def stage(t: String) = ev.filter(col("event_type") === t)
+      val v = stage("view")
+        .select(col("event_id").as("v_id"), col("user_id"), unix_micros(col("ts")).as("v_t"))
+      val c = stage("click")
+        .select(col("user_id").as("cu"), unix_micros(col("ts")).as("c_t"))
+      val p = stage("purchase")
+        .select(col("user_id").as("pu"), unix_micros(col("ts")).as("p_t"))
+      val s1 = v.join(c, col("cu") === col("user_id")
+          && col("c_t") > col("v_t") && col("c_t") <= col("v_t") + 1800000000L)
+        .groupBy("v_id", "user_id").agg(min("c_t").as("fc"))
+      val s2 = s1.join(p, col("pu") === col("user_id")
+          && col("p_t") > col("fc") && col("p_t") <= col("fc") + 3600000000L)
+        .groupBy("v_id").agg(min("p_t").as("fp"))
+      v.agg(count(lit(1)).as("n_views"))
+        .crossJoin(s1.agg(count(lit(1)).as("n_clicked")))
+        .crossJoin(s2.agg(count(lit(1)).as("n_converted")))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     streamWindow, streamSliding, sessionWindow, sessionize, multimodalMeta,
     asofJoin, rangeJoinBinned,
     sketchCountMin, rollingFrames, funnel, jsonExtract, gapFill, outlierZscore,
     rollingTime, winsorize, intervalMerge, markovTransitions, anomalyMad,
     retentionCohorts, periodDelta, jsonRoundtrip, linearFit, seqPaths,
-    percentileCont, rangeJoinAuto, momentsProfile, twap)
+    percentileCont, rangeJoinAuto, momentsProfile, twap, funnel3)
 }

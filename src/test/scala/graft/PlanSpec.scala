@@ -326,6 +326,26 @@ class PlanSpec extends SparkSpec {
       spark.experimental.extraOptimizations.filterNot(_ eq graft.plans.RangeJoinBinning)
   }
 
+  test("q_funnel3: BOTH naive range joins rewrite to binned equi-joins through the aggregation") {
+    val df = SparkEntry.queries("q_funnel3")(spark, sf)
+    try {
+      val opt = df.queryExecution.optimizedPlan
+      // s1's rewritten subtree appears twice (stage-2 input + its own
+      // count branch), so ≥2 distinct explodes is the invariant
+      assert(opt.collect {
+        case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+      }.size >= 2, s"expected a bin explode per funnel stage:\n$opt")
+      // the only remaining non-equi joins must be the 1-row summary
+      // crossJoins, never a range stage: every range join carries a bin key
+      val rangeJoins = opt.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.condition.exists(_.references.exists(_.name.startsWith("__graft_bin"))) => j
+      }
+      assert(rangeJoins.size >= 2, s"both stages must join on the bin key:\n$opt")
+    } finally spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ eq graft.plans.RangeJoinBinning)
+  }
+
   test("q_inverted_index: one exploded pass, no joins") {
     val plan = formatted("q_inverted_index")
     assert(!plan.contains("Join"), s"index build is explode+aggregate only:\n$plan")
