@@ -47,4 +47,42 @@ class TransformWithStateSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass"))(
       spark.conf.set("spark.sql.streaming.stateStore.providerClass", _))
   }
+
+  test("state survives a query RESTART from the checkpoint (RocksDB store recovery)") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val ckpt = java.nio.file.Files.createTempDirectory("tws-ckpt").toString
+      val input = MemoryStream[StreamOps.Event]
+      // memory sink refuses checkpoint recovery; foreachBatch supports it
+      val seen = new java.util.concurrent.ConcurrentLinkedQueue[StreamOps.TotalsOut]()
+      def start() = StreamOps.runningTotals(input.toDS())
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[StreamOps.TotalsOut], _: Long) =>
+          batch.collect().foreach(seen.add)
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("update").start()
+
+      val q1 = start()
+      input.addData(ev(1, 7, 1.25), ev(2, 7, 2.50))
+      q1.processAllAvailable()
+      q1.stop()
+
+      // a NEW query from the same checkpoint must resume, not reset, state
+      val q2 = start()
+      try {
+        input.addData(ev(3, 7, 0.25))
+        q2.processAllAvailable()
+        val latest = seen.toArray(Array.empty[StreamOps.TotalsOut])
+          .filter(_.user_id == 7L).maxBy(_.n_events)
+        assert(latest.n_events === 3L && latest.total_cents === 400L,
+          "restarted query must carry the pre-restart state")
+      } finally q2.stop()
+    } finally prev.fold(
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass"))(
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", _))
+  }
 }
