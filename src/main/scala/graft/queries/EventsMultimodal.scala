@@ -948,11 +948,48 @@ object EventsMultimodal {
         .crossJoin(s2.agg(count(lit(1)).as("n_converted")))
   }
 
+  /** Gini coefficient per segment — the inequality/concentration audit
+    * (is 1% of events carrying 90% of the value?) a data-balance review
+    * reads next to the mixture rates. Exact rank formulation
+    * G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over ascending-sorted values: the
+    * rank is a per-group row_number with a TOTAL order (value, event_id),
+    * and both sums route through [[graft.Exact]] — so the whole statistic
+    * is deterministic arithmetic over exact values. One shuffle for the
+    * rank window; the aggregation reuses its partitioning. */
+  val giniConcentration = QuerySpec(
+    "q_gini",
+    s"""WITH r AS (SELECT event_type, value,
+                          CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                                  ORDER BY value, event_id) AS BIGINT) AS i
+                   FROM events),
+        m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                     ${Exact.sumSql("value")} AS sx,
+                     ${Exact.sumSql("i * value")} AS six
+              FROM r GROUP BY 1)
+        SELECT event_type, n,
+               2 * six / (n * sx) - CAST(n + 1 AS DOUBLE) / n AS gini
+        FROM m""") {
+    (s, d) =>
+      val w = Window.partitionBy("event_type").orderBy("value", "event_id")
+      Tables.events(s, d)
+        .select(col("event_type"), col("value"),
+          row_number().over(w).cast("long").as("i"))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          Exact.sumD(col("value")).as("sx"),
+          Exact.sumD(col("i") * col("value")).as("six"))
+        .select(col("event_type"), col("n"),
+          (lit(2) * col("six") / (col("n") * col("sx"))
+            - (col("n") + 1).cast("double") / col("n")).as("gini"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     streamWindow, streamSliding, sessionWindow, sessionize, multimodalMeta,
     asofJoin, rangeJoinBinned,
     sketchCountMin, rollingFrames, funnel, jsonExtract, gapFill, outlierZscore,
     rollingTime, winsorize, intervalMerge, markovTransitions, anomalyMad,
     retentionCohorts, periodDelta, jsonRoundtrip, linearFit, seqPaths,
-    percentileCont, rangeJoinAuto, momentsProfile, twap, funnel3)
+    percentileCont, rangeJoinAuto, momentsProfile, twap, funnel3,
+    giniConcentration)
 }
