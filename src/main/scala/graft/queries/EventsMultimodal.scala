@@ -984,6 +984,81 @@ object EventsMultimodal {
             - (col("n") + 1).cast("double") / col("n")).as("gini"))
   }
 
+  /** Lag-1 autocorrelation of the daily series per segment — "is
+    * yesterday predictive of today": the seasonality/trend smell test run
+    * before fitting anything fancier. Composes the engine's established
+    * pieces: Exact daily totals ([[periodDelta]]'s first stage), a lag
+    * over the tiny #segments×#days table, then the Pearson form of
+    * [[graft.queries.Relational.corrStats]] on (today, yesterday) pairs —
+    * sufficient statistics, one pass over the aggregate. The corpus is
+    * scanned ONCE; everything after is #days-sized. */
+  val autocorr = QuerySpec(
+    "q_autocorr",
+    s"""WITH dv AS (SELECT event_type, CAST(ts AS DATE) AS d,
+                           ${Exact.sumSql("value")} / 1024 AS day_total
+                    FROM events GROUP BY 1, 2),
+        pairs AS (SELECT event_type, day_total AS x,
+                         lag(day_total) OVER (PARTITION BY event_type ORDER BY d) AS y
+                  FROM dv),
+        m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                     ${Exact.sumSql("x")} AS sx, ${Exact.sumSql("y")} AS sy,
+                     ${Exact.sumSql("x * y")} AS sxy,
+                     ${Exact.sumSql("x * x")} AS sxx, ${Exact.sumSql("y * y")} AS syy
+              FROM pairs WHERE y IS NOT NULL GROUP BY 1)
+        SELECT event_type, n,
+               (n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS r1
+        FROM m""") {
+    (s, d) =>
+      val w = Window.partitionBy("event_type").orderBy("d")
+      Tables.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+        .agg((Exact.sumD(col("value")) / 1024).as("day_total"))
+        .select(col("event_type"), col("day_total").as("x"),
+          lag("day_total", 1).over(w).as("y"))
+        .filter(col("y").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          Exact.sumD(col("x")).as("sx"), Exact.sumD(col("y")).as("sy"),
+          Exact.sumD(col("x") * col("y")).as("sxy"),
+          Exact.sumD(col("x") * col("x")).as("sxx"),
+          Exact.sumD(col("y") * col("y")).as("syy"))
+        .select(col("event_type"), col("n"),
+          ((col("n") * col("sxy") - col("sx") * col("sy"))
+            / (sqrt(col("n") * col("sxx") - col("sx") * col("sx"))
+              * sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("r1"))
+  }
+
+  /** Benford first-digit audit per segment — the fabricated-data smell
+    * test. The first significant digit comes from the EXACT INTEGER cents
+    * (round(value·100) → CAST to string, both engines render integers
+    * identically), never from double→string formatting, which the two
+    * engines do differently. Counts + one share division; one scan. */
+  val benford = QuerySpec(
+    "q_benford",
+    """WITH c AS (SELECT event_type,
+                         substr(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR), 1, 1)
+                           AS first_digit
+                  FROM events WHERE value > 0),
+       n AS (SELECT event_type, first_digit, CAST(count(*) AS BIGINT) AS cnt
+             FROM c GROUP BY 1, 2)
+       SELECT event_type, first_digit, cnt,
+              CAST(cnt AS DOUBLE)
+                / CAST(SUM(cnt) OVER (PARTITION BY event_type) AS DOUBLE) AS share
+       FROM n""") {
+    (s, d) =>
+      Tables.events(s, d)
+        .filter(col("value") > 0)
+        .select(col("event_type"),
+          substring(round(col("value") * 100).cast("long").cast("string"), 1, 1)
+            .as("first_digit"))
+        .groupBy("event_type", "first_digit")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("share",
+          col("cnt").cast("double")
+            / sum("cnt").over(Window.partitionBy("event_type")).cast("double"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     streamWindow, streamSliding, sessionWindow, sessionize, multimodalMeta,
     asofJoin, rangeJoinBinned,
@@ -991,5 +1066,5 @@ object EventsMultimodal {
     rollingTime, winsorize, intervalMerge, markovTransitions, anomalyMad,
     retentionCohorts, periodDelta, jsonRoundtrip, linearFit, seqPaths,
     percentileCont, rangeJoinAuto, momentsProfile, twap, funnel3,
-    giniConcentration)
+    giniConcentration, autocorr, benford)
 }

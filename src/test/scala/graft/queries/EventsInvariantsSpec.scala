@@ -1,0 +1,77 @@
+package graft.queries
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Structural invariants of the round-4 event operators — properties that
+  * must hold on ANY input, checked on the real testdata (the oracle gate
+  * proves value equality; these prove the operators mean what they claim).
+  */
+class EventsInvariantsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def q(name: String) = graft.SparkEntry.queries(name)(spark, sf)
+
+  test("interval_merge: islands are disjoint, ordered, and cover every interval") {
+    val isl = q("q_interval_merge").cache()
+    try {
+      // every interval is accounted for
+      val nIntervals = isl.agg(sum("n_intervals")).head().getLong(0)
+      assert(nIntervals === Tables.events(spark, sf).count())
+      // island spans are non-negative
+      assert(isl.filter(col("covered_us") < 0).count() === 0)
+      // consecutive islands per user never touch: next start > previous end
+      val w = Window.partitionBy("user_id").orderBy("island_start_us")
+      val overlaps = isl
+        .withColumn("prev_end", lag("island_end_us", 1).over(w))
+        .filter(col("prev_end").isNotNull && col("island_start_us") <= col("prev_end"))
+        .count()
+      assert(overlaps === 0, "merged islands must be strictly separated")
+    } finally { isl.unpersist(); () }
+  }
+
+  test("markov_transitions: each source row-distribution sums to 1") {
+    val t = q("q_markov_transitions")
+    val bad = t.groupBy("src_type").agg(sum("p").as("tot"))
+      .filter(abs(col("tot") - 1.0) > 1e-9).count()
+    assert(bad === 0)
+    // total transitions = events − one per user (no predecessor)
+    val n = t.agg(sum("n")).head().getLong(0)
+    val ev = Tables.events(spark, sf)
+    assert(n === ev.count() - ev.select("user_id").distinct().count())
+  }
+
+  test("twap: each user's time-weighted average lies within their value range") {
+    val ev = Tables.events(spark, sf)
+    val rng = ev.groupBy("user_id").agg(min("value").as("lo"), max("value").as("hi"))
+    val bad = q("q_twap").join(rng, "user_id")
+      // cents rounding can push the edge by half a cent
+      .filter(col("twap") < col("lo") - 0.005 || col("twap") > col("hi") + 0.005)
+      .count()
+    assert(bad === 0)
+  }
+
+  test("gini: bounded in [0, 1) and zero for a constant series") {
+    import spark.implicits._
+    val bad = q("q_gini").filter(col("gini") < 0 || col("gini") >= 1).count()
+    assert(bad === 0)
+    // the closed form itself: constant values → perfect equality → 0
+    val const = Seq.tabulate(40)(i => (i.toLong, 5.0)).toDF("event_id", "value")
+    val w = Window.orderBy("value", "event_id")
+    val g = const.select(col("value"), row_number().over(w).cast("long").as("i"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sx"), sum(col("i") * col("value")).as("six"))
+      .select((lit(2) * col("six") / (col("n") * col("sx"))
+        - (col("n") + 1).cast("double") / col("n")).as("g"))
+      .head().getDouble(0)
+    assert(math.abs(g) < 1e-12)
+  }
+
+  test("benford: shares sum to 1 per segment; digits are 1..9") {
+    val b = q("q_benford")
+    assert(b.filter(!col("first_digit").isin((1 to 9).map(_.toString): _*)).count() === 0)
+    val bad = b.groupBy("event_type").agg(sum("share").as("tot"))
+      .filter(abs(col("tot") - 1.0) > 1e-9).count()
+    assert(bad === 0)
+  }
+}
