@@ -1059,6 +1059,77 @@ object EventsMultimodal {
             / sum("cnt").over(Window.partitionBy("event_type")).cast("double"))
   }
 
+  /** Audience overlap matrix: for every pair of event types, the distinct
+    * users doing BOTH, and the Jaccard overlap of the two audiences — the
+    * segment-overlap read behind "are buyers a subset of clickers". One
+    * distinct (type, user) pass; the pair intersection joins that compact
+    * table with itself on user (each user contributes ≤ types² pairs —
+    * linear in users, never an events×events join); audience sizes
+    * broadcast back. Integer counts, one final division. */
+  val audienceOverlap = QuerySpec(
+    "q_audience_overlap",
+    """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+       sz AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_users FROM tu GROUP BY 1),
+       inter AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                        CAST(count(*) AS BIGINT) AS n_both
+                 FROM tu a JOIN tu b
+                   ON a.user_id = b.user_id AND a.event_type < b.event_type
+                 GROUP BY 1, 2)
+       SELECT i.type_a, i.type_b, i.n_both, za.n_users AS n_a, zb.n_users AS n_b,
+              CAST(i.n_both AS DOUBLE)
+                / CAST(za.n_users + zb.n_users - i.n_both AS DOUBLE) AS jaccard
+       FROM inter i
+       JOIN sz za ON za.event_type = i.type_a
+       JOIN sz zb ON zb.event_type = i.type_b""") {
+    (s, d) =>
+      val tu = Tables.events(s, d).select("event_type", "user_id").distinct()
+      val sz = tu.groupBy("event_type").agg(count(lit(1)).as("n_users"))
+      val inter = tu.toDF("type_a", "user_id")
+        .join(tu.toDF("type_b", "user_id"), "user_id")
+        .filter(col("type_a") < col("type_b"))
+        .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_both"))
+      inter
+        .join(broadcast(sz.toDF("type_a", "n_a")), "type_a")
+        .join(broadcast(sz.toDF("type_b", "n_b")), "type_b")
+        .select(col("type_a"), col("type_b"), col("n_both"), col("n_a"), col("n_b"),
+          (col("n_both").cast("double")
+            / (col("n_a") + col("n_b") - col("n_both")).cast("double")).as("jaccard"))
+  }
+
+  /** Burstiness (Fano factor) of daily event counts per segment:
+    * variance-to-mean ratio of COUNTS — >1 means clustered arrivals, ≈1
+    * Poisson-like. Pure integer sufficient statistics (counts and squared
+    * counts are exact longs; the testdata's 30 days × ≤20k/day keeps
+    * n·Σx² far inside int64), so determinism is structural — no
+    * quantization, one grouped pass over the #segments×#days table. */
+  val burstiness = QuerySpec(
+    "q_burstiness",
+    """WITH dc AS (SELECT event_type, CAST(ts AS DATE) AS d,
+                          CAST(count(*) AS BIGINT) AS c
+                   FROM events GROUP BY 1, 2),
+       m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+                    CAST(SUM(c) AS BIGINT) AS s1, CAST(SUM(c * c) AS BIGINT) AS s2
+             FROM dc GROUP BY 1)
+       SELECT event_type, n_days,
+              CAST(s1 AS DOUBLE) / n_days AS mean_daily,
+              CAST(n_days * s2 - s1 * s1 AS DOUBLE)
+                / CAST(n_days AS DOUBLE) / n_days
+                / (CAST(s1 AS DOUBLE) / n_days) AS fano
+       FROM m""") {
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          sum("c").as("s1"), sum(col("c") * col("c")).as("s2"))
+        .select(col("event_type"), col("n_days"),
+          (col("s1").cast("double") / col("n_days")).as("mean_daily"),
+          ((col("n_days") * col("s2") - col("s1") * col("s1")).cast("double")
+            / col("n_days").cast("double") / col("n_days")
+            / (col("s1").cast("double") / col("n_days"))).as("fano"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     streamWindow, streamSliding, sessionWindow, sessionize, multimodalMeta,
     asofJoin, rangeJoinBinned,
@@ -1066,5 +1137,5 @@ object EventsMultimodal {
     rollingTime, winsorize, intervalMerge, markovTransitions, anomalyMad,
     retentionCohorts, periodDelta, jsonRoundtrip, linearFit, seqPaths,
     percentileCont, rangeJoinAuto, momentsProfile, twap, funnel3,
-    giniConcentration, autocorr, benford)
+    giniConcentration, autocorr, benford, audienceOverlap, burstiness)
 }
