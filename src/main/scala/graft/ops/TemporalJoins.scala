@@ -76,16 +76,22 @@ object TemporalJoins {
       left: DataFrame, right: DataFrame,
       keys: Seq[String], leftTime: String, rightTime: String,
       windowMicros: Long): DataFrame = {
+    // the bin column uses plans.RangeJoinBinning's marker name on purpose:
+    // when that rule is registered session-wide, the residual range filter
+    // below gets pushed back into the join condition, and without the
+    // marker the rule would re-bin this ALREADY-binned join (correct but
+    // a wasted second explode)
+    val bin = "__graft_bin"
     val lb = left
       .withColumn("_t_l", unix_micros(col(leftTime)))
-      .withColumn("_bin", explode(array(
+      .withColumn(bin, explode(array(
         binOf("_t_l", windowMicros),
         binOf("_t_l", windowMicros) + 1)))
     val rb = right
       .withColumn("_t_r", unix_micros(col(rightTime)))
-      .withColumn("_bin", binOf("_t_r", windowMicros))
-    lb.join(rb, keys :+ "_bin")
+      .withColumn(bin, binOf("_t_r", windowMicros))
+    lb.join(rb, keys :+ bin)
       .filter(col("_t_r") > col("_t_l") && col("_t_r") <= col("_t_l") + windowMicros)
-      .drop("_bin", "_t_l", "_t_r")
+      .drop(bin, "_t_l", "_t_r")
   }
 }

@@ -85,6 +85,24 @@ class RangeJoinBinningSpec extends SparkSpec {
     }
   }
 
+  test("the rule never re-bins an already-binned join (marker-column guard)") {
+    withRule {
+      val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      val a2 = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("a_id"), col("user_id"), col("ts").as("a_ts"))
+      val b2 = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("b_id"), col("user_id"), col("ts").as("b_ts"))
+      val df = graft.ops.TemporalJoins
+        .rangeJoinBinned(a2, b2, Seq("user_id"), "a_ts", "b_ts", 600000000L)
+      // predicate pushdown folds the residual range filter back into the
+      // equi-join; the shared __graft_bin marker must stop a second explode
+      val gens = df.queryExecution.optimizedPlan.collect {
+        case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+      }
+      assert(gens.size === 1, "rule must not double-bin the hand-binned join")
+    }
+  }
+
   test("naive events interval join matches ops.TemporalJoins.rangeJoinBinned under the rule") {
     withRule {
       val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
