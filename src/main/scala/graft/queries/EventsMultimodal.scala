@@ -1130,6 +1130,66 @@ object EventsMultimodal {
             / (col("s1").cast("double") / col("n_days"))).as("fano"))
   }
 
+  /** DAU/MAU stickiness: per day, the active-user count against the
+    * trailing-30-day active-user count — the engagement ratio every
+    * product dashboard leads with. Exact distinct counts both sides; the
+    * trailing window is a per-(user, day) dedup followed by a 30-day
+    * range self-count via the binned day grid (days join days, never
+    * events join events). */
+  val stickiness = QuerySpec(
+    "q_stickiness",
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+       days AS (SELECT DISTINCT d FROM ud),
+       dau AS (SELECT d, CAST(count(*) AS BIGINT) AS n_dau FROM ud GROUP BY 1),
+       mau AS (SELECT days.d, CAST(count(DISTINCT ud.user_id) AS BIGINT) AS n_mau
+               FROM days JOIN ud
+                 ON ud.d <= days.d AND ud.d > days.d - INTERVAL 30 DAY
+               GROUP BY 1)
+       SELECT dau.d, dau.n_dau, mau.n_mau,
+              CAST(dau.n_dau AS DOUBLE) / CAST(mau.n_mau AS DOUBLE) AS stickiness
+       FROM dau JOIN mau ON mau.d = dau.d""") {
+    (s, d) =>
+      val ud = Tables.events(s, d)
+        .select(col("user_id"), col("ts").cast("date").as("d")).distinct()
+      val days = ud.select("d").distinct()
+      val dau = ud.groupBy("d").agg(count(lit(1)).as("n_dau"))
+      val mau = days.toDF("day")
+        .join(ud, col("d") <= col("day") && col("d") > date_sub(col("day"), 30))
+        .groupBy(col("day").as("d"))
+        .agg(countDistinct("user_id").as("n_mau"))
+      dau.join(mau, "d")
+        .select(col("d"), col("n_dau"), col("n_mau"),
+          (col("n_dau").cast("double") / col("n_mau").cast("double")).as("stickiness"))
+  }
+
+  /** Lorenz curve by value decile per segment — the distribution table
+    * behind [[giniConcentration]]'s single number: which tenth of events
+    * carries what share of total value. Deciles come from ntile over the
+    * same TOTAL order as the Gini rank (deterministic bucket edges);
+    * per-decile Exact sums divide by the segment total. */
+  val lorenzDeciles = QuerySpec(
+    "q_lorenz",
+    s"""WITH r AS (SELECT event_type, value,
+                          ntile(10) OVER (PARTITION BY event_type
+                                          ORDER BY value, event_id) AS decile
+                   FROM events),
+        dm AS (SELECT event_type, CAST(decile AS BIGINT) AS decile,
+                      CAST(count(*) AS BIGINT) AS n,
+                      ${Exact.sumSql("value")} AS decile_value
+               FROM r GROUP BY 1, 2)
+        SELECT event_type, decile, n, decile_value,
+               decile_value / SUM(decile_value) OVER (PARTITION BY event_type) AS value_share
+        FROM dm""") {
+    (s, d) =>
+      val w = Window.partitionBy("event_type").orderBy("value", "event_id")
+      Tables.events(s, d)
+        .select(col("event_type"), col("value"), ntile(10).over(w).as("decile"))
+        .groupBy(col("event_type"), col("decile").cast("long").as("decile"))
+        .agg(count(lit(1)).as("n"), Exact.sumD(col("value")).as("decile_value"))
+        .withColumn("value_share",
+          col("decile_value") / sum("decile_value").over(Window.partitionBy("event_type")))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     streamWindow, streamSliding, sessionWindow, sessionize, multimodalMeta,
     asofJoin, rangeJoinBinned,
@@ -1137,5 +1197,6 @@ object EventsMultimodal {
     rollingTime, winsorize, intervalMerge, markovTransitions, anomalyMad,
     retentionCohorts, periodDelta, jsonRoundtrip, linearFit, seqPaths,
     percentileCont, rangeJoinAuto, momentsProfile, twap, funnel3,
-    giniConcentration, autocorr, benford, audienceOverlap, burstiness)
+    giniConcentration, autocorr, benford, audienceOverlap, burstiness,
+    stickiness, lorenzDeciles)
 }
