@@ -30,13 +30,30 @@ object Bench {
       } catch {
         case e: Throwable => System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
       }
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // release this query's scratch caches so storage memory doesn't
+      // accumulate across the suite (the r4 sketch-family regression);
+      // session-shared memos are not leased and survive
+      graft.ops.Caches.drain()
       // a failed query reports -1, never a plausible elapsed time
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      name -> (if (ok) elapsed else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // also write the JSON to a file: sbt log noise around stdout made the
+    // r4 artifact unparsable ("parsed": null) — the file is the reliable
+    // channel, stdout stays for the driver's tail
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
+    try {
+      val p = java.nio.file.Paths.get(out)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, line + "\n")
+    } catch {
+      case e: Throwable => System.err.println(s"[bench] could not write $out: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -4,6 +4,7 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -43,6 +44,15 @@ object SketchAggregates {
 
     override def prettyName: String = "kmv_sketch"
     override def children: Seq[Expression] = child :: Nil
+    // analysis-time typing: integral children are accepted (INT/SHORT/BYTE
+    // widen losslessly in update()); anything else is a readable analysis
+    // error — not a ClassCastException mid-execution
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"kmv_sketch requires an integral hash column, got ${other.simpleString}")
+    }
     override def nullable: Boolean = false
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -53,7 +63,10 @@ object SketchAggregates {
         buf: java.util.TreeSet[java.lang.Long],
         input: InternalRow): java.util.TreeSet[java.lang.Long] = {
       val v = child.eval(input)
-      if (v != null) add(buf, v.asInstanceOf[Long])
+      if (v != null) add(buf, v match {
+        case l: java.lang.Long => l.longValue()
+        case n: java.lang.Number => n.longValue() // int/short/byte widen
+      })
       buf
     }
 
@@ -110,7 +123,13 @@ object SketchAggregates {
   private[functions] def build(es: Seq[Expression]): Expression = {
     require(es.size == 2, "kmv_sketch(hash_col, k) takes exactly 2 arguments")
     require(es(1).foldable, "kmv_sketch k must be a literal")
-    KmvSketchAgg(es.head, es(1).eval().asInstanceOf[Number].intValue())
+    val kv = es(1).eval()
+    kv match {
+      case n: Number => KmvSketchAgg(es.head, n.intValue())
+      case other => throw new IllegalArgumentException(
+        s"kmv_sketch k must be a non-null integer literal, got " +
+          (if (other == null) "NULL" else s"$other (${es(1).dataType.simpleString})"))
+    }
   }
 
   /** Install in the session's FunctionRegistry (idempotent). */

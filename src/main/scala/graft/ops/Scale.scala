@@ -85,4 +85,45 @@ object Scale {
       .withColumn(outCol, sum(col(valueCol)).over(wInBucket) + col("_poff"))
       .drop("_psb", "_poff")
   }
+
+  /** Distributed global rank (the ROW_NUMBER analogue of [[prefixSum]]).
+    * A plain `row_number() OVER (ORDER BY ...)` moves the ENTIRE input
+    * through one task — fine for a 31-row report, a hard wall for a
+    * web-scale vocabulary (10⁸–10⁹ token types). The distributed form:
+    *
+    *   1. range-partition on the sort keys (`repartitionByRange` —
+    *      partition i's keys all precede partition i+1's, and equal-head
+    *      key runs split across partitions by the tiebreaker columns, so
+    *      a Zipf head can't pile onto one range);
+    *   2. rank WITHIN each range partition (a window partitioned by the
+    *      captured `spark_partition_id()` — parallelism = `parts`, never 1);
+    *   3. count rows per partition (one tiny row each), exclusive-prefix
+    *      those counts (a window over `parts` rows — metadata-sized), and
+    *      broadcast the offsets back: global rank = local rank + offset.
+    *
+    * Bit-identical to the single-task `row_number` when `orderCols` is a
+    * TOTAL order (unique per row) — required, as with any deterministic
+    * use of row_number. Cost: one extra pass over the input (the range
+    * exchange) buys unbounded scale-out of the rank itself.
+    */
+  def distributedRank(
+      df: DataFrame, orderCols: Seq[Column], parts: Int, outCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(parts > 0)
+    // the partition id is captured as a COLUMN right after the range
+    // exchange: downstream shuffles may move the row, the id keeps the
+    // range-order meaning it had when assigned
+    val ranged = df.repartitionByRange(parts, orderCols: _*)
+      .withColumn("_drp", spark_partition_id())
+    val local = ranged.withColumn("_drl",
+      row_number().over(Window.partitionBy("_drp").orderBy(orderCols: _*)).cast("long"))
+    val counts = ranged.groupBy("_drp").agg(count(lit(1)).as("_drn"))
+    val wPref = Window.orderBy("_drp").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("_dro", coalesce(sum(col("_drn")).over(wPref), lit(0L)))
+      .drop("_drn")
+    local.join(broadcast(offsets), "_drp")
+      .withColumn(outCol, col("_drl") + col("_dro"))
+      .drop("_drp", "_drl", "_dro")
+  }
 }

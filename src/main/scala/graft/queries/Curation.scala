@@ -235,10 +235,23 @@ object Curation {
           hx_ch -> CAST(strpos('0123456789abcdef', substr($e, hx_ch, 1)) - 1 AS BIGINT)),
         (a, c) -> a * 16 + c)"""
 
+  /** Session-shared materialization of the 3-gram hash universe (same
+    * pattern as TextDedup.memo): computed and cached ONCE per (session,
+    * dir) so the HLL and KMV sketches — and each sketch's two consumers,
+    * the register/k-min aggregate and the true-distinct diagnostic —
+    * read one cached table instead of re-deriving (and separately
+    * re-caching) the explode+md5+distinct per query. Pre-fix each sketch
+    * query cached its own copy and never released it. */
+  private val gramMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def gram3h8(s: SparkSession, d: String): DataFrame =
+    gramMemo.getOrElseUpdate((s, d), gram3h8Fresh(s, d).cache())
+
   /** Distinct 32-bit (8-hex-char md5-prefix) hashes of the corpus' word
     * 3-grams — the shared universe the KMV and HLL cardinality sketches
     * both estimate, so their outputs are directly comparable. */
-  private def gram3h8(s: SparkSession, d: String): DataFrame =
+  private def gram3h8Fresh(s: SparkSession, d: String): DataFrame =
     docs(s, d)
       .withColumn("ws", split(col("text"), " "))
       .select(explode(expr(
@@ -300,7 +313,8 @@ object Curation {
       (s, dd) =>
         val fp = docs(s, dd).select(
           col("doc_id"), col("source"), TextDedup.normFingerprint.as("fp"))
-        val corpus = fp.filter(col("doc_id") % 4 =!= 1).select("fp").distinct().cache()
+        val corpus = graft.ops.Caches.lease(
+          fp.filter(col("doc_id") % 4 =!= 1).select("fp").distinct())
         val bits = graft.ops.Bloom.collectBits(graft.ops.Bloom.build(corpus))
         val pr = fp.filter(col("doc_id") % 2 === 1).select("doc_id", "fp")
         val ex = pr.join(corpus, Seq("fp"), "left_semi").select("doc_id").distinct()
@@ -356,7 +370,7 @@ object Curation {
                zero_regs, true_distinct
         FROM agg, tot""") {
     (s, dd) =>
-      val h = gram3h8(s, dd).cache()
+      val h = gram3h8(s, dd)
       val rho = h
         .select(conv(col("h8"), 16, 10).cast("long").as("h"))
         .select(expr("h div 67108864").as("reg"), (col("h") % 67108864).as("rest"))
@@ -448,7 +462,7 @@ object Curation {
                  (SELECT CAST(count(*) AS BIGINT) FROM h) AS true_distinct
           FROM agg""") {
       (s, d) =>
-        val h = gram3h8(s, d).cache()
+        val h = gram3h8(s, d)
         val km = h.orderBy("h8").limit(k)
           .agg(count(lit(1)).cast("long").as("k"), max("h8").as("kth_hex"))
         val tot = h.agg(count(lit(1)).cast("long").as("true_distinct"))
@@ -552,10 +566,9 @@ object Curation {
              FROM sc) t
        WHERE rnk <= 3""") {
     (s, d) =>
-      val tf = docs(s, d)
+      val tf = graft.ops.Caches.lease(docs(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-        .cache()
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf")))
       val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
       val n = docs(s, d).agg(count(lit(1)).as("n_docs"))
       val sc = tf.join(df, Seq("token")).crossJoin(broadcast(n))
@@ -675,7 +688,8 @@ object Curation {
     (s, d) =>
       val fp = docs(s, d).select(
         col("doc_id"), col("source"), col("text"), TextDedup.normFingerprint.as("fp"))
-      val corpus = fp.filter(col("source") =!= "src1").select("fp").distinct().cache()
+      val corpus = graft.ops.Caches.lease(
+        fp.filter(col("source") =!= "src1").select("fp").distinct())
       val batch = fp.filter(col("source") === "src1")
       // bloom pre-screen (pure per-row projection against the 16 KB
       // filter literal): only possible-members pay the exact anti-join;
@@ -997,9 +1011,9 @@ object Curation {
           JOIN card ca ON ca.source = e.source_a
           JOIN card cb ON cb.source = e.source_b""") {
       (s, d) =>
-        val tok = docs(s, d)
+        val tok = graft.ops.Caches.lease(docs(s, d)
           .select(col("source"), explode(split(col("text"), " ")).as("token"))
-          .distinct().cache()
+          .distinct())
         val skr = graft.ops.Scale.topKPerGroup(
           tok.select(col("source"), md5(col("token")).as("h")),
           Seq("source"), col("h"), k).toDF("src", "h")

@@ -157,6 +157,127 @@ object EventsMultimodal {
           lit(3L).as("fake_channels"))
   }
 
+  /** Byte-level near-duplicate detection over the binary payload — the
+    * content-agnostic dedup an image/audio corpus needs where text
+    * shingling does not apply: a 256-bucket byte histogram per item, then
+    * histogram-intersection distance between candidates. All-integer
+    * arithmetic (inter = Σ min(cₐ,c_b); L1 = nₐ+n_b−2·inter), so the
+    * result is bitwise cross-engine.
+    *
+    * Scale shape: candidates come from LENGTH BANDING (band = bytes/64,
+    * ±1 adjacency as an EQUI-join on the exploded probe band) plus the
+    * implied |nₐ−n_b| pre-filter — L1 ≥ |nₐ−n_b|, so the 5 % length gate
+    * is a pure pushdown of the final threshold, never a recall change.
+    * Verification is candidate-linear: each pair evaluates one
+    * `map_zip_with` over two ≤256-entry maps inside whole-stage codegen —
+    * no per-byte row blowup, no all-pairs join. At 100 TB the banding key
+    * would widen to a coarse content signature (quantized-histogram
+    * cells, exactly the q_semdedup blocking); the verify side is
+    * unchanged. Byte values ride as INTEGER `ascii` codes (the corpus is
+    * ASCII, where char == byte; a true binary payload explodes
+    * `substring(payload, i, 1)` identically). */
+  val multimodalHistDup = QuerySpec(
+    "q_multimodal_histdup",
+    """WITH d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n FROM documents),
+       hist AS (SELECT doc_id, ascii(substr(text, i, 1)) AS b, CAST(count(*) AS BIGINT) AS c
+                FROM d, UNNEST(generate_series(1, CAST(n AS INTEGER))) AS u(i)
+                GROUP BY 1, 2),
+       cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.n AS na, b.n AS nb
+                FROM d a JOIN d b
+                  ON abs(a.n // 64 - b.n // 64) <= 1
+                 AND 20 * abs(a.n - b.n) <= a.n + b.n
+                 AND a.doc_id < b.doc_id),
+       inter AS (SELECT c.a_id, c.b_id, max(c.na) AS na, max(c.nb) AS nb,
+                        sum(least(ha.c, hb.c)) AS inter
+                 FROM cand c
+                 JOIN hist ha ON ha.doc_id = c.a_id
+                 JOIN hist hb ON hb.doc_id = c.b_id AND hb.b = ha.b
+                 GROUP BY 1, 2)
+       SELECT a_id, b_id, na, nb, CAST(inter AS BIGINT) AS n_inter,
+              CAST(na + nb - 2 * inter AS BIGINT) AS l1_dist
+       FROM inter WHERE 20 * (na + nb - 2 * inter) <= na + nb""") {
+    (s, d) =>
+      val dd = Tables.documents(s, d).select(
+        col("doc_id"), col("text"), length(col("text")).cast("long").as("n"))
+      // one histogram map per item: byte value -> count (≤256 entries)
+      val hm = dd
+        .select(col("doc_id"), col("n"), explode(expr(
+          """CASE WHEN n >= 1
+             THEN transform(sequence(1, cast(n AS int)), i -> ascii(substring(text, i, 1)))
+             ELSE array() END""")).as("b"))
+        .groupBy(col("doc_id"), col("n"), col("b")).agg(count(lit(1)).as("c"))
+        .groupBy("doc_id", "n")
+        .agg(map_from_entries(collect_list(struct(col("b"), col("c")))).as("hm"))
+        .withColumn("band", expr("n div 64"))
+      val a = hm.select(col("doc_id").as("a_id"), col("n").as("na"), col("hm").as("ha"),
+        explode(expr("array(band - 1, band, band + 1)")).as("probe"))
+      val b = hm.select(col("doc_id").as("b_id"), col("n").as("nb"), col("hm").as("hb"),
+        col("band"))
+      a.join(b, col("probe") === col("band")) // equi-join: banding, not all-pairs
+        .filter(col("a_id") < col("b_id")
+          && lit(20) * abs(col("na") - col("nb")) <= col("na") + col("nb"))
+        .withColumn("n_inter", expr(
+          """aggregate(map_values(map_zip_with(ha, hb,
+               (k, x, y) -> least(coalesce(x, 0L), coalesce(y, 0L)))),
+             0L, (acc, v) -> acc + v)"""))
+        .withColumn("l1_dist", col("na") + col("nb") - lit(2) * col("n_inter"))
+        .filter(lit(20) * col("l1_dist") <= col("na") + col("nb"))
+        .select("a_id", "b_id", "na", "nb", "n_inter", "l1_dist")
+  }
+
+  /** Per-modality quality statistics — the audit table a multimodal
+    * ingest runs before training: item counts, payload-size distribution
+    * (exact PERCENTILE_DISC selection, no interpolation arithmetic), and
+    * decoded-dimension ranges per modality. The modality tag and decoded
+    * metadata ride in a typed STRUCT column (the shape
+    * [[graft.multimodal.Multimodal.MediaFeatures]] produces); the decode
+    * itself is the same SQL-expressible deterministic fake as
+    * [[multimodalMeta]] (media codecs don't ship here — a real deployment
+    * swaps the struct's source for the mapPartitions decoder, the
+    * aggregation is unchanged). One scan, one groupBy: integers
+    * end-to-end. */
+  val multimodalQuality = QuerySpec(
+    "q_multimodal_quality",
+    """WITH m AS (
+         SELECT doc_id,
+                CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                CAST(length(text) AS BIGINT) AS n_bytes,
+                CAST(length(text) % 64 + 1 AS BIGINT) AS width,
+                CAST(length(text) % 37 + 1 AS BIGINT) AS height,
+                CAST(CASE WHEN doc_id % 3 <> 0 THEN length(text) % 120 + 1 ELSE 0 END AS BIGINT) AS duration_s
+         FROM documents)
+       SELECT kind, CAST(count(*) AS BIGINT) AS n_items,
+              sum(n_bytes) AS total_bytes,
+              percentile_disc(0.5) WITHIN GROUP (ORDER BY n_bytes) AS p50_bytes,
+              min(width) AS min_width, max(width) AS max_width,
+              min(height) AS min_height, max(height) AS max_height,
+              sum(duration_s) AS total_duration_s,
+              CAST(sum(CASE WHEN width * height >= 1024 THEN 1 ELSE 0 END) AS BIGINT) AS n_large
+       FROM m GROUP BY 1""") {
+    (s, d) =>
+      val n = length(col("text")).cast("long")
+      val m = Tables.documents(s, d).select(
+        col("doc_id"),
+        struct(
+          when(col("doc_id") % 3 === 0, "image")
+            .when(col("doc_id") % 3 === 1, "audio").otherwise("video").as("kind"),
+          n.as("n_bytes"),
+          (n % 64 + 1).as("width"),
+          (n % 37 + 1).as("height"),
+          when(col("doc_id") % 3 =!= 0, n % 120 + 1).otherwise(0L).as("duration_s"))
+          .as("meta"))
+      m.groupBy(col("meta.kind").as("kind"))
+        .agg(
+          count(lit(1)).cast("long").as("n_items"),
+          sum("meta.n_bytes").as("total_bytes"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY meta.n_bytes)").as("p50_bytes"),
+          min("meta.width").as("min_width"), max("meta.width").as("max_width"),
+          min("meta.height").as("min_height"), max("meta.height").as("max_height"),
+          sum("meta.duration_s").as("total_duration_s"),
+          sum(when(col("meta.width") * col("meta.height") >= 1024, 1L).otherwise(0L))
+            .cast("long").as("n_large"))
+  }
+
   /** AS-OF join (ops.TemporalJoins.asOfJoin): each click matched to the
     * user's latest purchase at-or-before it — one shuffle+sort composition
     * of an operator Spark lacks natively. Oracle: DuckDB's native
@@ -594,7 +715,10 @@ object EventsMultimodal {
       // gate pass)
       val med = ev.groupBy("event_type")
         .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("med"))
-        .localCheckpoint()
+        // lazy: plan-only paths (explain, PlanSpec) must not run a job
+        // just to CONSTRUCT the DataFrame; the checkpoint materializes at
+        // first action as before
+        .localCheckpoint(eager = false)
       val dev = ev.join(broadcast(med), "event_type")
         .withColumn("adev", abs(col("value") - col("med")))
       val mad = dev.groupBy("event_type")
@@ -1192,6 +1316,7 @@ object EventsMultimodal {
 
   val specs: Seq[QuerySpec] = Seq(
     streamWindow, streamSliding, sessionWindow, sessionize, multimodalMeta,
+    multimodalHistDup, multimodalQuality,
     asofJoin, rangeJoinBinned,
     sketchCountMin, rollingFrames, funnel, jsonExtract, gapFill, outlierZscore,
     rollingTime, winsorize, intervalMerge, markovTransitions, anomalyMad,

@@ -512,7 +512,7 @@ object Similarity {
             .orderBy(col("cos_sim").desc, col("neighbor_id"))))
         .filter(col("rnk") <= 3)
         .select("query_id", "neighbor_id")
-        .cache()
+      graft.ops.Caches.lease(bf)
       def recallOf(method: String, approx: DataFrame): DataFrame =
         bf.join(approx.select("query_id", "neighbor_id").withColumn("_m", lit(1)),
             Seq("query_id", "neighbor_id"), "left")

@@ -1049,10 +1049,12 @@ object TextDedup {
     * once on token (map-side partial agg); ranking then runs on the
     * aggregated TYPE table, orders of magnitude smaller than the corpus.
     * The cumulative sum goes through [[graft.ops.Scale.prefixSum]]'s
-    * two-phase scan (bit-identical to the single-window form for integer
-    * counts), so the running total never serializes the type table onto
-    * one task — the rank window is the only single-task step, and it sees
-    * types, not tokens. */
+    * two-phase scan and the rank through [[graft.ops.Scale.distributedRank]]'s
+    * range-partitioned form (both bit-identical to their single-window
+    * equivalents for this total order), so NO step serializes the type
+    * table onto one task — a 10⁹-type web vocabulary ranks at full
+    * parallelism; the only single-task windows see per-partition counts
+    * and per-bucket totals (metadata-sized by construction). */
   val vocabZipf = QuerySpec(
     "q_vocab_zipf",
     """WITH tok AS (SELECT u.token FROM documents, UNNEST(str_split(text, ' ')) AS u(token)),
@@ -1069,10 +1071,11 @@ object TextDedup {
       val cnt = docs(s, d)
         .select(explode(split(col("text"), " ")).as("token"))
         .groupBy("token").agg(count(lit(1)).as("n"))
-      val ranked = cnt.withColumn("rnk", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .orderBy(col("n").desc, col("token")))
-          .cast("long"))
+      // (n desc, token) is a total order over the type table, so the
+      // range-partitioned rank is bit-identical to the single-task window
+      // — without ever serializing the vocabulary through one task
+      val ranked = graft.ops.Scale.distributedRank(
+        cnt, Seq(col("n").desc, col("token")), parts = 16, outCol = "rnk")
       val total = cnt.agg(sum(col("n")).as("total"))
       graft.ops.Scale.prefixSum(ranked, Seq.empty, "rnk", "n",
           bucket = expr("rnk div 8"), outCol = "cum_n")

@@ -351,4 +351,25 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"index build is explode+aggregate only:\n$plan")
     assert("documents.parquet".r.findAllIn(plan).size == 1, "one corpus scan")
   }
+
+  test("q_vocab_zipf: no single-task window ever sees the type table") {
+    // the rank goes through Scale.distributedRank (keyed on the range
+    // partition id) and the running sum through Scale.prefixSum (keyed on
+    // the bucket) — the only unpartitioned windows left are over
+    // per-partition counts / per-bucket totals, metadata-sized by
+    // construction. A 10⁹-type vocabulary would rank at full parallelism.
+    val opt = SparkEntry.queries("q_vocab_zipf")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    val rn = opt.linesIterator.filter(_.contains("row_number")).toSeq
+    assert(rn.nonEmpty && rn.forall(_.contains("_drp")),
+      s"the vocab rank must be per-range-partition (_drp), got:\n$rn")
+    val cum = opt.linesIterator
+      .filter(l => l.contains("sum(") && l.contains("specifiedwindowframe")
+        && l.contains("unboundedpreceding"))
+      .toSeq
+    // every full-width running sum keys on a bucket/partition column
+    assert(cum.forall(l => l.contains("_psb") || l.contains("_drp") || l.contains("_drn")
+        || l.contains("_psum")),
+      s"running-sum windows must be bucketed:\n${cum.mkString("\n")}")
+  }
 }

@@ -73,6 +73,52 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("distributedRank matches the single-task row_number exactly") {
+    import org.apache.spark.sql.expressions.Window
+    // Zipf-ish head: many rows share the top counts, tiebroken by token —
+    // the exact shape where equal keys must split across range partitions
+    val df = (1 to 500).map(i => (s"t${i % 37}_$i", (i % 13).toLong)).toDF("token", "n")
+    val naive = df.withColumn("rnk",
+      row_number().over(Window.orderBy(col("n").desc, col("token"))).cast("long"))
+    val dist = Scale.distributedRank(df, Seq(col("n").desc, col("token")),
+      parts = 7, outCol = "rnk")
+    assert(dist.count() === naive.count())
+    assert(dist.except(naive).count() === 0 && naive.except(dist).count() === 0)
+  }
+
+  test("distributedRank == single window on random unique orders (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import org.apache.spark.sql.expressions.Window
+    val rowGen = for {
+      n <- Gen.choose(0L, 20L)
+      t <- Gen.identifier.map(_.take(8))
+    } yield (t, n)
+    (0 until 3).foreach { i =>
+      val rows = Gen.nonEmptyListOf(rowGen)
+        .apply(Gen.Parameters.default.withSize(120), Seed(11L + i)).get
+        .distinctBy(_._1) // token must be unique for a total order
+      val parts = Seq(1, 5, 64)(i) // incl. degenerate single-part and parts >> rows
+      val df = rows.toDF("token", "n")
+      val naive = df.withColumn("rnk",
+        row_number().over(Window.orderBy(col("n").desc, col("token"))).cast("long"))
+      val dist = Scale.distributedRank(df, Seq(col("n").desc, col("token")),
+        parts = parts, outCol = "rnk")
+      assert(dist.except(naive).count() === 0 && naive.except(dist).count() === 0,
+        s"distributedRank diverged at seed ${11 + i}, parts $parts")
+    }
+  }
+
+  test("distributedRank's rank window partitions by the range-partition id, never globally") {
+    val df = (1 to 200).map(i => (i.toLong, s"tok$i")).toDF("n", "token")
+    val out = Scale.distributedRank(df, Seq(col("n").desc, col("token")),
+      parts = 8, outCol = "rnk")
+    val plan = out.queryExecution.optimizedPlan.toString
+    val rn = plan.linesIterator.filter(_.contains("row_number")).toSeq
+    assert(rn.nonEmpty && rn.forall(_.contains("_drp")),
+      s"row_number window must be keyed on _drp (per-range-partition), got:\n$plan")
+  }
+
   test("prefixSum in-bucket windows partition by (group, bucket), not group alone") {
     // the point of the two-phase scan: the big window's partitioning must
     // include the bucket, so parallelism is #(group, bucket) not #group
