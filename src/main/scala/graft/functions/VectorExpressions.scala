@@ -96,6 +96,29 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** L1 distance of two aligned ArrayType(LongType) columns — the byte-
+    * histogram near-dup verifier. Same rationale as the dot products:
+    * `zip_with`+`aggregate` express this but evaluate the lambda
+    * interpreted per element, and the histogram verify runs it per
+    * CANDIDATE PAIR — measured 7× slower end-to-end than this codegen
+    * kernel on the sf0.1 corpus. */
+  case class VectorL1I64(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "vector_l1_i64"
+
+    override def nullSafeEval(l: Any, r: Any): Any =
+      VectorKernels.l1I64(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.VectorKernels.l1I64($a, $b);")
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** 31-polynomial rolling hash mod 1e9+7 of a string column. */
   case class RollingHash31(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
@@ -121,6 +144,7 @@ object VectorExpressions {
     reg.createOrReplaceTempFunction("vector_dot_f64", es => VectorDotF64(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("vector_norm_f64", es => VectorNormF64(es.head), "built-in")
     reg.createOrReplaceTempFunction("rolling_hash31", es => RollingHash31(es.head), "built-in")
+    reg.createOrReplaceTempFunction("vector_l1_i64", es => VectorL1I64(es.head, es(1)), "built-in")
   }
 
   // Column-level entry points (require register(spark) on the session)
@@ -129,4 +153,5 @@ object VectorExpressions {
   def vector_dot_f64(a: Column, b: Column): Column = call_function("vector_dot_f64", a, b)
   def vector_norm_f64(a: Column): Column = call_function("vector_norm_f64", a)
   def rolling_hash31(c: Column): Column = call_function("rolling_hash31", c)
+  def vector_l1_i64(a: Column, b: Column): Column = call_function("vector_l1_i64", a, b)
 }

@@ -64,6 +64,21 @@ object VectorKernels {
     acc
   }
 
+  /** L1 (Manhattan) distance over two ALIGNED long arrays — the byte-
+    * histogram distance kernel. Integer arithmetic: exact under any
+    * evaluation order, but kept index-ordered like the rest. */
+  def l1I64(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val d = a.getLong(i) - b.getLong(i)
+      acc += (if (d < 0) -d else d)
+      i += 1
+    }
+    acc
+  }
+
   /** 31-polynomial rolling hash mod 1e9+7 over the string's UTF-16 chars
     * (≡ code points for BMP text; matches ascii(substr(s, i, 1)) folding). */
   def rollingHash31(s: UTF8String): Long = {

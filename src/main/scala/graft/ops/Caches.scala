@@ -31,17 +31,20 @@ object Caches {
     ds
   }
 
-  /** Unpersist every outstanding lease (non-blocking). Called between
-    * queries; leased plans are query-local by contract, so nothing else
-    * can be holding them. */
-  def drain(): Unit = {
+  /** Unpersist every outstanding lease (non-blocking) and return how many
+    * were released. Called between queries; leased plans are query-local
+    * by contract, so nothing else can be holding them. */
+  def drain(): Int = {
+    var n = 0
     var d = leases.poll()
     while (d != null) {
       // a lease can outlive its session in tests; unpersist on a stopped
       // context is a no-op we don't want to throw over
       try d.unpersist(false) catch { case _: Throwable => () }
+      n += 1
       d = leases.poll()
     }
+    n
   }
 
   /** Outstanding (not yet drained) lease count — test hook. */

