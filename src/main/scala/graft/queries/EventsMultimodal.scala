@@ -294,6 +294,111 @@ object EventsMultimodal {
             .cast("long").as("n_large"))
   }
 
+  /** Positional BLOCKHASH near-dup — the layout-aware refinement of
+    * [[multimodalHistDup]]: the payload splits into 4 positional blocks
+    * (block of byte p = ⌊(p−1)·4/n⌋, the byte-domain analogue of an
+    * image's quadrant grid), each block gets its own histogram, and the
+    * distance is the L1 over the CONCATENATED block vectors. Because
+    * Σ_blocks L1_block ≥ L1_global (splitting a histogram can only expose
+    * differences the global marginal hides), blockhash separates items
+    * that share a byte distribution but not a layout — a shuffled copy
+    * passes the global histogram gate and fails this one; blockhash pairs
+    * are a SUBSET of histdup pairs at the same threshold (pinned in
+    * MultimodalSpec).
+    *
+    * Same scale shape as histdup: length-band candidates, one composite
+    * (block·1000+byte)-keyed count pass, vectors aligned to the observed
+    * composite alphabet (≤4·256 ints of driver metadata), per-pair
+    * verify via the codegen [[graft.functions.VectorExpressions.VectorL1I64]]
+    * kernel. All-integer, bitwise cross-engine. */
+  val multimodalBlockhash = QuerySpec(
+    "q_multimodal_blockhash",
+    """WITH d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n FROM documents),
+       hist AS (SELECT doc_id,
+                       ((i - 1) * 4 // CAST(n AS INTEGER)) * 1000 + ascii(substr(text, i, 1)) AS k,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM d, UNNEST(generate_series(1, CAST(n AS INTEGER))) AS u(i)
+                GROUP BY 1, 2),
+       cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.n AS na, b.n AS nb
+                FROM d a JOIN d b
+                  ON abs(a.n // 64 - b.n // 64) <= 1
+                 AND 20 * abs(a.n - b.n) <= a.n + b.n
+                 AND a.doc_id < b.doc_id),
+       inter AS (SELECT c.a_id, c.b_id, max(c.na) AS na, max(c.nb) AS nb,
+                        sum(least(ha.c, hb.c)) AS inter
+                 FROM cand c
+                 JOIN hist ha ON ha.doc_id = c.a_id
+                 JOIN hist hb ON hb.doc_id = c.b_id AND hb.k = ha.k
+                 GROUP BY 1, 2)
+       SELECT a_id, b_id, na, nb,
+              CAST(na + nb - 2 * inter AS BIGINT) AS block_l1
+       FROM inter WHERE 20 * (na + nb - 2 * inter) <= na + nb""") {
+    (s, d) =>
+      graft.functions.VectorExpressions.register(s)
+      val dd = Tables.documents(s, d).select(
+        col("doc_id"), col("text"), length(col("text")).cast("long").as("n"))
+      val keys = dd
+        .select(col("doc_id"), col("n"), explode(expr(
+          """CASE WHEN n >= 1
+             THEN transform(sequence(1, cast(n AS int)),
+                    i -> ((i - 1) * 4 div cast(n AS int)) * 1000
+                         + ascii(substring(text, i, 1)))
+             ELSE array() END""")).as("k"))
+      val cnt = graft.ops.Caches.lease(
+        keys.groupBy(col("doc_id"), col("n"), col("k")).agg(count(lit(1)).as("c")))
+      val alphabet = cnt.select("k").distinct().orderBy("k")
+        .collect().map(_.getLong(0)) // k is LongType: Spark `div` widens
+      val alphaLit = typedLit(alphabet.toIndexedSeq)
+      val hm = cnt
+        .groupBy("doc_id", "n")
+        .agg(map_from_entries(collect_list(struct(col("k"), col("c")))).as("hm"))
+        .withColumn("hv", transform(alphaLit, x => coalesce(expr("hm")(x), lit(0L))))
+        .withColumn("band", expr("n div 64"))
+      val a = hm.select(col("doc_id").as("a_id"), col("n").as("na"), col("hv").as("ha"),
+        explode(expr("array(band - 1, band, band + 1)")).as("probe"))
+      val b = hm.select(col("doc_id").as("b_id"), col("n").as("nb"), col("hv").as("hb"),
+        col("band"))
+      a.join(b, col("probe") === col("band"))
+        .filter(col("a_id") < col("b_id")
+          && lit(20) * abs(col("na") - col("nb")) <= col("na") + col("nb"))
+        .withColumn("block_l1",
+          graft.functions.VectorExpressions.vector_l1_i64(col("ha"), col("hb")))
+        .filter(lit(20) * col("block_l1") <= col("na") + col("nb"))
+        .select("a_id", "b_id", "na", "nb", "block_l1")
+  }
+
+  /** Frame-sampling index as an ORACLE query (the relational core of
+    * [[graft.multimodal.Multimodal.sampleFrames]]): every 8th frame per
+    * video item, with the per-item coverage audit a decode budget reads
+    * (frames sampled, stride coverage, first/last sampled index). The
+    * fan-out is `sequence` + `explode` — Catalyst plans it, the
+    * downstream decode parallelizes over (item, frame), and the same
+    * shape feeds any per-frame mapInPandas/mapPartitions decoder. Frame
+    * counts come from the deterministic SQL-expressible fake decode
+    * (n_frames = n_bytes % 240 + 1), as everywhere in this family. */
+  val multimodalFrames = QuerySpec(
+    "q_multimodal_frames",
+    """WITH v AS (SELECT doc_id,
+                         CAST(length(text) % 240 + 1 AS BIGINT) AS n_frames
+                  FROM documents WHERE doc_id % 3 = 2),
+       f AS (SELECT doc_id, n_frames, CAST(u.fi AS BIGINT) AS frame_idx
+             FROM v, UNNEST(generate_series(0, CAST(n_frames - 1 AS INTEGER), 8)) AS u(fi))
+       SELECT doc_id, n_frames,
+              CAST(count(*) AS BIGINT) AS n_sampled,
+              min(frame_idx) AS first_frame, max(frame_idx) AS last_frame
+       FROM f GROUP BY 1, 2""") {
+    (s, d) =>
+      val v = Tables.documents(s, d)
+        .filter(col("doc_id") % 3 === 2) // the 'video' modality slice
+        .select(col("doc_id"),
+          (length(col("text")).cast("long") % 240 + 1).as("n_frames"))
+      v.select(col("doc_id"), col("n_frames"),
+          explode(expr("sequence(0L, n_frames - 1, 8L)")).as("frame_idx"))
+        .groupBy("doc_id", "n_frames")
+        .agg(count(lit(1)).cast("long").as("n_sampled"),
+          min("frame_idx").as("first_frame"), max("frame_idx").as("last_frame"))
+  }
+
   /** AS-OF join (ops.TemporalJoins.asOfJoin): each click matched to the
     * user's latest purchase at-or-before it — one shuffle+sort composition
     * of an operator Spark lacks natively. Oracle: DuckDB's native
@@ -1332,7 +1437,7 @@ object EventsMultimodal {
 
   val specs: Seq[QuerySpec] = Seq(
     streamWindow, streamSliding, sessionWindow, sessionize, multimodalMeta,
-    multimodalHistDup, multimodalQuality,
+    multimodalHistDup, multimodalQuality, multimodalBlockhash, multimodalFrames,
     asofJoin, rangeJoinBinned,
     sketchCountMin, rollingFrames, funnel, jsonExtract, gapFill, outlierZscore,
     rollingTime, winsorize, intervalMerge, markovTransitions, anomalyMad,

@@ -46,4 +46,20 @@ class MultimodalSpec extends SparkSpec {
     assert(vid.n_frames >= 1)
     assert(img.n_frames === 1)
   }
+
+  test("blockhash pairs are a subset of global-histogram pairs, non-vacuously") {
+    // Σ_blocks L1_block ≥ L1_global: splitting a histogram positionally
+    // can only EXPOSE differences the global marginal hides, so at the
+    // same relative threshold the layout-aware pair set can only shrink
+    val sf = "/root/testdata/sf0.001"
+    val pairKey = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val global = pairKey(graft.queries.EventsMultimodal.multimodalHistDup.fn(spark, sf))
+    val block = pairKey(graft.queries.EventsMultimodal.multimodalBlockhash.fn(spark, sf))
+    graft.ops.Caches.drain()
+    assert(block.subsetOf(global), s"blockhash found pairs histdup missed: ${block -- global}")
+    // non-vacuous on this corpus: real near-dups survive the block split
+    assert(block.nonEmpty, "no blockhash pairs — subset check is vacuous")
+    assert(global.nonEmpty)
+  }
 }
