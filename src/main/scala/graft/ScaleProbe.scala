@@ -38,6 +38,7 @@ object ScaleProbe {
           val t0 = System.nanoTime()
           val df = SparkEntry.queries(name)(spark, sf)
           df.write.format("noop").mode("overwrite").save()
+          graft.ops.Caches.drain() // same per-query hygiene as Bench/Verify
           (System.nanoTime() - t0) / 1e9
         }
         val t = times.min

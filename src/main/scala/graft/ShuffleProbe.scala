@@ -52,6 +52,7 @@ object ShuffleProbe {
       shuffleW.reset(); shuffleR.reset(); spill.reset()
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
+      graft.ops.Caches.drain() // same per-query hygiene as Bench/Verify
       // listener events drain asynchronously; settle before reading
       Thread.sleep(1500)
       println(f"PROBE $name%-28s ${mb(shuffleW)} ${mb(shuffleR)} ${mb(spill)}")
