@@ -119,6 +119,28 @@ object VectorExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Squared L2 distance of two aligned ArrayType(LongType) columns —
+    * the PQ (product-quantization) encode/LUT kernel over int8 codes.
+    * All-integer, so exact under any order; codegen for the same reason
+    * as [[VectorL1I64]]: it runs per (vector × subspace × codebook
+    * entry). */
+  case class VectorDistSqI64(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "vector_distsq_i64"
+
+    override def nullSafeEval(l: Any, r: Any): Any =
+      VectorKernels.distSqI64(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.VectorKernels.distSqI64($a, $b);")
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** 31-polynomial rolling hash mod 1e9+7 of a string column. */
   case class RollingHash31(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
@@ -145,6 +167,7 @@ object VectorExpressions {
     reg.createOrReplaceTempFunction("vector_norm_f64", es => VectorNormF64(es.head), "built-in")
     reg.createOrReplaceTempFunction("rolling_hash31", es => RollingHash31(es.head), "built-in")
     reg.createOrReplaceTempFunction("vector_l1_i64", es => VectorL1I64(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("vector_distsq_i64", es => VectorDistSqI64(es.head, es(1)), "built-in")
   }
 
   // Column-level entry points (require register(spark) on the session)
@@ -154,4 +177,5 @@ object VectorExpressions {
   def vector_norm_f64(a: Column): Column = call_function("vector_norm_f64", a)
   def rolling_hash31(c: Column): Column = call_function("rolling_hash31", c)
   def vector_l1_i64(a: Column, b: Column): Column = call_function("vector_l1_i64", a, b)
+  def vector_distsq_i64(a: Column, b: Column): Column = call_function("vector_distsq_i64", a, b)
 }

@@ -79,6 +79,20 @@ object VectorKernels {
     acc
   }
 
+  /** Squared L2 distance over two aligned long arrays — the int8-code
+    * distance kernel (PQ encode/LUT). Integer arithmetic: exact. */
+  def distSqI64(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val d = a.getLong(i) - b.getLong(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
   /** 31-polynomial rolling hash mod 1e9+7 over the string's UTF-16 chars
     * (≡ code points for BMP text; matches ascii(substr(s, i, 1)) folding). */
   def rollingHash31(s: UTF8String): Long = {

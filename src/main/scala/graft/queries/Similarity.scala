@@ -673,6 +673,134 @@ object Similarity {
           .as("max_abs_err"))
   }
 
+  /** Product quantization (PQ) with asymmetric-distance (ADC) top-k —
+    * the canonical ANN compression companion to the IVF index: vectors
+    * are int8-quantized (the exact scheme q_embed_quantize pins), split
+    * into M=4 subspaces of 16 dims, and each subspace encodes to its
+    * nearest of K=16 codebook entries. A candidate then occupies 4 small
+    * code bytes instead of 256 vector bytes, and query-time distance is
+    * table lookups: ADC(q, v) = Σ_m LUT_q[m][code_v,m], where LUT_q is
+    * the query's M×K table of subspace distances — candidates' raw
+    * vectors are NEVER touched during search. All-integer end-to-end
+    * (int8 lanes → integer squared L2 via the codegen
+    * [[graft.functions.VectorExpressions.VectorDistSqI64]] kernel), so
+    * every distance and rank is bitwise cross-engine.
+    *
+    * Codebook: the subvectors of the K lowest-vec_id items (sampled
+    * codebook — deterministic and oracle-able where a Lloyd-trained one
+    * would need the k-means unrolled in SQL; a production build swaps in
+    * per-subspace k-means and nothing downstream changes). The exact
+    * int8 distance rides beside the ADC estimate per emitted pair — the
+    * per-query fidelity audit. Scale shape: encode is (vectors × M × K)
+    * kernel evaluations, one shuffle on (vec, m); search joins the
+    * 4-int code table against a broadcast M×K LUT — at 100 TB this
+    * composes with the IVF cells (IVF-PQ: probe cells, then ADC within),
+    * and the code table is 64× smaller than the vectors it stands for. */
+  val topkPq = {
+    val M = 4
+    val Sub = 16
+    val K = 16
+    val NQ = 10
+    def distSqSql(a: String, b: String, len: Int) =
+      s"""list_reduce(list_transform(generate_series(1, $len),
+            pq_i -> ($a[pq_i] - $b[pq_i]) * ($a[pq_i] - $b[pq_i])),
+          (pq_a, pq_b) -> pq_a + pq_b)"""
+    QuerySpec(
+      "q_sim_pq",
+      s"""WITH dm AS (SELECT j, greatest(max(abs(CAST(embedding[j] AS DOUBLE))),
+                                        CAST(1e-30 AS DOUBLE)) AS m
+                      FROM embeddings, UNNEST(generate_series(1, 64)) AS u(j)
+                      GROUP BY 1),
+          sl AS (SELECT list(m ORDER BY j) AS sl FROM dm),
+          qv AS (SELECT vec_id, list_transform(generate_series(1, 64),
+                   qz_j -> CAST(round(CAST(embedding[qz_j] AS DOUBLE)
+                                      * CAST(127 AS DOUBLE) / sl[qz_j]) AS BIGINT)) AS qv
+                 FROM embeddings CROSS JOIN sl),
+          sub AS (SELECT vec_id, u.pm,
+                         qv[u.pm * $Sub + 1 : u.pm * $Sub + $Sub] AS subv
+                  FROM qv, UNNEST(generate_series(0, ${M - 1})) AS u(pm)),
+          cb AS (SELECT vec_id AS k, pm, subv AS cbsub FROM sub WHERE vec_id < $K),
+          dists AS (SELECT s.vec_id, s.pm, c.k,
+                           ${distSqSql("s.subv", "c.cbsub", Sub)} AS dsq
+                    FROM sub s JOIN cb c ON c.pm = s.pm),
+          codes AS (SELECT vec_id, pm, k AS code FROM (
+                      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, pm
+                                                   ORDER BY dsq, k) AS rn
+                      FROM dists) t
+                    WHERE rn = 1),
+          lut AS (SELECT vec_id AS query_id, pm, k, dsq AS d
+                  FROM dists WHERE vec_id < $NQ),
+          adc AS (SELECT l.query_id, co.vec_id AS neighbor_id,
+                         CAST(SUM(l.d) AS BIGINT) AS adc_distsq
+                  FROM codes co JOIN lut l ON l.pm = co.pm AND l.k = co.code
+                  WHERE l.query_id <> co.vec_id
+                  GROUP BY 1, 2),
+          top AS (SELECT query_id, neighbor_id, adc_distsq,
+                         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                                 ORDER BY adc_distsq, neighbor_id) AS BIGINT) AS rnk
+                  FROM adc)
+          SELECT t.query_id, t.neighbor_id, t.adc_distsq, t.rnk,
+                 ${distSqSql("qa.qv", "qb.qv", 64)} AS exact_distsq
+          FROM top t
+          JOIN qv qa ON qa.vec_id = t.query_id
+          JOIN qv qb ON qb.vec_id = t.neighbor_id
+          WHERE t.rnk <= 3""") {
+      (s, d) =>
+        VectorExpressions.register(s)
+        import VectorExpressions.vector_distsq_i64
+        val e = Tables.embeddings(s, d)
+        // int8 per-dim absmax quantization — the q_embed_quantize scheme
+        val dm = e.select(posexplode(col("embedding")).as(Seq("j0", "v")))
+          .groupBy((col("j0") + 1).as("j"))
+          .agg(greatest(max(abs(col("v").cast("double"))), lit(1e-30)).as("m"))
+        val sl = broadcast(dm.agg(
+          expr("transform(array_sort(collect_list(struct(j, m))), x -> x.m)").as("sl")))
+        val qv = graft.ops.Caches.lease(e.crossJoin(sl).select(
+          col("vec_id"),
+          expr("""transform(sequence(1, 64),
+                    qz_j -> CAST(round(CAST(element_at(embedding, qz_j) AS DOUBLE)
+                                       * CAST(127 AS DOUBLE)
+                                       / element_at(sl, qz_j)) AS BIGINT))""").as("qv")))
+        val sub = qv
+          .select(col("vec_id"), col("qv"), explode(expr(s"sequence(0, ${M - 1})")).as("pm"))
+          .withColumn("subv", expr(s"slice(qv, pm * $Sub + 1, $Sub)"))
+          .drop("qv")
+        val cbsub = sub.filter(col("vec_id") < K)
+          .select(col("vec_id").as("k"), col("pm").as("cm"), col("subv").as("cbsub"))
+        // encode + LUT from ONE (vector × subspace × codebook) kernel pass
+        val dists = sub.join(broadcast(cbsub), col("pm") === col("cm"))
+          .withColumn("dsq", vector_distsq_i64(col("subv"), col("cbsub")))
+          .select(col("vec_id"), col("pm"), col("k"), col("dsq"))
+        val codes = dists
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("vec_id", "pm").orderBy(col("dsq"), col("k"))))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("pm"), col("k").as("code"))
+        val lut = dists.filter(col("vec_id") < NQ)
+          .select(col("vec_id").as("query_id"), col("pm").as("lm"),
+            col("k").as("lk"), col("dsq").as("d"))
+        // ADC: the 4-int code table joins the broadcast M×K lookup table —
+        // raw vectors never enter the search
+        val adc = codes.join(broadcast(lut),
+            col("pm") === col("lm") && col("code") === col("lk"))
+          .filter(col("query_id") =!= col("vec_id"))
+          .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+          .agg(sum("d").cast("long").as("adc_distsq"))
+        val top = adc
+          .withColumn("rnk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("query_id").orderBy(col("adc_distsq"), col("neighbor_id")))
+            .cast("long"))
+          .filter(col("rnk") <= 3)
+        top
+          .join(qv.select(col("vec_id").as("query_id"), col("qv").as("qa")), "query_id")
+          .join(qv.select(col("vec_id").as("neighbor_id"), col("qv").as("qb")), "neighbor_id")
+          .withColumn("exact_distsq", vector_distsq_i64(col("qa"), col("qb")))
+          .select("query_id", "neighbor_id", "adc_distsq", "rnk", "exact_distsq")
+    }
+  }
+
   /** Embedding-distribution drift: per-label centroid of two cohorts (even
     * vs odd vec_id — the deterministic stand-in for "last snapshot vs
     * this one") and the L2 distance between the centroids — the
@@ -731,5 +859,5 @@ object Similarity {
   val specs: Seq[QuerySpec] = Seq(
     embedCosineNearDup, topkBruteForce, topkLshBucketed, topkLshMultiprobe,
     topkIvf, topkRecall, semDedup, clusterStats, embedStats, embedQuantize,
-    centroidShift)
+    topkPq, centroidShift)
 }
