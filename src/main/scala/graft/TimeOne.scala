@@ -18,6 +18,7 @@ object TimeOne {
     (1 to n).foreach { i =>
       val t0 = System.nanoTime()
       val c = SparkEntry.queries(name)(spark, sfDir).count()
+      graft.ops.Caches.drain() // same per-query hygiene as Bench/Verify
       println(f"RUN$i%d ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$c")
     }
     spark.stop()

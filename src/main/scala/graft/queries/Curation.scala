@@ -696,10 +696,13 @@ object Curation {
       // bloom-negatives are definitely fresh (no false negatives)
       val isCand = graft.ops.Bloom.candidateCol(
         "fp", graft.ops.Bloom.collectBits(graft.ops.Bloom.build(corpus)))
-      val fresh = batch.filter(isCand)
+      // leased: the fingerprint regex + bloom probe + anti-join feed BOTH
+      // downstream consumers (the per-doc base stats and the bigram
+      // explode) — uncached they re-run end-to-end twice
+      val fresh = graft.ops.Caches.lease(batch.filter(isCand)
         .join(corpus, Seq("fp"), "left_anti")
         .unionByName(batch.filter(!isCand))
-        .select(col("doc_id"), col("source"), col("text"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), col("source"), col("text"), split(col("text"), " ").as("ws")))
       val base = fresh.select(
         col("doc_id"), col("source"), col("text"),
         size(col("ws")).cast("long").as("n_words"),

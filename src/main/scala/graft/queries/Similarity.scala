@@ -696,43 +696,100 @@ object Similarity {
     * 4-int code table against a broadcast M×K LUT — at 100 TB this
     * composes with the IVF cells (IVF-PQ: probe cells, then ADC within),
     * and the code table is 64× smaller than the vectors it stands for. */
+  private val PqM = 4
+  private val PqSub = 16
+  private val PqK = 16
+  private val PqNq = 10
+
+  /** PQ building blocks shared by q_sim_pq and q_sim_ivfpq: the aligned
+    * int8 vectors (`qv`, leased) and the (vector × subspace × codebook)
+    * integer distance table (`dists`, leased — feeds both the encode
+    * argmin and the query LUTs). */
+  private def pqParts(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    VectorExpressions.register(s)
+    import VectorExpressions.vector_distsq_i64
+    val e = Tables.embeddings(s, d)
+    // int8 per-dim absmax quantization — the q_embed_quantize scheme
+    val dm = e.select(posexplode(col("embedding")).as(Seq("j0", "v")))
+      .groupBy((col("j0") + 1).as("j"))
+      .agg(greatest(max(abs(col("v").cast("double"))), lit(1e-30)).as("m"))
+    val sl = broadcast(dm.agg(
+      expr("transform(array_sort(collect_list(struct(j, m))), x -> x.m)").as("sl")))
+    val qv = graft.ops.Caches.lease(e.crossJoin(sl).select(
+      col("vec_id"),
+      expr("""transform(sequence(1, 64),
+                qz_j -> CAST(round(CAST(element_at(embedding, qz_j) AS DOUBLE)
+                                   * CAST(127 AS DOUBLE)
+                                   / element_at(sl, qz_j)) AS BIGINT))""").as("qv")))
+    val sub = qv
+      .select(col("vec_id"), col("qv"), explode(expr(s"sequence(0, ${PqM - 1})")).as("pm"))
+      .withColumn("subv", expr(s"slice(qv, pm * $PqSub + 1, $PqSub)"))
+      .drop("qv")
+    val cbsub = sub.filter(col("vec_id") < PqK)
+      .select(col("vec_id").as("k"), col("pm").as("cm"), col("subv").as("cbsub"))
+    // encode + LUT from ONE (vector × subspace × codebook) kernel pass
+    val dists = graft.ops.Caches.lease(
+      sub.join(broadcast(cbsub), col("pm") === col("cm"))
+        .withColumn("dsq", vector_distsq_i64(col("subv"), col("cbsub")))
+        .select(col("vec_id"), col("pm"), col("k"), col("dsq")))
+    (qv, dists)
+  }
+
+  /** Encode table: each vector's nearest codebook entry per subspace. */
+  private def pqCodes(dists: DataFrame): DataFrame = dists
+    .withColumn("rn", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id", "pm").orderBy(col("dsq"), col("k"))))
+    .filter(col("rn") === 1)
+    .select(col("vec_id"), col("pm"), col("k").as("code"))
+
+  /** Query lookup tables: subspace distances for the probe queries. */
+  private def pqLut(dists: DataFrame): DataFrame = dists
+    .filter(col("vec_id") < PqNq)
+    .select(col("vec_id").as("query_id"), col("pm").as("lm"),
+      col("k").as("lk"), col("dsq").as("d"))
+
+  private def pqDistSqSql(a: String, b: String, len: Int) =
+    s"""list_reduce(list_transform(generate_series(1, $len),
+          pq_i -> ($a[pq_i] - $b[pq_i]) * ($a[pq_i] - $b[pq_i])),
+        (pq_a, pq_b) -> pq_a + pq_b)"""
+
+  /** The PQ WITH-chain (quantize → subspaces → codebook → distance table
+    * → encode + query LUTs) — the oracle twin of [[pqParts]]/[[pqCodes]]/
+    * [[pqLut]], shared by q_sim_pq and q_sim_ivfpq. */
+  private val pqChainSql =
+    s"""pq_dm AS (SELECT j, greatest(max(abs(CAST(embedding[j] AS DOUBLE))),
+                                     CAST(1e-30 AS DOUBLE)) AS m
+                  FROM embeddings, UNNEST(generate_series(1, 64)) AS u(j)
+                  GROUP BY 1),
+        pq_sl AS (SELECT list(m ORDER BY j) AS sl FROM pq_dm),
+        qv AS (SELECT vec_id, list_transform(generate_series(1, 64),
+                 qz_j -> CAST(round(CAST(embedding[qz_j] AS DOUBLE)
+                                    * CAST(127 AS DOUBLE) / sl[qz_j]) AS BIGINT)) AS qv
+               FROM embeddings CROSS JOIN pq_sl),
+        pq_sub AS (SELECT vec_id, u.pm,
+                          qv[u.pm * $PqSub + 1 : u.pm * $PqSub + $PqSub] AS subv
+                   FROM qv, UNNEST(generate_series(0, ${PqM - 1})) AS u(pm)),
+        pq_cb AS (SELECT vec_id AS k, pm, subv AS cbsub FROM pq_sub WHERE vec_id < $PqK),
+        pq_dists AS (SELECT s.vec_id, s.pm, c.k,
+                            ${pqDistSqSql("s.subv", "c.cbsub", PqSub)} AS dsq
+                     FROM pq_sub s JOIN pq_cb c ON c.pm = s.pm),
+        pq_codes AS (SELECT vec_id, pm, k AS code FROM (
+                       SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, pm
+                                                    ORDER BY dsq, k) AS rn
+                       FROM pq_dists) t
+                     WHERE rn = 1),
+        pq_lut AS (SELECT vec_id AS query_id, pm, k, dsq AS d
+                   FROM pq_dists WHERE vec_id < $PqNq)"""
+
   val topkPq = {
-    val M = 4
-    val Sub = 16
-    val K = 16
-    val NQ = 10
-    def distSqSql(a: String, b: String, len: Int) =
-      s"""list_reduce(list_transform(generate_series(1, $len),
-            pq_i -> ($a[pq_i] - $b[pq_i]) * ($a[pq_i] - $b[pq_i])),
-          (pq_a, pq_b) -> pq_a + pq_b)"""
+    def distSqSql(a: String, b: String, len: Int) = pqDistSqSql(a, b, len)
     QuerySpec(
       "q_sim_pq",
-      s"""WITH dm AS (SELECT j, greatest(max(abs(CAST(embedding[j] AS DOUBLE))),
-                                        CAST(1e-30 AS DOUBLE)) AS m
-                      FROM embeddings, UNNEST(generate_series(1, 64)) AS u(j)
-                      GROUP BY 1),
-          sl AS (SELECT list(m ORDER BY j) AS sl FROM dm),
-          qv AS (SELECT vec_id, list_transform(generate_series(1, 64),
-                   qz_j -> CAST(round(CAST(embedding[qz_j] AS DOUBLE)
-                                      * CAST(127 AS DOUBLE) / sl[qz_j]) AS BIGINT)) AS qv
-                 FROM embeddings CROSS JOIN sl),
-          sub AS (SELECT vec_id, u.pm,
-                         qv[u.pm * $Sub + 1 : u.pm * $Sub + $Sub] AS subv
-                  FROM qv, UNNEST(generate_series(0, ${M - 1})) AS u(pm)),
-          cb AS (SELECT vec_id AS k, pm, subv AS cbsub FROM sub WHERE vec_id < $K),
-          dists AS (SELECT s.vec_id, s.pm, c.k,
-                           ${distSqSql("s.subv", "c.cbsub", Sub)} AS dsq
-                    FROM sub s JOIN cb c ON c.pm = s.pm),
-          codes AS (SELECT vec_id, pm, k AS code FROM (
-                      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, pm
-                                                   ORDER BY dsq, k) AS rn
-                      FROM dists) t
-                    WHERE rn = 1),
-          lut AS (SELECT vec_id AS query_id, pm, k, dsq AS d
-                  FROM dists WHERE vec_id < $NQ),
+      s"""WITH $pqChainSql,
           adc AS (SELECT l.query_id, co.vec_id AS neighbor_id,
                          CAST(SUM(l.d) AS BIGINT) AS adc_distsq
-                  FROM codes co JOIN lut l ON l.pm = co.pm AND l.k = co.code
+                  FROM pq_codes co JOIN pq_lut l ON l.pm = co.pm AND l.k = co.code
                   WHERE l.query_id <> co.vec_id
                   GROUP BY 1, 2),
           top AS (SELECT query_id, neighbor_id, adc_distsq,
@@ -748,38 +805,9 @@ object Similarity {
       (s, d) =>
         VectorExpressions.register(s)
         import VectorExpressions.vector_distsq_i64
-        val e = Tables.embeddings(s, d)
-        // int8 per-dim absmax quantization — the q_embed_quantize scheme
-        val dm = e.select(posexplode(col("embedding")).as(Seq("j0", "v")))
-          .groupBy((col("j0") + 1).as("j"))
-          .agg(greatest(max(abs(col("v").cast("double"))), lit(1e-30)).as("m"))
-        val sl = broadcast(dm.agg(
-          expr("transform(array_sort(collect_list(struct(j, m))), x -> x.m)").as("sl")))
-        val qv = graft.ops.Caches.lease(e.crossJoin(sl).select(
-          col("vec_id"),
-          expr("""transform(sequence(1, 64),
-                    qz_j -> CAST(round(CAST(element_at(embedding, qz_j) AS DOUBLE)
-                                       * CAST(127 AS DOUBLE)
-                                       / element_at(sl, qz_j)) AS BIGINT))""").as("qv")))
-        val sub = qv
-          .select(col("vec_id"), col("qv"), explode(expr(s"sequence(0, ${M - 1})")).as("pm"))
-          .withColumn("subv", expr(s"slice(qv, pm * $Sub + 1, $Sub)"))
-          .drop("qv")
-        val cbsub = sub.filter(col("vec_id") < K)
-          .select(col("vec_id").as("k"), col("pm").as("cm"), col("subv").as("cbsub"))
-        // encode + LUT from ONE (vector × subspace × codebook) kernel pass
-        val dists = sub.join(broadcast(cbsub), col("pm") === col("cm"))
-          .withColumn("dsq", vector_distsq_i64(col("subv"), col("cbsub")))
-          .select(col("vec_id"), col("pm"), col("k"), col("dsq"))
-        val codes = dists
-          .withColumn("rn", row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .partitionBy("vec_id", "pm").orderBy(col("dsq"), col("k"))))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("pm"), col("k").as("code"))
-        val lut = dists.filter(col("vec_id") < NQ)
-          .select(col("vec_id").as("query_id"), col("pm").as("lm"),
-            col("k").as("lk"), col("dsq").as("d"))
+        val (qv, dists) = pqParts(s, d)
+        val codes = pqCodes(dists)
+        val lut = pqLut(dists)
         // ADC: the 4-int code table joins the broadcast M×K lookup table —
         // raw vectors never enter the search
         val adc = codes.join(broadcast(lut),
@@ -799,6 +827,76 @@ object Similarity {
           .withColumn("exact_distsq", vector_distsq_i64(col("qa"), col("qb")))
           .select("query_id", "neighbor_id", "adc_distsq", "rnk", "exact_distsq")
     }
+  }
+
+  /** IVF-PQ — the composed production index: the IVF coarse quantizer
+    * prunes the CANDIDATE SET (each query probes its top-2 cells; the
+    * corpus never all-pairs), and PQ compresses the DISTANCE COMPUTATION
+    * (candidates rank by integer ADC lookups over their 4-byte codes —
+    * raw vectors never enter the search). Both halves are exactly the
+    * pieces q_sim_ivf and q_sim_pq verify standalone: the same memoized
+    * k-means cell assignment, the same int8 codes and LUTs. At 100 TB
+    * this is THE serving shape (faiss IVFx,PQy): cell pruning bounds the
+    * join fan-in, code compression bounds the bytes per candidate — a
+    * billion-vector index probes thousands, reads 4-byte codes, touches
+    * zero raw vectors. */
+  val topkIvfPq = QuerySpec(
+    "q_sim_ivfpq",
+    s"""WITH $cellsChainSql,
+        $pqChainSql,
+        ivfpq_probe AS (
+          SELECT e.vec_id AS query_id, a.cent_id AS cell
+          FROM e JOIN asnF a ON a.vec_id = e.vec_id AND a.rn <= $IvfProbes
+          WHERE e.vec_id < $PqNq),
+        ivfpq_cand AS (
+          SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+          FROM ivfpq_probe q JOIN cells c ON c.cell = q.cell
+          WHERE c.vec_id <> q.query_id),
+        ivfpq_adc AS (
+          SELECT cd.query_id, cd.neighbor_id,
+                 CAST(SUM(l.d) AS BIGINT) AS adc_distsq
+          FROM ivfpq_cand cd
+          JOIN pq_codes co ON co.vec_id = cd.neighbor_id
+          JOIN pq_lut l ON l.query_id = cd.query_id
+                       AND l.pm = co.pm AND l.k = co.code
+          GROUP BY 1, 2)
+        SELECT query_id, neighbor_id, adc_distsq, CAST(rnk AS BIGINT) AS rnk
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY adc_distsq, neighbor_id) AS rnk
+              FROM ivfpq_adc) t
+        WHERE rnk <= 3""") {
+    (s, d) =>
+      VectorExpressions.register(s)
+      val (_, dists) = pqParts(s, d)
+      val codes = pqCodes(dists)
+      val lut = pqLut(dists)
+      // coarse pruning: the memoized IVF assignment (same quantizer the
+      // IVF index and SemDeDup share)
+      import s.implicits._
+      val centDf = centroidsShared(s, d).toDF("cent_id", "cent_emb")
+        .withColumn("cent_nrm", VectorExpressions.vector_norm_f64(col("cent_emb")))
+      val asn = assignCells(withNorm(s, d), centDf)
+      val cells = asn.filter(col("rn") === 1)
+        .select(col("vec_id").as("neighbor_id"), col("cent_id").as("cell"))
+      val probe = asn.filter(col("rn") <= IvfProbes && col("vec_id") < PqNq)
+        .select(col("vec_id").as("query_id"), col("cent_id").as("cell"))
+      val cand = probe.join(cells, Seq("cell"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select("query_id", "neighbor_id").distinct()
+      // ADC within the probed cells only: codes join + broadcast LUT
+      cand
+        .join(codes.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
+        .join(broadcast(lut.withColumnRenamed("query_id", "lq")),
+          col("query_id") === col("lq") && col("pm") === col("lm")
+            && col("code") === col("lk"))
+        .groupBy(col("query_id"), col("neighbor_id"))
+        .agg(sum("d").cast("long").as("adc_distsq"))
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("query_id").orderBy(col("adc_distsq"), col("neighbor_id")))
+          .cast("long"))
+        .filter(col("rnk") <= 3)
+        .select("query_id", "neighbor_id", "adc_distsq", "rnk")
   }
 
   /** Embedding-distribution drift: per-label centroid of two cohorts (even
@@ -859,5 +957,5 @@ object Similarity {
   val specs: Seq[QuerySpec] = Seq(
     embedCosineNearDup, topkBruteForce, topkLshBucketed, topkLshMultiprobe,
     topkIvf, topkRecall, semDedup, clusterStats, embedStats, embedQuantize,
-    topkPq, centroidShift)
+    topkPq, topkIvfPq, centroidShift)
 }
