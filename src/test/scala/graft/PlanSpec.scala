@@ -352,6 +352,24 @@ class PlanSpec extends SparkSpec {
     assert("documents.parquet".r.findAllIn(plan).size == 1, "one corpus scan")
   }
 
+  test("q_sim_pq / q_sim_ivfpq: the LUT broadcasts and no search path is all-pairs") {
+    // PQ's scale contract: search touches 4-int codes + a broadcast M×K
+    // lookup table — never the raw vectors, never an unkeyed pair join
+    val pq = formatted("q_sim_pq")
+    assert(pq.contains("BroadcastHashJoin"), "the query LUT must broadcast")
+    // simple-plan string for the join-type details (formatted mode prints
+    // build side on separate attribute lines)
+    val ivfpq = SparkEntry.queries("q_sim_ivfpq")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(ivfpq.contains("BroadcastHashJoin"), "LUT/centroid joins must broadcast")
+    // the candidate join keys on the cell id (coarse pruning), so any
+    // nested-loop join in the tree is a broadcast-tiny one (the 1-row
+    // quantize-scale vector / 8-row centroid cross joins)
+    assert("BroadcastNestedLoopJoin (?!BuildRight, Cross)".r.findFirstIn(ivfpq).isEmpty,
+      s"no streaming-side nested loop in the IVF-PQ search:\n$ivfpq")
+    graft.ops.Caches.drain()
+  }
+
   test("q_vocab_zipf: no single-task window ever sees the type table") {
     // the rank goes through Scale.distributedRank (keyed on the range
     // partition id) and the running sum through Scale.prefixSum (keyed on
