@@ -349,18 +349,36 @@ object EventsMultimodal {
       val alphabet = cnt.select("k").distinct().orderBy("k")
         .collect().map(_.getLong(0)) // k is LongType: Spark `div` widens
       val alphaLit = typedLit(alphabet.toIndexedSeq)
-      val hm = cnt
+      val galphaLit = typedLit(alphabet.map(_ % 1000).distinct.sorted.toIndexedSeq)
+      val hm = graft.ops.Caches.lease(cnt
         .groupBy("doc_id", "n")
         .agg(map_from_entries(collect_list(struct(col("k"), col("c")))).as("hm"))
+        // TWO aligned vectors per item: the 4-block concatenation (the
+        // verifier) and its marginal (the global byte histogram, ~4x
+        // narrower) — L1_global ≤ L1_block, so the global gate is a pure
+        // pushdown of the block gate: the wide vector only travels for
+        // the few pairs the cheap gate can't reject
         .withColumn("hv", transform(alphaLit, x => coalesce(expr("hm")(x), lit(0L))))
-        .withColumn("band", expr("n div 64"))
-      val a = hm.select(col("doc_id").as("a_id"), col("n").as("na"), col("hv").as("ha"),
+        .withColumn("gv", transform(galphaLit, gb =>
+          coalesce(expr("hm")(gb), lit(0L))
+            + coalesce(expr("hm")(gb + 1000L), lit(0L))
+            + coalesce(expr("hm")(gb + 2000L), lit(0L))
+            + coalesce(expr("hm")(gb + 3000L), lit(0L))))
+        .withColumn("band", expr("n div 64")))
+      val a = hm.select(col("doc_id").as("a_id"), col("n").as("na"), col("gv").as("ga"),
         explode(expr("array(band - 1, band, band + 1)")).as("probe"))
-      val b = hm.select(col("doc_id").as("b_id"), col("n").as("nb"), col("hv").as("hb"),
+      val b = hm.select(col("doc_id").as("b_id"), col("n").as("nb"), col("gv").as("gb"),
         col("band"))
-      a.join(b, col("probe") === col("band"))
+      val survivors = a.join(b, col("probe") === col("band"))
         .filter(col("a_id") < col("b_id")
           && lit(20) * abs(col("na") - col("nb")) <= col("na") + col("nb"))
+        .withColumn("global_l1",
+          graft.functions.VectorExpressions.vector_l1_i64(col("ga"), col("gb")))
+        .filter(lit(20) * col("global_l1") <= col("na") + col("nb"))
+        .select("a_id", "b_id", "na", "nb")
+      survivors
+        .join(hm.select(col("doc_id").as("a_id"), col("hv").as("ha")), "a_id")
+        .join(hm.select(col("doc_id").as("b_id"), col("hv").as("hb")), "b_id")
         .withColumn("block_l1",
           graft.functions.VectorExpressions.vector_l1_i64(col("ha"), col("hb")))
         .filter(lit(20) * col("block_l1") <= col("na") + col("nb"))
