@@ -1091,6 +1091,93 @@ object Curation {
     }
   }
 
+  /** Content-defined chunking (CDC, the Rabin/gear-hash storage-dedup
+    * primitive): a chunk boundary falls wherever the rolling hash of the
+    * trailing 8 bytes hits 0 mod 61 — so boundaries are INSERTION-SHIFT
+    * STABLE: an edit reshapes only the chunks around the edit, and every
+    * untouched chunk keeps its hash. That is the property fixed-width
+    * chunking ([[chunkOverlap]]) lacks and the reason dedup storage,
+    * sync protocols, and chunk-level corpus dedup all use CDC. The
+    * cross-document sharing rollup rides along (how many docs hold each
+    * chunk — the dedup-ratio measure).
+    *
+    * Scale shape: boundary detection is a pure per-row explode of the
+    * codegen'd [[graft.functions.VectorExpressions.RollingHash31]] over
+    * the byte stream (no shuffle); chunk assembly is a per-DOCUMENT
+    * window over ~n/61 boundary rows; the sharing rollup keys on
+    * chunk_hash. Expected chunk length = the modulus (61 bytes here —
+    * toy-sized; production uses ~64 KB with min/max clamps, same
+    * algebra). All positions integer, hashes md5 — bitwise
+    * cross-engine. */
+  private val CdcW = 8
+  private val CdcMod = 61
+
+  val chunkContent = {
+    val W = CdcW
+    val Mod = CdcMod
+    QuerySpec(
+      "q_chunk_content",
+      s"""WITH d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n FROM documents),
+          ends AS (
+            SELECT DISTINCT doc_id, CAST(u.i AS BIGINT) AS b
+            FROM d, UNNEST(generate_series($W, CAST(n AS INTEGER))) AS u(i)
+            WHERE (list_reduce(list_transform(generate_series(1, $W),
+                     cc -> CAST(ascii(substr(text, u.i - $W + cc, 1)) AS BIGINT)),
+                   (acc, c) -> (acc * 31 + c) % 1000000007)) % $Mod = 0
+            UNION
+            SELECT doc_id, n FROM d),
+          ch AS (SELECT doc_id, b,
+                        COALESCE(lag(b) OVER (PARTITION BY doc_id ORDER BY b), 0) + 1 AS start_pos,
+                        CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY b) AS BIGINT) AS chunk_idx
+                 FROM ends),
+          chunks AS (SELECT ch.doc_id, chunk_idx, start_pos,
+                            b - start_pos + 1 AS chunk_len,
+                            md5(substr(d.text, CAST(start_pos AS INTEGER),
+                                       CAST(b - start_pos + 1 AS INTEGER))) AS chunk_hash
+                     FROM ch JOIN d ON d.doc_id = ch.doc_id),
+          sh AS (SELECT chunk_hash, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_sharing
+                 FROM chunks GROUP BY 1)
+          SELECT chunks.doc_id, chunk_idx, start_pos, chunk_len, chunk_hash, n_docs_sharing
+          FROM chunks JOIN sh USING (chunk_hash)""") {
+      (s, d) =>
+        val chunks = graft.ops.Caches.lease(contentChunks(
+          docs(s, d).select(col("doc_id"), col("text"))))
+        val sharing = chunks.groupBy("chunk_hash")
+          .agg(countDistinct("doc_id").cast("long").as("n_docs_sharing"))
+        chunks.join(sharing, "chunk_hash")
+          .select("doc_id", "chunk_idx", "start_pos", "chunk_len",
+            "chunk_hash", "n_docs_sharing")
+    }
+  }
+
+  /** The CDC chunker itself ([[chunkContent]]'s core, on any (doc_id,
+    * text) frame): per-doc content-defined chunk rows. Exposed
+    * private[graft] so CurationSpec can prove the insertion-shift
+    * stability property directly on synthetic edits. */
+  private[graft] def contentChunks(df: DataFrame): DataFrame = {
+    val W = CdcW
+    val Mod = CdcMod
+    graft.functions.VectorExpressions.register(df.sparkSession)
+    val dd = df.select(col("doc_id"), col("text"),
+      length(col("text")).cast("long").as("n"))
+    val ends = dd.select(col("doc_id"), explode(expr(
+        s"""filter(transform(sequence($W, cast(n AS int)),
+              i -> CASE WHEN rolling_hash31(substring(text, i - ${W - 1}, $W)) % $Mod = 0
+                        THEN cast(i AS bigint) ELSE -1L END),
+            x -> x >= 0)""")).as("b"))
+      .unionByName(dd.select(col("doc_id"), col("n").as("b")))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("b")
+    ends
+      .withColumn("start_pos", coalesce(lag("b", 1).over(w), lit(0L)) + 1)
+      .withColumn("chunk_idx", row_number().over(w).cast("long"))
+      .withColumn("chunk_len", col("b") - col("start_pos") + 1)
+      .join(dd.select("doc_id", "text"), "doc_id")
+      .withColumn("chunk_hash",
+        md5(expr("substring(text, cast(start_pos AS int), cast(chunk_len AS int))")))
+      .select("doc_id", "chunk_idx", "start_pos", "chunk_len", "chunk_hash")
+  }
+
   /** The KMV sketch as a CUSTOM AGGREGATE FUNCTION
     * ([[graft.functions.SketchAggregates.KmvSketchAgg]], a
     * TypedImperativeAggregate): per-source bottom-16 distinct token-hash
@@ -1142,5 +1229,5 @@ object Curation {
     decontaminate, textRepetition, piiRedact, sampleWeighted,
     packChunks, sketchKmv, sketchBloom, sketchHll, histogramEquidepth,
     splitAssign, sourceOverlap, tfidfTopk, embedProject, qualityAudit,
-    bpeMerges, bpeTokenize, mixRates, kmvJaccard, chunkOverlap, kmvAgg)
+    bpeMerges, bpeTokenize, mixRates, kmvJaccard, chunkOverlap, chunkContent, kmvAgg)
 }

@@ -173,4 +173,32 @@ class CurationSpec extends SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("SortMergeJoin"), "the audit must not join row data")
   }
+
+  test("contentChunks: chunks tile each doc exactly and boundaries are insertion-shift stable") {
+    // tiling: chunk [start, start+len) intervals cover 1..n contiguously
+    val base = Tables.documents(spark, sf).select(col("doc_id"), col("text")).limit(50)
+    val chunks = Curation.contentChunks(base).cache()
+    val n = base.select(col("doc_id"), length(col("text")).cast("long").as("n"))
+    val bad = chunks.groupBy("doc_id")
+      .agg(sum("chunk_len").as("covered"), count(lit(1)).as("k"), max("chunk_idx").as("mx"))
+      .join(n, "doc_id")
+      .filter(col("covered") =!= col("n") || col("k") =!= col("mx"))
+    assert(bad.count() === 0, "chunks must tile the document exactly")
+    // THE CDC property: prepend an edit, and every chunk after the first
+    // boundary keeps its hash — only the chunk(s) touching the edit
+    // change. A fixed-width chunker loses every hash after the edit.
+    val doc = Tables.documents(spark, sf)
+      .filter(col("doc_id") === 7).select("text").head.getString(0)
+    val pair = Seq((1L, doc), (2L, "EDITED PREFIX " + doc)).toDF("doc_id", "text")
+    val ch = Curation.contentChunks(pair)
+      .select("doc_id", "chunk_hash").collect()
+    val h1 = ch.filter(_.getLong(0) == 1L).map(_.getString(1)).toSet
+    val h2 = ch.filter(_.getLong(0) == 2L).map(_.getString(1)).toSet
+    val kept = (h1 intersect h2).size
+    chunks.unpersist()
+    // all of doc 1's chunks except (at most) the first survive the edit
+    assert(kept >= h1.size - 1,
+      s"shift stability broken: only $kept of ${h1.size} chunk hashes survived a prefix edit")
+    assert(h1.size >= 3, "doc 7 must split into enough chunks for the property to be non-vacuous")
+  }
 }
