@@ -178,6 +178,61 @@ object StreamOps {
       .transformWithState(new RunningTotalsProcessor(), TimeMode.None(), OutputMode.Update())
   }
 
+  case class HHEntry(id: Long, est: Long, err: Long)
+  case class HHState(entries: Seq[HHEntry])
+  case class HHOut(event_type: String, item_id: Long, est_count: Long, max_err: Long)
+
+  /** Streaming heavy hitters per key — the SpaceSaving sketch on
+    * `transformWithState`: a FIXED budget of `k` counters per stream key
+    * (event_type here) summarizes an unbounded item domain (user ids).
+    * On an untracked arrival with a full budget, the MINIMUM counter is
+    * evicted and its count becomes the newcomer's overestimate bound
+    * (`err`). The classic guarantees (asserted in the spec): an item's
+    * estimate never undercounts (`est ≥ true`), `est − err` never
+    * overcounts, and any item with true frequency > N/k is guaranteed
+    * tracked. State is O(keys × k) — CONSTANT in stream length, the
+    * property that makes "top talkers over an infinite stream" viable
+    * where an exact groupBy's state grows with the domain. Eviction
+    * tie-breaks by (count, id), so the sketch is deterministic under any
+    * fixed arrival order. Per-batch Update emission mirrors
+    * [[runningTotals]]; the exact batch twin at audit time is a plain
+    * groupBy-count (q_vocab_top's shape). */
+  def heavyHitters(events: Dataset[Event], k: Int): Dataset[HHOut] = {
+    require(k >= 1)
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    class SpaceSavingProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, Event, HHOut] {
+      @transient private var state: ValueState[HHState] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        state = getHandle.getValueState[HHState](
+          "hh", org.apache.spark.sql.Encoders.product[HHState], TTLConfig.NONE)
+      override def handleInputRows(
+          key: String, rows: Iterator[Event], tv: TimerValues): Iterator[HHOut] = {
+        val m = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+        (if (state.exists()) state.get().entries else Seq.empty)
+          .foreach(e => m(e.id) = (e.est, e.err))
+        rows.foreach { e =>
+          val x = e.user_id
+          m.get(x) match {
+            case Some((c, err)) => m(x) = (c + 1, err)
+            case None if m.size < k => m(x) = (1L, 0L)
+            case None =>
+              val (mid, (mc, _)) = m.minBy { case (id, (c, _)) => (c, id) }
+              m.remove(mid)
+              m(x) = (mc + 1, mc) // inherit the evicted count as the error bound
+          }
+        }
+        val entries = m.toSeq.map { case (id, (c, err)) => HHEntry(id, c, err) }
+          .sortBy(e => (-e.est, e.id))
+        state.update(HHState(entries))
+        entries.iterator.map(e => HHOut(key, e.id, e.est, e.err))
+      }
+    }
+    events.groupByKey(_.event_type)
+      .transformWithState(new SpaceSavingProcessor(), TimeMode.None(), OutputMode.Update())
+  }
+
   def sessionize(
       events: Dataset[Event],
       timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout): Dataset[SessionOut] = {

