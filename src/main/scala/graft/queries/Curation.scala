@@ -1224,10 +1224,136 @@ object Curation {
     }
   }
 
+  // -------------------------------------------------------------------
+  // Bigram language-model scoring (perplexity-style quality filtering)
+  // -------------------------------------------------------------------
+
+  /** Per-doc adjacent word-bigram stream: (doc_id, w, nxt) — the shared
+    * front end of [[lmFluency]] and [[cooccurPmi]]. One linear explode
+    * per doc (sequence is guarded ≥1 by the size filter; playbook #5:
+    * `sequence(1, n)` DESCENDS for n<1). */
+  private def bigrams(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 1), i -> struct(ws[i-1] AS w, ws[i] AS nxt))")).as("p"))
+      .select(col("doc_id"), col("p.w"), col("p.nxt"))
+
+  /** DuckDB twin of [[bigrams]] (same guard via greatest(…, 0); DuckDB
+    * lists are 1-indexed where Spark arrays are 0-indexed). */
+  private val bigramSql: String =
+    """w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+       bg AS (SELECT doc_id, ws[i] AS w, ws[i + 1] AS nxt
+              FROM w, UNNEST(generate_series(1, greatest(len(ws) - 1, 0))) AS u(i))"""
+
+  /** KenLM-style fluency gate: score every document under a bigram LM
+    * trained on the corpus itself — the perplexity-filtering pass
+    * (CCNet/Gopher lineage) that ranks docs by how "expected" their word
+    * transitions are; pathological text scores high-surprisal and is cut.
+    *
+    * Determinism: surprisal stays INTEGER — per bigram occurrence
+    * surp = (c(w)·10⁶) div c(w,nxt) (an integer inverse-probability in
+    * millionths, monotone in −log p(nxt|w)), per doc the integral mean.
+    * No doubles, no logs — bit-equal across engines, unlike a float
+    * log-prob sum whose addition order diverges.
+    *
+    * Scale shape: the corpus pays one linear bigram explode; the model
+    * (bigram + left-unigram counts) comes from partial-aggregated
+    * groupBys and is BROADCAST back against the stream — the corpus never
+    * shuffles on the gram key. The broadcast is bounded by observed-V²
+    * bigram TYPES, not corpus size; past ~10⁷ types you prune the model
+    * to top-M with an UNK backoff row (the standard KenLM trim) or flip
+    * the probe join to a shuffle join keyed on (w, nxt) — query shape
+    * unchanged either way. Docs with <2 tokens carry no bigram evidence
+    * and drop (size guard in [[bigrams]]). */
+  val lmFluency = QuerySpec(
+    "q_lm_fluency",
+    s"""WITH $bigramSql,
+        big AS (SELECT w, nxt, count(*) AS c_ab FROM bg GROUP BY 1, 2),
+        uni AS (SELECT w, count(*) AS c_a FROM bg GROUP BY 1)
+        SELECT bg.doc_id, count(*) AS n_bigrams,
+               CAST(sum((uni.c_a * 1000000) // big.c_ab) // count(*) AS BIGINT) AS fluency
+        FROM bg JOIN big ON big.w = bg.w AND big.nxt = bg.nxt
+                JOIN uni ON uni.w = bg.w
+        GROUP BY 1""") {
+    (s, d) =>
+      val bg = graft.ops.Caches.lease(bigrams(s, d))
+      val big = bg.groupBy("w", "nxt").agg(count(lit(1)).as("c_ab"))
+      val uni = bg.groupBy("w").agg(count(lit(1)).as("c_a"))
+      bg.join(broadcast(big), Seq("w", "nxt"))
+        .join(broadcast(uni), Seq("w"))
+        .withColumn("surp", expr("(c_a * CAST(1000000 AS BIGINT)) div c_ab"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          expr("CAST(sum(surp) div count(1) AS BIGINT)").as("fluency"))
+  }
+
+  /** PMI phrase mining (word2phrase): the top-25 adjacent word pairs by
+    * pointwise mutual information — the collocation pass that decides
+    * which token pairs merge into phrases before tokenizer training.
+    *
+    * PMI is kept INTEGER: pmi_m = (c_ab·N·10⁶) div (c_a·c_b), the
+    * millionths-scaled lift of the pair over independence (monotone in
+    * log PMI). Magnitude bound: c_ab·N·10⁶ must fit in int64, which
+    * holds through ~10⁹ corpus bigrams with common-pair counts ~10³;
+    * past that, route the numerator through DECIMAL(38,0) — both engines
+    * multiply decimals exactly.
+    *
+    * Scale shape: counts are partial-aggregated groupBys over the bigram
+    * TYPE table (≪ occurrence stream); the min-count gate (c_ab ≥ 5, the
+    * word2phrase discount) cuts the tail BEFORE scoring; top-25 is
+    * orderBy+limit, which Spark executes as TakeOrderedAndProject
+    * (per-partition heaps + driver merge of 25-row tops — no global
+    * sort, no single-task window over the pair table). The final rank
+    * window runs over the ALREADY-LIMITED 25 rows: metadata-sized by
+    * construction, same convention as the suite's other tiny windows. */
+  val cooccurPmi = QuerySpec(
+    "q_cooccur_pmi",
+    s"""WITH $bigramSql,
+        big AS (SELECT w, nxt, count(*) AS c_ab FROM bg GROUP BY 1, 2),
+        lft AS (SELECT w, count(*) AS c_a FROM bg GROUP BY 1),
+        rgt AS (SELECT nxt, count(*) AS c_b FROM bg GROUP BY 1),
+        nn AS (SELECT count(*) AS n_total FROM bg),
+        scored AS (SELECT big.w, big.nxt, big.c_ab,
+                          CAST((big.c_ab * nn.n_total * 1000000)
+                               // (lft.c_a * rgt.c_b) AS BIGINT) AS pmi_m
+                   FROM big JOIN lft ON lft.w = big.w
+                            JOIN rgt ON rgt.nxt = big.nxt
+                            CROSS JOIN nn
+                   WHERE big.c_ab >= 5)
+        SELECT w, nxt, c_ab, pmi_m, CAST(rnk AS BIGINT) AS rnk
+        FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY pmi_m DESC, w, nxt) AS rnk
+              FROM scored) t
+        WHERE rnk <= 25""") {
+    (s, d) =>
+      val bg = graft.ops.Caches.lease(bigrams(s, d))
+      val big = bg.groupBy("w", "nxt").agg(count(lit(1)).as("c_ab"))
+      val lft = bg.groupBy("w").agg(count(lit(1)).as("c_a"))
+      val rgt = bg.groupBy("nxt").agg(count(lit(1)).as("c_b"))
+      val nn = bg.agg(count(lit(1)).as("n_total"))
+      val scored = big
+        .join(broadcast(lft), Seq("w"))
+        .join(broadcast(rgt), Seq("nxt"))
+        .crossJoin(broadcast(nn))
+        .filter(col("c_ab") >= 5)
+        .withColumn("pmi_m",
+          expr("(c_ab * n_total * CAST(1000000 AS BIGINT)) div (c_a * c_b)"))
+      val top = scored
+        .orderBy(col("pmi_m").desc, col("w"), col("nxt"))
+        .limit(25)
+      top.withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("pmi_m").desc, col("w"), col("nxt")))
+          .cast("long"))
+        .select("w", "nxt", "c_ab", "pmi_m", "rnk")
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     curationIngest, sampleBalanced,
     decontaminate, textRepetition, piiRedact, sampleWeighted,
     packChunks, sketchKmv, sketchBloom, sketchHll, histogramEquidepth,
     splitAssign, sourceOverlap, tfidfTopk, embedProject, qualityAudit,
-    bpeMerges, bpeTokenize, mixRates, kmvJaccard, chunkOverlap, chunkContent, kmvAgg)
+    bpeMerges, bpeTokenize, mixRates, kmvJaccard, chunkOverlap, chunkContent, kmvAgg,
+    lmFluency, cooccurPmi)
 }

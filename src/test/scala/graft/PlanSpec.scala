@@ -370,6 +370,25 @@ class PlanSpec extends SparkSpec {
     graft.ops.Caches.drain()
   }
 
+  test("q_lm_fluency: the LM probes by broadcast; q_cooccur_pmi top-k is TakeOrdered") {
+    // the fluency score joins the corpus bigram stream to the model
+    // (bigram + unigram counts) — at scale the corpus side must never
+    // shuffle on the gram key, so both model joins broadcast
+    val lm = formatted("q_lm_fluency")
+    assert(lm.contains("BroadcastHashJoin"), "the bigram/unigram model must broadcast")
+    assert(!lm.contains("SortMergeJoin"),
+      s"the corpus stream must not shuffle on the gram key:\n$lm")
+    graft.ops.Caches.drain()
+    // the PMI top-25 must be per-partition heaps + driver merge — a global
+    // sort (or a full-width single-task rank window) would serialize the
+    // pair-type table at a web-scale vocabulary
+    val pmi = SparkEntry.queries("q_cooccur_pmi")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(pmi.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrderedAndProject, not a global sort:\n$pmi")
+    graft.ops.Caches.drain()
+  }
+
   test("q_vocab_zipf: no single-task window ever sees the type table") {
     // the rank goes through Scale.distributedRank (keyed on the range
     // partition id) and the running sum through Scale.prefixSum (keyed on
