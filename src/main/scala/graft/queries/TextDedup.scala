@@ -1042,6 +1042,78 @@ object TextDedup {
             .otherwise(0.0).as("clustering_coeff"))
   }
 
+  /** Label-propagation communities (sync LPA, 3 rounds, deterministic
+    * ties) over the near-dup candidate graph — the refinement pass between
+    * connected components and canonical-doc selection. CC merges ANY
+    * connected region, so LSH band chains (A~B~C with A≁C) over-merge
+    * into one cluster; LPA labels need majority neighbor support to
+    * spread, so chain artifacts split at their weak links while genuine
+    * duplicate cliques converge to one label. Reading both
+    * ([[dedupComponents]] vs this) tells the pipeline which clusters are
+    * trustworthy as-is and which need the pairwise verify pass.
+    *
+    * Determinism: synchronous rounds, fixed at 3; a node adopts the
+    * neighbor label with the highest count, ties broken by SMALLEST
+    * label — a total order, so both engines converge identically (the
+    * async/random-tie LPA of the original paper is deliberately NOT
+    * reproducible; fixed sweeps with ordered ties are the standard
+    * determinism fix, same trade GraphFrames' Pregel form makes).
+    *
+    * Scale shape per round (the Pregel pattern, like [[pagerank]]): one
+    * equi-join of the label table onto edges keyed on the neighbor
+    * endpoint, one (node, label) count shuffle with map-side partial
+    * aggregation, then a per-node WindowGroupLimit whose width is bounded
+    * by the node's DEGREE (LSH banding bounds that, independent of corpus
+    * size). The label table is |nodes| rows and checkpoints each round,
+    * so every round's physical plan stays two shuffles deep. */
+  val communitiesLpa = {
+    def iterSql(i: Int): String =
+      s"""ct$i AS (SELECT e.src AS doc_id, p.lbl, count(*) AS c
+                   FROM edges e JOIN lb${i - 1} p ON p.doc_id = e.dst
+                   GROUP BY 1, 2),
+          lb$i AS (SELECT doc_id, lbl FROM (
+                     SELECT doc_id, lbl,
+                            ROW_NUMBER() OVER (PARTITION BY doc_id
+                                               ORDER BY c DESC, lbl) AS rn
+                     FROM ct$i) t
+                   WHERE rn = 1)"""
+    QuerySpec(
+      "q_communities_lpa",
+      s"""WITH ${shingleSql(3)},
+          $minhashCandSql,
+          edges AS (SELECT a_id AS src, b_id AS dst FROM cand
+                    UNION ALL SELECT b_id, a_id FROM cand),
+          nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+          lb0 AS (SELECT doc_id, doc_id AS lbl FROM nodes),
+          ${(1 to 3).map(iterSql).mkString(",\n")},
+          sz AS (SELECT lbl, count(*) AS n_members FROM lb3 GROUP BY 1)
+          SELECT lb3.doc_id, lb3.lbl AS community, sz.n_members
+          FROM lb3 JOIN sz ON sz.lbl = lb3.lbl""") {
+      (s, d) =>
+        val cand = minhashCandShared(s, d)
+        val edges = cand.select(col("a_id").as("src"), col("b_id").as("dst"))
+          .unionByName(cand.select(col("b_id").as("src"), col("a_id").as("dst")))
+          .localCheckpoint()
+        val nodes = edges.select(col("src").as("doc_id")).distinct()
+        var lb = nodes.select(col("doc_id"), col("doc_id").as("lbl"))
+        for (i <- 1 to 3) {
+          val ct = edges
+            .join(lb.toDF("dst", "lbl"), "dst")
+            .groupBy("src", "lbl").agg(count(lit(1)).as("c"))
+          val next = ct
+            .withColumn("rn", row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy("src").orderBy(col("c").desc, col("lbl"))))
+            .filter(col("rn") === 1)
+            .select(col("src").as("doc_id"), col("lbl"))
+          lb = if (i < 3) next.localCheckpoint() else next
+        }
+        val sz = lb.groupBy("lbl").agg(count(lit(1)).as("n_members"))
+        lb.join(sz, "lbl")
+          .select(col("doc_id"), col("lbl").as("community"), col("n_members"))
+    }
+  }
+
   /** Zipf/coverage profile of the full vocabulary: every token type ranked
     * by frequency with its CUMULATIVE corpus share — the curve a tokenizer
     * design reads off ("how many types cover 95% of tokens" sets the vocab
@@ -1238,5 +1310,5 @@ object TextDedup {
     dedupLshVerified, dedupLshRecall,
     dedupSimhash, dedupSimhashHamming, dedupComponents, dedupKeep, dedupIncremental,
     curationPipeline, sampleDeterministic, sampleStratified, vocabTop, vocabZipf,
-    pagerank, triangleCount)
+    pagerank, triangleCount, communitiesLpa)
 }
