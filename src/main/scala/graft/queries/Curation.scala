@@ -1349,11 +1349,193 @@ object Curation {
         .select("w", "nxt", "c_ab", "pmi_m", "rnk")
   }
 
+  // -------------------------------------------------------------------
+  // Lexical retrieval: BM25 + reciprocal-rank fusion
+  // -------------------------------------------------------------------
+
+  /** The fixed demo query for the retrieval pair ([[bm25Topk]],
+    * [[hybridRrf]]) — the operator is parametric; the constant makes the
+    * oracle reproducible. */
+  private val QueryTerms = Seq("scan", "join", "window")
+  private def queryTermsSql = QueryTerms.map(t => s"'$t'").mkString(", ")
+
+  /** Shared retrieval front end: token stream stats + query-term postings.
+    * The corpus pays ONE token explode; dl (per-doc length) is a doc_id
+    * groupBy; the query-term postings are filtered BEFORE any shuffle, so
+    * tfq/dfq are sized by the query's posting lists, not the corpus. */
+  private def retrievalParts(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val tok = docs(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val tfq = graft.ops.Caches.lease(
+      tok.filter(col("token").isin(QueryTerms: _*))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf")))
+    val dfq = tfq.groupBy("token").agg(count(lit(1)).as("df"))
+    val scalars = tok.agg(count(lit(1)).as("t_total"))
+      .crossJoin(docs(s, d).agg(count(lit(1)).as("n_docs")))
+    (dl, tfq, dfq, scalars)
+  }
+
+  private val retrievalSql =
+    s"""tok AS (SELECT doc_id, u.token
+               FROM documents, UNNEST(str_split(text, ' ')) AS u(token)),
+       dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+       tfq AS (SELECT doc_id, token, count(*) AS tf FROM tok
+               WHERE token IN ($queryTermsSql) GROUP BY 1, 2),
+       dfq AS (SELECT token, count(*) AS df FROM tfq GROUP BY 1),
+       sc AS (SELECT (SELECT count(*) FROM tok) AS t_total,
+                     (SELECT count(*) FROM documents) AS n_docs)"""
+
+  /** Per-(doc, term) exact-integer BM25 contribution, shared by both
+    * retrieval queries. k1 = 1.2 and b = 0.75 are RATIONAL, so the whole
+    * tf saturation term clears denominators into integers: with
+    * avgdl = T/N substituted symbolically,
+    *   tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    *     = 22·tf·T / (10·tf·T + 3·T + 9·dl·N),
+    * and the Robertson idf is kept as the integer proxy
+    * idf_bp = ((2N−2df+1)·10⁴) div (2df+1) — monotone in the real
+    * log-idf, basis-point scaled to keep the per-term product ≲10¹⁷
+    * (int64-safe through ~10⁹-token corpora; past that, route the
+    * numerator through DECIMAL(38,0)). No logs, no doubles: bit-equal
+    * across engines. */
+  private val bm25TermSqlExpr =
+    """((2 * sc.n_docs - 2 * dfq.df + 1) * 10000 // (2 * dfq.df + 1))
+       * (22 * tfq.tf * sc.t_total)
+       // (10 * tfq.tf * sc.t_total + 3 * sc.t_total + 9 * dl.dl * sc.n_docs)"""
+  private val bm25TermSparkExpr =
+    """(((2 * n_docs - 2 * df + 1) * CAST(10000 AS BIGINT)) div (2 * df + 1))
+       * (22 * tf * t_total)
+       div (10 * tf * t_total + 3 * t_total + 9 * dl * n_docs)"""
+
+  /** BM25 top-20 for a fixed conjunctive query — the lexical ranking pass
+    * of a retrieval-augmented curation pipeline (and the standard hard-
+    * negative miner for embedding training). See [[bm25TermSqlExpr]] for
+    * the exact-integer formulation.
+    *
+    * Scale shape: the corpus pays one token explode and one per-doc
+    * length aggregation; everything query-dependent is filtered to the
+    * query's posting lists BEFORE shuffling ([[retrievalParts]]); the
+    * scalars (T, N) and the ≤|query| df rows broadcast; top-20 is
+    * orderBy+limit → TakeOrderedAndProject (per-partition heaps, no
+    * global sort), and the rank window runs over the already-limited 20
+    * rows. At a web corpus the posting-list filter is the same shape an
+    * inverted index serves; nothing here scans more than the postings
+    * after the one corpus-wide stats pass. */
+  val bm25Topk = QuerySpec(
+    "q_bm25_topk",
+    s"""WITH $retrievalSql,
+        term AS (SELECT tfq.doc_id,
+                        CAST($bm25TermSqlExpr AS BIGINT) AS term_bp
+                 FROM tfq JOIN dfq ON dfq.token = tfq.token
+                          JOIN dl ON dl.doc_id = tfq.doc_id
+                          CROSS JOIN sc),
+        agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit,
+                       CAST(sum(term_bp) AS BIGINT) AS score_bp
+                FROM term GROUP BY 1)
+        SELECT doc_id, n_hit, score_bp, CAST(rnk AS BIGINT) AS rnk
+        FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY score_bp DESC, doc_id) AS rnk
+              FROM agg) t
+        WHERE rnk <= 20""") {
+    (s, d) =>
+      val (dl, tfq, dfq, scalars) = retrievalParts(s, d)
+      val scored = tfq
+        .join(broadcast(dfq), Seq("token"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(scalars))
+        .withColumn("term_bp", expr(bm25TermSparkExpr))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_hit"), sum("term_bp").as("score_bp"))
+      val top = scored.orderBy(col("score_bp").desc, col("doc_id")).limit(20)
+      top.withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("score_bp").desc, col("doc_id")))
+          .cast("long"))
+        .select("doc_id", "n_hit", "score_bp", "rnk")
+  }
+
+  /** Reciprocal-rank fusion of two retrieval systems over the same query:
+    * BM25 (term saturation + idf) and plain query-term density
+    * (tf_sum·10⁶ div dl) — the standard hybrid-retrieval merge
+    * (rrf = Σ 1/(60+rank)), kept integer as 10⁶ div (60+rank). RRF only
+    * reads RANKS, so it composes any mix of systems; two lexical systems
+    * here because the testdata embedding table has no doc linkage.
+    *
+    * Scale shape: both systems reuse the posting-filtered front end
+    * ([[retrievalParts]]); each produces its top-50 via
+    * TakeOrderedAndProject; the fusion is a full outer join of two
+    * ≤50-row lists — metadata-sized, as rank fusion always is (k lists ×
+    * top-n rows, never corpus-sized). */
+  val hybridRrf = QuerySpec(
+    "q_hybrid_rrf",
+    s"""WITH $retrievalSql,
+        term AS (SELECT tfq.doc_id,
+                        CAST($bm25TermSqlExpr AS BIGINT) AS term_bp
+                 FROM tfq JOIN dfq ON dfq.token = tfq.token
+                          JOIN dl ON dl.doc_id = tfq.doc_id
+                          CROSS JOIN sc),
+        bm AS (SELECT doc_id, CAST(sum(term_bp) AS BIGINT) AS score_bp
+               FROM term GROUP BY 1),
+        ra AS (SELECT doc_id, rank_a FROM (
+                 SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY score_bp DESC, doc_id)
+                                AS BIGINT) AS rank_a FROM bm) t
+               WHERE rank_a <= 50),
+        dn AS (SELECT f.doc_id,
+                      CAST(sum(f.tf) * 1000000 // min(d.dl) AS BIGINT) AS density_m
+               FROM tfq f JOIN dl d ON d.doc_id = f.doc_id
+               GROUP BY 1),
+        rb AS (SELECT doc_id, rank_b FROM (
+                 SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY density_m DESC, doc_id)
+                                AS BIGINT) AS rank_b FROM dn) t
+               WHERE rank_b <= 50),
+        fused AS (SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+                         ra.rank_a, rb.rank_b,
+                         COALESCE(1000000 // (60 + ra.rank_a), 0)
+                           + COALESCE(1000000 // (60 + rb.rank_b), 0) AS rrf_m
+                  FROM ra FULL OUTER JOIN rb ON rb.doc_id = ra.doc_id)
+        SELECT doc_id, rank_a, rank_b, CAST(rrf_m AS BIGINT) AS rrf_m,
+               CAST(rnk AS BIGINT) AS rnk
+        FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY rrf_m DESC, doc_id) AS rnk
+              FROM fused) t
+        WHERE rnk <= 20""") {
+    (s, d) =>
+      val (dl, tfq, dfq, scalars) = retrievalParts(s, d)
+      def ranked(scored: DataFrame, score: String, rank: String): DataFrame = {
+        val top = scored.orderBy(col(score).desc, col("doc_id")).limit(50)
+        top.withColumn(rank, row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col(score).desc, col("doc_id")))
+            .cast("long"))
+          .select("doc_id", rank)
+      }
+      val bm = tfq
+        .join(broadcast(dfq), Seq("token"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(scalars))
+        .withColumn("term_bp", expr(bm25TermSparkExpr))
+        .groupBy("doc_id").agg(sum("term_bp").as("score_bp"))
+      val dn = tfq.join(dl, Seq("doc_id"))
+        .groupBy("doc_id")
+        .agg(expr("CAST(sum(tf) * 1000000 div min(dl) AS BIGINT)").as("density_m"))
+      val ra = ranked(bm, "score_bp", "rank_a")
+      val rb = ranked(dn, "density_m", "rank_b")
+      val fused = ra.join(rb, Seq("doc_id"), "full_outer")
+        .withColumn("rrf_m",
+          expr("""coalesce(CAST(1000000 AS BIGINT) div (60 + rank_a), 0)
+                  + coalesce(CAST(1000000 AS BIGINT) div (60 + rank_b), 0)"""))
+      val top = fused.orderBy(col("rrf_m").desc, col("doc_id")).limit(20)
+      top.withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("rrf_m").desc, col("doc_id")))
+          .cast("long"))
+        .select("doc_id", "rank_a", "rank_b", "rrf_m", "rnk")
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     curationIngest, sampleBalanced,
     decontaminate, textRepetition, piiRedact, sampleWeighted,
     packChunks, sketchKmv, sketchBloom, sketchHll, histogramEquidepth,
     splitAssign, sourceOverlap, tfidfTopk, embedProject, qualityAudit,
     bpeMerges, bpeTokenize, mixRates, kmvJaccard, chunkOverlap, chunkContent, kmvAgg,
-    lmFluency, cooccurPmi)
+    lmFluency, cooccurPmi, bm25Topk, hybridRrf)
 }

@@ -389,6 +389,21 @@ class PlanSpec extends SparkSpec {
     graft.ops.Caches.drain()
   }
 
+  test("q_bm25_topk: posting filter reaches the scan; top-k is TakeOrdered") {
+    // the query-term filter must hit the token stream BEFORE any shuffle
+    // (the inverted-index shape), the df/scalar tables broadcast, and the
+    // ranking must be per-partition heaps, not a global sort
+    val plan = formatted("q_bm25_topk")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"BM25 top-k must be TakeOrderedAndProject:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), "df table must broadcast")
+    val pmi = SparkEntry.queries("q_hybrid_rrf")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(pmi.contains("TakeOrderedAndProject"),
+      s"both fused rankings must TakeOrdered:\n$pmi")
+    graft.ops.Caches.drain()
+  }
+
   test("q_vocab_zipf: no single-task window ever sees the type table") {
     // the rank goes through Scale.distributedRank (keyed on the range
     // partition id) and the running sum through Scale.prefixSum (keyed on
