@@ -222,14 +222,21 @@ object TextDedup {
   private val memo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
-  private[graft] def shingledFresh(s: SparkSession, d: String, k: Int): DataFrame = {
-    val raw = docs(s, d)
+  /** The UNcapped distinct (doc_id, shingle) stream — the common front of
+    * [[shingledFresh]] (which df-caps it) and [[textNovelty]] (which must
+    * see every gram: the capped-away hot shingles are exactly the
+    * non-novel evidence). */
+  private[graft] def shingledRaw(s: SparkSession, d: String, k: Int): DataFrame =
+    docs(s, d)
       .withColumn("ws", split(col("text"), " "))
       .select(col("doc_id"), explode(expr(
         s"""CASE WHEN size(ws) >= $k
             THEN array_distinct(transform(sequence(1, size(ws) - ${k - 1}),
                                           i -> concat_ws(' ', slice(ws, i, $k))))
             ELSE array() END""")).as("shingle"))
+
+  private[graft] def shingledFresh(s: SparkSession, d: String, k: Int): DataFrame = {
+    val raw = shingledRaw(s, d, k)
     val hot = raw.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") > MaxShingleDf)
       .select("shingle")
@@ -1114,6 +1121,43 @@ object TextDedup {
     }
   }
 
+  /** Per-doc 3-gram novelty: the share of a document's distinct word
+    * 3-grams that appear NOWHERE else in the corpus — the
+    * memorization/diversity audit a pretraining pipeline runs on top of
+    * dedup (a corpus whose novelty mass collapses is template spam even
+    * when no pair crosses the near-dup threshold; an eval set whose
+    * novelty is LOW against the training corpus is contaminated). Kept
+    * integer: novelty_m = n_novel·10⁶ div n_grams.
+    *
+    * Scale shape: the UNcapped distinct gram stream ([[shingledRaw]] —
+    * the df cap would drop exactly the non-novel evidence) feeds one
+    * map-side-partial df count, then the df attaches back by an equi-join
+    * keyed on the gram — the standard posting pass, 1:1 fan-out per row
+    * (a hot gram has many rows but each gains one count), AQE skew-split
+    * covers pathological keys. Docs with <3 words carry no gram evidence
+    * and drop. */
+  val textNovelty = QuerySpec(
+    "q_text_novelty",
+    """WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+       sh0 AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+               FROM w, UNNEST(generate_series(1, greatest(len(ws) - 2, 0))) AS u(i)),
+       dfs AS (SELECT shingle, count(*) AS df FROM sh0 GROUP BY 1)
+       SELECT doc_id, count(*) AS n_grams,
+              CAST(sum(CASE WHEN dfs.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+              CAST(sum(CASE WHEN dfs.df = 1 THEN 1 ELSE 0 END) * 1000000 // count(*)
+                   AS BIGINT) AS novelty_m
+       FROM sh0 JOIN dfs ON dfs.shingle = sh0.shingle
+       GROUP BY 1""") {
+    (s, d) =>
+      val raw = graft.ops.Caches.lease(shingledRaw(s, d, 3))
+      val dfs = raw.groupBy("shingle").agg(count(lit(1)).as("df"))
+      raw.join(dfs, Seq("shingle"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+        .withColumn("novelty_m", expr("n_novel * 1000000 div n_grams"))
+  }
+
   /** Zipf/coverage profile of the full vocabulary: every token type ranked
     * by frequency with its CUMULATIVE corpus share — the curve a tokenizer
     * design reads off ("how many types cover 95% of tokens" sets the vocab
@@ -1310,5 +1354,5 @@ object TextDedup {
     dedupLshVerified, dedupLshRecall,
     dedupSimhash, dedupSimhashHamming, dedupComponents, dedupKeep, dedupIncremental,
     curationPipeline, sampleDeterministic, sampleStratified, vocabTop, vocabZipf,
-    pagerank, triangleCount, communitiesLpa)
+    pagerank, triangleCount, communitiesLpa, textNovelty)
 }
