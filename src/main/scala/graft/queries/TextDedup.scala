@@ -1100,25 +1100,36 @@ object TextDedup {
         val cand = minhashCandShared(s, d)
         val edges = cand.select(col("a_id").as("src"), col("b_id").as("dst"))
           .unionByName(cand.select(col("b_id").as("src"), col("a_id").as("dst")))
-          .localCheckpoint()
-        val nodes = edges.select(col("src").as("doc_id")).distinct()
-        var lb = nodes.select(col("doc_id"), col("doc_id").as("lbl"))
-        for (i <- 1 to 3) {
-          val ct = edges
-            .join(lb.toDF("dst", "lbl"), "dst")
-            .groupBy("src", "lbl").agg(count(lit(1)).as("c"))
-          val next = ct
-            .withColumn("rn", row_number().over(
-              org.apache.spark.sql.expressions.Window
-                .partitionBy("src").orderBy(col("c").desc, col("lbl"))))
-            .filter(col("rn") === 1)
-            .select(col("src").as("doc_id"), col("lbl"))
-          lb = if (i < 3) next.localCheckpoint() else next
-        }
+        val lb = lpaLabels(edges)
         val sz = lb.groupBy("lbl").agg(count(lit(1)).as("n_members"))
         lb.join(sz, "lbl")
           .select(col("doc_id"), col("lbl").as("community"), col("n_members"))
     }
+  }
+
+  /** The LPA loop itself, on any SYMMETRIZED (src, dst) edge frame —
+    * exposed private[graft] so TextDedupSpec can prove the semantic
+    * invariants directly on synthetic topologies (a bridge between two
+    * cliques splits; communities always refine connected components,
+    * since a label can only travel along edges and therefore never leaves
+    * the component it originated in). Returns (doc_id, lbl). */
+  private[graft] def lpaLabels(edges0: DataFrame, rounds: Int = 3): DataFrame = {
+    val edges = edges0.localCheckpoint()
+    val nodes = edges.select(col("src").as("doc_id")).distinct()
+    var lb = nodes.select(col("doc_id"), col("doc_id").as("lbl"))
+    for (i <- 1 to rounds) {
+      val ct = edges
+        .join(lb.toDF("dst", "lbl"), "dst")
+        .groupBy("src", "lbl").agg(count(lit(1)).as("c"))
+      val next = ct
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("src").orderBy(col("c").desc, col("lbl"))))
+        .filter(col("rn") === 1)
+        .select(col("src").as("doc_id"), col("lbl"))
+      lb = if (i < rounds) next.localCheckpoint() else next
+    }
+    lb
   }
 
   /** Per-doc 3-gram novelty: the share of a document's distinct word

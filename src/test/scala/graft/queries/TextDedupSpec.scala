@@ -64,6 +64,54 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("lpaLabels: a single bridge between two triangles splits where CC merges") {
+    // the motivating case for LPA-on-top-of-CC: LSH band chains weld
+    // genuine duplicate cliques together through one spurious candidate
+    // pair; min-label CC collapses everything, majority-support LPA
+    // does not cross the bridge
+    val tri1 = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val tri2 = Seq((4L, 5L), (5L, 6L), (4L, 6L))
+    val bridge = Seq((3L, 4L))
+    val all = tri1 ++ tri2 ++ bridge
+    val edges = (all ++ all.map(_.swap)).toDF("src", "dst")
+    val cc = TextDedup.connectedComponents(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cc.values.toSet.size === 1, "CC must weld the barbell into one component")
+    val lpa = TextDedup.lpaLabels(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val left = Set(1L, 2L, 3L).map(lpa)
+    val right = Set(4L, 5L, 6L).map(lpa)
+    assert(left.size === 1 && right.size === 1,
+      s"each triangle must converge to one label, got $lpa")
+    assert(left != right, s"the bridge must not merge the triangles, got $lpa")
+  }
+
+  test("lpaLabels communities always refine CC components (property)") {
+    // a label travels only along edges, so it can never leave the
+    // component it originated in — any shared final label implies a
+    // shared component, on arbitrary random topologies
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 6) {
+      val n = 6 + rnd.nextInt(12)
+      val es = (1 to (n + rnd.nextInt(n))).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter { case (a, b) => a != b }.distinct
+      if (es.nonEmpty) {
+        val edges = (es ++ es.map(_.swap)).toDF("src", "dst")
+        val cc = TextDedup.connectedComponents(edges)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        val lpa = TextDedup.lpaLabels(edges)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        assert(lpa.keySet === cc.keySet, s"trial $trial: same node universe")
+        lpa.groupBy(_._2).values.foreach { members =>
+          val comps = members.keys.map(cc).toSet
+          assert(comps.size === 1,
+            s"trial $trial: LPA community ${members.keys.toSeq.sorted} spans CC components $comps")
+        }
+      }
+    }
+  }
+
   test("connectedComponents fails loudly when maxRounds is under the diameter") {
     val chain = (0L until 20L).map(i => (i, i + 1))
     val edges = (chain ++ chain.map(_.swap)).toDF("src", "dst")
