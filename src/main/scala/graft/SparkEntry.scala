@@ -16,6 +16,8 @@ object SparkEntry {
       graft.queries.Similarity.specs ++
       graft.queries.EventsMultimodal.specs ++
       graft.queries.MergeOps.specs ++
+      graft.queries.GraphOps.specs ++
+      graft.queries.Profiling.specs ++
       graft.queries.Curation.specs ++
       graft.queries.EtlQueries.specs
 

@@ -1,0 +1,325 @@
+package graft.queries
+
+import graft.QuerySpec
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Data-profiling and drift-audit operators — the "know your data" passes
+  * a pipeline runs before and after every ingest: one-pass column
+  * profiles, functional-dependency audits, changepoint detection on
+  * arrival volumes, mergeable sliding-window distinct sketches, and a
+  * complete edit-distance-1 neighborhood join for key-typo discovery.
+  *
+  * Reference context: the reference validates shape only implicitly (its
+  * staging asserts nothing beyond pandas dtype coercion,
+  * `/root/reference/src/main.py`); these are the extension operators a
+  * 100 TB lakehouse needs to trust what it ingested.
+  */
+object Profiling {
+
+  // -------------------------------------------------------------------
+  // One-pass column profiler
+  // -------------------------------------------------------------------
+
+  /** Column profile of `orders` in ONE scan: row count, null count,
+    * exact distinct count, min/max per column, emitted long-form (one row
+    * per column). All metrics compute in a single wide aggregate — the
+    * multi-distinct goes through Spark's Expand-based rewrite, still one
+    * pass over the data with partial aggregation — and the reshape to
+    * long form is a `stack` over the ONE aggregated row (metadata-sized,
+    * never a per-row unpivot of the table).
+    *
+    * min/max are aggregated in their native type and cast to string
+    * AFTER aggregation (casting first would compare "100" < "99"
+    * lexicographically). Only integer/varchar columns are profiled so the
+    * string rendering is engine-identical (double formatting is not). */
+  val profileColumns = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    QuerySpec(
+      "q_profile_columns",
+      s"""WITH a AS (SELECT CAST(COUNT(*) AS BIGINT) AS nr,
+                 ${cols.zipWithIndex.map { case (c, i) =>
+                   s"""CAST(COUNT($c) AS BIGINT) AS nn$i,
+                       CAST(COUNT(DISTINCT $c) AS BIGINT) AS nd$i,
+                       CAST(MIN($c) AS VARCHAR) AS mn$i,
+                       CAST(MAX($c) AS VARCHAR) AS mx$i"""
+                 }.mkString(",\n")}
+                 FROM orders)
+          ${cols.zipWithIndex.map { case (c, i) =>
+            s"""SELECT '$c' AS column_name, nr AS n_rows, nr - nn$i AS n_nulls,
+                       nd$i AS n_distinct, mn$i AS min_val, mx$i AS max_val FROM a"""
+          }.mkString("\nUNION ALL\n")}""") {
+      (s, d) =>
+        val o = Tables.orders(s, d)
+        val aggs = count(lit(1)).cast("long").as("nr") +:
+          cols.zipWithIndex.flatMap { case (c, i) =>
+            Seq(
+              count(col(c)).cast("long").as(s"nn$i"),
+              countDistinct(col(c)).cast("long").as(s"nd$i"),
+              min(col(c)).cast("string").as(s"mn$i"),
+              max(col(c)).cast("string").as(s"mx$i"))
+          }
+        val one = o.agg(aggs.head, aggs.tail: _*)
+        val stacked = cols.zipWithIndex.map { case (c, i) =>
+          s"'$c', nr, nr - nn$i, nd$i, mn$i, mx$i"
+        }.mkString(", ")
+        one.select(expr(s"stack(${cols.size}, $stacked)")
+          .as(Seq("column_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val")))
+    }
+  }
+
+  // -------------------------------------------------------------------
+  // Functional-dependency audit
+  // -------------------------------------------------------------------
+
+  /** Functional-dependency audit over candidate det→dep pairs: for each
+    * pair, the group count, how many determinant groups map to more than
+    * one dependent value (violations), and the maximum branching factor.
+    * FD mining is the schema-inference workhorse (key discovery,
+    * normalization checks, join-safety proofs before a 100 TB backfill).
+    *
+    * Scale shape per pair: one distinct-aggregate keyed on the
+    * determinant (map-side partial distinct, then a count rollup of the
+    * group table) — the table is scanned once per pair with only the two
+    * columns read (pruned scan), and no pair ever joins the table to
+    * itself. */
+  val fdAudit = {
+    final case class Fd(tbl: String, det: String, dep: String)
+    val pairs = Seq(
+      Fd("orders", "o_orderkey", "o_custkey"),      // key: holds
+      Fd("orders", "o_custkey", "o_orderpriority"), // violated
+      Fd("lineitem", "l_orderkey", "l_returnflag"), // violated
+      Fd("lineitem", "l_partkey", "l_suppkey"))     // violated
+    QuerySpec(
+      "q_fd_audit",
+      pairs.map { p =>
+        s"""SELECT '${p.tbl}' AS tbl, '${p.det}' AS det, '${p.dep}' AS dep,
+                   CAST(COUNT(*) AS BIGINT) AS n_groups,
+                   CAST(COALESCE(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_violating,
+                   CAST(MAX(nd) AS BIGINT) AS max_branching,
+                   CAST(CASE WHEN COALESCE(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END), 0) = 0
+                        THEN 1 ELSE 0 END AS BIGINT) AS fd_holds
+            FROM (SELECT ${p.det}, COUNT(DISTINCT ${p.dep}) AS nd
+                  FROM ${p.tbl} GROUP BY 1) g"""
+      }.mkString("\nUNION ALL\n")) {
+      (s, d) =>
+        pairs.map { p =>
+          val t = Tables.table(s, d, p.tbl)
+          t.groupBy(col(p.det)).agg(countDistinct(col(p.dep)).as("nd"))
+            .agg(
+              count(lit(1)).cast("long").as("n_groups"),
+              coalesce(sum(when(col("nd") > 1, 1L).otherwise(0L)), lit(0L))
+                .cast("long").as("n_violating"),
+              max("nd").cast("long").as("max_branching"))
+            .select(
+              lit(p.tbl).as("tbl"), lit(p.det).as("det"), lit(p.dep).as("dep"),
+              col("n_groups"), col("n_violating"), col("max_branching"),
+              when(col("n_violating") === 0, 1L).otherwise(0L)
+                .cast("long").as("fd_holds"))
+        }.reduce(_ unionByName _)
+    }
+  }
+
+  // -------------------------------------------------------------------
+  // Edit-distance-1 neighborhood join (SymSpell shape)
+  // -------------------------------------------------------------------
+
+  /** COMPLETE edit-distance-1 pairing of customer names via the deletion
+    * neighborhood (SymSpell): each name generates itself plus every
+    * single-character deletion as candidate keys; two names within edit
+    * distance 1 provably share a key (substitution → delete the differing
+    * position from both; insert/delete → the shorter string IS a deletion
+    * variant of the longer), so the equi-join on variants finds every
+    * pair and `levenshtein ≤ 1` discards the distance-2 collisions the
+    * neighborhood also admits (e.g. "abc"/"acb" share "ab").
+    *
+    * The oracle is deliberately the ALL-PAIRS filter — same result set by
+    * a different algorithm, so the hash-match is a completeness proof for
+    * the neighborhood join (the q_dedup_lsh_recall pattern, but exact:
+    * SymSpell at distance 1 has recall 1 by construction, and this query
+    * verifies it).
+    *
+    * Scale shape: |names|·(len+1) variant rows shuffle on near-unique
+    * string keys; the expensive verify runs on in-bucket candidates only.
+    * The all-pairs O(n²) product exists ONLY oracle-side. */
+  /** The neighborhood join over a (t) vocabulary — factored so the spec
+    * can prove recall-1 against brute force on crafted vocabularies. */
+  private[graft] def edit1Of(v: DataFrame): DataFrame = {
+    val vars = v.select(col("t"), explode(expr(
+      """concat(array(t),
+                transform(sequence(1, length(t)),
+                  i -> concat(substr(t, 1, i - 1), substr(t, i + 1, length(t)))))"""))
+      .as("variant"))
+      .distinct()
+    vars.toDF("a_name", "variant")
+      .join(vars.toDF("b_name", "variant"), "variant")
+      .filter(col("a_name") < col("b_name"))
+      .select("a_name", "b_name")
+      .distinct()
+      .filter(levenshtein(col("a_name"), col("b_name")) <= 1)
+  }
+
+  val edit1Neighbors = QuerySpec(
+    "q_edit1_neighbors",
+    """WITH v AS (SELECT DISTINCT c_name AS t FROM customer)
+       SELECT a.t AS a_name, b.t AS b_name
+       FROM v a JOIN v b ON a.t < b.t
+       WHERE levenshtein(a.t, b.t) <= 1""") {
+    (s, d) =>
+      edit1Of(Tables.customer(s, d).select(col("c_name").as("t")).distinct())
+  }
+
+  // -------------------------------------------------------------------
+  // CUSUM changepoint on daily volumes
+  // -------------------------------------------------------------------
+
+  /** CUSUM changepoint per event type: the day where the cumulative
+    * arrival count deviates most from the uniform-rate line — the audit
+    * that catches "source X halved its volume on the 12th" before the
+    * model trained on it. The statistic is kept INTEGER: with prefix_i
+    * the running count after day i (of n days, grand total T), the
+    * deviation is D_i = n·prefix_i − i·T (the CUSUM residual scaled by
+    * n — sign and argmax unchanged), so both engines agree bit-exactly
+    * and no double drift is possible. Changepoint = earliest day of
+    * maximal |D|.
+    *
+    * Scale shape: one map-side-combinable (type, day) count, then windows
+    * over the AGGREGATED day series — |types|·|days| rows, metadata-sized
+    * regardless of event volume; the raw stream is scanned once. */
+  /** CUSUM over a (event_type, d, c) day-count series — factored so the
+    * spec can pin the changepoint on a synthetic rate step. */
+  private[graft] def cusumOf(dc: DataFrame): DataFrame = {
+    val byType = Window.partitionBy("event_type")
+    val byDay = byType.orderBy("d")
+    val st = dc.select(col("event_type"), col("d"), col("c"),
+      row_number().over(byDay).cast("long").as("i"),
+      sum("c").over(byDay).as("pfx"),
+      sum("c").over(byType).as("total"),
+      count(lit(1)).over(byType).as("n_days"))
+    val dev = st.withColumn("dd", col("n_days") * col("pfx") - col("i") * col("total"))
+    dev.withColumn("rn",
+        row_number().over(byType.orderBy(abs(col("dd")).desc, col("d"))))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("d").as("cp_day"),
+        abs(col("dd")).cast("long").as("max_dev"),
+        col("n_days").cast("long").as("n_days"),
+        col("total").cast("long").as("total"))
+  }
+
+  val cusumChangepoint = QuerySpec(
+    "q_cusum_changepoint",
+    """WITH dc AS (SELECT event_type, CAST(ts AS DATE) AS d,
+                          CAST(count(*) AS BIGINT) AS c
+                   FROM events GROUP BY 1, 2),
+       st AS (SELECT event_type, d, c,
+                     ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS i,
+                     SUM(c) OVER (PARTITION BY event_type ORDER BY d) AS pfx,
+                     SUM(c) OVER (PARTITION BY event_type) AS total,
+                     COUNT(*) OVER (PARTITION BY event_type) AS n_days
+              FROM dc),
+       dev AS (SELECT event_type, d, n_days, total,
+                      n_days * pfx - i * total AS dd
+               FROM st)
+       SELECT event_type, d AS cp_day, CAST(abs(dd) AS BIGINT) AS max_dev,
+              CAST(n_days AS BIGINT) AS n_days, CAST(total AS BIGINT) AS total
+       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                          ORDER BY abs(dd) DESC, d) AS rn
+             FROM dev) t
+       WHERE rn = 1""") {
+    (s, d) =>
+      cusumOf(Tables.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+        .agg(count(lit(1)).as("c")))
+  }
+
+  // -------------------------------------------------------------------
+  // Sliding-window distinct via mergeable KMV sketches
+  // -------------------------------------------------------------------
+
+  /** Trailing-3-day distinct users per day via MERGEABLE KMV sketches:
+    * one corpus pass builds a k=16 minimum-values sketch per day; every
+    * trailing window is then answered by merging three SKETCHES (≤3k
+    * hashes) instead of re-scanning three days of raw events — the
+    * sketch-algebra pattern that turns an O(window·data) sliding distinct
+    * into O(data) + O(days·k) at 100 TB (contrast [[EventsMultimodal]]'s
+    * q_stickiness, which pays the exact range join). The exact trailing
+    * count rides along as the diagnostic, mirroring q_sketch_kmv.
+    *
+    * Determinism: hashes are md5-hex prefixes (fixed-width lowercase hex
+    * compares lexicographically == numerically); merge = distinct-union
+    * then k smallest; estimate = (k−1)·2³²/kth via integer division; a
+    * window holding fewer than k hashes IS the exact set, so the estimate
+    * equals the true count there. The per-day k-min runs as a rank filter
+    * Spark executes as WindowGroupLimit — per-partition top-k BEFORE the
+    * exchange, the distributed sketch-build shape. */
+  /** The sketch-build + merge over a distinct (day, user_id) frame —
+    * factored so the spec can prove est == exact below the sketch
+    * capacity and bounded error above it. */
+  private[graft] def kmvTrailingOf(du: DataFrame, k: Int): DataFrame = {
+    val h = du.select(col("day"),
+      expr("substr(md5(cast(user_id as string)), 1, 8)").as("h8")).distinct()
+    val byDay = Window.partitionBy("day").orderBy("h8")
+    val sk = h.withColumn("rn", row_number().over(byDay)).filter(col("rn") <= k)
+      .select("day", "h8")
+    val days = du.select("day").distinct()
+    val mg = sk.select(explode(expr("sequence(0, 2)")).as("off"), col("day"), col("h8"))
+      .select(expr("date_add(day, off)").as("day"), col("h8"))
+      .join(days, "day")
+      .distinct()
+    val kk = mg.withColumn("rn", row_number().over(byDay)).filter(col("rn") <= k)
+      .groupBy("day")
+      .agg(count(lit(1)).cast("long").as("cnt"), max("h8").as("kth"))
+    val ex = du.select(explode(expr("sequence(0, 2)")).as("off"), col("day"), col("user_id"))
+      .select(expr("date_add(day, off)").as("day"), col("user_id"))
+      .join(days, "day")
+      .groupBy("day")
+      .agg(countDistinct("user_id").as("true_distinct"))
+    kk.join(ex, "day")
+      .select(col("day"),
+        expr(s"case when cnt < $k then cnt else (${k - 1} * 4294967296L) div conv(kth, 16, 10) end")
+          .cast("long").as("est_distinct"),
+        col("true_distinct"))
+  }
+
+  val windowDistinctKmv = {
+    val k = 16
+    val hexToInt =
+      """list_reduce(list_transform(generate_series(1, 8),
+           i -> CAST(strpos('0123456789abcdef', substr(kth, i, 1)) - 1 AS BIGINT)),
+           (a, c) -> a * 16 + c)"""
+    QuerySpec(
+      "q_window_distinct_kmv",
+      s"""WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+          h AS (SELECT DISTINCT day, substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS h8
+                FROM du),
+          sk AS (SELECT day, h8 FROM (
+                   SELECT day, h8, ROW_NUMBER() OVER (PARTITION BY day ORDER BY h8) AS rn
+                   FROM h) t WHERE rn <= $k),
+          days AS (SELECT DISTINCT day FROM du),
+          mg AS (SELECT DISTINCT d.day, s.h8
+                 FROM days d JOIN sk s ON s.day BETWEEN d.day - 2 AND d.day),
+          top AS (SELECT day, h8,
+                         ROW_NUMBER() OVER (PARTITION BY day ORDER BY h8) AS rn
+                  FROM mg),
+          kk AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS cnt, MAX(h8) AS kth
+                 FROM top WHERE rn <= $k GROUP BY 1),
+          ex AS (SELECT d.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS true_distinct
+                 FROM days d JOIN du u ON u.day BETWEEN d.day - 2 AND d.day
+                 GROUP BY 1)
+          SELECT kk.day,
+                 CAST(CASE WHEN cnt < $k THEN cnt
+                      ELSE (${k - 1} * 4294967296) // $hexToInt END AS BIGINT)
+                   AS est_distinct,
+                 ex.true_distinct
+          FROM kk JOIN ex ON ex.day = kk.day""") {
+      (s, d) =>
+        kmvTrailingOf(Tables.events(s, d)
+          .select(col("ts").cast("date").as("day"), col("user_id")).distinct(), k)
+    }
+  }
+
+  val specs: Seq[QuerySpec] = Seq(
+    profileColumns, fdAudit, edit1Neighbors, cusumChangepoint, windowDistinctKmv)
+}

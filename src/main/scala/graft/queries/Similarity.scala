@@ -954,8 +954,52 @@ object Similarity {
         .select("label", "n_a", "n_b", "shift")
   }
 
+  /** Hard-negative mining for contrastive training: for each anchor
+    * (vec_id ≡ 0 mod 37), the 3 most-similar vectors with a DIFFERENT
+    * label — the pairs that teach a bi-encoder the most (same-label
+    * neighbors are positives; high-cosine cross-label neighbors are the
+    * "hard" negatives every embedding-training pipeline mines). Same
+    * scale shape as [[topkBruteForce]]: anchors broadcast, one corpus
+    * pass, per-anchor top-k via rank filter (WindowGroupLimit pushes the
+    * limit below the exchange); at 100 TB the anchor set streams through
+    * the IVF/PQ index instead — the label filter composes unchanged
+    * because it applies BEFORE ranking. */
+  val hardNegatives = QuerySpec(
+    "q_hard_negatives",
+    s"""WITH $normedSql,
+        scored AS (
+          SELECT q.vec_id AS anchor_id, q.label AS anchor_label,
+                 c.vec_id AS negative_id, c.label AS negative_label,
+                 ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos_sim
+          FROM e q JOIN e c ON q.label <> c.label
+          WHERE q.vec_id % 37 = 0)
+        SELECT anchor_id, anchor_label, negative_id, negative_label, cos_sim,
+               CAST(rnk AS BIGINT) AS rnk
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                           ORDER BY cos_sim DESC, negative_id) AS rnk
+              FROM scored) t
+        WHERE rnk <= 3""") {
+    (s, d) =>
+      val e = withNorm(s, d)
+      val q = e.filter(col("vec_id") % 37 === 0)
+        .toDF("anchor_id", "anchor_label", "q_emb", "q_nrm")
+      val c = e.toDF("negative_id", "negative_label", "c_emb", "c_nrm")
+      broadcast(q).join(c, col("anchor_label") =!= col("negative_label"))
+        .withColumn("cos_sim",
+          vector_dot_f32(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
+        .withColumn("rnk",
+          row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("anchor_id")
+              .orderBy(col("cos_sim").desc, col("negative_id")))
+            .cast("long"))
+        .filter(col("rnk") <= 3)
+        .select("anchor_id", "anchor_label", "negative_id", "negative_label",
+          "cos_sim", "rnk")
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     embedCosineNearDup, topkBruteForce, topkLshBucketed, topkLshMultiprobe,
     topkIvf, topkRecall, semDedup, clusterStats, embedStats, embedQuantize,
-    topkPq, topkIvfPq, centroidShift)
+    topkPq, topkIvfPq, centroidShift, hardNegatives)
 }

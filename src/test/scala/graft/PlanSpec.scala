@@ -424,4 +424,58 @@ class PlanSpec extends SparkSpec {
         || l.contains("_psum")),
       s"running-sum windows must be bucketed:\n${cum.mkString("\n")}")
   }
+
+  test("q_edit1_neighbors: the neighborhood join is an equi-join, never all-pairs") {
+    // SymSpell's whole point: the O(n²) product exists only oracle-side;
+    // the engine joins on near-unique variant keys and verifies in-bucket
+    val plan = formatted("q_edit1_neighbors")
+    assert(!plan.contains("CartesianProduct"), s"all-pairs product:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop:\n$plan")
+    assert(plan.contains("variant"), "join must key on the deletion variant")
+  }
+
+  test("q_window_distinct_kmv: sketch build and merge are WindowGroupLimit-bounded") {
+    // the per-day k-min must lower to a group-limit (per-partition top-k
+    // BEFORE the exchange) — the distributed sketch-build shape; a plain
+    // full-sort window here would serialize each day's distinct users
+    val plan = SparkEntry.queries("q_window_distinct_kmv")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"rank filter not pushed:\n$plan")
+    graft.ops.Caches.drain()
+  }
+
+  test("q_profile_columns / q_fd_audit: profiling never joins the table to itself") {
+    val prof = formatted("q_profile_columns")
+    // one wide aggregate over one scan; the long-form reshape (stack)
+    // applies to the single aggregated row, and the multi-distinct goes
+    // through Expand — still a single pass over orders
+    val scans = "orders.parquet".r.findAllIn(prof).size
+    assert(scans == 1, s"expected 1 orders scan, got $scans:\n$prof")
+    assert(prof.contains("Expand"), "multi-distinct should use the Expand rewrite")
+    val fd = formatted("q_fd_audit")
+    assert(!fd.contains("Join"), s"FD audit must be pure aggregation:\n$fd")
+  }
+
+  test("q_hard_negatives: anchors broadcast; per-anchor top-k is group-limited") {
+    val plan = SparkEntry.queries("q_hard_negatives")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"anchor set must broadcast:\n$plan")
+    assert(plan.contains("WindowGroupLimit"), s"top-k not group-limited:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), "corpus must stream against broadcast anchors")
+  }
+
+  test("q_kcore / q_bfs_hops: per-round checkpoints bound the iteration lineage") {
+    // like q_pagerank: the executed plan of round-3 output must hang off
+    // checkpoint-backed scans, not a 3-round join tower over the corpus
+    for (q <- Seq("q_kcore", "q_bfs_hops")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("ExistingRDD") || plan.contains("Scan ExistingRDD"),
+        s"$q round input should be a checkpoint scan:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$q must stay vertex-keyed:\n$plan")
+      assert(!plan.contains("parquet"), s"$q final round must not rescan the corpus:\n$plan")
+    }
+    graft.ops.Caches.drain()
+  }
 }

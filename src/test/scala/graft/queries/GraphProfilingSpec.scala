@@ -1,0 +1,128 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants of the graph-structural and profiling operators on
+  * crafted inputs (the oracle queries exercise them only on the synthetic
+  * corpus' shallow graphs and uniform streams). */
+class GraphProfilingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sym(es: Seq[(Long, Long)]) =
+    (es ++ es.map(_.swap)).toDF("src", "dst")
+
+  test("kcoreOf: triangle with a pendant tail — tail peels, triangle survives at deg 2") {
+    // 1-2-3 triangle, tail 3-4-5; the tail is a tree, so iterated
+    // 2-core peeling must remove it entirely (5 first, then 4) while the
+    // cycle keeps every vertex at within-core degree exactly 2
+    val g = sym(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L)))
+    val out = GraphOps.kcoreOf(g, 2, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kcoreOf: a pure path has empty 2-core") {
+    val g = sym(Seq((1L, 2L), (2L, 3L), (3L, 4L)))
+    assert(GraphOps.kcoreOf(g, 2, 3).count() === 0L)
+  }
+
+  test("minHops: chain distances are exact and depth-bounded") {
+    val g = sym(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
+    val seeds = Seq(0L).toDF("v")
+    val out = GraphOps.minHops(g, seeds, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // nodes beyond 3 hops must be ABSENT, not present with a wrong bound
+    assert(out === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
+  test("minHops: multi-source takes the minimum over seeds") {
+    val g = sym(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
+    val seeds = Seq(0L, 5L).toDF("v")
+    val out = GraphOps.minHops(g, seeds, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out === Map(0L -> 0L, 1L -> 1L, 2L -> 2L,
+      3L -> 2L, 4L -> 1L, 5L -> 0L))
+  }
+
+  test("cusumOf: a rate step puts the changepoint exactly at the kink") {
+    // 10/day for days 1..10, then 20/day for 11..20: D_i = 20*pfx - i*300
+    // is -100i on the left (min -1000 at i=10) and 100i-2000 on the right
+    // (|D| <= 900), so the argmax of |D| is day 10 with 1000
+    val base = java.sql.Date.valueOf("2024-01-01")
+    def day(i: Int) = new java.sql.Date(base.getTime + (i - 1) * 86400000L)
+    val dc = ((1 to 10).map(i => ("a", day(i), 10L)) ++
+      (11 to 20).map(i => ("a", day(i), 20L))).toDF("event_type", "d", "c")
+    val r = Profiling.cusumOf(dc).collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[java.sql.Date]("cp_day") === day(10))
+    assert(r(0).getAs[Long]("max_dev") === 1000L)
+    assert(r(0).getAs[Long]("n_days") === 20L)
+    assert(r(0).getAs[Long]("total") === 300L)
+  }
+
+  test("cusumOf: a uniform series deviates zero and ties break to the earliest day") {
+    val base = java.sql.Date.valueOf("2024-03-01")
+    def day(i: Int) = new java.sql.Date(base.getTime + (i - 1) * 86400000L)
+    val dc = (1 to 5).map(i => ("b", day(i), 7L)).toDF("event_type", "d", "c")
+    val r = Profiling.cusumOf(dc).collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[Long]("max_dev") === 0L)
+    assert(r(0).getAs[java.sql.Date]("cp_day") === day(1))
+  }
+
+  test("kmvTrailingOf: below sketch capacity the estimate IS the exact count") {
+    // 3 days x 5 users each (disjoint) => every trailing window holds
+    // <= 15 < k=16 distinct hashes, so the sketch is lossless
+    val base = java.sql.Date.valueOf("2024-06-01")
+    def day(i: Int) = new java.sql.Date(base.getTime + (i - 1) * 86400000L)
+    val du = (for { d <- 1 to 3; u <- 1 to 5 }
+      yield (day(d), (d * 100 + u).toLong)).toDF("day", "user_id")
+    val out = Profiling.kmvTrailingOf(du, 16).collect()
+      .map(r => (r.getAs[java.sql.Date]("day"),
+        r.getAs[Long]("est_distinct"), r.getAs[Long]("true_distinct")))
+    assert(out.length === 3)
+    out.foreach { case (d, est, exact) =>
+      assert(est === exact, s"day $d: est $est != exact $exact below capacity")
+    }
+    // and the windows genuinely accumulate: day3 sees all 15
+    assert(out.find(_._1 == day(3)).get._2 === 15L)
+  }
+
+  test("kmvTrailingOf: above capacity the estimate is bounded-error, never wild") {
+    // one day with 400 distinct users: k=16 KMV has relative stddev
+    // ~1/sqrt(k-1) ~ 26%; assert within a generous 3-sigma band
+    val base = java.sql.Date.valueOf("2024-07-01")
+    val du = (1 to 400).map(u => (base, u.toLong)).toDF("day", "user_id")
+    val r = Profiling.kmvTrailingOf(du, 16).collect()
+    assert(r.length === 1)
+    val est = r(0).getAs[Long]("est_distinct")
+    assert(r(0).getAs[Long]("true_distinct") === 400L)
+    assert(est > 100 && est < 1600, s"estimate $est implausible for 400 distinct")
+  }
+
+  test("edit1Of: recall 1 vs brute force on a crafted vocabulary") {
+    // covers substitution (abc/abd), deletion (abc/ab), insertion
+    // (abc/abcd), identical-length non-pairs (abc/xyz), and the
+    // distance-2 collision the neighborhood admits but verify rejects
+    // (abc/acb share variants "ab"/"ac" yet lev=2)
+    val vocab = Seq("abc", "abd", "ab", "abcd", "acb", "xyz", "xy")
+    val v = vocab.toDF("t")
+    val got = Profiling.edit1Of(v).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    val want = (for {
+      a <- vocab; b <- vocab if a < b && lev(a, b) <= 1
+    } yield (a, b)).toSet
+    assert(got === want)
+    assert(!got.contains(("abc", "acb")), "distance-2 collision must be filtered")
+    assert(got.contains(("ab", "abc")) && got.contains(("abc", "abd")))
+  }
+}
