@@ -148,5 +148,62 @@ object GraphOps {
     }
   }
 
-  val specs: Seq[QuerySpec] = Seq(kcore, bfsHops)
+  /** Common-neighbor link prediction over the candidate graph: for every
+    * vertex pair at distance 2, the shared-neighbor count and neighborhood
+    * Jaccard (|N(a)∩N(b)| / |N(a)∪N(b)|, ×10⁶ integer-scaled) — the
+    * "should these two docs ALSO be a candidate pair?" score that patches
+    * LSH misses: a pair sharing most of its duplicate neighborhood is a
+    * near-dup the bands happened to split (same role as
+    * q_dedup_lsh_recall's gate, but graph-native and cheap enough to run
+    * on the full candidate set). Every distance-2 pair is scored;
+    * `is_new` = 1 marks pairs with NO direct edge — the predicted links
+    * (the synthetic corpus' candidate graph is all small cliques below
+    * sf0.1, so scoring existing pairs too keeps the query informative at
+    * every scale; the production consumer filters is_new = 1).
+    *
+    * Scale shape: wedge enumeration is one self-equi-join of the edge
+    * list on the middle vertex (the [[TextDedup.triangleCount]] shape) —
+    * bounded by Σ deg², which the LSH banding's near-unique band keys
+    * keep linear-ish; the pair aggregation is map-side combinable; degrees
+    * join per-endpoint. Never all-pairs: only distance-2 pairs material-
+    * ize. Jaccard denominator by inclusion-exclusion — no set shuffles,
+    * just the two degree scalars. */
+  val linkPredict = QuerySpec(
+    "q_link_predict",
+    s"""WITH ${TextDedup.shingleSql(3)},
+        ${TextDedup.minhashCandSql},
+        $edgesSql,
+        deg AS (SELECT src AS v, count(*) AS dg FROM edges GROUP BY 1),
+        wedge AS (SELECT e1.src AS a, e2.dst AS b, count(*) AS cn
+                  FROM edges e1 JOIN edges e2
+                    ON e1.dst = e2.src AND e1.src < e2.dst
+                  GROUP BY 1, 2)
+        SELECT w.a AS a_id, w.b AS b_id, CAST(w.cn AS BIGINT) AS n_common,
+               CAST((w.cn * 1000000) // (da.dg + db.dg - w.cn) AS BIGINT)
+                 AS jaccard_ppm,
+               CAST(CASE WHEN c.a_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_new
+        FROM wedge w
+        JOIN deg da ON da.v = w.a
+        JOIN deg db ON db.v = w.b
+        LEFT JOIN cand c ON c.a_id = w.a AND c.b_id = w.b""") {
+    (s, d) =>
+      val cand = TextDedup.minhashCandShared(s, d)
+        .withColumn("_hit", lit(1))
+      val e = edges(s, d)
+      val deg = e.groupBy(col("src").as("v")).agg(count(lit(1)).as("dg"))
+      val wedge = e.toDF("a", "m")
+        .join(e.toDF("m", "b"), "m")
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("cn"))
+      wedge
+        .join(deg.toDF("a", "da"), "a")
+        .join(deg.toDF("b", "db"), "b")
+        .join(cand.toDF("a", "b", "_hit"), Seq("a", "b"), "left")
+        .select(col("a").as("a_id"), col("b").as("b_id"),
+          col("cn").cast("long").as("n_common"),
+          expr("(cn * 1000000L) div (da + db - cn)").cast("long").as("jaccard_ppm"),
+          when(col("_hit").isNull, 1L).otherwise(0L).cast("long").as("is_new"))
+  }
+
+  val specs: Seq[QuerySpec] = Seq(kcore, bfsHops, linkPredict)
 }

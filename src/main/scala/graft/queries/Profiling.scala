@@ -320,6 +320,156 @@ object Profiling {
     }
   }
 
+  // -------------------------------------------------------------------
+  // Association rules over user baskets
+  // -------------------------------------------------------------------
+
+  /** Pairwise association rules over per-user event-type baskets:
+    * support, confidence and lift for every ordered type pair — the
+    * market-basket pass that tells a pipeline which behaviors co-occur
+    * beyond chance (lift > 1e6 ppm). All ratios are ×10⁶ integer
+    * divisions, so both engines agree exactly.
+    *
+    * Scale shape: the basket table is the distinct (user, type) pairs —
+    * one map-side-combinable pass over the stream; the pair join is
+    * user-keyed with per-user fan-out bounded by #types² (a constant),
+    * never events×events; singles and the user count broadcast back onto
+    * the #types²-row rule table. */
+  val basketRules = QuerySpec(
+    "q_basket_rules",
+    """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+       n AS (SELECT count(DISTINCT user_id) AS nu FROM ut),
+       s1 AS (SELECT event_type, count(*) AS supp FROM ut GROUP BY 1),
+       pp AS (SELECT a.event_type AS ante, b.event_type AS cons, count(*) AS supp_pair
+              FROM ut a JOIN ut b
+                ON a.user_id = b.user_id AND a.event_type <> b.event_type
+              GROUP BY 1, 2)
+       SELECT pp.ante, pp.cons, CAST(pp.supp_pair AS BIGINT) AS supp_pair,
+              CAST(sa.supp AS BIGINT) AS supp_ante,
+              CAST(sc.supp AS BIGINT) AS supp_cons,
+              CAST(pp.supp_pair * 1000000 // sa.supp AS BIGINT) AS conf_ppm,
+              CAST((pp.supp_pair * nu * 1000000) // (sa.supp * sc.supp) AS BIGINT)
+                AS lift_ppm
+       FROM pp JOIN s1 sa ON sa.event_type = pp.ante
+               JOIN s1 sc ON sc.event_type = pp.cons
+               CROSS JOIN n""") {
+    (s, d) =>
+      val ut = Tables.events(s, d).select("user_id", "event_type").distinct()
+      val n = ut.agg(countDistinct("user_id").as("nu"))
+      val s1 = ut.groupBy("event_type").agg(count(lit(1)).as("supp"))
+      val pp = ut.toDF("user_id", "ante")
+        .join(ut.toDF("user_id", "cons"), "user_id")
+        .filter(col("ante") =!= col("cons"))
+        .groupBy("ante", "cons").agg(count(lit(1)).as("supp_pair"))
+      pp.join(broadcast(s1.toDF("ante", "supp_ante")), "ante")
+        .join(broadcast(s1.toDF("cons", "supp_cons")), "cons")
+        .crossJoin(broadcast(n))
+        .select(col("ante"), col("cons"),
+          col("supp_pair").cast("long").as("supp_pair"),
+          col("supp_ante").cast("long").as("supp_ante"),
+          col("supp_cons").cast("long").as("supp_cons"),
+          expr("supp_pair * 1000000L div supp_ante").cast("long").as("conf_ppm"),
+          expr("(supp_pair * nu * 1000000L) div (supp_ante * supp_cons)")
+            .cast("long").as("lift_ppm"))
+  }
+
+  // -------------------------------------------------------------------
+  // Distribution drift between stream halves
+  // -------------------------------------------------------------------
+
+  /** Per-type share drift between the first and second half of the
+    * observed date range — the population-stability check run before
+    * retraining on a refreshed snapshot: each type's share of each
+    * half's events in ppm, plus the absolute drift. Pure integer
+    * arithmetic (share = count·10⁶ div half-total) — a chi-square would
+    * square cross-products into int64 overflow at 100 TB counts; the
+    * share-delta form needs only one multiplication by 10⁶, safe to
+    * ~10¹² events per half, and ranks types by drift identically.
+    *
+    * Scale shape: one (type, half) count with map-side combine — the
+    * half label is a pure per-row projection against broadcast bounds —
+    * then ppm arithmetic on the #types-row table. */
+  val shareDrift = QuerySpec(
+    "q_share_drift",
+    """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day FROM events),
+       bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+       lab AS (SELECT event_type,
+                      CASE WHEN date_diff('day', lo, day) * 2
+                                <= date_diff('day', lo, hi)
+                           THEN 0 ELSE 1 END AS h
+               FROM d CROSS JOIN bounds),
+       tt AS (SELECT event_type,
+                     COALESCE(SUM(CASE WHEN h = 0 THEN 1 END), 0) AS o1,
+                     COALESCE(SUM(CASE WHEN h = 1 THEN 1 END), 0) AS o2
+              FROM lab GROUP BY 1),
+       tot AS (SELECT SUM(o1) AS c1, SUM(o2) AS c2 FROM tt)
+       SELECT event_type, CAST(o1 AS BIGINT) AS n_h1, CAST(o2 AS BIGINT) AS n_h2,
+              CAST(o1 * 1000000 // c1 AS BIGINT) AS share_h1_ppm,
+              CAST(o2 * 1000000 // c2 AS BIGINT) AS share_h2_ppm,
+              CAST(abs(o1 * 1000000 // c1 - o2 * 1000000 // c2) AS BIGINT)
+                AS drift_ppm
+       FROM tt CROSS JOIN tot""") {
+    (s, d) =>
+      val dd = Tables.events(s, d)
+        .select(col("event_type"), col("ts").cast("date").as("day"))
+      val bounds = dd.agg(min("day").as("lo"), max("day").as("hi"))
+      val lab = dd.crossJoin(broadcast(bounds))
+        .select(col("event_type"),
+          when(datediff(col("day"), col("lo")) * 2
+            <= datediff(col("hi"), col("lo")), 0).otherwise(1).as("h"))
+      val tt = lab.groupBy("event_type")
+        .agg(
+          coalesce(sum(when(col("h") === 0, 1L)), lit(0L)).as("o1"),
+          coalesce(sum(when(col("h") === 1, 1L)), lit(0L)).as("o2"))
+      val tot = tt.agg(sum("o1").as("c1"), sum("o2").as("c2"))
+      tt.crossJoin(broadcast(tot))
+        .select(col("event_type"),
+          col("o1").cast("long").as("n_h1"), col("o2").cast("long").as("n_h2"),
+          expr("o1 * 1000000L div c1").cast("long").as("share_h1_ppm"),
+          expr("o2 * 1000000L div c2").cast("long").as("share_h2_ppm"),
+          expr("abs(o1 * 1000000L div c1 - o2 * 1000000L div c2)")
+            .cast("long").as("drift_ppm"))
+  }
+
+  // -------------------------------------------------------------------
+  // Sorted-neighborhood ER blocking
+  // -------------------------------------------------------------------
+
+  /** Sorted-neighborhood entity-resolution pairs: names sorted under a
+    * global order, each compared to its next w=2 neighbors, matches kept
+    * at edit distance ≤ 2 — the third blocking strategy in the ER family
+    * (attribute blocking: q_fuzzy_match; deletion neighborhoods:
+    * q_edit1_neighbors; sorted windows: this — the classic merge/purge
+    * design, Hernández & Stolfo SIGMOD'95).
+    *
+    * The global rank comes from [[graft.ops.Scale.distributedRank]] —
+    * range-partitioned per-partition ranks + broadcast count prefix —
+    * NEVER a single-task window (the q_vocab_zipf lesson); neighbor
+    * pairing is then an equi-join on rank+offset, so the whole pipeline
+    * is shuffle-bounded by the name table with full parallelism. */
+  val snmPairs = QuerySpec(
+    "q_snm_pairs",
+    """WITH v AS (SELECT DISTINCT c_name AS t FROM customer),
+       r AS (SELECT t, ROW_NUMBER() OVER (ORDER BY t) AS rnk FROM v)
+       SELECT a.t AS a_name, b.t AS b_name,
+              CAST(levenshtein(a.t, b.t) AS BIGINT) AS edit_dist,
+              CAST(b.rnk - a.rnk AS BIGINT) AS rank_gap
+       FROM r a JOIN r b ON b.rnk - a.rnk BETWEEN 1 AND 2
+       WHERE levenshtein(a.t, b.t) <= 2""") {
+    (s, d) =>
+      val v = Tables.customer(s, d).select(col("c_name").as("t")).distinct()
+      val r = graft.ops.Scale.distributedRank(v, Seq(col("t")), 8, "rnk")
+      val a = r.toDF("a_name", "a_rnk")
+        .select(col("a_name"), col("a_rnk"),
+          explode(expr("array(1L, 2L)")).as("off"))
+      a.join(r.toDF("b_name", "b_rnk"), col("b_rnk") === col("a_rnk") + col("off"))
+        .withColumn("edit_dist", levenshtein(col("a_name"), col("b_name")).cast("long"))
+        .filter(col("edit_dist") <= 2)
+        .select(col("a_name"), col("b_name"), col("edit_dist"),
+          col("off").cast("long").as("rank_gap"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
-    profileColumns, fdAudit, edit1Neighbors, cusumChangepoint, windowDistinctKmv)
+    profileColumns, fdAudit, edit1Neighbors, cusumChangepoint, windowDistinctKmv,
+    basketRules, shareDrift, snmPairs)
 }

@@ -1358,6 +1358,71 @@ object TextDedup {
           (col("inter").cast("double") / col("n_b")).as("containment_in_a"))
   }
 
+  /** EXACT set-similarity self-join (J ≥ 0.5 on 3-gram sets) via PPJoin
+    * prefix filtering (Xiao et al., WWW'08; Chaudhuri et al., ICDE'06
+    * ssjoin) — the deterministic complement to MinHash-LSH: LSH trades
+    * recall for speed probabilistically; prefix filtering gets the SAME
+    * candidate-pruning effect with a PROOF of completeness. Tokens are
+    * globally ordered rarest-first (df asc); a set of size n keeps only
+    * its first p = n − ⌈n/2⌉ + 1 tokens as join keys; two sets with
+    * J ≥ 0.5 provably share a prefix token, so the equi-join on prefix
+    * tokens finds every qualifying pair and the exact integer test
+    * 3·|∩| ≥ |A|+|B| (⇔ J ≥ 1/2) filters the rest.
+    *
+    * The oracle is the ALL-PAIRS exact join — same result by the
+    * quadratic algorithm, so the hash-match IS the completeness proof
+    * (the q_edit1_neighbors pattern at set granularity).
+    *
+    * Scale shape: the prefix join keys on the RAREST tokens per set —
+    * skew-light by construction (a token of df f contributes ≤f² prefix
+    * pairs, and high-df tokens never enter prefixes of large sets);
+    * verification is candidate-linear (per candidate, one equi-join
+    * matches A's tokens against B's on (b_id, token)). The O(n²)
+    * product exists only oracle-side. No df cap anywhere: unlike
+    * [[dedupJaccard]]'s capped stream, exactness here is unconditional. */
+  val dedupPpjoin = QuerySpec(
+    "q_dedup_ppjoin",
+    s"""WITH ${shingleSql(3)},
+        sz AS (SELECT doc_id, count(*) AS n FROM sh0 GROUP BY 1),
+        pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+               FROM sh0 a JOIN sh0 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+        SELECT pr.a_id, pr.b_id, CAST(pr.inter AS BIGINT) AS inter,
+               CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b
+        FROM pr JOIN sz sa ON sa.doc_id = pr.a_id
+                JOIN sz sb ON sb.doc_id = pr.b_id
+        WHERE 3 * pr.inter >= sa.n + sb.n""") {
+    (s, d) =>
+      val raw = graft.ops.Caches.lease(shingledRaw(s, d, 3))
+      val dfreq = raw.groupBy("shingle").agg(count(lit(1)).as("df"))
+      val sz = raw.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      // per-doc position under the global rarest-first order; the prefix
+      // keeps p = n - ceil(n/2) + 1 tokens (tau = 0.5)
+      val pref = raw.join(dfreq, "shingle")
+        .withColumn("pos", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("doc_id").orderBy(col("df"), col("shingle"))))
+        .join(sz, "doc_id")
+        .filter(col("pos") <= expr("n - ((n + 1) div 2) + 1"))
+        .select("doc_id", "shingle")
+      val cand = pref.toDF("a_id", "shingle")
+        .join(pref.toDF("b_id", "shingle"), "shingle")
+        .filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+      val inter = cand
+        .join(raw.toDF("a_id", "shingle"), "a_id")
+        .join(raw.toDF("b_id", "shingle"), Seq("b_id", "shingle"))
+        .groupBy("a_id", "b_id")
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sz.toDF("a_id", "n_a"), "a_id")
+        .join(sz.toDF("b_id", "n_b"), "b_id")
+        .filter(lit(3) * col("inter") >= col("n_a") + col("n_b"))
+        .select(col("a_id"), col("b_id"), col("inter").cast("long").as("inter"),
+          col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     textStats, langId, ngramProfile, fingerprint, invertedIndex, degreeDist,
     dedupContainment,
@@ -1365,5 +1430,5 @@ object TextDedup {
     dedupLshVerified, dedupLshRecall,
     dedupSimhash, dedupSimhashHamming, dedupComponents, dedupKeep, dedupIncremental,
     curationPipeline, sampleDeterministic, sampleStratified, vocabTop, vocabZipf,
-    pagerank, triangleCount, communitiesLpa, textNovelty)
+    pagerank, triangleCount, communitiesLpa, textNovelty, dedupPpjoin)
 }

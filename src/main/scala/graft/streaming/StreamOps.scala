@@ -233,6 +233,59 @@ object StreamOps {
       .transformWithState(new SpaceSavingProcessor(), TimeMode.None(), OutputMode.Update())
   }
 
+  case class KmvState(hashes: Seq[Long])
+  case class KmvOut(event_type: String, n_seen: Long, est_distinct: Long)
+
+  /** Streaming distinct-user estimate per event type via a KMV sketch on
+    * `transformWithState` — the streaming twin of q_window_distinct_kmv's
+    * batch sketches. One ValueState holds the k smallest user-id hashes
+    * seen so far: O(k) per key, CONSTANT in stream length (an exact
+    * streaming distinct would hold every id ever seen — unbounded state,
+    * the thing watermarks can't fix for lifetime metrics). Each batch
+    * emits the key's updated estimate (Update mode).
+    *
+    * The estimate is the batch-KMV formula ((k−1)·2³²/kth over 32-bit
+    * hashes) with the same md5-prefix hash, so stream and batch agree
+    * EXACTLY on identical data — a stream==batch equality the spec pins,
+    * and below capacity the sketch is lossless (est == true distinct).
+    * Merging two sketches = union + re-truncate, which is exactly what
+    * successive batches do — the mergeability that lets a production
+    * deployment shard the stream and still combine estimates. */
+  def distinctKmv(events: Dataset[Event], k: Int): Dataset[KmvOut] = {
+    require(k >= 2)
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    class KmvProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, Event, KmvOut] {
+      @transient private var state: ValueState[KmvState] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        state = getHandle.getValueState[KmvState](
+          "kmv", org.apache.spark.sql.Encoders.product[KmvState], TTLConfig.NONE)
+      override def handleInputRows(
+          key: String, rows: Iterator[Event], tv: TimerValues): Iterator[KmvOut] = {
+        val prev = if (state.exists()) state.get().hashes else Seq.empty[Long]
+        val merged = (prev ++ rows.map(e => hash32(e.user_id))).distinct.sorted.take(k)
+        state.update(KmvState(merged))
+        val est =
+          if (merged.size < k) merged.size.toLong
+          else (k - 1).toLong * 4294967296L / math.max(merged.last, 1L)
+        Iterator.single(KmvOut(key, merged.size.toLong, est))
+      }
+    }
+    events.groupByKey(_.event_type)
+      .transformWithState(new KmvProcessor(), TimeMode.None(), OutputMode.Update())
+  }
+
+  /** The same md5-hex-prefix hash the batch KMV queries use
+    * (`substr(md5(cast(user_id as string)), 1, 8)` read as a 32-bit int),
+    * so streaming estimates are comparable against batch sketches. */
+  private[graft] def hash32(userId: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(userId.toString.getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex, 16)
+  }
+
   def sessionize(
       events: Dataset[Event],
       timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout): Dataset[SessionOut] = {

@@ -124,4 +124,50 @@ class TransformWithStateSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass"))(
       spark.conf.set("spark.sql.streaming.stateStore.providerClass", _))
   }
+
+  test("KMV distinct sketch: lossless below capacity, state carried and re-truncated across batches") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[StreamOps.Event]
+      val k = 8
+      val q = StreamOps.distinctKmv(input.toDS(), k)
+        .writeStream.format("memory").queryName("tws_kmv")
+        .outputMode("update").start()
+      try {
+        // batch 1: 5 distinct users (< k): the sketch holds all of them,
+        // so the estimate must be EXACT — and duplicates must not count
+        input.addData((1 to 5).map(u => ev(u.toLong, u.toLong, 0)) :+ ev(9, 3, 0): _*)
+        q.processAllAvailable()
+        val b1 = spark.table("tws_kmv").as[StreamOps.KmvOut].collect()
+          .filter(_.event_type == "click").maxBy(_.n_seen)
+        assert(b1.n_seen === 5L && b1.est_distinct === 5L)
+
+        // batch 2: 20 more distinct users — state carries batch 1, the
+        // union re-truncates to k, and the estimate leaves the exact
+        // regime with a sane magnitude (true = 25; KMV k=8 rel-stddev
+        // ~38%, assert a generous band, deterministic given the hash)
+        input.addData((101 to 120).map(u => ev(100 + u.toLong, u.toLong, 0)): _*)
+        q.processAllAvailable()
+        val b2 = spark.table("tws_kmv").as[StreamOps.KmvOut].collect()
+          .filter(_.event_type == "click").maxBy(_.est_distinct)
+        assert(b2.n_seen === k.toLong, "sketch must truncate to k hashes")
+        assert(b2.est_distinct > 5L && b2.est_distinct < 250L,
+          s"estimate ${b2.est_distinct} implausible for 25 true distinct")
+
+        // stream == batch: replaying ALL events through one driver-side
+        // sketch with the same hash gives the identical estimate
+        val allUsers = ((1 to 5) ++ (101 to 120)).map(_.toLong) :+ 3L
+        val hashes = allUsers.map(StreamOps.hash32).distinct.sorted.take(k)
+        val expected =
+          if (hashes.size < k) hashes.size.toLong
+          else (k - 1).toLong * 4294967296L / math.max(hashes.last, 1L)
+        assert(b2.est_distinct === expected, "stream and batch sketches must agree")
+      } finally q.stop()
+    } finally prev.fold(
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass"))(
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", _))
+  }
 }
