@@ -417,10 +417,14 @@ object Profiling {
         .select(col("event_type"),
           when(datediff(col("day"), col("lo")) * 2
             <= datediff(col("hi"), col("lo")), 0).otherwise(1).as("h"))
-      val tt = lab.groupBy("event_type")
+      // the #types-row count table feeds both the grand total and the
+      // final projection: lease-cache it so the events stream is counted
+      // ONCE (without it, the grand-total branch re-derives the whole
+      // labeled scan — a 2x read at 100 TB)
+      val tt = graft.ops.Caches.lease(lab.groupBy("event_type")
         .agg(
           coalesce(sum(when(col("h") === 0, 1L)), lit(0L)).as("o1"),
-          coalesce(sum(when(col("h") === 1, 1L)), lit(0L)).as("o2"))
+          coalesce(sum(when(col("h") === 1, 1L)), lit(0L)).as("o2")))
       val tot = tt.agg(sum("o1").as("c1"), sum("o2").as("c2"))
       tt.crossJoin(broadcast(tot))
         .select(col("event_type"),

@@ -478,4 +478,51 @@ class PlanSpec extends SparkSpec {
     }
     graft.ops.Caches.drain()
   }
+
+  test("q_dedup_ppjoin / q_link_predict: candidate generation stays equi-keyed — never all-pairs") {
+    // PPJoin's claim is exactness WITHOUT the quadratic product: the
+    // prefix join keys on rarest-first tokens and verification is
+    // candidate-linear; link prediction's wedge join keys on the middle
+    // vertex. Either showing a CartesianProduct/nested loop means the
+    // O(n²) oracle shape leaked into the engine.
+    for (q <- Seq("q_dedup_ppjoin", "q_link_predict")) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$q all-pairs product:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q nested loop:\n$plan")
+      graft.ops.Caches.drain()
+    }
+  }
+
+  test("q_snm_pairs: the global name rank is range-partitioned, never single-task") {
+    // sorted-neighborhood blocking needs a TOTAL order over the names; a
+    // plain row_number() window would serialize the table through one
+    // task at a web-scale entity set (the q_vocab_zipf lesson). The rank
+    // must come from Scale.distributedRank's per-range-partition windows.
+    val opt = SparkEntry.queries("q_snm_pairs")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    val rn = opt.linesIterator.filter(_.contains("row_number")).toSeq
+    assert(rn.nonEmpty && rn.forall(_.contains("_drp")),
+      s"the SNM rank must be per-range-partition (_drp), got:\n$rn")
+  }
+
+  test("q_basket_rules / q_share_drift: scalars broadcast onto map-side-combined counts") {
+    // baskets: the only big shuffles are the distinct (user, type) pass
+    // and the user-keyed pair join; singles and the user count broadcast
+    // back onto the #types²-row rule table
+    val basket = SparkEntry.queries("q_basket_rules")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!basket.contains("CartesianProduct"), s"basket rules product:\n$basket")
+    assert(basket.contains("BroadcastHashJoin"), "single-type supports must broadcast")
+    // drift: one labeled counting pass + one bounds scan — the half label
+    // is a per-row projection against the broadcast date bounds, and the
+    // leased #types-row count table feeds both the grand total and the
+    // final projection (cached, so the stream is counted once)
+    val drift = SparkEntry.queries("q_share_drift")(spark, sf)
+    val plan = drift.queryExecution.explainString(FormattedMode)
+    assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
+      s"the per-type count table must be leased, not re-derived:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), "no shuffle join anywhere in share drift")
+    graft.ops.Caches.drain()
+  }
 }

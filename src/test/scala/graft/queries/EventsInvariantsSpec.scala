@@ -74,4 +74,37 @@ class EventsInvariantsSpec extends SparkSpec {
       .filter(abs(col("tot") - 1.0) > 1e-9).count()
     assert(bad === 0)
   }
+
+  test("basket_rules: confidence bounded, pair support symmetric and <= both singles") {
+    val r = q("q_basket_rules").cache()
+    try {
+      assert(r.filter(col("conf_ppm") > 1000000L).count() === 0,
+        "confidence cannot exceed 1")
+      assert(r.filter(
+        col("supp_pair") > least(col("supp_ante"), col("supp_cons"))).count() === 0,
+        "pair support bounded by each single support")
+      // the co-occurrence COUNT is symmetric (only conf/lift direction
+      // differs between (a,b) and (b,a))
+      val asym = r.select(col("ante"), col("cons"), col("supp_pair"))
+        .join(r.select(col("cons").as("ante"), col("ante").as("cons"),
+          col("supp_pair").as("sp2")), Seq("ante", "cons"))
+        .filter(col("supp_pair") =!= col("sp2")).count()
+      assert(asym === 0, "supp_pair(a,b) must equal supp_pair(b,a)")
+    } finally { r.unpersist(); () }
+  }
+
+  test("share_drift: each half's shares close to 10^6 within floor loss; drift consistent") {
+    val rows = q("q_share_drift").collect()
+    val nTypes = rows.length
+    val s1 = rows.map(_.getAs[Long]("share_h1_ppm")).sum
+    val s2 = rows.map(_.getAs[Long]("share_h2_ppm")).sum
+    // integral division only ever drops ppm: each half's shares sum to
+    // 10^6 minus at most one unit per type, never more
+    assert(s1 <= 1000000L && s1 >= 1000000L - nTypes, s"h1 shares sum $s1")
+    assert(s2 <= 1000000L && s2 >= 1000000L - nTypes, s"h2 shares sum $s2")
+    rows.foreach { row =>
+      assert(row.getAs[Long]("drift_ppm") ===
+        math.abs(row.getAs[Long]("share_h1_ppm") - row.getAs[Long]("share_h2_ppm")))
+    }
+  }
 }

@@ -125,4 +125,32 @@ class GraphProfilingSpec extends SparkSpec {
     assert(!got.contains(("abc", "acb")), "distance-2 collision must be filtered")
     assert(got.contains(("ab", "abc")) && got.contains(("abc", "abd")))
   }
+
+  test("snmPairs == brute-force sorted-window scan on crafted names") {
+    // sorted-neighborhood blocking: distinct names under the total order,
+    // each against its next w=2 neighbors, kept at edit distance <= 2 —
+    // the driver-side reference is the literal definition
+    val dir = java.nio.file.Files.createTempDirectory("graft-snm").toString
+    val names = Seq("acct-001", "acct-002", "acct-003", "acct-0021",
+      "bravo-x", "bravo-y", "charlie", "charliee", "delta-99", "zulu",
+      "acct-001" /* duplicate row must not pair with itself */)
+    import spark.implicits._
+    names.toDF("c_name").write.parquet(dir + "/customer.parquet")
+    val got = Profiling.snmPairs.fn(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1, b.length + 1)((i, j) => i.max(j))
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    val sorted = names.distinct.sorted
+    val exp = (for {
+      i <- sorted.indices; o <- 1 to 2 if i + o < sorted.size
+      d = lev(sorted(i), sorted(i + o)) if d <= 2
+    } yield (sorted(i), sorted(i + o), d.toLong)).toSet
+    assert(exp.size >= 3, s"crafted names must produce matches, got ${exp.size}")
+    assert(got === exp)
+  }
 }

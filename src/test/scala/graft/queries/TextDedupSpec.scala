@@ -157,6 +157,38 @@ class TextDedupSpec extends SparkSpec {
     assert(out.filter(col("pr") < (15L * (scale / n)) / 100L).count() === 0)
   }
 
+  test("dedupPpjoin == brute-force all-pairs on a crafted corpus (completeness)") {
+    // the production claim is EXACT J >= 0.5 output from a prefix-filtered
+    // equi-join; here the quadratic reference runs driver-side over a
+    // corpus crafted to have qualifying pairs (appending one word to an
+    // n-gram set of size g adds exactly one gram, so J = g/(g+1) > 1/2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ppjoin").toString
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    val rnd = new scala.util.Random(7)
+    val base = (1L to 30L).map { id =>
+      id -> Vector.fill(8 + rnd.nextInt(5))(words(rnd.nextInt(words.size)))
+        .mkString(" ")
+    }
+    val dups = base.take(6).map { case (id, t) => (id + 100L) -> (t + " omega") }
+    val docs = base ++ dups
+    docs.toDF("doc_id", "text").write
+      .parquet(dir + "/documents.parquet")
+    val got = TextDedup.dedupPpjoin.fn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    graft.ops.Caches.drain()
+    def grams(t: String) = t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val sets = docs.map { case (id, t) => id -> grams(t) }.toMap
+    val ids = docs.map(_._1)
+    val exp = (for {
+      a <- ids; b <- ids if a < b
+      inter = (sets(a) & sets(b)).size
+      if 3 * inter >= sets(a).size + sets(b).size
+    } yield (a, b, inter.toLong)).toSet
+    assert(exp.size >= 6, s"crafted corpus must contain qualifying pairs, got ${exp.size}")
+    assert(got === exp)
+  }
+
   test("dedupSubstring: marking is linear — no pair join anywhere in the plan") {
     val plan = TextDedup.dedupSubstring.fn(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
