@@ -1376,10 +1376,16 @@ object TextDedup {
     * Scale shape: the prefix join keys on the RAREST tokens per set —
     * skew-light by construction (a token of df f contributes ≤f² prefix
     * pairs, and high-df tokens never enter prefixes of large sets);
-    * verification is candidate-linear (per candidate, one equi-join
-    * matches A's tokens against B's on (b_id, token)). The O(n²)
-    * product exists only oracle-side. No df cap anywhere: unlike
-    * [[dedupJaccard]]'s capped stream, exactness here is unconditional. */
+    * verification is candidate-linear AND candidate-1:1 — each side of a
+    * candidate joins ONE per-doc sorted gram array (carrying a doc's
+    * distinct grams in a row is O(doc length), the same as the text
+    * column itself), the size filter 3·min(n_a,n_b) ≥ n_a+n_b (implied
+    * by J ≥ 1/2 since |∩| ≤ min) prunes before any intersection, and
+    * the surviving rows compute |∩| with a single codegen
+    * `array_intersect` — never the posting-join explosion that would
+    * materialize candidates × doc-length rows. The O(n²) product exists
+    * only oracle-side. No df cap anywhere: unlike [[dedupJaccard]]'s
+    * capped stream, exactness here is unconditional. */
   val dedupPpjoin = QuerySpec(
     "q_dedup_ppjoin",
     s"""WITH ${shingleSql(3)},
@@ -1395,14 +1401,14 @@ object TextDedup {
     (s, d) =>
       val raw = graft.ops.Caches.lease(shingledRaw(s, d, 3))
       val dfreq = raw.groupBy("shingle").agg(count(lit(1)).as("df"))
-      val sz = raw.groupBy("doc_id").agg(count(lit(1)).as("n"))
       // per-doc position under the global rarest-first order; the prefix
       // keeps p = n - ceil(n/2) + 1 tokens (tau = 0.5)
       val pref = raw.join(dfreq, "shingle")
         .withColumn("pos", row_number().over(
           org.apache.spark.sql.expressions.Window
             .partitionBy("doc_id").orderBy(col("df"), col("shingle"))))
-        .join(sz, "doc_id")
+        .withColumn("n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
         .filter(col("pos") <= expr("n - ((n + 1) div 2) + 1"))
         .select("doc_id", "shingle")
       val cand = pref.toDF("a_id", "shingle")
@@ -1410,16 +1416,21 @@ object TextDedup {
         .filter(col("a_id") < col("b_id"))
         .select("a_id", "b_id")
         .distinct()
-      val inter = cand
-        .join(raw.toDF("a_id", "shingle"), "a_id")
-        .join(raw.toDF("b_id", "shingle"), Seq("b_id", "shingle"))
-        .groupBy("a_id", "b_id")
-        .agg(count(lit(1)).as("inter"))
-      inter
-        .join(sz.toDF("a_id", "n_a"), "a_id")
-        .join(sz.toDF("b_id", "n_b"), "b_id")
+      // one sorted gram array per doc: verification joins are 1:1 per
+      // candidate side, the implied size filter prunes pre-intersect
+      val docArr = graft.ops.Caches.lease(
+        raw.groupBy("doc_id").agg(
+          sort_array(collect_list(col("shingle"))).as("gs"),
+          count(lit(1)).as("n")))
+      cand
+        .join(docArr.select(col("doc_id").as("a_id"),
+          col("gs").as("ga"), col("n").as("n_a")), "a_id")
+        .join(docArr.select(col("doc_id").as("b_id"),
+          col("gs").as("gb"), col("n").as("n_b")), "b_id")
+        .filter(col("n_a") + col("n_b") <= lit(3) * least(col("n_a"), col("n_b")))
+        .withColumn("inter", size(array_intersect(col("ga"), col("gb"))).cast("long"))
         .filter(lit(3) * col("inter") >= col("n_a") + col("n_b"))
-        .select(col("a_id"), col("b_id"), col("inter").cast("long").as("inter"),
+        .select(col("a_id"), col("b_id"), col("inter"),
           col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"))
   }
 
