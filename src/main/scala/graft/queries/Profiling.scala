@@ -147,18 +147,27 @@ object Profiling {
   /** The neighborhood join over a (t) vocabulary — factored so the spec
     * can prove recall-1 against brute force on crafted vocabularies. */
   private[graft] def edit1Of(v: DataFrame): DataFrame = {
+    // the join keys on xxhash64(variant), not the variant string: an
+    // 8-byte shuffle key instead of a name-length one. A hash collision
+    // can only ADD a candidate (same string always hashes the same, so
+    // completeness is untouched), and the levenshtein verify kills it —
+    // the LSH-bucket pattern, but here the verify keeps exactness
     val vars = v.select(col("t"), explode(expr(
       """concat(array(t),
                 transform(sequence(1, length(t)),
                   i -> concat(substr(t, 1, i - 1), substr(t, i + 1, length(t)))))"""))
       .as("variant"))
+      .select(col("t"), xxhash64(col("variant")).as("vh"))
       .distinct()
-    vars.toDF("a_name", "variant")
-      .join(vars.toDF("b_name", "variant"), "variant")
+    vars.toDF("a_name", "vh")
+      .join(vars.toDF("b_name", "vh"), "vh")
       .filter(col("a_name") < col("b_name"))
+      // banded threshold levenshtein (O(len) per pair, not O(len²)) runs
+      // BEFORE the pair distinct: verifying the ~3x-duplicated candidate
+      // stream is cheaper than shuffling it wide for distinct first
+      .filter(levenshtein(col("a_name"), col("b_name"), 1) === 1)
       .select("a_name", "b_name")
       .distinct()
-      .filter(levenshtein(col("a_name"), col("b_name")) <= 1)
   }
 
   val edit1Neighbors = QuerySpec(

@@ -431,7 +431,10 @@ class PlanSpec extends SparkSpec {
     val plan = formatted("q_edit1_neighbors")
     assert(!plan.contains("CartesianProduct"), s"all-pairs product:\n$plan")
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop:\n$plan")
-    assert(plan.contains("variant"), "join must key on the deletion variant")
+    assert(plan.contains("vh"), "join must key on the hashed deletion variant")
+    // the banded threshold levenshtein (O(len), not O(len²)) verifies
+    // in-bucket BEFORE the pair distinct
+    assert(plan.contains("levenshtein"), "in-bucket verify must survive in the plan")
   }
 
   test("q_window_distinct_kmv: sketch build and merge are WindowGroupLimit-bounded") {
