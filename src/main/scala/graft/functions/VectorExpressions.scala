@@ -158,6 +158,29 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** Every w-char window's 31-polynomial hash of a string column, as one
+    * ArrayType(LongType) — entry j (0-based) = rolling_hash31 of the
+    * window STARTING at 1-based position j+1. One O(len) pass with the
+    * true rolling subtraction; the per-position
+    * `rolling_hash31(substring(text, i, w))` form this replaces rescans
+    * the string per window (O(len²) per document). */
+  case class WindowHash31(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "window_hash31"
+
+    override def nullSafeEval(s: Any, w: Any): Any =
+      VectorKernels.windowHash31(s.asInstanceOf[UTF8String], w.asInstanceOf[Int])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.VectorKernels.windowHash31($a, $b);")
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Install in the session's FunctionRegistry (idempotent). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -166,6 +189,7 @@ object VectorExpressions {
     reg.createOrReplaceTempFunction("vector_dot_f64", es => VectorDotF64(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("vector_norm_f64", es => VectorNormF64(es.head), "built-in")
     reg.createOrReplaceTempFunction("rolling_hash31", es => RollingHash31(es.head), "built-in")
+    reg.createOrReplaceTempFunction("window_hash31", es => WindowHash31(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("vector_l1_i64", es => VectorL1I64(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("vector_distsq_i64", es => VectorDistSqI64(es.head, es(1)), "built-in")
   }
@@ -176,6 +200,7 @@ object VectorExpressions {
   def vector_dot_f64(a: Column, b: Column): Column = call_function("vector_dot_f64", a, b)
   def vector_norm_f64(a: Column): Column = call_function("vector_norm_f64", a)
   def rolling_hash31(c: Column): Column = call_function("rolling_hash31", c)
+  def window_hash31(c: Column, w: Column): Column = call_function("window_hash31", c, w)
   def vector_l1_i64(a: Column, b: Column): Column = call_function("vector_l1_i64", a, b)
   def vector_distsq_i64(a: Column, b: Column): Column = call_function("vector_distsq_i64", a, b)
 }

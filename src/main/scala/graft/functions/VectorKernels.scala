@@ -105,4 +105,32 @@ object VectorKernels {
     }
     acc
   }
+
+  /** All w-char window hashes of s in ONE pass: entry j (0-based) equals
+    * [[rollingHash31]] of chars [j, j+w) — the TRUE rolling form
+    * (subtract the outgoing char's 31^w term), where per-position
+    * substring+hash is O(len·pos). Empty array when len < w. */
+  def windowHash31(s: UTF8String, w: Int): ArrayData = {
+    val str = s.toString
+    val n = str.length
+    val p = 1000000007L
+    if (n < w || w <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    var powW = 1L
+    var k = 0
+    while (k < w) { powW = powW * 31 % p; k += 1 }
+    val out = new Array[Long](n - w + 1)
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc = (acc * 31 + str.charAt(i)) % p
+      if (i >= w) {
+        acc = (acc - str.charAt(i - w) * powW) % p
+        if (acc < 0) acc += p
+      }
+      if (i >= w - 1) out(i - w + 1) = acc
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }

@@ -1160,10 +1160,14 @@ object Curation {
     graft.functions.VectorExpressions.register(df.sparkSession)
     val dd = df.select(col("doc_id"), col("text"),
       length(col("text")).cast("long").as("n"))
+    // window_hash31 emits every window's hash in ONE O(doc) rolling pass;
+    // entry j (0-based, window starting at j+1) covers [j+1, j+W], so the
+    // boundary END position is j + W. The per-position
+    // rolling_hash31(substring(...)) form rescanned the text per window.
     val ends = dd.select(col("doc_id"), explode(expr(
-        s"""filter(transform(sequence($W, cast(n AS int)),
-              i -> CASE WHEN rolling_hash31(substring(text, i - ${W - 1}, $W)) % $Mod = 0
-                        THEN cast(i AS bigint) ELSE -1L END),
+        s"""filter(transform(window_hash31(text, $W),
+              (h, j) -> CASE WHEN h % $Mod = 0
+                        THEN cast(j + $W AS bigint) ELSE -1L END),
             x -> x >= 0)""")).as("b"))
       .unionByName(dd.select(col("doc_id"), col("n").as("b")))
       .distinct()

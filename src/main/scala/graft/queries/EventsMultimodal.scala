@@ -204,10 +204,14 @@ object EventsMultimodal {
       graft.functions.VectorExpressions.register(s)
       val dd = Tables.documents(s, d).select(
         col("doc_id"), col("text"), length(col("text")).cast("long").as("n"))
+      // split-to-chars then ascii is O(doc) — per-position
+      // substring(text, i, 1) rescans the string from the start for
+      // every i (O(doc²) per item); the n >= 1 guard stays because
+      // split('', '') yields [""], a spurious 0 byte
       val bytes = dd
         .select(col("doc_id"), col("n"), explode(expr(
           """CASE WHEN n >= 1
-             THEN transform(sequence(1, cast(n AS int)), i -> ascii(substring(text, i, 1)))
+             THEN transform(split(text, ''), c -> ascii(c))
              ELSE array() END""")).as("b"))
       // one pass over the exploded bytes, leased for the query: both the
       // alphabet probe and the histogram build read it
@@ -337,12 +341,14 @@ object EventsMultimodal {
       graft.functions.VectorExpressions.register(s)
       val dd = Tables.documents(s, d).select(
         col("doc_id"), col("text"), length(col("text")).cast("long").as("n"))
+      // split-to-chars with the 0-based index lambda is O(doc); the
+      // per-position substring form rescans from the start for every i
+      // (O(doc²) per item). i 0-based ≡ (i_1based − 1).
       val keys = dd
         .select(col("doc_id"), col("n"), explode(expr(
           """CASE WHEN n >= 1
-             THEN transform(sequence(1, cast(n AS int)),
-                    i -> ((i - 1) * 4 div cast(n AS int)) * 1000
-                         + ascii(substring(text, i, 1)))
+             THEN transform(split(text, ''),
+                    (c, i) -> (i * 4 div cast(n AS int)) * 1000 + ascii(c))
              ELSE array() END""")).as("k"))
       val cnt = graft.ops.Caches.lease(
         keys.groupBy(col("doc_id"), col("n"), col("k")).agg(count(lit(1)).as("c")))

@@ -68,6 +68,23 @@ class VectorExpressionsSpec extends SparkSpec {
     out.foreach(r => assert(r.getLong(0) === r.getLong(1)))
   }
 
+  test("window_hash31 == per-substring rolling_hash31 at every position; short strings empty") {
+    VectorExpressions.register(spark)
+    val out = Seq("hello world", "abcdefgh", "abcdefghi", "mississippi river banks", "abc", "")
+      .toDF("text")
+      .select(col("text"),
+        window_hash31(col("text"), lit(8)).as("fast"),
+        expr("""CASE WHEN length(text) >= 8
+                THEN transform(sequence(1, length(text) - 7),
+                       i -> rolling_hash31(substring(text, i, 8)))
+                ELSE array() END""").as("slow"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getSeq[Long](1) === r.getSeq[Long](2),
+        s"window mismatch for '${r.getString(0)}'")
+    }
+  }
+
   test("expressions work through the SQL surface after register()") {
     VectorExpressions.register(spark)
     vecs.createOrReplaceTempView("vecs_t")
