@@ -482,7 +482,89 @@ object Profiling {
           col("off").cast("long").as("rank_gap"))
   }
 
+  // -------------------------------------------------------------------
+  // Half-life decayed engagement
+  // -------------------------------------------------------------------
+
+  /** Per-user engagement score with a 7-day half-life, EXACT: weight of a
+    * day aged a days is 2^(20 − min(⌊a/7⌋, 20)) — power-of-two halving by
+    * bit shift, so the score is a plain integer sum both engines compute
+    * bit-identically (the float exp(−λ·age) form this replaces cannot
+    * cross-engine-hash). score ∈ [n_events, n_events·2²⁰]: safe in int64
+    * below ~8·10¹² events per user.
+    *
+    * Scale shape: one map-side-combinable (user, day) count, the
+    * single-row max-day broadcast back, then a user-keyed sum — the raw
+    * stream shuffles once, aged weights are a per-row projection. */
+  val decayScore = QuerySpec(
+    "q_decay_score",
+    """WITH ud AS (SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS c
+                   FROM events GROUP BY 1, 2),
+       mx AS (SELECT max(day) AS ref FROM ud),
+       w AS (SELECT user_id, c,
+                    date_diff('day', day, ref) // 7 AS agew
+             FROM ud CROSS JOIN mx)
+       SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+              CAST(sum(c * (CAST(1 AS BIGINT) << CAST(20 - least(agew, 20) AS INTEGER)))
+                   AS BIGINT) AS decay_score_m
+       FROM w GROUP BY 1""") {
+    (s, d) =>
+      val ud = Tables.events(s, d)
+        .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val mx = ud.agg(max("day").as("ref"))
+      ud.crossJoin(broadcast(mx))
+        .select(col("user_id"), col("c"),
+          expr("datediff(ref, day) div 7").as("agew"))
+        .groupBy("user_id")
+        .agg(sum("c").cast("long").as("n_events"),
+          sum(col("c") * expr("shiftleft(1L, cast(20 - least(agew, 20) AS int))"))
+            .cast("long").as("decay_score_m"))
+  }
+
+  // -------------------------------------------------------------------
+  // Last-touch conversion attribution
+  // -------------------------------------------------------------------
+
+  /** Last-touch attribution: every purchase is credited to the SAME
+    * user's most recent strictly-earlier non-purchase event (ties broken
+    * by event_id; purchases with no predecessor credit 'none'), then
+    * conversions roll up per credited channel — the marketing-funnel
+    * question ("which behavior immediately precedes buying?") asked of
+    * the event stream. The carry-forward is `last(... IGNORE NULLS)`
+    * over ROWS UNBOUNDED PRECEDING..1 PRECEDING, identical in both
+    * engines under the same total order.
+    *
+    * Scale shape: ONE user-partitioned ts-sorted window pass (the
+    * sessionize floor — per-user re-sort, no global sort), then a
+    * #channels-row rollup. Never events×events. */
+  val attribLastTouch = QuerySpec(
+    "q_attrib_last_touch",
+    """WITH lt AS (
+         SELECT event_type,
+                last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                           IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+         FROM events)
+       SELECT COALESCE(touch, 'none') AS channel,
+              CAST(count(*) AS BIGINT) AS n_conversions
+       FROM lt WHERE event_type = 'purchase'
+       GROUP BY 1""") {
+    (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .select(col("event_type"),
+          last(when(col("event_type") =!= "purchase", col("event_type")),
+            ignoreNulls = true).over(w).as("touch"))
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("touch"), lit("none")).as("channel"))
+        .agg(count(lit(1)).cast("long").as("n_conversions"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     profileColumns, fdAudit, edit1Neighbors, cusumChangepoint, windowDistinctKmv,
-    basketRules, shareDrift, snmPairs)
+    basketRules, shareDrift, snmPairs, decayScore, attribLastTouch)
 }

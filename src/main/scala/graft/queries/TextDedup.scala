@@ -130,10 +130,14 @@ object TextDedup {
              FROM cnt) t
        WHERE rnk <= 3""") {
     (s, d) =>
-      val bg = docs(s, d).select(col("lang"), explode(expr(
-        """CASE WHEN length(text) >= 2
-           THEN transform(sequence(1, length(text) - 1), i -> substr(text, i, 2))
-           ELSE array() END""")).as("bigram"))
+      // split-to-chars + O(1) array indexing: the per-position
+      // substr(text, i, 2) form rescans the string per bigram (O(doc²))
+      val bg = docs(s, d)
+        .withColumn("cs", split(col("text"), ""))
+        .select(col("lang"), explode(expr(
+          """CASE WHEN length(text) >= 2
+             THEN transform(sequence(1, size(cs) - 1), i -> concat(cs[i - 1], cs[i]))
+             ELSE array() END""")).as("bigram"))
       bg.groupBy("lang", "bigram").agg(count(lit(1)).as("n"))
         .withColumn("rnk", row_number().over(
           org.apache.spark.sql.expressions.Window

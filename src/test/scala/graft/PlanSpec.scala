@@ -528,4 +528,21 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), "no shuffle join anywhere in share drift")
     graft.ops.Caches.drain()
   }
+
+  test("q_decay_score / q_attrib_last_touch: broadcast scalars, per-user windows only") {
+    // decay: the single-row max-day broadcasts back onto the (user, day)
+    // counts — never a shuffle join; weights are per-row projections
+    val decay = SparkEntry.queries("q_decay_score")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(decay.contains("BroadcastNestedLoopJoin") || decay.contains("BroadcastHashJoin"),
+      s"max-day must broadcast:\n$decay")
+    assert(!decay.contains("SortMergeJoin"), "no shuffle join in decay score")
+    // attribution: ONE user-partitioned window pass (no unpartitioned
+    // window, which would serialize the stream through one task)
+    val attrib = SparkEntry.queries("q_attrib_last_touch")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    val wins = attrib.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(wins.nonEmpty && wins.forall(_.contains("user_id")),
+      s"attribution windows must partition by user:\n${wins.mkString("\n")}")
+  }
 }

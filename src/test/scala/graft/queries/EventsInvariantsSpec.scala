@@ -107,4 +107,25 @@ class EventsInvariantsSpec extends SparkSpec {
         math.abs(row.getAs[Long]("share_h1_ppm") - row.getAs[Long]("share_h2_ppm")))
     }
   }
+
+  test("decay_score: bounded by n_events and n_events·2^20; covers every user") {
+    val rows = q("q_decay_score").collect()
+    rows.foreach { r =>
+      val (n, s) = (r.getAs[Long]("n_events"), r.getAs[Long]("decay_score_m"))
+      // weight of any day is in [1, 2^20]
+      assert(s >= n && s <= n * (1L << 20), s"score $s outside [$n, ${n * (1L << 20)}]")
+    }
+    val nUsers = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(rows.length.toLong === nUsers)
+  }
+
+  test("attrib_last_touch: conversions partition the purchases; purchase never self-credits") {
+    val rows = q("q_attrib_last_touch").collect()
+    assert(!rows.exists(_.getAs[String]("channel") == "purchase"),
+      "a purchase must credit a NON-purchase touch")
+    val total = rows.map(_.getAs[Long]("n_conversions")).sum
+    val purchases = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(total === purchases, "every purchase is credited exactly once")
+  }
 }
