@@ -181,6 +181,47 @@ object VectorExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** 2-D Hilbert index of two long columns on a 2^bits grid — the layout
+    * key [[graft.ops.Layout]] clusters on where Z-order's diagonal jumps
+    * hurt box locality (Hilbert is the space-filling curve with the best
+    * known bounding-box quality; Z-order trades that for a pure
+    * interleave). `bits` is a construction-time literal, validated by the
+    * registry builder. */
+  case class HilbertD2(left: Expression, right: Expression, bits: Int)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "hilbert_d2"
+
+    override def nullSafeEval(x: Any, y: Any): Any =
+      VectorKernels.hilbertD2(x.asInstanceOf[Long], y.asInstanceOf[Long], bits)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.VectorKernels.hilbertD2($a, $b, $bits);")
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  private def hilbertBuilder(es: Seq[Expression]): Expression = {
+    require(es.length == 3, "hilbert_d2(x, y, bits) takes exactly 3 arguments")
+    val lit = es(2) match {
+      case l if l.foldable => l.eval()
+      case _ => throw new IllegalArgumentException(
+        "hilbert_d2: bits must be a literal")
+    }
+    val b = lit match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"hilbert_d2: bits must be integral, got $other")
+    }
+    require(b >= 1 && b <= 31, s"hilbert_d2: bits must be in [1, 31], got $b")
+    HilbertD2(es(0), es(1), b)
+  }
+
   /** Install in the session's FunctionRegistry (idempotent). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -190,6 +231,7 @@ object VectorExpressions {
     reg.createOrReplaceTempFunction("vector_norm_f64", es => VectorNormF64(es.head), "built-in")
     reg.createOrReplaceTempFunction("rolling_hash31", es => RollingHash31(es.head), "built-in")
     reg.createOrReplaceTempFunction("window_hash31", es => WindowHash31(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("hilbert_d2", hilbertBuilder, "built-in")
     reg.createOrReplaceTempFunction("vector_l1_i64", es => VectorL1I64(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("vector_distsq_i64", es => VectorDistSqI64(es.head, es(1)), "built-in")
   }
@@ -201,6 +243,8 @@ object VectorExpressions {
   def vector_norm_f64(a: Column): Column = call_function("vector_norm_f64", a)
   def rolling_hash31(c: Column): Column = call_function("rolling_hash31", c)
   def window_hash31(c: Column, w: Column): Column = call_function("window_hash31", c, w)
+  def hilbert_d2(x: Column, y: Column, bits: Column): Column =
+    call_function("hilbert_d2", x, y, bits)
   def vector_l1_i64(a: Column, b: Column): Column = call_function("vector_l1_i64", a, b)
   def vector_distsq_i64(a: Column, b: Column): Column = call_function("vector_distsq_i64", a, b)
 }

@@ -106,6 +106,36 @@ object VectorKernels {
     acc
   }
 
+  /** 2-D Hilbert curve index of (x, y) on a 2^bits × 2^bits grid — the
+    * masked form of the classic xy2d loop: each step consumes the top
+    * remaining bit of both coordinates, adds the quadrant's s² offset
+    * ((3·rx) XOR ry under the Hilbert quadrant orientation), masks to the
+    * lower bits and rotates the sub-quadrant (the mask keeps the flip
+    * s−1−x in range, which the textbook unmasked loop silently relies on
+    * sign bits for). Bijective on the grid; consecutive indices are
+    * grid-adjacent (|Δx|+|Δy| = 1) — the locality property
+    * VectorExpressionsSpec proves exhaustively on the 8×8 grid. */
+  def hilbertD2(xIn: Long, yIn: Long, bits: Int): Long = {
+    val mask = (1L << bits) - 1
+    var x = xIn & mask
+    var y = yIn & mask
+    var d = 0L
+    var s = 1L << (bits - 1)
+    while (s > 0) {
+      val rx = if ((x & s) != 0L) 1L else 0L
+      val ry = if ((y & s) != 0L) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      x &= s - 1
+      y &= s - 1
+      if (ry == 0L) {
+        if (rx == 1L) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
   /** All w-char window hashes of s in ONE pass: entry j (0-based) equals
     * [[rollingHash31]] of chars [j, j+w) — the TRUE rolling form
     * (subtract the outgoing char's 31^w term), where per-position

@@ -43,16 +43,30 @@ object Layout {
   def clampEncode(c: Column, lo: Long, bits: Int): Column =
     least(greatest(c.cast("long") - lo, lit(0L)), lit((1L << bits) - 1))
 
-  /** Write `df` Z-clustered on `zCols`: range-partition by the z-value
-    * (so files own disjoint z ranges — each file a small box in the
-    * clustered space) and sort within partitions (so parquet ROW GROUPS
-    * inside each file get tight min-max stats too). The z column itself
-    * is dropped before writing; it exists only to drive placement. */
+  /** Write `df` clustered on an arbitrary integer layout key:
+    * range-partition by it (so files own disjoint key ranges — each file
+    * a small box in the clustered space) and sort within partitions (so
+    * parquet ROW GROUPS inside each file get tight min-max stats too).
+    * The key column is dropped before writing; it exists only to drive
+    * placement. */
+  def writeClustered(df: DataFrame, path: String, key: Column, files: Int): Unit =
+    df.withColumn("_ck", key)
+      .repartitionByRange(files, col("_ck"))
+      .sortWithinPartitions("_ck")
+      .drop("_ck")
+      .write.mode("overwrite").parquet(path)
+
+  /** [[writeClustered]] on the Morton interleave of `zCols`. */
   def writeZOrdered(
       df: DataFrame, path: String, zCols: Seq[Column], bits: Int, files: Int): Unit =
-    df.withColumn("_z", zValue(zCols, bits))
-      .repartitionByRange(files, col("_z"))
-      .sortWithinPartitions("_z")
-      .drop("_z")
-      .write.mode("overwrite").parquet(path)
+    writeClustered(df, path, zValue(zCols, bits), files)
+
+  /** [[writeClustered]] on the 2-D Hilbert index — same pruning story as
+    * Z-order with strictly better box locality (consecutive curve
+    * positions are always grid-adjacent; Morton takes diagonal jumps).
+    * Requires [[graft.functions.VectorExpressions.register]]. */
+  def writeHilbert(
+      df: DataFrame, path: String, x: Column, y: Column, bits: Int, files: Int): Unit =
+    writeClustered(df, path,
+      graft.functions.VectorExpressions.hilbert_d2(x, y, lit(bits)), files)
 }

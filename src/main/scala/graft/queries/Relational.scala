@@ -987,6 +987,53 @@ object Relational {
     }
   }
 
+  /** Hilbert-curve clustering key over two dimensions — the layout
+    * alternative to [[zorderKey]] with strictly better box locality:
+    * consecutive Hilbert indices are always grid-ADJACENT (proven
+    * exhaustively in VectorExpressionsSpec), where Morton order takes
+    * diagonal jumps that widen file bounding boxes. Spark computes it
+    * with the codegen [[graft.functions.VectorExpressions.HilbertD2]]
+    * kernel (O(bits) per row); the oracle unrolls the identical
+    * mask-and-rotate steps as chained CTEs, so the hash-match proves the
+    * kernel IS the textbook transform step for step. */
+  val hilbertKey = {
+    val bits = 8
+    // one CTE pair per bit level, top bit first: extract the quadrant
+    // (rx, ry), add its s² offset under the Hilbert orientation
+    // ((3·rx) XOR ry), mask to the lower bits, rotate the sub-quadrant
+    val steps = (0 until bits).map { i =>
+      val s = 1L << (bits - 1 - i)
+      s"""s$i AS (SELECT o_orderkey, o_custkey,
+                  CASE WHEN (x // $s) % 2 = 1 THEN 1 ELSE 0 END AS rx,
+                  CASE WHEN (y // $s) % 2 = 1 THEN 1 ELSE 0 END AS ry,
+                  x % $s AS xm, y % $s AS ym, d FROM h$i),
+          h${i + 1} AS (SELECT o_orderkey, o_custkey,
+                  CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN $s - 1 - ym ELSE ym END
+                       ELSE xm END AS x,
+                  CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN $s - 1 - xm ELSE xm END
+                       ELSE ym END AS y,
+                  d + $s * $s * (CASE WHEN rx = 0 AND ry = 0 THEN 0
+                                      WHEN rx = 0 AND ry = 1 THEN 1
+                                      WHEN rx = 1 AND ry = 1 THEN 2
+                                      ELSE 3 END) AS d FROM s$i)"""
+    }.mkString(",\n")
+    QuerySpec(
+      "q_hilbert_key",
+      s"""WITH h0 AS (SELECT o_orderkey, o_custkey,
+                      CAST(o_custkey % 256 AS BIGINT) AS x,
+                      CAST(o_orderkey % 256 AS BIGINT) AS y,
+                      CAST(0 AS BIGINT) AS d FROM orders),
+          $steps
+          SELECT o_orderkey, o_custkey, CAST(d AS BIGINT) AS h FROM h$bits""") {
+      (s, d) =>
+        graft.functions.VectorExpressions.register(s)
+        Tables.orders(s, d).select(
+          col("o_orderkey"), col("o_custkey"),
+          graft.functions.VectorExpressions.hilbert_d2(
+            col("o_custkey") % 256, col("o_orderkey") % 256, lit(bits)).as("h"))
+    }
+  }
+
   /** WITH RECURSIVE (Spark 4's recursive CTE, SPARK-24497): ancestor
     * expansion over the implicit supplier hierarchy parent(s) = s div 2 —
     * the org-chart/BOM traversal shape SQL engines express recursively.
@@ -1103,7 +1150,7 @@ object Relational {
   }
 
   val specs: Seq[QuerySpec] = Seq(
-    zorderKey, recursiveCte, schemaDrift, paretoFront, lateralTopk,
+    zorderKey, hilbertKey, recursiveCte, schemaDrift, paretoFront, lateralTopk,
     sortLimit, pricingSummary, skewSaltedJoin, join5Revenue,
     rollupTotals, cubeTotals, groupingSetsTotals, fuzzyMatch,
     countDistinct_, stringAgg, semiAntiJoin, setOps, setOpsAll, corrStats, modeValue,

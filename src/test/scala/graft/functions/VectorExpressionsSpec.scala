@@ -85,6 +85,32 @@ class VectorExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("hilbert_d2 is a bijection with unit-step locality (exhaustive 8x8 and 32x32)") {
+    for (bits <- Seq(3, 5)) {
+      val n = 1 << bits
+      val cells = for (x <- 0 until n; y <- 0 until n)
+        yield (x, y, graft.functions.VectorKernels.hilbertD2(x.toLong, y.toLong, bits))
+      // bijection onto [0, n²)
+      assert(cells.map(_._3).sorted === (0L until n.toLong * n).toVector.sorted)
+      // THE Hilbert property: consecutive indices are grid-adjacent —
+      // this is what Z-order lacks (Morton has diagonal jumps) and why
+      // Hilbert files get tighter bounding boxes
+      val byD = cells.sortBy(_._3)
+      byD.sliding(2).foreach { case Seq((x1, y1, _), (x2, y2, _)) =>
+        assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1,
+          s"non-adjacent step at ($x1,$y1)->($x2,$y2), bits=$bits")
+      }
+    }
+    // the expression agrees with the kernel through codegen + SQL surface
+    VectorExpressions.register(spark)
+    val rows = spark.range(64)
+      .selectExpr("id % 8 AS x", "id div 8 AS y")
+      .selectExpr("x", "y", "hilbert_d2(x, y, 3) AS h")
+      .collect()
+    rows.foreach(r => assert(r.getLong(2) ===
+      graft.functions.VectorKernels.hilbertD2(r.getLong(0), r.getLong(1), 3)))
+  }
+
   test("expressions work through the SQL surface after register()") {
     VectorExpressions.register(spark)
     vecs.createOrReplaceTempView("vecs_t")

@@ -59,4 +59,24 @@ class LayoutSpec extends SparkSpec {
     // and the data round-trips intact
     assert(spark.read.parquet(zDir).count() === n.toLong * n)
   }
+
+  test("hilbert layout localizes both dims at least as tightly as z-order") {
+    graft.functions.VectorExpressions.register(spark)
+    val n = 256
+    val grid = spark.range(0L, n.toLong * n).select(
+      (col("id") % n).as("x"), (col("id") / n).cast("long").as("y"))
+    val hDir = java.nio.file.Files.createTempDirectory("graft-h").toString + "/t"
+    Layout.writeHilbert(grid, hDir, col("x"), col("y"), bits = 8, files = 16)
+    def filesTouched(dir: String, pred: org.apache.spark.sql.Column): Long =
+      spark.read.parquet(dir).filter(pred)
+        .select(input_file_name()).distinct().count()
+    // a 1/16 slice in EITHER dimension stays confined: each file covers a
+    // contiguous curve segment, and the curve's unit-step locality keeps
+    // that segment a compact box
+    val ySlice = filesTouched(hDir, col("y").between(128, 143))
+    val xSlice = filesTouched(hDir, col("x").between(64, 79))
+    assert(ySlice <= 6, s"hilbert y-slice touched $ySlice of 16 files")
+    assert(xSlice <= 6, s"hilbert x-slice touched $xSlice of 16 files")
+    assert(spark.read.parquet(hDir).count() === n.toLong * n)
+  }
 }
