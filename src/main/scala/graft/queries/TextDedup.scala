@@ -874,6 +874,58 @@ object TextDedup {
         .select("doc_id", "lang", "bucket")
   }
 
+  /** Priority sampling (Duffield, Lund & Thorup, JACM'07): a weighted
+    * sample WITHOUT replacement of k = 20 documents with inclusion
+    * probability ∝ length, plus the estimation weights that make any
+    * subset-sum estimate over the sample unbiased. Deterministic and
+    * all-integer: u_i rides the 32-bit md5-prefix hash of doc_id (the
+    * session's standard uniformizer), priority q_i = wᵢ·2³² div (hᵢ+1)
+    * (the integer form of w/u), the sample is the top-k by priority and
+    * τ = the (k+1)-th priority; each kept item's estimation weight is
+    * max(wᵢ, τ) — Σ max(wᵢ, τ) over the sample estimates Σ wᵢ over the
+    * corpus. The mixture-builder's "sample docs ∝ token budget" pass.
+    *
+    * Scale shape: one scan; BOTH top-k selections lower to
+    * TakeOrderedAndProject (per-partition heaps + driver merge of k+1
+    * rows — never a global sort), and τ broadcasts back onto the
+    * 21-row sample. Weights up to ~10⁶ stay exact (w·2³² < 2⁶³). */
+  val samplePriority = {
+    val k = 20
+    QuerySpec(
+      "q_sample_priority",
+      s"""WITH p AS (
+            SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+                   CAST(n_chars AS BIGINT) * 4294967296 //
+                     (list_reduce(list_transform(generate_series(1, 8),
+                        zz -> CAST(strpos('0123456789abcdef',
+                                substr(md5(CAST(doc_id AS VARCHAR)), zz, 1)) - 1 AS BIGINT)),
+                        (za, zc) -> za * 16 + zc) + 1)
+                     AS priority
+            FROM documents),
+          top AS (SELECT * FROM p ORDER BY priority DESC, doc_id LIMIT ${k + 1}),
+          tau AS (SELECT min(priority) AS t FROM top),
+          r AS (SELECT doc_id, w, priority,
+                       ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id) AS rn
+                FROM top)
+          SELECT doc_id, w, priority,
+                 CAST(greatest(w, t) AS BIGINT) AS est_weight
+          FROM r CROSS JOIN tau WHERE rn <= $k""") {
+      (s, d) =>
+        val p = docs(s, d).select(
+          col("doc_id"), col("n_chars").cast("long").as("w"),
+          expr("""cast(n_chars AS bigint) * 4294967296L div
+                  (cast(conv(substr(md5(cast(doc_id AS string)), 1, 8), 16, 10)
+                        AS bigint) + 1L)""")
+            .as("priority"))
+        val top = p.orderBy(col("priority").desc, col("doc_id")).limit(k + 1)
+        val tau = broadcast(top.agg(min("priority").as("t")))
+        top.orderBy(col("priority").desc, col("doc_id")).limit(k)
+          .crossJoin(tau)
+          .select(col("doc_id"), col("w"), col("priority"),
+            greatest(col("w"), col("t")).cast("long").as("est_weight"))
+    }
+  }
+
   /** Stratified sampling: first 5 docs per language by md5 order — equal
     * per-stratum quotas with a deterministic, content-keyed order (one
     * shuffle on the stratum, WindowGroupLimit-bounded). */
@@ -1444,6 +1496,7 @@ object TextDedup {
     dedupExact, dedupJaccard, dedupSubstring, dedupMinhashLsh, dedupMinhashEstimate,
     dedupLshVerified, dedupLshRecall,
     dedupSimhash, dedupSimhashHamming, dedupComponents, dedupKeep, dedupIncremental,
-    curationPipeline, sampleDeterministic, sampleStratified, vocabTop, vocabZipf,
+    curationPipeline, sampleDeterministic, samplePriority, sampleStratified,
+    vocabTop, vocabZipf,
     pagerank, triangleCount, communitiesLpa, textNovelty, dedupPpjoin)
 }

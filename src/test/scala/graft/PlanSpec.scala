@@ -529,6 +529,15 @@ class PlanSpec extends SparkSpec {
     graft.ops.Caches.drain()
   }
 
+  test("q_sample_priority: both top-k selections are TakeOrdered, never a global sort") {
+    val plan = SparkEntry.queries("q_sample_priority")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"priority top-k must be per-partition heaps + driver merge:\n$plan")
+    assert(!plan.contains("rangepartitioning"),
+      s"no global range sort over the corpus:\n$plan")
+  }
+
   test("q_decay_score / q_attrib_last_touch: broadcast scalars, per-user windows only") {
     // decay: the single-row max-day broadcasts back onto the (user, day)
     // counts — never a shuffle join; weights are per-row projections

@@ -157,6 +157,23 @@ class TextDedupSpec extends SparkSpec {
     assert(out.filter(col("pr") < (15L * (scale / n)) / 100L).count() === 0)
   }
 
+  test("samplePriority: exact size, est_weight = max(w, tau) >= w, priorities >= tau") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = TextDedup.samplePriority.fn(spark, sf).collect()
+    assert(rows.length === 20)
+    val minPriority = rows.map(_.getAs[Long]("priority")).min
+    rows.foreach { r =>
+      val (w, est) = (r.getAs[Long]("w"), r.getAs[Long]("est_weight"))
+      assert(est >= w, "estimation weight can never shrink a kept item")
+      // tau is the (k+1)-th priority, so every KEPT priority exceeds it
+      // and est = max(w, tau) is bounded by max(w, min kept priority)
+      assert(est <= math.max(w, minPriority))
+    }
+    // estimation weights are >= raw weights, so the Horvitz-Thompson sum
+    // dominates the sample's own mass (sanity, not unbiasedness-in-mean)
+    assert(rows.map(_.getAs[Long]("est_weight")).sum >= rows.map(_.getAs[Long]("w")).sum)
+  }
+
   test("dedupPpjoin == brute-force all-pairs on a crafted corpus (completeness)") {
     // the production claim is EXACT J >= 0.5 output from a prefix-filtered
     // equi-join; here the quadratic reference runs driver-side over a
