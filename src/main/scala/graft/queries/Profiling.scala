@@ -564,7 +564,59 @@ object Profiling {
         .agg(count(lit(1)).cast("long").as("n_conversions"))
   }
 
+  // -------------------------------------------------------------------
+  // Seasonal (day-of-week) residuals
+  // -------------------------------------------------------------------
+
+  /** Day-of-week seasonal baseline + residuals per event type: expected
+    * volume for a (type, weekday) is the integer mean over that weekday's
+    * observed days, each day's residual is observed − expected, and days
+    * deviating > 50 % from their weekday norm are flagged — the seasonal
+    * adjustment CUSUM/MAD/z-score skip (a quiet Sunday is not an anomaly;
+    * the same count on a Tuesday is). The weekday is epoch-anchored
+    * (days-since-1970 mod 7), identical in both engines — never the
+    * 0-vs-1-based dayofweek() trap. All-integer.
+    *
+    * Scale shape: one map-side-combinable (type, day) count (leased —
+    * both the baseline and the final join read it), then the
+    * 7·#types-row baseline broadcasts back. The raw stream is scanned
+    * once. */
+  val seasonalResidual = QuerySpec(
+    "q_seasonal_residual",
+    """WITH dc AS (SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS c
+                   FROM events GROUP BY 1, 2),
+       dw AS (SELECT event_type, d, c,
+                     date_diff('day', DATE '1970-01-01', d) % 7 AS dow
+              FROM dc),
+       base AS (SELECT event_type, dow, sum(c) // count(*) AS expected
+                FROM dw GROUP BY 1, 2)
+       SELECT dw.event_type, dw.d AS day, CAST(dw.c AS BIGINT) AS n,
+              CAST(dw.dow AS BIGINT) AS dow,
+              CAST(base.expected AS BIGINT) AS expected_dow,
+              CAST(dw.c - base.expected AS BIGINT) AS residual,
+              CAST(CASE WHEN 2 * abs(dw.c - base.expected) > base.expected
+                        THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+       FROM dw JOIN base ON base.event_type = dw.event_type
+                        AND base.dow = dw.dow""") {
+    (s, d) =>
+      val dc = graft.ops.Caches.lease(Tables.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+        .agg(count(lit(1)).as("c")))
+      val dw = dc.withColumn("dow",
+        expr("datediff(d, DATE'1970-01-01') % 7"))
+      val base = dw.groupBy("event_type", "dow")
+        .agg(expr("sum(c) div count(1)").as("expected"))
+      dw.join(broadcast(base), Seq("event_type", "dow"))
+        .select(col("event_type"), col("d").as("day"),
+          col("c").cast("long").as("n"), col("dow").cast("long").as("dow"),
+          col("expected").cast("long").as("expected_dow"),
+          (col("c") - col("expected")).cast("long").as("residual"),
+          when(lit(2) * abs(col("c") - col("expected")) > col("expected"), 1L)
+            .otherwise(0L).cast("long").as("is_anomaly"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     profileColumns, fdAudit, edit1Neighbors, cusumChangepoint, windowDistinctKmv,
-    basketRules, shareDrift, snmPairs, decayScore, attribLastTouch)
+    basketRules, shareDrift, snmPairs, decayScore, attribLastTouch,
+    seasonalResidual)
 }

@@ -108,6 +108,21 @@ class EventsInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("seasonal_residual: residuals cancel within integer-mean loss per (type, dow)") {
+    val rows = q("q_seasonal_residual").collect()
+    rows.groupBy(r => (r.getAs[String]("event_type"), r.getAs[Long]("dow")))
+      .foreach { case ((t, dow), g) =>
+        // expected = floor-mean, so Σ residual ∈ [0, #days) per group
+        val sum = g.map(_.getAs[Long]("residual")).sum
+        assert(sum >= 0 && sum < g.length,
+          s"($t, dow=$dow) residual sum $sum outside [0, ${g.length})")
+        g.foreach { r =>
+          val flag = 2 * math.abs(r.getAs[Long]("residual")) > r.getAs[Long]("expected_dow")
+          assert(r.getAs[Long]("is_anomaly") === (if (flag) 1L else 0L))
+        }
+      }
+  }
+
   test("decay_score: bounded by n_events and n_events·2^20; covers every user") {
     val rows = q("q_decay_score").collect()
     rows.foreach { r =>
