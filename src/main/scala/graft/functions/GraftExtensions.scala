@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // operator-optimization batch (fixpoint): both rewrites are idempotent
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinPruning)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinBinning)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectFunction((
       FunctionIdentifier("vector_dot_f32"),
       info("vector_dot_f32", "vector_dot_f32(a, b) - dot product of two float arrays in double"),

@@ -57,6 +57,44 @@ object TemporalJoins {
           rightPayload.map(c => col(s"_last_r.$c").as(c)): _*)
   }
 
+  /** AS-OF join on the CUSTOM physical operator
+    * ([[graft.plans.AsOfJoinExec]] — logical node + strategy + sort-merge
+    * exec): same ASOF LEFT semantics as [[asOfJoin]], but the right
+    * payload crosses the shuffle ONCE and per-partition state is a single
+    * buffered candidate row instead of a window frame over the unioned
+    * stream. Key/time columns are resolved against the analyzed child
+    * plans; right-side key columns are projected away (they duplicate the
+    * left's), everything else null-extends on no-match. */
+  def asOfJoinExec(
+      left: DataFrame, leftTime: String,
+      right: DataFrame, rightTime: String,
+      keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    val s = left.sparkSession
+    graft.plans.AsOfJoinPlan.ensureRegistered(s)
+    val lp = left.queryExecution.analyzed
+    // fresh-alias EVERY right column: when both sides derive from the
+    // same source, their analyzed plans share exprIds; the analyzer's
+    // DeduplicateRelations renumbers the right subtree but cannot remap
+    // the key/time expressions of a node type it doesn't know. Fresh
+    // top-level aliases make the node's right-side references
+    // unambiguous — dedup renumbers below them and stops there.
+    val rpRaw = right.queryExecution.analyzed
+    val rAliases = rpRaw.output.map(a => Alias(a, a.name)())
+    val rp = Project(rAliases, rpRaw)
+    val rOut = rAliases.map(_.toAttribute)
+    def lattr(n: String) = lp.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"as-of join: left column '$n' not found"))
+    def rattr(n: String) = rOut.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"as-of join: right column '$n' not found"))
+    val node = graft.plans.AsOfJoin(lp, rp,
+      keys.map(lattr), keys.map(rattr), lattr(leftTime), rattr(rightTime))
+    val keep = lp.output ++
+      rOut.filterNot(a => keys.contains(a.name)).map(_.withNullability(true))
+    org.apache.spark.sql.GraftSqlBridge.ofRows(s, Project(keep, node))
+  }
+
   /** Range join via time binning: pairs (a, b) with equal keys and
     * b.time ∈ (a.time, a.time + window]. The naive inequality join is a
     * nested loop; binning by `window`-sized buckets turns it into an

@@ -452,6 +452,37 @@ object EventsMultimodal {
         .select("event_id", "user_id", "ts", "p_id", "p_ts")
   }
 
+  /** The SAME as-of semantics through the CUSTOM physical operator
+    * ([[graft.plans.AsOfJoinExec]]: logical node + planner strategy +
+    * co-partitioned sort-merge exec) — SURVEY.md §7.3 preference (c) as
+    * real, driver-gated code. Identical oracle as [[asofJoin]], so the
+    * hash-match proves the custom exec's merge loop against DuckDB's
+    * native ASOF and, transitively, against the composed window form
+    * (AsOfJoinExecSpec additionally pins row-for-row parity and the
+    * two-exchange plan: the right payload crosses the shuffle ONCE,
+    * where the union+window composition carries it twice). */
+  val asofExec = QuerySpec(
+    "q_asof_exec",
+    """WITH clicks AS (
+         SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+       purch AS (
+         SELECT max(event_id) AS p_id, user_id, ts AS p_ts FROM events
+         WHERE event_type = 'purchase' GROUP BY user_id, ts)
+       SELECT c.event_id, c.user_id, c.ts, p.p_id, p.p_ts
+       FROM clicks c ASOF LEFT JOIN purch p
+         ON c.user_id = p.user_id AND p.p_ts <= c.ts""") {
+    (s, d) =>
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purch = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts").as("p_ts"))
+        .agg(max("event_id").as("p_id"))
+        .select("p_id", "user_id", "p_ts")
+      graft.ops.TemporalJoins.asOfJoinExec(clicks, "ts", purch, "p_ts", Seq("user_id"))
+        .select("event_id", "user_id", "ts", "p_id", "p_ts")
+  }
+
   /** Range join via binning (ops.TemporalJoins.rangeJoinBinned): purchases
     * within 10 minutes after a click, as an EQUI-join on (user, time-bin)
     * with a residual range filter — the interval-join shape that scales
@@ -1462,7 +1493,7 @@ object EventsMultimodal {
   val specs: Seq[QuerySpec] = Seq(
     streamWindow, streamSliding, sessionWindow, sessionize, multimodalMeta,
     multimodalHistDup, multimodalQuality, multimodalBlockhash, multimodalFrames,
-    asofJoin, rangeJoinBinned,
+    asofJoin, asofExec, rangeJoinBinned,
     sketchCountMin, rollingFrames, funnel, jsonExtract, gapFill, outlierZscore,
     rollingTime, winsorize, intervalMerge, markovTransitions, anomalyMad,
     retentionCohorts, periodDelta, jsonRoundtrip, linearFit, seqPaths,
