@@ -1535,11 +1535,61 @@ object Curation {
         .select("doc_id", "rank_a", "rank_b", "rrf_m", "rnk")
   }
 
+  // -------------------------------------------------------------------
+  // Line-level boilerplate detection (CCNet-style)
+  // -------------------------------------------------------------------
+
+  /** Per-document boilerplate share via cross-document line frequency —
+    * the CCNet/trafilatura cleaning pass: a "line" repeated verbatim in
+    * ≥3 distinct documents is boilerplate (nav bars, footers, cookie
+    * banners), and a page's boilerplate RATIO is the quality gate. The
+    * synthetic corpus has no newlines, so lines are positional 10-word
+    * segments — the split is deterministic and identical in both engines
+    * (slice truncates the final short segment the same way).
+    *
+    * Scale shape: the segment stream is O(corpus words); line df is one
+    * map-side-combinable count over the distinct (line, doc) projection,
+    * and the df attaches back by the standard 1:1 posting join keyed on
+    * the line (AQE skew-split covers a pathological hot line — though
+    * df counting has already collapsed it). At 100 TB the join key would
+    * be a 128-bit line fingerprint instead of the string (same plan
+    * shape, ~30× less shuffle payload); the string key here keeps the
+    * oracle byte-comparable. */
+  val textBoilerplate = QuerySpec(
+    "q_text_boilerplate",
+    """WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+       l AS (SELECT doc_id, array_to_string(ws[i*10+1:i*10+10], ' ') AS line
+             FROM w, UNNEST(generate_series(0, (len(ws)-1)//10)) AS u(i)),
+       d AS (SELECT line, count(DISTINCT doc_id) AS df FROM l GROUP BY 1)
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+              CAST(sum(CASE WHEN d.df >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+              CAST(sum(CASE WHEN d.df >= 3 THEN 1 ELSE 0 END) * 1000000 // count(*)
+                   AS BIGINT) AS boiler_m
+       FROM l JOIN d USING (line)
+       GROUP BY 1""") {
+    (s, d) =>
+      val lines = graft.ops.Caches.lease(
+        Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("ws"))
+          .select(col("doc_id"),
+            explode(expr("sequence(0, (size(ws)-1) div 10)")).as("i"),
+            col("ws"))
+          .select(col("doc_id"),
+            array_join(expr("slice(ws, i*10+1, 10)"), " ").as("line")))
+      val dfs = lines.select("line", "doc_id").distinct()
+        .groupBy("line").agg(count(lit(1)).as("df"))
+      lines.join(dfs, Seq("line"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(col("df") >= 3, 1L).otherwise(0L)).as("n_boiler"))
+        .withColumn("boiler_m", expr("n_boiler * 1000000 div n_lines"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     curationIngest, sampleBalanced,
     decontaminate, textRepetition, piiRedact, sampleWeighted,
     packChunks, sketchKmv, sketchBloom, sketchHll, histogramEquidepth,
     splitAssign, sourceOverlap, tfidfTopk, embedProject, qualityAudit,
     bpeMerges, bpeTokenize, mixRates, kmvJaccard, chunkOverlap, chunkContent, kmvAgg,
-    lmFluency, cooccurPmi, bm25Topk, hybridRrf)
+    lmFluency, cooccurPmi, bm25Topk, hybridRrf, textBoilerplate)
 }

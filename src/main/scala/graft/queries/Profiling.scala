@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.QuerySpec
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -615,8 +615,183 @@ object Profiling {
             .otherwise(0L).cast("long").as("is_anomaly"))
   }
 
+  // -------------------------------------------------------------------
+  // Consecutive-day activity streaks (gaps-and-islands)
+  // -------------------------------------------------------------------
+
+  /** Longest consecutive-day activity streak per user — the classic
+    * gaps-and-islands form: on the distinct (user, epoch-day) grid,
+    * `epoch_day − row_number()` is constant exactly along a run of
+    * consecutive days, so grouping on that island key counts each streak
+    * without self-joins or per-day LAG chains. Epoch-day integers
+    * (days-since-1970) keep the arithmetic engine-identical.
+    *
+    * Scale shape: the distinct collapses map-side (a user's events land
+    * on few partitions after the shuffle on user — and the (user, day)
+    * grid is bounded by users × calendar, tiny next to the event
+    * stream); the window partitions BY USER, so parallelism is #users,
+    * never one task. The two follow-up aggregates reuse the same
+    * user-keyed partitioning (no extra Exchange — pinned in PlanSpec). */
+  val userStreak = QuerySpec(
+    "q_user_streak",
+    """WITH days AS (SELECT DISTINCT user_id,
+                       date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS ed
+                     FROM events),
+       r AS (SELECT user_id, ed,
+                    ed - row_number() OVER (PARTITION BY user_id ORDER BY ed) AS isl
+             FROM days),
+       st AS (SELECT user_id, isl, count(*) AS len FROM r GROUP BY 1, 2)
+       SELECT user_id, CAST(max(len) AS BIGINT) AS best_streak,
+              CAST(sum(len) AS BIGINT) AS n_active_days,
+              CAST(count(*) AS BIGINT) AS n_streaks
+       FROM st GROUP BY 1""") {
+    (s, d) =>
+      streaksOf(Tables.events(s, d)
+        .select(col("user_id"),
+          expr("datediff(cast(ts as date), DATE'1970-01-01')").as("ed"))
+        .distinct())
+  }
+
+  /** Gaps-and-islands streak rollup on a distinct (user_id, ed) day grid
+    * — exposed private[graft] so GraphProfilingSpec can prove the island
+    * arithmetic on crafted calendars (single runs, gaps, singletons). */
+  private[graft] def streaksOf(days: DataFrame): DataFrame = {
+    val r = days.withColumn("isl",
+      col("ed") - row_number().over(Window.partitionBy("user_id").orderBy("ed")))
+    r.groupBy("user_id", "isl").agg(count(lit(1)).as("len"))
+      .groupBy("user_id")
+      .agg(max("len").as("best_streak"),
+        sum("len").cast("long").as("n_active_days"),
+        count(lit(1)).as("n_streaks"))
+  }
+
+  // -------------------------------------------------------------------
+  // Exact distinct counting via fixed-width bitmap words
+  // -------------------------------------------------------------------
+
+  /** Exact distinct-user counts per event type via bitmap words — the
+    * roaring-bitmap shape as pure relational algebra: bucket the id space
+    * into 63-bit words (shift 0..62 only; bit 63 would overflow DuckDB's
+    * checked `<<`), OR the one-hot words per (type, bucket) with the
+    * map-side-combinable `bit_or` aggregate, then popcount. The exact
+    * `count(DISTINCT)` rides along as the self-audit column — the two
+    * MUST agree (the bitmap is exact, not a sketch), and the driver's
+    * hash-compare enforces it against DuckDB's independent evaluation.
+    *
+    * Why this exists next to HLL/KMV: sketches trade exactness for
+    * state; the bitmap is exact AND mergeable, the right tool when the
+    * id domain is dense (users, SKUs). At 10⁹ dense ids the word table
+    * is 10⁹/63 ≈ 16M rows per group key — shuffled once, partially
+    * aggregated map-side, never collected; count(DISTINCT) by contrast
+    * expands every raw id into the Expand rewrite. */
+  val bitmapDistinct = QuerySpec(
+    "q_bitmap_distinct",
+    """WITH b AS (SELECT event_type, user_id // 63 AS bucket,
+                    bit_or(1::BIGINT << CAST(user_id % 63 AS INT)) AS word
+                  FROM events GROUP BY 1, 2),
+       a AS (SELECT event_type, CAST(sum(bit_count(word)) AS BIGINT) AS n_bitmap,
+                    CAST(count(*) AS BIGINT) AS n_words
+             FROM b GROUP BY 1),
+       e AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+             FROM events GROUP BY 1)
+       SELECT a.event_type, a.n_bitmap, a.n_words, CAST(e.n_exact AS BIGINT) AS n_exact
+       FROM a JOIN e ON e.event_type = a.event_type""") {
+    (s, d) =>
+      val ev = graft.ops.Caches.lease(
+        Tables.events(s, d).select(col("event_type"), col("user_id")))
+      val a = bitmapDistinctOf(ev)
+      val e = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      // both sides are #event_types rows after aggregation; the group-key
+      // domain is bounded at any corpus size, so broadcast is always right
+      a.join(broadcast(e), Seq("event_type"))
+  }
+
+  /** The bitmap distinct rollup on any (event_type, user_id) frame —
+    * exposed private[graft] for the crafted bucket-boundary unit test
+    * (ids 0, 62, 63, 126 land in the right words; dups collapse). */
+  private[graft] def bitmapDistinctOf(ev: DataFrame): DataFrame = {
+    val b = ev
+      .groupBy(col("event_type"), expr("user_id div 63").as("bucket"))
+      .agg(expr("bit_or(shiftleft(cast(1 as bigint), cast(user_id % 63 as int)))")
+        .as("word"))
+    b.groupBy("event_type")
+      .agg(sum(expr("bit_count(word)")).cast("long").as("n_bitmap"),
+        count(lit(1)).as("n_words"))
+  }
+
+  // -------------------------------------------------------------------
+  // Two-proportion significance, exact rational arithmetic
+  // -------------------------------------------------------------------
+
+  /** A/B significance per event type with NO floating point: users split
+    * into variants by id parity, reach = distinct users touching the
+    * type, and the pooled two-proportion z-test decides significance by
+    * cross-multiplication — z² ≥ 1.96² is equivalent to
+    * `(x_a·n_b − x_b·n_a)²·N·10⁴ ≥ 38416·n_a·n_b·x·(N−x)` (N = n_a+n_b,
+    * x = x_a+x_b), an exact integer comparison both engines evaluate
+    * identically (sqrt-free, division-free). Degenerate pools (x = 0 or
+    * x = N: zero pooled variance) are defined as not significant.
+    *
+    * Scale shape: two distinct-user aggregates (map-side combinable) and
+    * a broadcast single-row cross join of the variant totals onto the
+    * #types-row table. At web-scale counts (10⁹ users) the products
+    * reach ~10⁴⁵ — route the comparison through DECIMAL(38,0) after
+    * dividing both sides by gcd-able factors, or pre-scale counts to
+    * thousands; the BIGINT form here is exact to n ≈ 10⁶ per variant. */
+  val abTest = QuerySpec(
+    "q_ab_test",
+    """WITH u AS (SELECT DISTINCT user_id, user_id % 2 AS v FROM events),
+       n AS (SELECT v, count(*) AS nv FROM u GROUP BY 1),
+       x AS (SELECT event_type, user_id % 2 AS v, count(DISTINCT user_id) AS xv
+             FROM events GROUP BY 1, 2),
+       p AS (SELECT event_type,
+                    max(CASE WHEN v = 0 THEN xv ELSE 0 END) AS x_a,
+                    max(CASE WHEN v = 1 THEN xv ELSE 0 END) AS x_b
+             FROM x GROUP BY 1),
+       nn AS (SELECT max(CASE WHEN v = 0 THEN nv END) AS n_a,
+                     max(CASE WHEN v = 1 THEN nv END) AS n_b
+              FROM n)
+       SELECT event_type, CAST(x_a AS BIGINT) AS x_a, CAST(x_b AS BIGINT) AS x_b,
+              CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+              CAST(CASE WHEN x_a + x_b = 0 OR x_a + x_b = n_a + n_b THEN 0
+                        WHEN (x_a*n_b - x_b*n_a) * (x_a*n_b - x_b*n_a)
+                               * (n_a + n_b) * 10000
+                             >= 38416 * n_a * n_b * (x_a + x_b)
+                               * (n_a + n_b - x_a - x_b)
+                        THEN 1 ELSE 0 END AS BIGINT) AS significant
+       FROM p CROSS JOIN nn""") {
+    (s, d) =>
+      val ev = graft.ops.Caches.lease(Tables.events(s, d)
+        .select(col("event_type"), col("user_id"), expr("user_id % 2").as("v")))
+      val n = ev.select("user_id", "v").distinct()
+        .groupBy("v").agg(count(lit(1)).as("nv"))
+      val p = ev.groupBy("event_type", "v")
+        .agg(countDistinct(col("user_id")).as("xv"))
+        .groupBy("event_type")
+        .agg(max(when(col("v") === 0, col("xv")).otherwise(0L)).as("x_a"),
+          max(when(col("v") === 1, col("xv")).otherwise(0L)).as("x_b"))
+      val nn = n.agg(max(when(col("v") === 0, col("nv"))).as("n_a"),
+        max(when(col("v") === 1, col("nv"))).as("n_b"))
+      p.crossJoin(broadcast(nn))
+        .select(col("event_type"), col("x_a"), col("x_b"), col("n_a"), col("n_b"),
+          z2Significant(col("x_a"), col("x_b"), col("n_a"), col("n_b"))
+            .as("significant"))
+  }
+
+  /** The sqrt-free pooled two-proportion test at α = 0.05 as an exact
+    * long-integer predicate (1/0) — exposed private[graft] so the spec
+    * can pin it against a floating-point z² on crafted counts. */
+  private[graft] def z2Significant(
+      xa: Column, xb: Column, na: Column, nb: Column): Column =
+    when(xa + xb === 0L || xa + xb === na + nb, 0L)
+      .when((xa * nb - xb * na) * (xa * nb - xb * na)
+        * (na + nb) * lit(10000L)
+        >= lit(38416L) * na * nb * (xa + xb) * (na + nb - xa - xb), 1L)
+      .otherwise(0L).cast("long")
+
   val specs: Seq[QuerySpec] = Seq(
     profileColumns, fdAudit, edit1Neighbors, cusumChangepoint, windowDistinctKmv,
     basketRules, shareDrift, snmPairs, decayScore, attribLastTouch,
-    seasonalResidual)
+    seasonalResidual, userStreak, bitmapDistinct, abTest)
 }

@@ -554,4 +554,45 @@ class PlanSpec extends SparkSpec {
     assert(wins.nonEmpty && wins.forall(_.contains("user_id")),
       s"attribution windows must partition by user:\n${wins.mkString("\n")}")
   }
+
+  test("q_user_streak: per-user window; streak aggregates reuse the user partitioning") {
+    val q = SparkEntry.queries("q_user_streak")(spark, sf)
+    val opt = q.queryExecution.optimizedPlan.toString
+    val wins = opt.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(wins.nonEmpty && wins.forall(_.contains("user_id")),
+      s"the island window must partition by user:\n${wins.mkString("\n")}")
+    // exactly 2 shuffles: the distinct day grid (user, ed) and the window's
+    // user re-key; BOTH island aggregates ride the window's HashPartitioning
+    // (user) — HashPartitioning(user) satisfies ClusteredDistribution(user,
+    // isl), so no third Exchange appears
+    val plan = q.queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 2, s"expected 2 shuffles, got $shuffles:\n$plan")
+  }
+
+  test("q_bitmap_distinct: map-side-combined words; the type rollup joins broadcast") {
+    val plan = SparkEntry.queries("q_bitmap_distinct")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the word build is partial/final hash aggregation — the one-hot words
+    // OR together map-side, so the shuffle carries words, not raw ids
+    assert(plan.contains("HashAggregate"), s"word build must hash-aggregate:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the bounded #event_types audit join must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"no shuffle join:\n$plan")
+    graft.ops.Caches.drain()
+  }
+
+  test("q_ab_test / q_text_boilerplate: broadcast scalars; posting join, no product") {
+    val ab = SparkEntry.queries("q_ab_test")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(ab.contains("BroadcastNestedLoopJoin") || ab.contains("BroadcastHashJoin"),
+      s"variant totals must broadcast onto the #types rows:\n$ab")
+    assert(!ab.contains("CartesianProduct"), s"ab test product:\n$ab")
+    val bp = SparkEntry.queries("q_text_boilerplate")(spark, sf)
+    val plan = bp.queryExecution.explainString(FormattedMode)
+    assert(!plan.contains("CartesianProduct"), s"boilerplate product:\n$plan")
+    assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
+      s"the segment stream must be leased (df count + posting join):\n$plan")
+    graft.ops.Caches.drain()
+  }
 }

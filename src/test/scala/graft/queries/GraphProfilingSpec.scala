@@ -153,4 +153,55 @@ class GraphProfilingSpec extends SparkSpec {
     assert(exp.size >= 3, s"crafted names must produce matches, got ${exp.size}")
     assert(got === exp)
   }
+
+  test("streaksOf: islands split exactly at calendar gaps") {
+    // user 1: days 10-12 + 14 (streaks 3 and 1); user 2: one day;
+    // user 3: two singletons across a 2-day gap
+    val days = Seq((1L, 10L), (1L, 11L), (1L, 12L), (1L, 14L),
+      (2L, 100L), (3L, 5L), (3L, 8L)).toDF("user_id", "ed")
+    val out = Profiling.streaksOf(days).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out === Map(
+      1L -> ((3L, 4L, 2L)), // best 3, 4 active days, 2 streaks
+      2L -> ((1L, 1L, 1L)),
+      3L -> ((1L, 2L, 2L))))
+  }
+
+  test("bitmapDistinctOf: bucket boundaries and duplicates, exact at word edges") {
+    // ids straddle the 63-bit word boundary (62 | 63) and repeat; the
+    // popcount total must be the exact distinct count and the word count
+    // the number of touched buckets
+    val ev = Seq("a" -> 0L, "a" -> 62L, "a" -> 62L, "a" -> 63L, "a" -> 126L,
+      "b" -> 125L).map { case (t, u) => (t, u) }.toDF("event_type", "user_id")
+    val out = Profiling.bitmapDistinctOf(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === Map(
+      "a" -> ((4L, 3L)), // distinct {0,62,63,126} over buckets {0,1,2}
+      "b" -> ((1L, 1L))))
+  }
+
+  test("z2Significant agrees with the floating-point pooled z² on a grid") {
+    // brute-force the double arithmetic over a grid of (xa, xb) at
+    // na=nb=100 and demand the integer cross-multiplied predicate gives
+    // the identical verdict everywhere, degenerate pools included
+    val rows = for (xa <- 0L to 100L by 5; xb <- 0L to 100L by 5)
+      yield (xa, xb, 100L, 100L)
+    val got = rows.toDF("xa", "xb", "na", "nb")
+      .select(col("xa"), col("xb"),
+        Profiling.z2Significant(col("xa"), col("xb"), col("na"), col("nb"))
+          .as("sig"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for (((xa, xb), sig) <- got) {
+      val (na, nb) = (100d, 100d)
+      val x = xa + xb
+      val exp =
+        if (x == 0 || x == 200) 0L
+        else {
+          val (p1, p2, p) = (xa / na, xb / nb, x / (na + nb))
+          val z2 = math.pow(p1 - p2, 2) / (p * (1 - p) * (1 / na + 1 / nb))
+          if (z2 >= 3.8416) 1L else 0L
+        }
+      assert(sig === exp, s"xa=$xa xb=$xb")
+    }
+  }
 }
