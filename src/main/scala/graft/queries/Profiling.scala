@@ -790,8 +790,63 @@ object Profiling {
         >= lit(38416L) * na * nb * (xa + xb) * (na + nb - xa - xb), 1L)
       .otherwise(0L).cast("long")
 
+  // -------------------------------------------------------------------
+  // Theil–Sen robust trend slope
+  // -------------------------------------------------------------------
+
+  /** Theil–Sen estimator per event type: the MEDIAN of all pairwise
+    * slopes of the daily-count series — the robust trend line
+    * (breakdown point 29%: a third of the days can be corrupted before
+    * the slope moves, where OLS q_linear_fit follows a single outlier
+    * day). Slopes are exact-integer differences divided as doubles
+    * (bit-identical IEEE in both engines) and the median is
+    * PERCENTILE_DISC — an actual element, no interpolation, so the
+    * cross-engine hash holds.
+    *
+    * Scale shape: the pair join runs on the AGGREGATED (type, day) count
+    * table — #days² per type, calendar-bounded (a year is ≤66k pairs
+    * per type), never on the raw stream; the count pass itself is one
+    * map-side-combinable aggregate. The within-type inequality join is
+    * an equi-join on type with the day comparison as a post-filter. */
+  val theilSen = QuerySpec(
+    "q_theilsen",
+    """WITH dc AS (SELECT event_type,
+                     date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS ed,
+                     count(*) AS c
+                   FROM events GROUP BY 1, 2),
+       p AS (SELECT a.event_type AS event_type,
+                    CAST(b.c - a.c AS DOUBLE) / (b.ed - a.ed) AS slope
+             FROM dc a JOIN dc b
+               ON a.event_type = b.event_type AND b.ed > a.ed)
+       SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+              percentile_disc(0.5) WITHIN GROUP (ORDER BY slope) AS ts_slope
+       FROM p GROUP BY 1""") {
+    (s, d) =>
+      theilSenOf(graft.ops.Caches.lease(Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("datediff(cast(ts as date), DATE'1970-01-01')").as("ed"))
+        .agg(count(lit(1)).as("c"))))
+  }
+
+  /** Theil–Sen on any (event_type, ed, c) series table — exposed
+    * private[graft] so the spec can prove the breakdown property on a
+    * crafted series (an outlier day that drags OLS leaves the median
+    * slope untouched). */
+  private[graft] def theilSenOf(dc: DataFrame): DataFrame = {
+    val a = dc.select(col("event_type"), col("ed").as("a_ed"), col("c").as("a_c"))
+    val b = dc.select(col("event_type"), col("ed").as("b_ed"), col("c").as("b_c"))
+    a.join(b, Seq("event_type"))
+      .filter(col("b_ed") > col("a_ed"))
+      .select(col("event_type"),
+        ((col("b_c") - col("a_c")).cast("double") / (col("b_ed") - col("a_ed")))
+          .as("slope"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY slope)").as("ts_slope"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     profileColumns, fdAudit, edit1Neighbors, cusumChangepoint, windowDistinctKmv,
     basketRules, shareDrift, snmPairs, decayScore, attribLastTouch,
-    seasonalResidual, userStreak, bitmapDistinct, abTest)
+    seasonalResidual, userStreak, bitmapDistinct, abTest, theilSen)
 }

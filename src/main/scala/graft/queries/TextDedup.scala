@@ -1490,6 +1490,61 @@ object TextDedup {
           col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"))
   }
 
+  // -------------------------------------------------------------------
+  // Truncation duplicates (strict document-prefix pairs)
+  // -------------------------------------------------------------------
+
+  /** Truncation-duplicate detection: pairs where one document is a strict
+    * PREFIX of the other (or byte-equal) — the crawl pathology near-dup
+    * thresholds can miss (a 10% teaser of a long article has Jaccard ≈
+    * 0.1 against it, yet is pure redundancy for training). Candidates
+    * block on the first-10-word fingerprint — a prefix pair MUST agree
+    * there — then verify with one startswith on the shorter against the
+    * longer.
+    *
+    * Completeness: exact for corpora whose min doc length ≥ the
+    * fingerprint width (this corpus' floor is exactly 10 words; pinned
+    * in TextDedupSpec). Shorter docs would need the standard multi-k
+    * extension — each doc also emits its full-text key at k = n_words
+    * < 10, a ≤2× key blowup — same plan shape.
+    *
+    * Scale shape: one equi-join on the fingerprint (bucketed, never
+    * all-pairs; a hot template head is a skewed key — AQE skew-split
+    * handles it, and the verify is per-candidate). Output is canonical
+    * a_id < b_id with the SHORTER doc first within the pair columns. */
+  val dedupPrefix = QuerySpec(
+    "q_dedup_prefix",
+    """WITH w AS (SELECT doc_id, text, length(text) AS n FROM documents),
+       f AS (SELECT doc_id, text, n,
+                    array_to_string(str_split(text, ' ')[1:10], ' ') AS fp
+             FROM w)
+       SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+              CAST(least(a.n, b.n) AS BIGINT) AS short_chars,
+              CAST(greatest(a.n, b.n) AS BIGINT) AS long_chars,
+              CAST(CASE WHEN a.n = b.n THEN 1 ELSE 0 END AS BIGINT) AS is_equal
+       FROM f a JOIN f b
+         ON a.fp = b.fp AND a.doc_id < b.doc_id
+        AND starts_with(CASE WHEN a.n >= b.n THEN a.text ELSE b.text END,
+                        CASE WHEN a.n >= b.n THEN b.text ELSE a.text END)""") {
+    (s, d) =>
+      val f = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), length(col("text")).as("n"),
+          array_join(expr("slice(split(text, ' '), 1, 10)"), " ").as("fp"))
+      val a = f.select(col("doc_id").as("a_id"), col("text").as("a_text"),
+        col("n").as("a_n"), col("fp"))
+      val b = f.select(col("doc_id").as("b_id"), col("text").as("b_text"),
+        col("n").as("b_n"), col("fp"))
+      a.join(b, Seq("fp"))
+        .filter(col("a_id") < col("b_id"))
+        .filter(expr(
+          """startswith(CASE WHEN a_n >= b_n THEN a_text ELSE b_text END,
+            |           CASE WHEN a_n >= b_n THEN b_text ELSE a_text END)""".stripMargin))
+        .select(col("a_id"), col("b_id"),
+          least(col("a_n"), col("b_n")).cast("long").as("short_chars"),
+          greatest(col("a_n"), col("b_n")).cast("long").as("long_chars"),
+          when(col("a_n") === col("b_n"), 1L).otherwise(0L).as("is_equal"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     textStats, langId, ngramProfile, fingerprint, invertedIndex, degreeDist,
     dedupContainment,
@@ -1498,5 +1553,5 @@ object TextDedup {
     dedupSimhash, dedupSimhashHamming, dedupComponents, dedupKeep, dedupIncremental,
     curationPipeline, sampleDeterministic, samplePriority, sampleStratified,
     vocabTop, vocabZipf,
-    pagerank, triangleCount, communitiesLpa, textNovelty, dedupPpjoin)
+    pagerank, triangleCount, communitiesLpa, textNovelty, dedupPpjoin, dedupPrefix)
 }

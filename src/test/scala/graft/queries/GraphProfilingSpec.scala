@@ -180,6 +180,17 @@ class GraphProfilingSpec extends SparkSpec {
       "b" -> ((1L, 1L))))
   }
 
+  test("theilSenOf: one outlier day cannot move the median slope") {
+    // a perfect +2/day line over 11 days, except day 5 spikes to 1000;
+    // OLS would chase the spike — the pairwise-slope MEDIAN stays 2
+    val dc = (0L to 10L).map(d => ("t", d, if (d == 5) 1000L else 2 * d))
+      .toDF("event_type", "ed", "c")
+    val out = Profiling.theilSenOf(dc).collect()
+    assert(out.length === 1)
+    assert(out.head.getLong(1) === 55L) // 11 choose 2 pairs
+    assert(out.head.getDouble(2) === 2.0d)
+  }
+
   test("z2Significant agrees with the floating-point pooled z² on a grid") {
     // brute-force the double arithmetic over a grid of (xa, xb) at
     // na=nb=100 and demand the integer cross-multiplied predicate gives

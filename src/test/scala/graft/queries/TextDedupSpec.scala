@@ -206,6 +206,35 @@ class TextDedupSpec extends SparkSpec {
     assert(got === exp)
   }
 
+  test("dedupPrefix == brute-force prefix scan; fingerprint precondition holds") {
+    // completeness of the first-10-word blocking requires every doc to
+    // carry >= 10 words — pin the corpus precondition the scaladoc claims
+    val floor = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(min(size(split(col("text"), " ")))).head().getInt(0)
+    assert(floor >= 10, s"corpus min words $floor < fingerprint width 10")
+    // crafted corpus: truncations at word boundaries, an exact dup, a
+    // same-head NON-prefix pair (shared 10-word head, divergent tail,
+    // must be filtered by the verify), and an unrelated doc
+    val head10 = (1 to 10).map("w" + _).mkString(" ")
+    val docs = Seq(
+      1L -> (head10 + " tail one two three"),
+      2L -> head10,                       // strict prefix of 1 (and 3, 4)
+      3L -> (head10 + " tail one two three"), // exact dup of 1
+      4L -> (head10 + " different continuation"), // same head, not a prefix of 1/3
+      5L -> (1 to 10).map("x" + _).mkString(" ")) // unrelated
+    val dir = java.nio.file.Files.createTempDirectory("graft-prefix").toString
+    docs.toDF("doc_id", "text").write.parquet(dir + "/documents.parquet")
+    val got = TextDedup.dedupPrefix.fn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    val exp = (for {
+      (a, ta) <- docs; (b, tb) <- docs if a < b
+      (s, l) = if (ta.length <= tb.length) (ta, tb) else (tb, ta)
+      if l.startsWith(s)
+    } yield (a, b, if (ta.length == tb.length) 1L else 0L)).toSet
+    assert(exp === Set((1L, 2L, 0L), (1L, 3L, 1L), (2L, 3L, 0L), (2L, 4L, 0L)))
+    assert(got === exp)
+  }
+
   test("dedupSubstring: marking is linear — no pair join anywhere in the plan") {
     val plan = TextDedup.dedupSubstring.fn(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
