@@ -54,7 +54,10 @@ class LayoutSpec extends SparkSpec {
     val zFiles = filesTouched(zDir)
     val linFiles = filesTouched(linDir)
     assert(linFiles >= 12, s"linear sort should scatter y (got $linFiles of 16 files)")
-    assert(zFiles <= 6, s"z-order should confine a y-slice (touched $zFiles files)")
+    // 16 aligned curve-segment boxes give <= 6 in a 1/16 band; the range
+    // partitioner's SAMPLED split points (seeded by RDD id, so they move
+    // with suite ordering) can land one boundary mid-box — allow +1
+    assert(zFiles <= 7, s"z-order should confine a y-slice (touched $zFiles files)")
     assert(zFiles < linFiles)
     // and the data round-trips intact
     assert(spark.read.parquet(zDir).count() === n.toLong * n)
@@ -75,8 +78,11 @@ class LayoutSpec extends SparkSpec {
     // that segment a compact box
     val ySlice = filesTouched(hDir, col("y").between(128, 143))
     val xSlice = filesTouched(hDir, col("x").between(64, 79))
-    assert(ySlice <= 6, s"hilbert y-slice touched $ySlice of 16 files")
-    assert(xSlice <= 6, s"hilbert x-slice touched $xSlice of 16 files")
+    // <= 6 aligned boxes per 1/16 band, +1 for a sampled (RDD-id-seeded,
+    // suite-order-dependent) range boundary landing mid-box — see the
+    // z-order test above
+    assert(ySlice <= 7, s"hilbert y-slice touched $ySlice of 16 files")
+    assert(xSlice <= 7, s"hilbert x-slice touched $xSlice of 16 files")
     assert(spark.read.parquet(hDir).count() === n.toLong * n)
   }
 }
