@@ -423,6 +423,67 @@ object EventsMultimodal {
           min("frame_idx").as("first_frame"), max("frame_idx").as("last_frame"))
   }
 
+  /** Per-item audio quality stats over the payload as fake 8-bit PCM —
+    * the third per-modality content analysis beside the histogram pair
+    * ops and the frame sampler: mean-amplitude mass (Σ|sample−128|),
+    * clipping count (samples at the rail, here bytes ≥ 120), and the
+    * LONGEST QUIET RUN — consecutive near-zero samples, the
+    * silence-trim/dead-air signal — via gaps-and-islands on the quiet
+    * positions (pos − row_number is constant along a run). A real
+    * deployment swaps the byte source for the mapPartitions decoder in
+    * [[graft.multimodal.Multimodal]]; every aggregation downstream is
+    * unchanged.
+    *
+    * Scale shape: the byte stream is the O(payload) split-to-chars
+    * posexplode (never per-position substring — that's O(doc²)); both
+    * consumers (the stats aggregate and the quiet-run islands) read one
+    * leased pass. The islands window partitions BY ITEM, so parallelism
+    * is #items; runs collapse map-side before the per-item max. */
+  val multimodalAudio = QuerySpec(
+    "q_multimodal_audio",
+    """WITH a AS (SELECT doc_id, text, length(text) AS n
+                  FROM documents WHERE doc_id % 3 = 1),
+       b AS (SELECT doc_id, i AS pos, ascii(substr(text, i, 1)) AS v
+             FROM a, UNNEST(generate_series(1, CAST(n AS INTEGER))) AS u(i)),
+       s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+                    CAST(sum(abs(v - 128)) AS BIGINT) AS amp_mass,
+                    CAST(sum(CASE WHEN v >= 120 THEN 1 ELSE 0 END) AS BIGINT)
+                      AS n_clipped
+             FROM b GROUP BY 1),
+       q AS (SELECT doc_id, pos,
+                    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+             FROM b WHERE v <= 40),
+       r AS (SELECT doc_id, max(cnt) AS max_quiet
+             FROM (SELECT doc_id, isl, count(*) AS cnt FROM q GROUP BY 1, 2)
+             GROUP BY 1)
+       SELECT s.doc_id, s.n_samples, s.amp_mass, s.n_clipped,
+              CAST(coalesce(r.max_quiet, 0) AS BIGINT) AS max_quiet_run
+       FROM s LEFT JOIN r ON r.doc_id = s.doc_id""") {
+    (s, d) =>
+      val bytes = graft.ops.Caches.lease(
+        Tables.documents(s, d)
+          .filter(col("doc_id") % 3 === 1) // the 'audio' modality slice
+          .select(col("doc_id"),
+            posexplode(expr(
+              """CASE WHEN length(text) >= 1
+                 THEN transform(split(text, ''), c -> ascii(c))
+                 ELSE array() END""")))
+          .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("v")))
+      val stats = bytes.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_samples"),
+          sum(abs(col("v") - 128)).cast("long").as("amp_mass"),
+          sum(when(col("v") >= 120, 1L).otherwise(0L)).as("n_clipped"))
+      val runs = bytes.filter(col("v") <= 40)
+        .withColumn("isl", col("pos") - row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("doc_id").orderBy("pos")))
+        .groupBy("doc_id", "isl").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id").agg(max("cnt").as("max_quiet"))
+      stats.join(runs, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_samples"), col("amp_mass"), col("n_clipped"),
+          coalesce(col("max_quiet"), lit(0L)).as("max_quiet_run"))
+  }
+
   /** AS-OF join (ops.TemporalJoins.asOfJoin): each click matched to the
     * user's latest purchase at-or-before it — one shuffle+sort composition
     * of an operator Spark lacks natively. Oracle: DuckDB's native
@@ -1493,6 +1554,7 @@ object EventsMultimodal {
   val specs: Seq[QuerySpec] = Seq(
     streamWindow, streamSliding, sessionWindow, sessionize, multimodalMeta,
     multimodalHistDup, multimodalQuality, multimodalBlockhash, multimodalFrames,
+    multimodalAudio,
     asofJoin, asofExec, rangeJoinBinned,
     sketchCountMin, rollingFrames, funnel, jsonExtract, gapFill, outlierZscore,
     rollingTime, winsorize, intervalMerge, markovTransitions, anomalyMad,

@@ -47,6 +47,31 @@ class MultimodalSpec extends SparkSpec {
     assert(img.n_frames === 1)
   }
 
+  test("multimodalAudio: amplitude mass, clipping, and quiet runs match a direct scan") {
+    // crafted payloads (doc_id ≡ 1 mod 3 selects the audio slice):
+    // id 1 has a 3-space quiet run and two 'z'-rail bytes; id 4 has no
+    // quiet byte at all (max_quiet_run must be 0, via the left join);
+    // id 2 is NOT audio and must not appear
+    val docs = Seq(
+      (1L, "az   bzz a"), (4L, "abcdef"), (2L, "   ")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-audio").toString
+    docs.write.parquet(dir + "/documents.parquet")
+    val got = graft.queries.EventsMultimodal.multimodalAudio.fn(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    graft.ops.Caches.drain()
+    def brute(t: String) = {
+      val bs = t.map(_.toInt)
+      val quietRuns = t.map(c => if (c.toInt <= 40) 'q' else '.')
+        .mkString.split("\\.").map(_.length)
+      (bs.size.toLong, bs.map(v => math.abs(v - 128)).sum.toLong,
+        bs.count(_ >= 120).toLong,
+        if (quietRuns.isEmpty) 0L else quietRuns.max.toLong)
+    }
+    assert(got === Map(1L -> brute("az   bzz a"), 4L -> brute("abcdef")))
+    assert(got(1L)._4 === 3L && got(4L)._4 === 0L && got(1L)._3 === 3L)
+  }
+
   test("blockhash pairs are a subset of global-histogram pairs, non-vacuously") {
     // Σ_blocks L1_block ≥ L1_global: splitting a histogram positionally
     // can only EXPOSE differences the global marginal hides, so at the
