@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Exact, QuerySpec, Tables}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -421,6 +421,80 @@ object EventsMultimodal {
         .groupBy("doc_id", "n_frames")
         .agg(count(lit(1)).cast("long").as("n_sampled"),
           min("frame_idx").as("first_frame"), max("frame_idx").as("last_frame"))
+  }
+
+  /** RFM (recency / frequency / monetary) segmentation of purchasers —
+    * the classic lifecycle-marketing rollup, built the scale-correct way:
+    * NO `ntile()` (an unpartitioned window serializes the user table
+    * through one task); instead the nine quartile boundaries come from
+    * one PERCENTILE_DISC aggregate over the already-collapsed per-user
+    * table — a single row that broadcasts back, with quartile assignment
+    * a per-row comparison. Money stays exact: values quantize to integer
+    * cents (floor(v·100+0.5), bit-identical IEEE in both engines) before
+    * the sum, so segment boundaries can't drift on addition order.
+    *
+    * Scale shape: one map-side-combinable per-user aggregate over the
+    * purchase slice, one metadata-sized boundary row, one bounded
+    * (≤4³ rows) segment rollup. The percentile buffer holds the
+    * AGGREGATED user table, not the stream — same legitimacy class as
+    * q_percentile_disc. */
+  val rfmSegments = QuerySpec(
+    "q_rfm",
+    """WITH p AS (SELECT user_id,
+                    max(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))) AS r,
+                    count(*) AS f,
+                    sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS m
+                  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       b AS (SELECT percentile_disc(0.25) WITHIN GROUP (ORDER BY r) AS r1,
+                    percentile_disc(0.5)  WITHIN GROUP (ORDER BY r) AS r2,
+                    percentile_disc(0.75) WITHIN GROUP (ORDER BY r) AS r3,
+                    percentile_disc(0.25) WITHIN GROUP (ORDER BY f) AS f1,
+                    percentile_disc(0.5)  WITHIN GROUP (ORDER BY f) AS f2,
+                    percentile_disc(0.75) WITHIN GROUP (ORDER BY f) AS f3,
+                    percentile_disc(0.25) WITHIN GROUP (ORDER BY m) AS m1,
+                    percentile_disc(0.5)  WITHIN GROUP (ORDER BY m) AS m2,
+                    percentile_disc(0.75) WITHIN GROUP (ORDER BY m) AS m3
+             FROM p),
+       seg AS (SELECT
+                 CASE WHEN r <= r1 THEN 1 WHEN r <= r2 THEN 2
+                      WHEN r <= r3 THEN 3 ELSE 4 END AS r_q,
+                 CASE WHEN f <= f1 THEN 1 WHEN f <= f2 THEN 2
+                      WHEN f <= f3 THEN 3 ELSE 4 END AS f_q,
+                 CASE WHEN m <= m1 THEN 1 WHEN m <= m2 THEN 2
+                      WHEN m <= m3 THEN 3 ELSE 4 END AS m_q,
+                 m
+               FROM p CROSS JOIN b)
+       SELECT CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+              CAST(m_q AS BIGINT) AS m_q,
+              CAST(count(*) AS BIGINT) AS n_users,
+              CAST(sum(m) AS BIGINT) AS segment_cents
+       FROM seg GROUP BY 1, 2, 3""") {
+    (s, d) =>
+      val p = graft.ops.Caches.lease(Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(max(expr("datediff(cast(ts as date), DATE'1970-01-01')")).as("r"),
+          count(lit(1)).as("f"),
+          sum(expr("cast(floor(value * 100 + 0.5) as bigint)")).as("m")))
+      val b = p.agg(
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY r)").as("r1"),
+        expr("percentile_disc(0.5)  WITHIN GROUP (ORDER BY r)").as("r2"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY r)").as("r3"),
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY f)").as("f1"),
+        expr("percentile_disc(0.5)  WITHIN GROUP (ORDER BY f)").as("f2"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY f)").as("f3"),
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY m)").as("m1"),
+        expr("percentile_disc(0.5)  WITHIN GROUP (ORDER BY m)").as("m2"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY m)").as("m3"))
+      def q(v: Column, p1: Column, p2: Column, p3: Column): Column =
+        when(v <= p1, 1L).when(v <= p2, 2L).when(v <= p3, 3L).otherwise(4L)
+      p.crossJoin(broadcast(b))
+        .select(q(col("r"), col("r1"), col("r2"), col("r3")).as("r_q"),
+          q(col("f"), col("f1"), col("f2"), col("f3")).as("f_q"),
+          q(col("m"), col("m1"), col("m2"), col("m3")).as("m_q"),
+          col("m"))
+        .groupBy("r_q", "f_q", "m_q")
+        .agg(count(lit(1)).as("n_users"), sum("m").cast("long").as("segment_cents"))
   }
 
   /** Per-item audio quality stats over the payload as fake 8-bit PCM —
@@ -1554,7 +1628,7 @@ object EventsMultimodal {
   val specs: Seq[QuerySpec] = Seq(
     streamWindow, streamSliding, sessionWindow, sessionize, multimodalMeta,
     multimodalHistDup, multimodalQuality, multimodalBlockhash, multimodalFrames,
-    multimodalAudio,
+    multimodalAudio, rfmSegments,
     asofJoin, asofExec, rangeJoinBinned,
     sketchCountMin, rollingFrames, funnel, jsonExtract, gapFill, outlierZscore,
     rollingTime, winsorize, intervalMerge, markovTransitions, anomalyMad,

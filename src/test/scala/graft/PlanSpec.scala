@@ -582,6 +582,18 @@ class PlanSpec extends SparkSpec {
     graft.ops.Caches.drain()
   }
 
+  test("q_rfm: quartile boundaries broadcast; no window anywhere (the ntile trap)") {
+    val q = SparkEntry.queries("q_rfm")(spark, sf)
+    val opt = q.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("windowspecdefinition"),
+      s"RFM must not use windows — an unpartitioned ntile serializes the user table:\n$opt")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"the single boundary row must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"no shuffle join in RFM:\n$plan")
+    graft.ops.Caches.drain()
+  }
+
   test("q_ab_test / q_text_boilerplate: broadcast scalars; posting join, no product") {
     val ab = SparkEntry.queries("q_ab_test")(spark, sf)
       .queryExecution.executedPlan.toString
