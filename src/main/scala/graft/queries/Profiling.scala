@@ -845,8 +845,56 @@ object Profiling {
         expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY slope)").as("ts_slope"))
   }
 
+  // -------------------------------------------------------------------
+  // Join-key skew audit
+  // -------------------------------------------------------------------
+
+  /** Key-distribution audit for join planning — the measurement that
+    * DECIDES between a plain shuffle join, AQE's runtime skew split, and
+    * [[graft.ops.Scale.saltedJoin]]: per candidate join column, the key
+    * count, the hottest key's frequency and corpus share (ppm), and the
+    * median/p99 frequency. A top1 share in the 10⁵-ppm range (like
+    * events.event_type here) means a shuffle on that key funnels 10%+ of
+    * the table through one reducer — salt it; a flat profile
+    * (events.user_id) joins plain.
+    *
+    * Scale shape: one map-side-combinable count per audited column — the
+    * stats then aggregate the COUNT table (#keys rows, not #rows). The
+    * exact percentile buffers that count table; at a 10⁹-key domain
+    * swap in [[graft.ops.Quantiles.exactQuantiles]] (histogram
+    * refinement, metadata-sized driver state) — same output, same plan
+    * upstream. */
+  val skewAudit = {
+    def sideSql(tbl: String, c: String) =
+      s"""SELECT '$tbl.$c' AS key_col, CAST(sum(f) AS BIGINT) AS n_rows,
+            CAST(count(*) AS BIGINT) AS n_keys, CAST(max(f) AS BIGINT) AS max_f,
+            CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY f) AS BIGINT) AS p50_f,
+            CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY f) AS BIGINT) AS p99_f,
+            CAST(max(f) * 1000000 // sum(f) AS BIGINT) AS top1_ppm
+          FROM (SELECT $c, count(*) AS f FROM $tbl GROUP BY 1)"""
+    QuerySpec(
+      "q_skew_audit",
+      Seq(("events", "event_type"), ("events", "user_id"),
+        ("lineitem", "l_partkey")).map((sideSql _).tupled).mkString("\nUNION ALL\n")) {
+      (s, d) =>
+        def side(df: DataFrame, tbl: String, c: String): DataFrame =
+          df.groupBy(col(c)).agg(count(lit(1)).as("f"))
+            .agg(sum("f").cast("long").as("n_rows"),
+              count(lit(1)).as("n_keys"),
+              max("f").as("max_f"),
+              expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY f)").cast("long").as("p50_f"),
+              expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY f)").cast("long").as("p99_f"),
+              expr("max(f) * 1000000 div sum(f)").as("top1_ppm"))
+            .select(lit(s"$tbl.$c").as("key_col"), col("n_rows"), col("n_keys"),
+              col("max_f"), col("p50_f"), col("p99_f"), col("top1_ppm"))
+        side(Tables.events(s, d), "events", "event_type")
+          .unionByName(side(Tables.events(s, d), "events", "user_id"))
+          .unionByName(side(Tables.table(s, d, "lineitem"), "lineitem", "l_partkey"))
+    }
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     profileColumns, fdAudit, edit1Neighbors, cusumChangepoint, windowDistinctKmv,
     basketRules, shareDrift, snmPairs, decayScore, attribLastTouch,
-    seasonalResidual, userStreak, bitmapDistinct, abTest, theilSen)
+    seasonalResidual, userStreak, bitmapDistinct, abTest, theilSen, skewAudit)
 }
