@@ -1625,6 +1625,46 @@ object EventsMultimodal {
           col("decile_value") / sum("decile_value").over(Window.partitionBy("event_type")))
   }
 
+  /** Trailing 7-day EXACT median (and envelope) of daily event counts per
+    * segment — the robust smoother monitoring dashboards want where a
+    * rolling MEAN chases spikes. Spark has no percentile window function,
+    * so the trailing window is expressed as a bounded range self-join of
+    * the DAILY AGGREGATE with itself (0..6 days back) + percentile_disc
+    * per anchor day — the join and the percentile run over the
+    * #segments×#days table, which is metadata-sized next to the event
+    * stream: the ONLY corpus-sized operation is the first groupBy, and
+    * fan-out is capped at 7 rows per aggregate row by construction.
+    * Integer counts end-to-end (percentile_disc SELECTS an element —
+    * no interpolation, no doubles). At a finer grid (minutes, many
+    * segments) the same shape holds: bucket the self-join on
+    * (segment, day div W) to keep both sides co-partitioned. */
+  val rollingMedian = QuerySpec(
+    "q_rolling_median",
+    """WITH dv AS (SELECT event_type, CAST(ts AS DATE) AS d,
+                          CAST(count(*) AS BIGINT) AS c
+                   FROM events GROUP BY 1, 2)
+       SELECT a.event_type, a.d,
+              CAST(count(*) AS BIGINT) AS n_days,
+              CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY b.c) AS BIGINT) AS med_c,
+              CAST(min(b.c) AS BIGINT) AS min_c, CAST(max(b.c) AS BIGINT) AS max_c
+       FROM dv a JOIN dv b
+         ON a.event_type = b.event_type
+        AND date_diff('day', b.d, a.d) BETWEEN 0 AND 6
+       GROUP BY 1, 2""") {
+    (s, d) =>
+      val dv = Tables.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+        .agg(count(lit(1)).as("c"))
+      val a = dv.select(col("event_type"), col("d"))
+      val b = dv.select(col("event_type").as("bt"), col("d").as("bd"), col("c"))
+      a.join(b, col("event_type") === col("bt") &&
+          datediff(col("d"), col("bd")).between(0, 6))
+        .groupBy("event_type", "d")
+        .agg(count(lit(1)).as("n_days"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY c)").cast("long").as("med_c"),
+          min("c").as("min_c"), max("c").as("max_c"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     streamWindow, streamSliding, sessionWindow, sessionize, multimodalMeta,
     multimodalHistDup, multimodalQuality, multimodalBlockhash, multimodalFrames,
@@ -1635,5 +1675,5 @@ object EventsMultimodal {
     retentionCohorts, periodDelta, jsonRoundtrip, linearFit, seqPaths,
     percentileCont, rangeJoinAuto, momentsProfile, twap, funnel3,
     giniConcentration, autocorr, benford, audienceOverlap, burstiness,
-    stickiness, lorenzDeciles)
+    stickiness, lorenzDeciles, rollingMedian)
 }

@@ -893,8 +893,91 @@ object Profiling {
     }
   }
 
+  /** Exact join-cardinality prediction WITHOUT running the join:
+    * |A ⋈ₖ B| = Σₖ aₖ·bₖ over the two per-key COUNT tables — the
+    * estimator a planner consults before committing to a shuffle. The
+    * count tables are #keys rows (tiny next to the inputs), so the
+    * predictor costs two grouped scans + one key join of aggregates
+    * where the real join would cost the full fan-out — the
+    * events⋈events row here is the point: joining on a 5-value key
+    * predicts ~7×10⁸ output rows from 6×10⁴ inputs, the number that
+    * says "don't". max_key_pairs is the hottest key's contribution —
+    * the same signal [[skewAudit]] reads per side, here for the PAIR. */
+  val joinCardinality = {
+    def pairSql(name: String, at: String, ak: String, bt: String, bk: String) =
+      s"""SELECT '$name' AS join_name,
+            CAST(count(*) AS BIGINT) AS n_keys,
+            CAST(sum(a.c * b.c) AS BIGINT) AS pred_rows,
+            CAST(max(a.c * b.c) AS BIGINT) AS max_key_pairs
+          FROM (SELECT $ak AS k, count(*) AS c FROM $at GROUP BY 1) a
+          JOIN (SELECT $bk AS k, count(*) AS c FROM $bt GROUP BY 1) b USING (k)"""
+    QuerySpec(
+      "q_join_cardinality",
+      Seq(("lineitem*part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("orders*customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("events*events", "events", "event_type", "events", "event_type"))
+        .map((pairSql _).tupled).mkString("\nUNION ALL\n")) {
+      (s, d) =>
+        def counts(df: DataFrame, k: String): DataFrame =
+          df.groupBy(col(k).as("k")).agg(count(lit(1)).as("c"))
+        def pair(name: String, a: DataFrame, b: DataFrame): DataFrame =
+          a.join(b.withColumnRenamed("c", "bc"), "k")
+            .agg(count(lit(1)).as("n_keys"),
+              sum(col("c") * col("bc")).as("pred_rows"),
+              max(col("c") * col("bc")).as("max_key_pairs"))
+            .select(lit(name).as("join_name"), col("n_keys"), col("pred_rows"),
+              col("max_key_pairs"))
+        val ev = counts(Tables.events(s, d), "event_type")
+        pair("lineitem*part",
+          counts(Tables.table(s, d, "lineitem"), "l_partkey"),
+          counts(Tables.part(s, d), "p_partkey"))
+          .unionByName(pair("orders*customer",
+            counts(Tables.orders(s, d), "o_custkey"),
+            counts(Tables.customer(s, d), "c_custkey")))
+          .unionByName(pair("events*events", ev, ev))
+    }
+  }
+
+  /** Small-number suppression audit — the disclosure-control gate every
+    * published statistics table passes before release (the NHS/ONS rule
+    * the reference's published_* views feed into: cells of 1-4 persons
+    * are suppressed, survivors round to the nearest 5). The publication
+    * grid here is nation × market segment × account-balance band; the
+    * report is per-segment: cell count, the grid's actual k-anonymity
+    * (min cell), suppressed cells/persons, and the published total after
+    * round-to-5 of surviving cells. One grouped pass builds the grid;
+    * every audit number aggregates the #cells table. Integer arithmetic
+    * throughout — round-to-5 is (c+2) div 5 * 5, exact in both engines. */
+  val kanonSuppress = QuerySpec(
+    "q_kanon_suppress",
+    """WITH g AS (SELECT c_nationkey, c_mktsegment,
+                         CAST(floor(c_acctbal / 5000) AS BIGINT) AS band,
+                         count(*) AS c
+                  FROM customer GROUP BY 1, 2, 3)
+       SELECT c_mktsegment,
+              CAST(count(*) AS BIGINT) AS n_cells,
+              CAST(min(c) AS BIGINT) AS k_min,
+              CAST(sum(CASE WHEN c < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_suppressed,
+              CAST(sum(CASE WHEN c < 5 THEN c ELSE 0 END) AS BIGINT) AS suppressed_rows,
+              CAST(sum(CASE WHEN c >= 5 THEN (c + 2) // 5 * 5 ELSE 0 END) AS BIGINT) AS published_total
+       FROM g GROUP BY 1""") {
+    (s, d) =>
+      Tables.customer(s, d)
+        .groupBy(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 5000).cast("long").as("band"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_cells"),
+          min("c").as("k_min"),
+          sum(when(col("c") < 5, 1L).otherwise(0L)).as("n_suppressed"),
+          sum(when(col("c") < 5, col("c")).otherwise(0L)).as("suppressed_rows"),
+          sum(when(col("c") >= 5, expr("(c + 2) div 5 * 5")).otherwise(0L))
+            .as("published_total"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     profileColumns, fdAudit, edit1Neighbors, cusumChangepoint, windowDistinctKmv,
     basketRules, shareDrift, snmPairs, decayScore, attribLastTouch,
-    seasonalResidual, userStreak, bitmapDistinct, abTest, theilSen, skewAudit)
+    seasonalResidual, userStreak, bitmapDistinct, abTest, theilSen, skewAudit,
+    joinCardinality, kanonSuppress)
 }
