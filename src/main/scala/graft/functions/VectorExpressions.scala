@@ -205,6 +205,31 @@ object VectorExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** True Damerau-Levenshtein distance of two string columns (UTF-8
+    * bytes, unrestricted transpositions — [[VectorKernels
+    * .damerauLevenshtein]]). Spark ships `levenshtein` but nothing
+    * transposition-aware; typo-heavy entity resolution wants "hte"→"the"
+    * to cost 1, not 2. Codegen for the fuzzy-join hot path: the kernel
+    * runs per blocked candidate pair. */
+  case class DamerauLevenshtein(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "damerau_levenshtein"
+
+    override def nullSafeEval(l: Any, r: Any): Any =
+      VectorKernels.damerauLevenshtein(
+        l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.VectorKernels.damerauLevenshtein($a, $b);")
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   private def hilbertBuilder(es: Seq[Expression]): Expression = {
     require(es.length == 3, "hilbert_d2(x, y, bits) takes exactly 3 arguments")
     val lit = es(2) match {
@@ -234,6 +259,7 @@ object VectorExpressions {
     reg.createOrReplaceTempFunction("hilbert_d2", hilbertBuilder, "built-in")
     reg.createOrReplaceTempFunction("vector_l1_i64", es => VectorL1I64(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("vector_distsq_i64", es => VectorDistSqI64(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("damerau_levenshtein", es => DamerauLevenshtein(es.head, es(1)), "built-in")
   }
 
   // Column-level entry points (require register(spark) on the session)
@@ -247,4 +273,5 @@ object VectorExpressions {
     call_function("hilbert_d2", x, y, bits)
   def vector_l1_i64(a: Column, b: Column): Column = call_function("vector_l1_i64", a, b)
   def vector_distsq_i64(a: Column, b: Column): Column = call_function("vector_distsq_i64", a, b)
+  def damerau_levenshtein(a: Column, b: Column): Column = call_function("damerau_levenshtein", a, b)
 }

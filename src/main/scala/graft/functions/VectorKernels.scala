@@ -136,6 +136,60 @@ object VectorKernels {
     d
   }
 
+  /** True Damerau-Levenshtein distance (unrestricted adjacent
+    * transpositions, NOT the OSA restriction) over the strings' UTF-8
+    * BYTES. Both choices match DuckDB's `damerau_levenshtein` exactly —
+    * probed: d("CA","ABC")=2 (OSA would say 3) and d("héllo","hello")=2
+    * (code-point distance would say 1) — so the oracle compare is
+    * byte-for-byte meaningful on any input, not just ASCII. Classic
+    * Lowrance-Wagner DP with a 256-entry last-occurrence table; O(|a|·|b|)
+    * time and space per pair, which is why callers must block candidates
+    * first (this runs per in-block pair, never all-pairs). */
+  def damerauLevenshtein(aStr: UTF8String, bStr: UTF8String): Long = {
+    val a = aStr.getBytes
+    val b = bStr.getBytes
+    val la = a.length
+    val lb = b.length
+    if (la == 0) return lb.toLong
+    if (lb == 0) return la.toLong
+    val w = lb + 2
+    val inf = la + lb
+    // (la+2) x (lb+2) DP matrix, flattened; row 0 is the "minus infinity"
+    // sentinel row the transposition case indexes into.
+    val d = new Array[Int]((la + 2) * w)
+    d(0) = inf
+    var i = 0
+    while (i <= la) { d((i + 1) * w) = inf; d((i + 1) * w + 1) = i; i += 1 }
+    var j = 0
+    while (j <= lb) { d(j + 1) = inf; d(w + j + 1) = j; j += 1 }
+    val da = new Array[Int](256) // last row in which each byte value occurred in a
+    i = 1
+    while (i <= la) {
+      var db = 0 // last column in THIS row where a(i-1) matched b
+      val ai = a(i - 1) & 0xff
+      j = 1
+      while (j <= lb) {
+        val bj = b(j - 1) & 0xff
+        val k = da(bj)
+        val l = db
+        val cost = if (ai == bj) { db = j; 0 } else 1
+        val sub = d(i * w + j) + cost
+        val ins = d((i + 1) * w + j) + 1
+        val del = d(i * w + j + 1) + 1
+        val trans = d(k * w + l) + (i - k - 1) + 1 + (j - l - 1)
+        var m = sub
+        if (ins < m) m = ins
+        if (del < m) m = del
+        if (trans < m) m = trans
+        d((i + 1) * w + j + 1) = m
+        j += 1
+      }
+      da(ai) = i
+      i += 1
+    }
+    d((la + 1) * w + lb + 1).toLong
+  }
+
   /** All w-char window hashes of s in ONE pass: entry j (0-based) equals
     * [[rollingHash31]] of chars [j, j+w) — the TRUE rolling form
     * (subtract the outgoing char's 31^w term), where per-position

@@ -772,6 +772,56 @@ object Relational {
         .select("a_key", "b_key", "a_name", "b_name", "edit_dist")
   }
 
+  /** Transposition-aware fuzzy match: the q_fuzzy_match blocking (two
+    * equi-join candidate passes, union, dedup) re-scored with TRUE
+    * Damerau-Levenshtein via the custom codegen expression
+    * ([[graft.functions.VectorExpressions.DamerauLevenshtein]]) — Spark
+    * ships no transposition-aware distance, and typo pairs ("hte"/"the")
+    * cost 2 under plain levenshtein but 1 under DL, so a lev-thresholded
+    * matcher systematically under-merges swapped-token typos. Output
+    * carries both distances; `dl_wins` marks pairs the transposition
+    * case tightened. Same scale shape as q_fuzzy_match: the O(|a|·|b|)
+    * DP runs per IN-BLOCK pair only, never all-pairs. */
+  val fuzzyDamerau = QuerySpec(
+    "q_fuzzy_damerau",
+    """WITH p AS (SELECT p_partkey, p_name, p_brand, p_size,
+                         string_split(p_name, ' ')[1] AS tok0 FROM part),
+       cand AS (
+         SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+                a.p_name AS a_name, b.p_name AS b_name
+         FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+                          AND a.p_partkey < b.p_partkey
+         UNION
+         SELECT a.p_partkey, b.p_partkey, a.p_name, b.p_name
+         FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.tok0 = b.tok0
+                          AND a.p_partkey < b.p_partkey)
+       SELECT a_key, b_key, a_name, b_name,
+              CAST(damerau_levenshtein(a_name, b_name) AS BIGINT) AS dl_dist,
+              CAST(levenshtein(a_name, b_name) AS BIGINT) AS lev_dist,
+              damerau_levenshtein(a_name, b_name) < levenshtein(a_name, b_name) AS dl_wins
+       FROM cand WHERE damerau_levenshtein(a_name, b_name) <= 2""") {
+    (s, d) =>
+      graft.functions.VectorExpressions.register(s)
+      import graft.functions.VectorExpressions.damerau_levenshtein
+      val p = Tables.part(s, d)
+        .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_size"),
+          element_at(split(col("p_name"), " "), 1).as("tok0"))
+      val a = p.toDF("a_key", "a_name", "p_brand", "p_size", "tok0")
+      val b = p.toDF("b_key", "b_name", "p_brand", "p_size", "tok0")
+      def pass(keys: Seq[String]): org.apache.spark.sql.DataFrame =
+        a.join(b, keys)
+          .filter(col("a_key") < col("b_key"))
+          .select("a_key", "b_key", "a_name", "b_name")
+      pass(Seq("p_brand", "p_size"))
+        .unionByName(pass(Seq("p_brand", "tok0")))
+        .distinct()
+        .withColumn("dl_dist", damerau_levenshtein(col("a_name"), col("b_name")))
+        .filter(col("dl_dist") <= 2)
+        .withColumn("lev_dist", levenshtein(col("a_name"), col("b_name")).cast("long"))
+        .withColumn("dl_wins", col("dl_dist") < col("lev_dist"))
+        .select("a_key", "b_key", "a_name", "b_name", "dl_dist", "lev_dist", "dl_wins")
+  }
+
   /** Exact grouped COUNT(DISTINCT) — the two-phase distinct aggregation
     * (partial distinct per partition, exchange on (group, value), final
     * count); contrast with the Count-Min sketch for when exactness is
@@ -1152,7 +1202,7 @@ object Relational {
   val specs: Seq[QuerySpec] = Seq(
     zorderKey, hilbertKey, recursiveCte, schemaDrift, paretoFront, lateralTopk,
     sortLimit, pricingSummary, skewSaltedJoin, join5Revenue,
-    rollupTotals, cubeTotals, groupingSetsTotals, fuzzyMatch,
+    rollupTotals, cubeTotals, groupingSetsTotals, fuzzyMatch, fuzzyDamerau,
     countDistinct_, stringAgg, semiAntiJoin, setOps, setOpsAll, corrStats, modeValue,
     scanProject, filterDisjunctive, derivedFlags, antiConjExclusion,
     loadProjection, viewFilter, generaliseKeep, generaliseReplace,

@@ -111,6 +111,88 @@ class VectorExpressionsSpec extends SparkSpec {
       graft.functions.VectorKernels.hilbertD2(r.getLong(0), r.getLong(1), 3)))
   }
 
+  test("damerau_levenshtein: pinned values distinguishing true-DL from OSA") {
+    import graft.functions.VectorKernels.{damerauLevenshtein => dl}
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    // probed against DuckDB 1.0.0 damerau_levenshtein (the oracle engine):
+    assert(dl(u("CA"), u("ABC")) === 2L)   // OSA would say 3 — true DL
+    assert(dl(u("ab"), u("ba")) === 1L)    // plain transposition
+    assert(dl(u("abc"), u("ca")) === 2L)
+    assert(dl(u(""), u("abc")) === 3L)
+    assert(dl(u("abc"), u("")) === 3L)
+    assert(dl(u(""), u("")) === 0L)
+    assert(dl(u("same"), u("same")) === 0L)
+    assert(dl(u("hte"), u("the")) === 1L)  // the typo class lev scores 2
+    assert(dl(u("héllo"), u("hello")) === 2L) // BYTE distance (é = 2 UTF-8 bytes), matches DuckDB
+  }
+
+  test("damerau_levenshtein equals BFS-minimal edit count (independent semantic oracle)") {
+    // True DL = minimum number of {insert, delete, substitute,
+    // transpose-adjacent} ops transforming a into b, each op applied to
+    // the CURRENT string (unrestricted — a transposed pair may be edited
+    // again). BFS over current-string states computes exactly that
+    // definition, independently of the Lowrance-Wagner DP under test.
+    def bfsDl(a: String, b: String, maxD: Int): Int = {
+      if (a == b) return 0
+      val alpha = (a + b).toSet.toSeq
+      var frontier = Set(a)
+      val seen = scala.collection.mutable.Set(a)
+      var depth = 0
+      while (depth < maxD) {
+        depth += 1
+        val next = scala.collection.mutable.Set.empty[String]
+        for (s <- frontier) {
+          val edits = Iterator(
+            (0 to s.length).iterator.flatMap(i => alpha.iterator.map(c => s.substring(0, i) + c + s.substring(i))),
+            (0 until s.length).iterator.map(i => s.substring(0, i) + s.substring(i + 1)),
+            (0 until s.length).iterator.flatMap(i => alpha.iterator.map(c => s.substring(0, i) + c + s.substring(i + 1))),
+            (0 until s.length - 1).iterator.map(i =>
+              s.substring(0, i) + s.charAt(i + 1) + s.charAt(i) + s.substring(i + 2))).flatten
+          for (t <- edits if t.length <= a.length.max(b.length) + maxD && !seen(t)) {
+            if (t == b) return depth
+            seen += t; next += t
+          }
+        }
+        frontier = next.toSet
+      }
+      maxD + 1 // not reachable within maxD
+    }
+    import graft.functions.VectorKernels.{damerauLevenshtein => dl}
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abc"
+    for (_ <- 1 to 120) {
+      val a = (0 until rnd.nextInt(5)).map(_ => alphabet(rnd.nextInt(3))).mkString
+      val b = (0 until rnd.nextInt(5)).map(_ => alphabet(rnd.nextInt(3))).mkString
+      val got = dl(u(a), u(b)).toInt
+      val maxD = a.length.max(b.length)
+      val want = bfsDl(a, b, maxD)
+      assert(got === want, s"dl('$a','$b'): kernel=$got bfs=$want")
+    }
+  }
+
+  test("damerau_levenshtein codegen path agrees with the kernel and lev lower-bounds it") {
+    VectorExpressions.register(spark)
+    val rnd = new scala.util.Random(7)
+    val pairs = (1 to 200).map { i =>
+      def word = (0 until 3 + rnd.nextInt(8)).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+      (i.toLong, word, word)
+    }
+    val out = pairs.toDF("id", "a", "b")
+      .select(col("a"), col("b"),
+        damerau_levenshtein(col("a"), col("b")).as("dl"),
+        levenshtein(col("a"), col("b")).cast("long").as("lev"))
+      .collect()
+    out.foreach { r =>
+      val k = graft.functions.VectorKernels.damerauLevenshtein(
+        org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)),
+        org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(1)))
+      assert(r.getLong(2) === k, s"codegen/kernel mismatch on ${r.getString(0)}/${r.getString(1)}")
+      assert(r.getLong(2) <= r.getLong(3), "DL must lower-bound levenshtein")
+      assert(r.getLong(2) >= math.abs(r.getString(0).length - r.getString(1).length))
+    }
+  }
+
   test("expressions work through the SQL surface after register()") {
     VectorExpressions.register(spark)
     vecs.createOrReplaceTempView("vecs_t")
