@@ -38,5 +38,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("kmv_sketch"),
       info("kmv_sketch", "kmv_sketch(hash_col, k) - bottom-k distinct values, sorted"),
       SketchAggregates.build))
+    ext.injectFunction((
+      FunctionIdentifier("mg_topk"),
+      info("mg_topk", "mg_topk(string_col, k) - Misra-Gries heavy-hitter candidates with lower-bound counts"),
+      SketchAggregates.buildMg))
+    ext.injectFunction((
+      FunctionIdentifier("damerau_levenshtein"),
+      info("damerau_levenshtein", "damerau_levenshtein(a, b) - true Damerau-Levenshtein distance over UTF-8 bytes"),
+      es => VectorExpressions.DamerauLevenshtein(es.head, es(1))))
   }
 }

@@ -975,9 +975,50 @@ object Profiling {
             .as("published_total"))
   }
 
+  // -------------------------------------------------------------------
+  // Heavy hitters: Misra-Gries candidates + exact verify
+  // -------------------------------------------------------------------
+
+  /** Distributed heavy hitters (frequency > n/(k+1)) in the two-phase
+    * sketch-then-verify shape: phase 1 runs the custom
+    * [[graft.functions.SketchAggregates.MgTopKAgg]] aggregate
+    * (`mg_topk(event_type, 7)`) — a Misra-Gries summary whose aggregation
+    * buffer crosses the shuffle with AT MOST k entries per partition, so
+    * candidate generation over a 10⁹-type column costs k·#partitions
+    * shuffle bytes, never a full-cardinality exchange; phase 2 exactly
+    * re-counts ONLY the ≤k candidates via a broadcast semi-join and
+    * applies the threshold. The MG no-false-negative guarantee (any item
+    * with f > n/(k+1) is in the summary — Misra-Gries '82, merge bound
+    * from Agarwal et al. PODS'12) makes the two-phase result provably
+    * equal to the full GROUP BY + HAVING the oracle runs, which is what
+    * lets a sketch query live under an exact-hash correctness gate.
+    * The threshold compare is integer (cnt·(k+1) > n): no division. */
+  val heavyHitters = QuerySpec(
+    "q_heavy_hitters",
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+              (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_total
+       FROM events GROUP BY 1
+       HAVING count(*) * 8 > (SELECT count(*) FROM events)
+       ORDER BY event_type""") {
+    (s, d) =>
+      graft.functions.SketchAggregates.register(s)
+      import graft.functions.SketchAggregates.mg_topk
+      val ev = Tables.events(s, d).select("event_type")
+      val cand = ev.agg(mg_topk(col("event_type"), 7).as("sk"))
+        .select(explode(col("sk")).as("e"))
+        .select(col("e.item").as("event_type"))
+      val total = Tables.events(s, d).agg(count(lit(1)).as("n_total"))
+      ev.join(broadcast(cand), Seq("event_type"), "left_semi")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(total))
+        .filter(col("cnt") * lit(8L) > col("n_total"))
+        .orderBy("event_type")
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     profileColumns, fdAudit, edit1Neighbors, cusumChangepoint, windowDistinctKmv,
     basketRules, shareDrift, snmPairs, decayScore, attribLastTouch,
     seasonalResidual, userStreak, bitmapDistinct, abTest, theilSen, skewAudit,
-    joinCardinality, kanonSuppress)
+    joinCardinality, kanonSuppress, heavyHitters)
 }

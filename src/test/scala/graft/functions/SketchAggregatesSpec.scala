@@ -64,4 +64,94 @@ class SketchAggregatesSpec extends SparkSpec {
       .collect()
     assert(r.length === 3 && r.forall(_.getSeq[Long](1).size === 3))
   }
+
+  // ---------------------------------------------------------------- mg_topk
+
+  /** Zipf-ish synthetic stream: item i appears ~n/i times. */
+  private def zipfStream(seed: Int): Seq[String] = {
+    val rnd = new scala.util.Random(seed)
+    val items = (1 to 40).flatMap(i => Seq.fill(1200 / i)(s"item$i"))
+    rnd.shuffle(items)
+  }
+
+  test("mg_topk: error bound and no-false-negative guarantee under random merge trees") {
+    val k = 9
+    for (seed <- Seq(1, 2, 3)) {
+      val stream = zipfStream(seed)
+      val n = stream.length
+      val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val rnd = new scala.util.Random(seed + 100)
+      // random chunking → per-chunk update-only summaries → random-order merges
+      val chunks = stream.grouped(1 + rnd.nextInt(97)).toVector
+      val agg = SketchAggregates.MgTopKAgg(
+        org.apache.spark.sql.catalyst.expressions.BoundReference(
+          0, org.apache.spark.sql.types.StringType, nullable = true), k)
+      val bufs = scala.collection.mutable.ArrayBuffer(chunks.map { ch =>
+        val b = agg.createAggregationBuffer()
+        ch.foreach { s =>
+          agg.update(b, org.apache.spark.sql.catalyst.InternalRow(
+            org.apache.spark.unsafe.types.UTF8String.fromString(s)))
+        }
+        b
+      }: _*)
+      while (bufs.size > 1) { // merge two random summaries until one remains
+        val i = rnd.nextInt(bufs.size)
+        val a = bufs.remove(i)
+        val j = rnd.nextInt(bufs.size)
+        bufs(j) = agg.merge(bufs(j), a)
+      }
+      val result = bufs.head
+      import scala.jdk.CollectionConverters._
+      val lb = result.asScala.toMap
+      assert(lb.size <= k)
+      // PODS'12 bound: f(x) - n/(k+1) <= lb(x) <= f(x), for ALL x
+      lb.foreach { case (item, c) =>
+        assert(c <= truth(item), s"lb over-counts $item: $c > ${truth(item)}")
+      }
+      truth.foreach { case (item, f) =>
+        val c = lb.getOrElse(item, 0L)
+        assert(f - c <= n.toLong / (k + 1),
+          s"seed=$seed: error bound broken for $item: f=$f lb=$c n/(k+1)=${n / (k + 1)}")
+        if (f > n.toLong / (k + 1))
+          assert(lb.contains(item), s"seed=$seed: heavy hitter $item (f=$f) missing")
+      }
+    }
+  }
+
+  test("mg_topk through DataFrame surface: candidates cover exact heavy hitters at any partitioning") {
+    val k = 9
+    val stream = zipfStream(42)
+    val n = stream.length.toLong
+    val df = stream.toDF("item")
+    val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val heavy = truth.filter { case (_, f) => f > n / (k + 1) }.keySet
+    for (parts <- Seq(1, 7, 31)) {
+      val cand = df.repartition(parts)
+        .agg(SketchAggregates.mg_topk(col("item"), k).as("sk"))
+        .select(explode(col("sk")).as("e"))
+        .select(col("e.item"))
+        .as[String].collect().toSet
+      assert(heavy.subsetOf(cand),
+        s"parts=$parts: missing heavy hitters ${heavy -- cand}")
+      assert(cand.size <= k)
+    }
+  }
+
+  test("mg_topk plans as partial+final ObjectHashAggregate and rejects bad arguments") {
+    val df = zipfStream(7).toDF("item")
+    val plan = df.agg(SketchAggregates.mg_topk(col("item"), 5).as("sk"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.contains("partial_mg_topk"), s"no partial aggregation:\n$plan")
+    // analysis-time rejection: non-string child
+    val ex = intercept[Exception] {
+      Seq(1L, 2L).toDF("v").agg(expr("mg_topk(v, 3)")).collect()
+    }
+    assert(ex.getMessage.contains("string"), ex.getMessage)
+    // non-literal k
+    val ex2 = intercept[Exception] {
+      df.agg(expr("mg_topk(item, length(item))")).collect()
+    }
+    assert(ex2.getMessage.toLowerCase.contains("literal"), ex2.getMessage)
+  }
 }
