@@ -1585,11 +1585,58 @@ object Curation {
         .withColumn("boiler_m", expr("n_boiler * 1000000 div n_lines"))
   }
 
+  /** Per-source lexical diversity, all EXACT integer arithmetic: token
+    * count, type count, type-token ratio, Simpson repeat-concentration
+    * index Σc(c−1)/N(N−1) (the probability two random tokens are the
+    * same type — the entropy-free diversity measure that needs no log,
+    * so it survives the cross-engine hash gate), and hapax-legomena
+    * share. A corpus whose Simpson index drifts up between snapshots is
+    * getting more repetitive — the cheap canary for template/boilerplate
+    * contamination that runs BEFORE the expensive near-dup passes.
+    *
+    * Scale shape: one posting-table aggregation keyed (source, token) —
+    * map-side partial count, the shuffle carries one row per distinct
+    * (source, token) — then a #sources-row rollup. Overflow headroom:
+    * Σc(c−1) ≤ N², so the ×10⁶ ppm scaling stays inside a long for
+    * per-source N up to ~3·10⁶; beyond that, pre-scale N by a power of
+    * two (playbook #1) or lift to DECIMAL — the shape is unchanged. */
+  val textDiversity = QuerySpec(
+    "q_text_diversity",
+    """WITH tok AS (SELECT source, u.token
+                    FROM documents, UNNEST(str_split(text, ' ')) AS u(token)),
+       cnt AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c
+               FROM tok GROUP BY 1, 2)
+       SELECT source,
+              CAST(SUM(c) AS BIGINT) AS n_tokens,
+              CAST(COUNT(*) AS BIGINT) AS n_types,
+              CAST(COUNT(*) * 1000000 // SUM(c) AS BIGINT) AS ttr_ppm,
+              CAST(SUM(c * (c - 1)) * 1000000 // (SUM(c) * (SUM(c) - 1)) AS BIGINT) AS simpson_ppm,
+              CAST(COALESCE(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END), 0) * 1000000 // COUNT(*) AS BIGINT) AS hapax_ppm
+       FROM cnt GROUP BY 1 ORDER BY 1""") {
+    (s, d) =>
+      docs(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("token"))
+        .groupBy("source", "token").agg(count(lit(1)).as("c"))
+        .groupBy("source").agg(
+          sum("c").cast("long").as("n_tokens"),
+          count(lit(1)).cast("long").as("n_types"),
+          sum(col("c") * (col("c") - 1)).cast("long").as("rep_num"),
+          coalesce(sum(when(col("c") === 1, 1L).otherwise(0L)), lit(0L))
+            .cast("long").as("n_hapax"))
+        .select(
+          col("source"), col("n_tokens"), col("n_types"),
+          expr("n_types * 1000000L div n_tokens").cast("long").as("ttr_ppm"),
+          expr("rep_num * 1000000L div (n_tokens * (n_tokens - 1))")
+            .cast("long").as("simpson_ppm"),
+          expr("n_hapax * 1000000L div n_types").cast("long").as("hapax_ppm"))
+        .orderBy("source")
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     curationIngest, sampleBalanced,
     decontaminate, textRepetition, piiRedact, sampleWeighted,
     packChunks, sketchKmv, sketchBloom, sketchHll, histogramEquidepth,
     splitAssign, sourceOverlap, tfidfTopk, embedProject, qualityAudit,
     bpeMerges, bpeTokenize, mixRates, kmvJaccard, chunkOverlap, chunkContent, kmvAgg,
-    lmFluency, cooccurPmi, bm25Topk, hybridRrf, textBoilerplate)
+    lmFluency, cooccurPmi, bm25Topk, hybridRrf, textBoilerplate, textDiversity)
 }

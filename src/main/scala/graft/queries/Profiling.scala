@@ -1016,9 +1016,77 @@ object Profiling {
         .orderBy("event_type")
   }
 
+  // -------------------------------------------------------------------
+  // Declarative data-quality expectations (the Deequ/Great-Expectations shape)
+  // -------------------------------------------------------------------
+
+  /** Six declarative quality constraints over `orders`, evaluated in ONE
+    * scan: completeness (o_custkey not null), key uniqueness
+    * (o_orderkey), domain membership (o_orderstatus ∈ {O,F,P}), range
+    * (o_totalprice > 0), format (o_orderpriority ~ '^[1-5]-[A-Z ]+$'),
+    * and timestamp bounds. Every counter lives in the SAME wide
+    * aggregate — partial/final combined, so the 100 TB audit costs one
+    * pruned scan plus a single-row exchange regardless of how many
+    * constraints ride it — and the long-form reshape is a `stack` over
+    * that ONE aggregated row (the q_profile_columns pattern).
+    * Satisfaction rate is integer ppm (sat·10⁶ div n): no doubles near
+    * the hash gate. This is the pre-ingest gate a pipeline bolts in
+    * front of [[graft.etl.Sink]]: reject the batch when any `pass` is 0. */
+  val expectations = QuerySpec(
+    "q_expectations",
+    """WITH a AS (SELECT
+           CAST(COUNT(*) AS BIGINT) AS nr,
+           CAST(COUNT(o_custkey) AS BIGINT) AS c_nn,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS c_uq,
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END), 0) AS BIGINT) AS c_dom,
+           CAST(COALESCE(SUM(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS c_rng,
+           CAST(COALESCE(SUM(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$') THEN 1 ELSE 0 END), 0) AS BIGINT) AS c_fmt,
+           CAST(COALESCE(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1992-01-01' AND o_orderdate < TIMESTAMP '2005-01-01' THEN 1 ELSE 0 END), 0) AS BIGINT) AS c_ts
+         FROM orders)
+       SELECT constraint_name, n_rows, n_satisfied,
+              CAST(n_satisfied * 1000000 // n_rows AS BIGINT) AS sat_ppm,
+              CAST(CASE WHEN n_satisfied = n_rows THEN 1 ELSE 0 END AS BIGINT) AS pass
+       FROM (
+         SELECT 'complete_custkey' AS constraint_name, nr AS n_rows, c_nn AS n_satisfied FROM a
+         UNION ALL SELECT 'unique_orderkey', nr, c_uq FROM a
+         UNION ALL SELECT 'domain_orderstatus', nr, c_dom FROM a
+         UNION ALL SELECT 'range_totalprice', nr, c_rng FROM a
+         UNION ALL SELECT 'format_orderpriority', nr, c_fmt FROM a
+         UNION ALL SELECT 'bounds_orderdate', nr, c_ts FROM a) t""") {
+    (s, d) =>
+      val one = Tables.orders(s, d).agg(
+        count(lit(1)).cast("long").as("nr"),
+        count(col("o_custkey")).cast("long").as("c_nn"),
+        countDistinct(col("o_orderkey")).cast("long").as("c_uq"),
+        coalesce(sum(when(col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L)), lit(0L))
+          .cast("long").as("c_dom"),
+        coalesce(sum(when(col("o_totalprice") > 0, 1L).otherwise(0L)), lit(0L))
+          .cast("long").as("c_rng"),
+        coalesce(sum(when(col("o_orderpriority").rlike("^[1-5]-[A-Z ]+$"), 1L).otherwise(0L)), lit(0L))
+          .cast("long").as("c_fmt"),
+        coalesce(sum(when(
+          col("o_orderdate") >= to_timestamp(lit("1992-01-01")) &&
+            col("o_orderdate") < to_timestamp(lit("2005-01-01")), 1L).otherwise(0L)), lit(0L))
+          .cast("long").as("c_ts"))
+      one.select(expr(
+        """stack(6,
+             'complete_custkey', nr, c_nn,
+             'unique_orderkey', nr, c_uq,
+             'domain_orderstatus', nr, c_dom,
+             'range_totalprice', nr, c_rng,
+             'format_orderpriority', nr, c_fmt,
+             'bounds_orderdate', nr, c_ts)""")
+        .as(Seq("constraint_name", "n_rows", "n_satisfied")))
+        .select(
+          col("constraint_name"), col("n_rows"), col("n_satisfied"),
+          expr("n_satisfied * 1000000L div n_rows").cast("long").as("sat_ppm"),
+          when(col("n_satisfied") === col("n_rows"), 1L).otherwise(0L)
+            .cast("long").as("pass"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     profileColumns, fdAudit, edit1Neighbors, cusumChangepoint, windowDistinctKmv,
     basketRules, shareDrift, snmPairs, decayScore, attribLastTouch,
     seasonalResidual, userStreak, bitmapDistinct, abTest, theilSen, skewAudit,
-    joinCardinality, kanonSuppress, heavyHitters)
+    joinCardinality, kanonSuppress, heavyHitters, expectations)
 }
