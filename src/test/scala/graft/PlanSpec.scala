@@ -594,6 +594,47 @@ class PlanSpec extends SparkSpec {
     graft.ops.Caches.drain()
   }
 
+  test("q_heavy_hitters: MG candidates map-side combine; verify is broadcast, never a full-cardinality shuffle") {
+    val q = SparkEntry.queries("q_heavy_hitters")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    // phase 1: the MG aggregate runs partial/final (<=k entries cross the wire)
+    assert(plan.contains("ObjectHashAggregate"), s"MG sketch not object-hash-aggregated:\n$plan")
+    assert(plan.contains("partial_mg_topk"), s"no map-side MG combine:\n$plan")
+    // phase 2: candidates broadcast into a semi-join — the event stream
+    // never shuffles on event_type ahead of the candidate filter
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"candidate verify must be a broadcast semi-join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"no shuffle join in heavy hitters:\n$plan")
+  }
+
+  test("q_expectations: all six constraints ride ONE scan and one single-row exchange") {
+    val q = SparkEntry.queries("q_expectations")(spark, sf)
+    val plan = q.queryExecution.explainString(FormattedMode)
+    val scans = "orders.parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected 1 orders scan for 6 constraints, got $scans:\n$plan")
+    // pruned read: only the 6 referenced columns
+    assert(plan.contains("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint,o_orderstatus:string,o_totalprice:double,o_orderdate:timestamp_ntz,o_orderpriority:string>"),
+      s"constraint scan not pruned:\n$plan")
+  }
+
+  test("q_fuzzy_damerau: candidates from equi-join blocking, never a cartesian") {
+    val q = SparkEntry.queries("q_fuzzy_damerau")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"damerau pairing must stay blocked:\n$plan")
+    assert(plan.contains("damerau_levenshtein"), s"custom expression missing:\n$plan")
+  }
+
+  test("q_text_diversity: one posting aggregation; shuffle carries (source, token) counts only") {
+    val q = SparkEntry.queries("q_text_diversity")(spark, sf)
+    val plan = q.queryExecution.explainString(FormattedMode)
+    val scans = "documents.parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected 1 documents scan, got $scans")
+    assert(plan.contains("HashAggregate"), "posting counts must hash-aggregate (partial/final)")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("Join"),
+      s"diversity is join-free:\n$plan")
+  }
+
   test("q_ab_test / q_text_boilerplate: broadcast scalars; posting join, no product") {
     val ab = SparkEntry.queries("q_ab_test")(spark, sf)
       .queryExecution.executedPlan.toString
