@@ -1632,11 +1632,63 @@ object Curation {
         .orderBy("source")
   }
 
+  /** Per-source Flesch-Kincaid grade level in EXACT centi-units: words =
+    * space splits, sentences = '.' count (min 1), syllables = vowel-group
+    * count ('[aeiouy]+' runs — the standard cheap approximation). The
+    * grade formula 0.39·W/S + 11.8·Y/W − 15.59 is evaluated as ONE
+    * integer floor-division with a +2000 positivity shift —
+    * (39·W² + 1180·Y·S + 441·W·S) // (W·S) − 2000 — because Spark's
+    * `div` truncates toward zero while DuckDB's `//` floors: keeping the
+    * numerator non-negative makes the two identical (playbook #1's
+    * integer-bridge discipline applied to a rational formula). One scan,
+    * posting-free: every per-doc feature is a scalar expression, so the
+    * shuffle carries #sources aggregate rows. */
+  val textReadability = QuerySpec(
+    "q_text_readability",
+    """WITH d AS (SELECT source,
+           CAST(len(str_split(text, ' ')) AS BIGINT) AS w,
+           CAST(greatest(length(text) - length(replace(text, '.', '')), 1) AS BIGINT) AS st,
+           CAST(greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS BIGINT) AS y
+         FROM documents)
+       SELECT source,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(SUM(w) AS BIGINT) AS n_words,
+              CAST(SUM(st) AS BIGINT) AS n_sentences,
+              CAST(SUM(y) AS BIGINT) AS n_syllables,
+              CAST((39 * SUM(w) * SUM(w) + 1180 * SUM(y) * SUM(st) + 441 * SUM(w) * SUM(st))
+                   // (SUM(w) * SUM(st)) - 2000 AS BIGINT) AS fk_centi
+       FROM d GROUP BY 1 ORDER BY 1""") {
+    (s, d) =>
+      docs(s, d)
+        .select(
+          col("source"),
+          size(split(col("text"), " ")).cast("long").as("w"),
+          greatest(
+            length(col("text")) - length(expr("replace(text, '.', '')")), lit(1))
+            .cast("long").as("st"),
+          greatest(
+            size(expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")), lit(1))
+            .cast("long").as("y"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          sum("w").cast("long").as("n_words"),
+          sum("st").cast("long").as("n_sentences"),
+          sum("y").cast("long").as("n_syllables"))
+        .select(
+          col("source"), col("n_docs"), col("n_words"), col("n_sentences"), col("n_syllables"),
+          expr("""(39 * n_words * n_words + 1180 * n_syllables * n_sentences
+                   + 441 * n_words * n_sentences) div (n_words * n_sentences) - 2000""")
+            .cast("long").as("fk_centi"))
+        .orderBy("source")
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     curationIngest, sampleBalanced,
     decontaminate, textRepetition, piiRedact, sampleWeighted,
     packChunks, sketchKmv, sketchBloom, sketchHll, histogramEquidepth,
     splitAssign, sourceOverlap, tfidfTopk, embedProject, qualityAudit,
     bpeMerges, bpeTokenize, mixRates, kmvJaccard, chunkOverlap, chunkContent, kmvAgg,
-    lmFluency, cooccurPmi, bm25Topk, hybridRrf, textBoilerplate, textDiversity)
+    lmFluency, cooccurPmi, bm25Topk, hybridRrf, textBoilerplate, textDiversity,
+    textReadability)
 }

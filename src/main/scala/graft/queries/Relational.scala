@@ -822,6 +822,53 @@ object Relational {
         .select("a_key", "b_key", "a_name", "b_name", "dl_dist", "lev_dist", "dl_wins")
   }
 
+  /** End-to-end entity resolution: cluster the transposition-aware fuzzy
+    * pairs ([[fuzzyDamerau]]) into entities by connected components
+    * (min-label propagation with pointer jumping —
+    * [[graft.queries.TextDedup.connectedComponents]], the same O(log
+    * diameter) loop the near-dup doc clusters use), then size each
+    * entity. Composition is the point: blocking → pair scoring →
+    * graph clustering is the full ER pipeline, and every stage keeps its
+    * bounded shape (equi-join candidates, per-pair DP, per-round
+    * checkpointed label joins — never an all-pairs or single-task step). */
+  val entityCluster = QuerySpec(
+    "q_entity_cluster",
+    """WITH RECURSIVE p AS (SELECT p_partkey, p_name, p_brand, p_size,
+                         string_split(p_name, ' ')[1] AS tok0 FROM part),
+       cand AS (
+         SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+                a.p_name AS a_name, b.p_name AS b_name
+         FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+                          AND a.p_partkey < b.p_partkey
+         UNION
+         SELECT a.p_partkey, b.p_partkey, a.p_name, b.p_name
+         FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.tok0 = b.tok0
+                          AND a.p_partkey < b.p_partkey),
+       pairs AS (SELECT a_key, b_key FROM cand
+                 WHERE damerau_levenshtein(a_name, b_name) <= 2),
+       edges AS (SELECT a_key AS src, b_key AS dst FROM pairs
+                 UNION ALL SELECT b_key, a_key FROM pairs),
+       reach(src, dst) AS (
+         SELECT src, dst FROM edges
+         UNION
+         SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       lab AS (SELECT src AS p_partkey, least(src, min(dst)) AS entity_id
+               FROM reach GROUP BY src)
+       SELECT p_partkey, entity_id,
+              CAST(count(*) OVER (PARTITION BY entity_id) AS BIGINT) AS n_members
+       FROM lab""") {
+    (s, d) =>
+      val pairs = fuzzyDamerau.fn(s, d).select("a_key", "b_key")
+      val edges = pairs
+        .union(pairs.select(col("b_key"), col("a_key")))
+        .toDF("src", "dst")
+      graft.queries.TextDedup.connectedComponents(edges)
+        .select(col("id").as("p_partkey"), col("label").as("entity_id"))
+        .withColumn("n_members",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy("entity_id")).cast("long"))
+  }
+
   /** Exact grouped COUNT(DISTINCT) — the two-phase distinct aggregation
     * (partial distinct per partition, exchange on (group, value), final
     * count); contrast with the Count-Min sketch for when exactness is
@@ -1202,7 +1249,7 @@ object Relational {
   val specs: Seq[QuerySpec] = Seq(
     zorderKey, hilbertKey, recursiveCte, schemaDrift, paretoFront, lateralTopk,
     sortLimit, pricingSummary, skewSaltedJoin, join5Revenue,
-    rollupTotals, cubeTotals, groupingSetsTotals, fuzzyMatch, fuzzyDamerau,
+    rollupTotals, cubeTotals, groupingSetsTotals, fuzzyMatch, fuzzyDamerau, entityCluster,
     countDistinct_, stringAgg, semiAntiJoin, setOps, setOpsAll, corrStats, modeValue,
     scanProject, filterDisjunctive, derivedFlags, antiConjExclusion,
     loadProjection, viewFilter, generaliseKeep, generaliseReplace,
