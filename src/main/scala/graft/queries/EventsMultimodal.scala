@@ -1665,7 +1665,54 @@ object EventsMultimodal {
           min("c").as("min_c"), max("c").as("max_c"))
   }
 
+  /** OHLC candle resample (open/high/low/close + volume) per (day,
+    * event_type) — the time-series downsampling primitive next to
+    * [[twap]]. Determinism under ties: "open" is the value at the
+    * lexicographically-first (ts, event_id), not `first()` (which is
+    * partition-order-dependent) and not `min_by` (which breaks ties
+    * arbitrarily). The Spark plan is ONE partial/final aggregation —
+    * open/close ride `min(struct(ts, event_id, value))` /
+    * `max(struct(...))`, whose struct ordering compares ts then the
+    * unique event_id, so the map-side combine is total-order-correct —
+    * where the oracle's window formulation (two row_numbers) would
+    * re-sort every partition. At 100 TB that is the difference between
+    * a combine-then-tiny-exchange and a full shuffle+sort per window. */
+  val ohlcResample = QuerySpec(
+    "q_ohlc_resample",
+    """WITH e AS (SELECT date_trunc('day', ts) AS day_start, event_type,
+                         ts, event_id, value FROM events),
+       r AS (SELECT *,
+               row_number() OVER (PARTITION BY day_start, event_type
+                                  ORDER BY ts, event_id) AS rn_a,
+               row_number() OVER (PARTITION BY day_start, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+             FROM e)
+       SELECT day_start, event_type,
+              MAX(CASE WHEN rn_a = 1 THEN value END) AS open_val,
+              MAX(value) AS high_val,
+              MIN(value) AS low_val,
+              MAX(CASE WHEN rn_d = 1 THEN value END) AS close_val,
+              CAST(count(*) AS BIGINT) AS n_events
+       FROM r GROUP BY 1, 2 ORDER BY 1, 2""") {
+    (s, d) =>
+      Tables.events(s, d)
+        .select(
+          date_trunc("day", col("ts")).as("day_start"),
+          col("event_type"), col("ts"), col("event_id"), col("value"))
+        .groupBy("day_start", "event_type")
+        .agg(
+          min(struct(col("ts"), col("event_id"), col("value")))
+            .getField("value").as("open_val"),
+          max(col("value")).as("high_val"),
+          min(col("value")).as("low_val"),
+          max(struct(col("ts"), col("event_id"), col("value")))
+            .getField("value").as("close_val"),
+          count(lit(1)).cast("long").as("n_events"))
+        .orderBy("day_start", "event_type")
+  }
+
   val specs: Seq[QuerySpec] = Seq(
+    ohlcResample,
     streamWindow, streamSliding, sessionWindow, sessionize, multimodalMeta,
     multimodalHistDup, multimodalQuality, multimodalBlockhash, multimodalFrames,
     multimodalAudio, rfmSegments,
