@@ -267,11 +267,11 @@ object EventsMultimodal {
                 CAST(CASE WHEN doc_id % 3 <> 0 THEN length(text) % 120 + 1 ELSE 0 END AS BIGINT) AS duration_s
          FROM documents)
        SELECT kind, CAST(count(*) AS BIGINT) AS n_items,
-              sum(n_bytes) AS total_bytes,
-              percentile_disc(0.5) WITHIN GROUP (ORDER BY n_bytes) AS p50_bytes,
+              CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+              CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_bytes) AS BIGINT) AS p50_bytes,
               min(width) AS min_width, max(width) AS max_width,
               min(height) AS min_height, max(height) AS max_height,
-              sum(duration_s) AS total_duration_s,
+              CAST(sum(duration_s) AS BIGINT) AS total_duration_s,
               CAST(sum(CASE WHEN width * height >= 1024 THEN 1 ELSE 0 END) AS BIGINT) AS n_large
        FROM m GROUP BY 1""") {
     (s, d) =>
@@ -290,7 +290,8 @@ object EventsMultimodal {
         .agg(
           count(lit(1)).cast("long").as("n_items"),
           sum("meta.n_bytes").as("total_bytes"),
-          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY meta.n_bytes)").as("p50_bytes"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY meta.n_bytes)")
+            .cast("long").as("p50_bytes"),
           min("meta.width").as("min_width"), max("meta.width").as("max_width"),
           min("meta.height").as("min_height"), max("meta.height").as("max_height"),
           sum("meta.duration_s").as("total_duration_s"),

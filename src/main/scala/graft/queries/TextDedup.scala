@@ -722,64 +722,82 @@ object TextDedup {
 
   /** Iterative min-label propagation over an undirected edge list
     * (`src`,`dst`; both directions present), ACCELERATED by pointer
-    * jumping: each round first takes the neighbor minimum (reach +1 hop),
-    * then shortcuts `label ← min(label, label(label))` (reach ×2) — so
-    * convergence needs O(log diameter) rounds, not O(diameter) (the
-    * hash-to-min family; a 39-diameter chain converges in 6 rounds vs 39).
-    * Both steps only replace a label with another member's id and labels
-    * only decrease, so the monotone label-sum fixpoint check is unchanged:
-    * at fixpoint every neighbor pair has equal labels, hence label =
-    * component minimum. Every 5th round the labels are `localCheckpoint`ed
-    * instead of cached — the loop's lineage would otherwise deepen by
-    * three joins per round and plan compilation starts to dominate; the
-    * checkpoint bounds plan depth regardless of diameter. Fails loudly
-    * rather than emit non-minimal labels if `maxRounds` is too small (a
-    * silent miss would diverge from the oracle's transitive closure). */
-  private[graft] def connectedComponents(edges0: DataFrame, maxRounds: Int = 30): DataFrame = {
-    val edges = edges0.toDF("src", "dst").cache()
+    * jumping from round 0: each round takes the minimum over {own label,
+    * neighbor labels} (reach +1 hop), then shortcuts
+    * `label ← min(label, label(label))` (reach ×2) — so convergence needs
+    * O(log diameter) rounds, not O(diameter) (the hash-to-min family; a
+    * 39-diameter chain converges in 7 rounds vs 39 — GraphProfilingSpec
+    * pins the round bound on a crafted path graph). Both steps only
+    * replace a label with another member's id and labels only decrease,
+    * so the monotone label-sum fixpoint check holds: at fixpoint every
+    * neighbor pair has equal labels, hence label = component minimum.
+    *
+    * Driver-coordination cost is held constant-per-round and the round
+    * count logarithmic — the r5 shape paid ~30 rounds × (growing plan +
+    * blocking action) and was this suite's one scale-killer:
+    *   - `edges` is `localCheckpoint`ed ONCE up front, pre-partitioned on
+    *     `dst`: every round's neighbor join reuses the materialized,
+    *     lineage-free, already-hashed input (the checkpoint preserves
+    *     outputPartitioning, so no per-round exchange of the edge table).
+    *   - labels are eagerly `localCheckpoint`ed EVERY round: plan depth —
+    *     and driver-side analysis/codegen time, which dominated at r5 —
+    *     stays constant regardless of round number.
+    *   - the neighbor minimum is one union + one partial-aggregating
+    *     groupBy (no separate left join back onto labels).
+    *   - the convergence check (a label-sum action) runs every 2nd round:
+    *     the sum is monotone non-increasing, so "unchanged across a
+    *     2-round window" still implies no round in the window changed
+    *     anything — a fixpoint — while halving the blocking actions.
+    * Fails loudly rather than emit non-minimal labels if `maxRounds` is
+    * too small (a silent miss would diverge from the oracle's transitive
+    * closure). */
+  private[graft] def connectedComponents(edges0: DataFrame, maxRounds: Int = 30): DataFrame =
+    connectedComponentsWithRounds(edges0, maxRounds)._1
+
+  /** [[connectedComponents]] plus the executed round count — the spec hook
+    * for the O(log diameter) convergence pin. */
+  private[graft] def connectedComponentsWithRounds(
+      edges0: DataFrame, maxRounds: Int = 30): (DataFrame, Int) = {
+    // one-off materialization: lineage-free and hash-partitioned on dst,
+    // reused (exchange-free on the edge side) by every round's join
+    val edges = edges0.toDF("src", "dst").repartition(col("dst")).localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .cache()
+      .localCheckpoint()
     def labelSum(df: DataFrame): Long =
       df.agg(coalesce(sum("label"), lit(0L))).head().getLong(0)
     var prevSum = labelSum(labels)
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
-      val nbrMin = edges
+      // min over {own label} ∪ {labels of neighbors}: the self row rides
+      // the union so no left join back onto labels is needed — one
+      // groupBy shuffle (partial-aggregated map-side) per round
+      val propagated = edges
         .join(labels.toDF("dst", "dst_label"), "dst")
-        .groupBy("src").agg(min("dst_label").as("nbr_min"))
-        .toDF("id", "nbr_min")
-      val propagated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("src").as("id"), col("dst_label").as("label"))
+        .unionByName(labels)
+        .groupBy("id").agg(min("label").as("label"))
+      // pointer jump: label ← min(label, label(label)) — every label is a
+      // member id and ids are unique, so the self-join key is unique on
+      // the right; left join guards the id==label base case cheaply
+      val jumped = propagated
+        .join(propagated.toDF("label", "jump_label"), Seq("label"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-      // pointer jump: label(label(id)) — every label is a member id, so the
-      // self-join hits; left join guards the id==label base case cheaply.
-      // Deferred to round 3+: shallow graphs (near-dup cliques, the common
-      // case) converge before it runs and never pay the extra join; deep
-      // graphs still get the exponential reach.
-      val computed =
-        if (rounds < 2) propagated
-        else propagated
-          .join(propagated.toDF("label", "jump_label"), Seq("label"), "left")
-          .select(col("id"),
-            least(col("label"), coalesce(col("jump_label"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("jump_label"), col("label"))).as("label"))
       rounds += 1
-      val next =
-        if (rounds % 5 == 0) computed.localCheckpoint() // truncate lineage
-        else computed.cache()
-      val nextSum = labelSum(next)
-      labels.unpersist()
+      val next = jumped.localCheckpoint() // eager: the round's one action
       labels = next
-      // labels only ever decrease, so an unchanged sum == fixpoint
-      converged = nextSum == prevSum
-      prevSum = nextSum
+      // labels only ever decrease, so an unchanged sum across the window
+      // == fixpoint; checking every 2nd round halves blocking actions
+      if (rounds % 2 == 0 || rounds == maxRounds) {
+        val nextSum = labelSum(next)
+        converged = nextSum == prevSum
+        prevSum = nextSum
+      }
     }
     require(converged, s"label propagation did not converge in $rounds rounds")
-    val result = labels.localCheckpoint()
-    labels.unpersist()
-    edges.unpersist()
-    result
+    (labels, rounds)
   }
 
   /** The near-dup KEEP decision: every doc in a near-dup component keeps
