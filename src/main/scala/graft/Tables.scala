@@ -17,21 +17,32 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects. Read it as raw nanos (legacy long mode) and truncate to
-    * microseconds — exactly what DuckDB does on read, so oracle values
-    * match.
+  /** events.ts has shipped with two physical parquet types across testdata
+    * generations: TIMESTAMP(NANOS) (read as raw nanos via the legacy
+    * nanos-as-long mode, then truncated to micros — matching DuckDB's read
+    * behavior) and TIMESTAMP(MICROS)/NTZ (read natively). Branch on the
+    * inferred schema so both generations work; either way the column leaves
+    * here as session-TZ TimestampType (UTC is pinned by every entry point),
+    * so downstream queries and oracle values are identical.
     *
-    * The nanos-as-long conf must come from the SESSION BUILDER (Verify/
-    * Bench/EntrySmoke/SparkSpec all set it): it is consulted again at plan
-    * and execution time, so a set-and-restore around this call would break
-    * the later action, and a plain set here would leak a session-wide
-    * reading change to every other TIMESTAMP(NANOS) parquet — library code
-    * checks, entry points decide. */
+    * For the nanos generation the legacy conf must come from the SESSION
+    * BUILDER (Verify/Bench/EntrySmoke/SparkSpec all set it): it is consulted
+    * again at plan and execution time, so a set-and-restore around this call
+    * would break the later action — library code checks, entry points
+    * decide. */
   def events(s: SparkSession, d: String): DataFrame = {
-    requireNanosAsLong(s)
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => // legacy TIMESTAMP(NANOS) read as long: truncate to micros
+        requireNanosAsLong(s)
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType => raw
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case other =>
+        throw new IllegalStateException(s"events.ts: unsupported parquet type $other")
+    }
   }
 
   private[graft] def requireNanosAsLong(s: SparkSession): Unit =

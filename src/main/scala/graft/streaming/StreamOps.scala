@@ -13,21 +13,37 @@ import org.apache.spark.sql.types._
   */
 object StreamOps {
 
-  /** events schema as Structured Streaming requires it declared (streaming
-    * sources cannot infer). ts arrives as TimestampType after the nanos
-    * conversion in Tables.events; raw parquet nanos are read as LongType. */
+  /** events schema for the legacy TIMESTAMP(NANOS) testdata generation,
+    * as Structured Streaming requires it declared (streaming sources
+    * cannot infer): raw parquet nanos read as LongType. */
   val eventsRawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** Streaming source over a directory of event parquet files. The
-    * nanos-as-long conf must come from the session builder (see
-    * [[graft.Tables.events]] — checked, not mutated, here). */
+  /** Streaming source over a directory of event parquet files. Streaming
+    * needs a declared schema, so sniff the generation with a one-time
+    * driver-side batch footer read and branch exactly like
+    * [[graft.Tables.events]]: legacy nanos-as-long → truncate to micros
+    * (conf checked, not mutated, here — it must come from the session
+    * builder); native micros/NTZ → read with the inferred schema and cast
+    * to session-TZ TimestampType. Either way `ts` leaves as TimestampType,
+    * so every downstream windowed op and its batch twin agree. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    graft.Tables.requireNanosAsLong(spark)
-    spark.readStream.schema(eventsRawSchema).parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val inferred = spark.read.parquet(dir).schema
+    inferred("ts").dataType match {
+      case LongType =>
+        graft.Tables.requireNanosAsLong(spark)
+        spark.readStream.schema(eventsRawSchema).parquet(dir)
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType =>
+        spark.readStream.schema(inferred).parquet(dir)
+      case TimestampNTZType =>
+        spark.readStream.schema(inferred).parquet(dir)
+          .withColumn("ts", col("ts").cast(TimestampType))
+      case other =>
+        throw new IllegalStateException(s"events.ts: unsupported parquet type $other")
+    }
   }
 
   /** Tumbling-window counts + sums with a watermark: the streaming twin of
