@@ -23,12 +23,26 @@ import org.apache.spark.sql.Dataset
   */
 object Caches {
   private val leases = new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]()
+  private val rddLeases =
+    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]()
 
   /** Cache `ds` and register it for release at the next [[drain]]. */
   def lease[T](ds: Dataset[T]): Dataset[T] = {
     ds.cache()
     leases.add(ds)
     ds
+  }
+
+  /** Register an already-persisted RDD (typically the blocks behind a
+    * `localCheckpoint`ed Dataset, which `Dataset.unpersist` cannot reach)
+    * for release at the next [[drain]]. NOTE the stronger contract vs
+    * [[lease]]: a drained Dataset lease recomputes from lineage if
+    * re-used, but a checkpoint's lineage is truncated — once drained its
+    * data is gone for good, so the owning query result must be fully
+    * consumed before the harness drains. */
+  def leaseRdd(rdd: org.apache.spark.rdd.RDD[_]): Unit = {
+    rddLeases.add(rdd)
+    ()
   }
 
   /** Unpersist every outstanding lease (non-blocking) and return how many
@@ -44,9 +58,15 @@ object Caches {
       n += 1
       d = leases.poll()
     }
+    var r = rddLeases.poll()
+    while (r != null) {
+      try r.unpersist(false) catch { case _: Throwable => () }
+      n += 1
+      r = rddLeases.poll()
+    }
     n
   }
 
   /** Outstanding (not yet drained) lease count — test hook. */
-  def outstanding: Int = leases.size
+  def outstanding: Int = leases.size + rddLeases.size
 }

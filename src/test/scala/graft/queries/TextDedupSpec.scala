@@ -25,6 +25,36 @@ class TextDedupSpec extends SparkSpec {
     assert(planDepth <= 3, s"expected a checkpoint-backed scan, got depth $planDepth")
   }
 
+  test("connectedComponentsWithRounds: path-graph round count is O(log diameter)") {
+    // the scale pin: plain propagation needs diameter rounds (39 here);
+    // pointer jumping doubles reach per round, so fixpoint lands by
+    // ~⌈log2(39)⌉+1 = 7 and the convergence check (every round ≤4, then
+    // biennial) detects it at most one round later
+    val chain = (0L until 39L).map(i => (i, i + 1))
+    val edges = (chain ++ chain.map(_.swap)).toDF("src", "dst")
+    val (labels, rounds) = TextDedup.connectedComponentsWithRounds(edges)
+    assert(labels.collect().map(_.getLong(1)).forall(_ == 0L))
+    assert(rounds <= 8, s"pointer jumping must converge in O(log d) rounds, took $rounds")
+    graft.ops.Caches.drain()
+  }
+
+  test("connectedComponents releases intermediate checkpoints; drain frees the rest") {
+    val sc = spark.sparkContext
+    graft.ops.Caches.drain()
+    val before = sc.getPersistentRDDs.keySet
+    val chain = (0L until 20L).map(i => (i, i + 1))
+    val edges = (chain ++ chain.map(_.swap)).toDF("src", "dst")
+    TextDedup.connectedComponents(edges).count()
+    // every replaced round's blocks and the edges checkpoint are released
+    // inside the loop; only the final labels snapshot may remain
+    val outstanding = sc.getPersistentRDDs.keySet -- before
+    assert(outstanding.size <= 2,
+      s"intermediate rounds must be freed when replaced; ${outstanding.size} RDDs linger")
+    graft.ops.Caches.drain()
+    assert((sc.getPersistentRDDs.keySet -- before).isEmpty,
+      "drain must release the final labels snapshot (leaseRdd)")
+  }
+
   test("connectedComponents: two separate components keep distinct minima") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L))
     val edges = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
