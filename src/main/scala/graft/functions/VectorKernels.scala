@@ -152,6 +152,13 @@ object VectorKernels {
     val lb = b.length
     if (la == 0) return lb.toLong
     if (lb == 0) return la.toLong
+    // (la+2)·(lb+2) Int cells: beyond ~46 KB × 46 KB the flattened index
+    // wraps Int (and the matrix would be ≥8 GiB anyway) — fail loudly
+    // instead of returning a garbage distance. Callers compare short
+    // fields (edit-1 neighbors, entity resolution); document-length
+    // inputs belong in the shingle/MinHash family, not an O(n²) DP.
+    require((la + 2).toLong * (lb + 2).toLong <= Int.MaxValue.toLong,
+      s"damerau_levenshtein inputs too long for the O(|a|·|b|) DP: |a|=$la, |b|=$lb bytes")
     val w = lb + 2
     val inf = la + lb
     // (la+2) x (lb+2) DP matrix, flattened; row 0 is the "minus infinity"

@@ -992,22 +992,30 @@ object Profiling {
     * from Agarwal et al. PODS'12) makes the two-phase result provably
     * equal to the full GROUP BY + HAVING the oracle runs, which is what
     * lets a sketch query live under an exact-hash correctness gate.
-    * The threshold compare is integer (cnt·(k+1) > n): no division. */
+    * The threshold compare is integer (cnt·(k+1) > n): no division.
+    *
+    * NULL semantics: heavy hitters are defined over the NON-NULL values —
+    * both sides filter `event_type IS NOT NULL` and `n` counts non-null
+    * rows. (The MG aggregate skips nulls and a semi-join key never
+    * matches NULL, so without the explicit filter a null-heavy column
+    * would silently diverge from SQL's GROUP BY, which keeps a NULL
+    * group — ProfilingNullSpec pins this on a crafted null-heavy table.) */
   val heavyHitters = QuerySpec(
     "q_heavy_hitters",
     """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
-              (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_total
-       FROM events GROUP BY 1
-       HAVING count(*) * 8 > (SELECT count(*) FROM events)
+              (SELECT CAST(count(event_type) AS BIGINT) FROM events) AS n_total
+       FROM events WHERE event_type IS NOT NULL GROUP BY 1
+       HAVING count(*) * 8 > (SELECT count(event_type) FROM events)
        ORDER BY event_type""") {
     (s, d) =>
       graft.functions.SketchAggregates.register(s)
       import graft.functions.SketchAggregates.mg_topk
       val ev = Tables.events(s, d).select("event_type")
+        .filter(col("event_type").isNotNull)
       val cand = ev.agg(mg_topk(col("event_type"), 7).as("sk"))
         .select(explode(col("sk")).as("e"))
         .select(col("e.item").as("event_type"))
-      val total = Tables.events(s, d).agg(count(lit(1)).as("n_total"))
+      val total = ev.agg(count(lit(1)).as("n_total"))
       ev.join(broadcast(cand), Seq("event_type"), "left_semi")
         .groupBy("event_type")
         .agg(count(lit(1)).as("cnt"))

@@ -126,6 +126,18 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(dl(u("héllo"), u("hello")) === 2L) // BYTE distance (é = 2 UTF-8 bytes), matches DuckDB
   }
 
+  test("damerau_levenshtein rejects inputs whose DP matrix would wrap Int indexing") {
+    import graft.functions.VectorKernels.{damerauLevenshtein => dl}
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    // (la+2)·(lb+2) > Int.MaxValue (~46 KB × 46 KB) must fail loudly, not
+    // silently return a wrapped-index garbage distance
+    val big = u("x" * 50000)
+    val ex = intercept[IllegalArgumentException] { dl(big, big) }
+    assert(ex.getMessage.contains("too long"))
+    // just-under-quadratic sizes still work (asymmetric: 46 KB × 1 is fine)
+    assert(dl(big, u("x")) === 49999L)
+  }
+
   test("damerau_levenshtein equals BFS-minimal edit count (independent semantic oracle)") {
     // True DL = minimum number of {insert, delete, substitute,
     // transpose-adjacent} ops transforming a into b, each op applied to
