@@ -72,6 +72,64 @@ class MultimodalSpec extends SparkSpec {
     assert(got(1L)._4 === 3L && got(4L)._4 === 0L && got(1L)._3 === 3L)
   }
 
+  test("mapPartitions decoder pipeline reconciles with q_multimodal_quality's struct source") {
+    // q_multimodal_quality documents that "a real deployment swaps the
+    // struct's source for the mapPartitions decoder, the aggregation is
+    // unchanged". Prove it: run the REAL per-partition decode path
+    // (asMediaItems → extractFeatures with a Decoder producing the same
+    // deterministic features the SQL fake derives) over the binary
+    // payloads, aggregate identically, and require equality with the
+    // query's struct-sourced output on the same corpus. The corpus is
+    // ASCII, so payload byte length == length(text) on both sides.
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sf)
+
+    // the oracle's modality tag, attached before wrapping (asMediaItems
+    // tags a constant kind, so wrap per modality slice and union)
+    val tagged = docs.withColumn("kind",
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio").otherwise("video"))
+    val items = Seq("image", "audio", "video").map { k =>
+      Multimodal.asMediaItems(tagged.filter(col("kind") === k), "doc_id", "text", k)
+    }.reduce(_ unionByName _)
+
+    // the SQL fake, expressed as a Decoder over the raw payload bytes:
+    // width/height from byte length, duration riding n_frames (1 fps;
+    // image = 0 frames) — exactly the features the struct source computes
+    val sqlFakeDecoder = new Multimodal.Decoder {
+      def decode(it: Multimodal.MediaItem): Multimodal.MediaFeatures = {
+        val n = it.payload.length
+        Multimodal.MediaFeatures(it.item_id, it.kind, n.toLong,
+          width = n % 64 + 1, height = n % 37 + 1,
+          n_frames = if (it.kind == "image") 0 else n % 120 + 1,
+          embedding = Array.empty)
+      }
+    }
+    val decoded = Multimodal.extractFeatures(items, sqlFakeDecoder).toDF()
+      .groupBy("kind")
+      .agg(
+        count(lit(1)).cast("long").as("n_items"),
+        sum("n_bytes").as("total_bytes"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_bytes)")
+          .cast("long").as("p50_bytes"),
+        min(col("width").cast("long")).as("min_width"),
+        max(col("width").cast("long")).as("max_width"),
+        min(col("height").cast("long")).as("min_height"),
+        max(col("height").cast("long")).as("max_height"),
+        sum(col("n_frames").cast("long")).as("total_duration_s"),
+        sum(when(col("width").cast("long") * col("height") >= 1024, 1L).otherwise(0L))
+          .cast("long").as("n_large"))
+
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    val fromQuery = key(graft.queries.EventsMultimodal.multimodalQuality.fn(spark, sf))
+    val fromDecoder = key(decoded)
+    graft.ops.Caches.drain()
+    assert(fromDecoder === fromQuery,
+      "decoder-path aggregates must equal the struct-source query exactly")
+    assert(fromQuery.keySet === Set("image", "audio", "video"))
+  }
+
   test("blockhash pairs are a subset of global-histogram pairs, non-vacuously") {
     // Σ_blocks L1_block ≥ L1_global: splitting a histogram positionally
     // can only EXPOSE differences the global marginal hides, so at the
