@@ -48,6 +48,24 @@ class BloomSpec extends SparkSpec {
     assert(nSharded >= nMembers, "a candidate set smaller than the member set is a false negative")
   }
 
+  test("probe stays projection-only and transparent past 4 shards (7-shard fold)") {
+    // the scale path grows SHARD COUNT, so the probe's CASE fold must not
+    // degrade as literals accumulate: 7 shards (non-power-of-2 exercises
+    // the mod spread) keeps no-false-negatives, plans join- and
+    // shuffle-free, and stays inside whole-stage codegen
+    val s7 = 7
+    val bits7 = Bloom.collectShardedBits(Bloom.buildSharded(corpus, s7), s7)
+    assert(bits7.count(_.exists(_ != 0L)) === s7, "all 7 shard filters populated")
+    assert(corpus.filter(!Bloom.candidateColSharded("fp", bits7)).count() === 0L,
+      "false negatives at 7 shards")
+    val probe = fps.select("fp").withColumn("cand", Bloom.candidateColSharded("fp", bits7))
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"probe must not join:\n$plan")
+    assert(!plan.contains("Exchange"), s"probe must not shuffle:\n$plan")
+    // executedPlan.toString renders a codegen'd stage as "*(n) Op"
+    assert(plan.contains("*(1) Project"), s"probe fell out of codegen:\n$plan")
+  }
+
   test("the sharded probe plans as a pure projection: no join, no shuffle") {
     val probe = Tables.documents(spark, sf)
       .select(md5(col("text")).as("fp"))

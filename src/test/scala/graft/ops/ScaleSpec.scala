@@ -109,6 +109,33 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("distributedRank under crafted skew: one dominant key spreads across range partitions") {
+    import org.apache.spark.sql.expressions.Window
+    // 90% of rows share ONE head value (the Zipf-head worst case for a
+    // rank partitioned on the value alone) — the tiebreaker rides in the
+    // range keys, so repartitionByRange splits the hot run instead of
+    // piling it onto one range partition
+    val df = (1 to 10000).map { i =>
+      val n = if (i <= 9000) 999L else (i % 100).toLong
+      (f"tok$i%05d", n)
+    }.toDF("token", "n")
+    val orderCols = Seq(col("n").desc, col("token"))
+    val parts = 8
+    // exactness is unaffected by the skew
+    val naive = df.withColumn("rnk",
+      row_number().over(Window.orderBy(col("n").desc, col("token"))).cast("long"))
+    val dist = Scale.distributedRank(df, orderCols, parts, "rnk")
+    assert(dist.except(naive).count() === 0 && naive.except(dist).count() === 0)
+    // the skew pin itself: no range partition carries the whole 9000-row
+    // hot run, and the input still fans out across partitions
+    val sizes = df.repartitionByRange(parts, orderCols: _*)
+      .groupBy(spark_partition_id()).count().collect().map(_.getLong(1))
+    assert(sizes.max < 9000L,
+      s"hot key must split across ranges, got ${sizes.sorted.reverse.toSeq}")
+    assert(sizes.count(_ > 0) >= parts / 2,
+      s"skewed input should still use most partitions: ${sizes.sorted.reverse.toSeq}")
+  }
+
   test("distributedRank's rank window partitions by the range-partition id, never globally") {
     val df = (1 to 200).map(i => (i.toLong, s"tok$i")).toDF("n", "token")
     val out = Scale.distributedRank(df, Seq(col("n").desc, col("token")),
