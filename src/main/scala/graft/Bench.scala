@@ -25,6 +25,7 @@ object Bench {
       graft.queries.Similarity.prewarmShared(spark, sfDir)
       graft.queries.Curation.prewarmShared(spark, sfDir)
       graft.queries.EtlQueries.prewarmShared(spark, sfDir)
+      graft.queries.Relational.prewarmShared(spark, sfDir)
     } catch {
       case e: Throwable => System.err.println(s"[bench] prewarm failed (continuing): ${e.getMessage}")
     }

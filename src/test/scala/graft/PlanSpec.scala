@@ -618,7 +618,9 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q_fuzzy_damerau: candidates from equi-join blocking, never a cartesian") {
-    val q = SparkEntry.queries("q_fuzzy_damerau")(spark, sf)
+    // the fresh builder: the memoized query form plans as an
+    // InMemoryTableScan, which would hide the join shape under audit
+    val q = graft.queries.Relational.fuzzyDamerauFresh(spark, sf)
     val plan = q.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"damerau pairing must stay blocked:\n$plan")
