@@ -200,6 +200,19 @@ object TextDedup {
     * cap is genuinely exercised by the oracle at test scale). */
   private[graft] val MaxShingleDf = 5
 
+  /** A band bucket with n members contributes O(n²) candidate pairs on one
+    * shuffle key — the LSH analogue of the hot-shingle skew bomb (used by
+    * the simhash hamming bands, the minhash corpus bands, and their
+    * oracles — defined HERE, before every interpolating val, because a
+    * Scala object initializes vals top-down and a forward reference
+    * silently reads 0). Measured on this corpus at sf0.1: uncapped
+    * byte-banding produced 955k pairs from 5000 docs (the shared small
+    * vocabulary makes fingerprints cluster). Buckets above the cap carry
+    * no *near*-dup signal — a degenerate identical-fingerprint cluster is
+    * the exact-dedup family's job (groupBy is linear) — so they are
+    * dropped from PAIR generation, same treatment as [[MaxShingleDf]]. */
+  private[graft] val MaxBandBucket = 25
+
   /** Word-shingle column: distinct k-word shingles per doc, document-
     * frequency-capped. Guarded so short docs yield an empty array (Spark
     * `sequence(1, n)` with n<1 would otherwise generate a DESCENDING
@@ -381,10 +394,13 @@ object TextDedup {
   private val minhashSigSql = (0 until MinhashK)
     .map(i => s"min(md5(shingle || '#$i')) AS h$i").mkString(", ")
 
-  private val minhashBandsSql = (0 until MinhashK / BandSize).map { b =>
-    val cols = (0 until BandSize).map(r => s"h${b * BandSize + r}").mkString(" || ")
-    s"SELECT doc_id, $b AS band_id, $cols AS band_val FROM sig"
-  }.mkString(" UNION ALL ")
+  private def minhashBandsSqlFor(src: String): String =
+    (0 until MinhashK / BandSize).map { b =>
+      val cols = (0 until BandSize).map(r => s"h${b * BandSize + r}").mkString(" || ")
+      s"SELECT doc_id, $b AS band_id, $cols AS band_val FROM $src"
+    }.mkString(" UNION ALL ")
+
+  private val minhashBandsSql = minhashBandsSqlFor("sig")
 
   private[queries] val minhashCandSql =
     s"""sig AS (SELECT doc_id, $minhashSigSql FROM sh GROUP BY doc_id),
@@ -400,14 +416,20 @@ object TextDedup {
     sh.groupBy("doc_id").agg(hashCols.head, hashCols.tail: _*)
   }
 
-  private[queries] def minhashCandidates(sig: DataFrame): DataFrame = {
-    val bands = sig.select(col("doc_id"), explode(array(
+  /** Band keys of an aggregate signature table — shared by
+    * [[minhashCandidates]] and the TextDedupSpec equality pin against the
+    * per-row scalar derivation [[minhashBandsFor]]. */
+  private[graft] def minhashBands(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), explode(array(
       (0 until MinhashK / BandSize).map { b =>
         struct(
           lit(b).as("band_id"),
           concat((0 until BandSize).map(r => col(s"h${b * BandSize + r}")): _*).as("band_val"))
       }: _*)).as("band"))
       .select(col("doc_id"), col("band.band_id"), col("band.band_val"))
+
+  private[queries] def minhashCandidates(sig: DataFrame): DataFrame = {
+    val bands = minhashBands(sig)
     bands.toDF("a_id", "band_id", "band_val")
       .join(bands.toDF("b_id", "band_id", "band_val"), Seq("band_id", "band_val"))
       .filter(col("a_id") < col("b_id"))
@@ -417,6 +439,103 @@ object TextDedup {
 
   private[queries] def minhashSigShared(s: SparkSession, d: String): DataFrame =
     memo.getOrElseUpdate((s, d, "sig3"), minhashSig(shingled(s, d, 3)).cache())
+
+  /** Per-ROW MinHash band table over a (doc_id, text, …) frame — a pure
+    * scalar projection (shingle array → k md5 mins → band concats →
+    * explode), NO aggregation, so the same code runs unchanged on a
+    * STREAMING DataFrame: the builder behind
+    * [[graft.streaming.StreamOps.nearDupCandidates]]. Bitwise-equal to
+    * the aggregate form (`minhashSig` over the exploded shingle stream)
+    * because min distributes: `array_min` over a doc's shingle-hash array
+    * IS the min-aggregate over its exploded rows — TextDedupSpec pins the
+    * equality on real docs. Uses the UNCAPPED shingles (the df-cap is a
+    * corpus-level PAIRING guard; a single row sees only its own doc);
+    * at scale, band skew is bounded bucket-side instead — see
+    * [[minhashCorpusBands]]. Docs with <k words carry no shingle and
+    * drop, as in the batch path. Non-text columns (e.g. `ts`) pass
+    * through for downstream watermarks. */
+  def minhashBandsFor(docs: DataFrame, k: Int = 3): DataFrame = {
+    val keep = docs.columns.toSeq
+    val sh = docs
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("sh", expr(
+        s"""CASE WHEN size(ws) >= $k
+            THEN array_distinct(transform(sequence(1, size(ws) - ${k - 1}),
+                                          i -> concat_ws(' ', slice(ws, i, $k))))
+            ELSE array() END"""))
+      .filter(size(col("sh")) > 0)
+    val sig = (0 until MinhashK).foldLeft(sh) { (df, i) =>
+      df.withColumn(s"h$i",
+        array_min(transform(col("sh"), x => md5(concat(x, lit(s"#$i"))))))
+    }
+    sig.withColumn("band", explode(array(
+        (0 until MinhashK / BandSize).map { b =>
+          struct(
+            lit(b).as("band_id"),
+            concat((0 until BandSize).map(r => col(s"h${b * BandSize + r}")): _*)
+              .as("band_val"))
+        }: _*)))
+      .select((keep.map(col) :+ col("band.band_id").as("band_id")
+        :+ col("band.band_val").as("band_val")): _*)
+  }
+
+  /** Incremental NEAR-dup: LSH band candidates of a NEW batch (doc_id ≡ 1
+    * mod 4, the q_dedup_incremental split) against the EXISTING corpus
+    * (the rest) — the batch twin of the streaming
+    * [[graft.streaming.StreamOps.nearDupCandidates]] operator, and the
+    * near-dup complement of q_dedup_incremental's exact-fingerprint
+    * anti-join. New-side bands come from the per-row scalar projection
+    * ([[minhashBandsFor]] — the stream-safe form), corpus-side from
+    * [[minhashCorpusBands]] with dense buckets dropped; the join is
+    * band-equi (at scale: corpus bands bucketed on (band_id, band_val),
+    * arriving batches join co-located — no corpus-side exchange, same
+    * topology q_dedup_incremental pins). Candidates feed the standard
+    * exact verification; uncapped shingles on both sides so stream and
+    * batch derivations agree bitwise. */
+  val dedupIncrementalLsh = QuerySpec(
+    "q_dedup_incremental_lsh",
+    s"""WITH ${shingleSql(3)},
+        nsig AS (SELECT doc_id, $minhashSigSql FROM sh0
+                 WHERE doc_id % 4 = 1 GROUP BY doc_id),
+        csig AS (SELECT doc_id, $minhashSigSql FROM sh0
+                 WHERE doc_id % 4 <> 1 GROUP BY doc_id),
+        nb AS (${minhashBandsSqlFor("nsig")}),
+        cb0 AS (${minhashBandsSqlFor("csig")}),
+        dense AS (SELECT band_id, band_val FROM cb0
+                  GROUP BY 1, 2 HAVING count(*) > $MaxBandBucket),
+        cb AS (SELECT b.* FROM cb0 b
+               WHERE NOT EXISTS (SELECT 1 FROM dense d
+                                 WHERE d.band_id = b.band_id
+                                   AND d.band_val = b.band_val))
+        SELECT DISTINCT n.doc_id AS new_doc_id, c.doc_id AS corpus_doc_id
+        FROM nb n JOIN cb c
+          ON n.band_id = c.band_id AND n.band_val = c.band_val""") {
+    (s, d) =>
+      val all = docs(s, d).select("doc_id", "text")
+      val newDocs = all.filter(col("doc_id") % 4 === 1)
+      val corpus = all.filter(col("doc_id") % 4 =!= 1)
+      minhashBandsFor(newDocs)
+        .join(minhashCorpusBands(corpus), Seq("band_id", "band_val"))
+        .select(col("doc_id").as("new_doc_id"), col("corpus_doc_id"))
+        .distinct()
+  }
+
+  /** Static corpus band table for stream-static near-dup: the per-row
+    * band builder over the corpus, DENSE BUCKETS DROPPED (a bucket with
+    * n members contributes O(n) join hits per arriving probe and O(n²)
+    * pairs corpus-side — same skew bomb and same treatment as
+    * [[MaxBandBucket]]; degenerate identical-signature clusters belong to
+    * the exact-dedup family). At 100 TB this table is written once by the
+    * corpus snapshot job, bucketed on (band_id, band_val), and every
+    * streaming ingest joins it co-located. */
+  def minhashCorpusBands(corpus: DataFrame): DataFrame = {
+    val bands = minhashBandsFor(corpus.select("doc_id", "text"))
+      .select(col("doc_id").as("corpus_doc_id"), col("band_id"), col("band_val"))
+    val dense = bands.groupBy("band_id", "band_val")
+      .agg(count(lit(1)).as("n")).filter(col("n") > MaxBandBucket)
+      .select("band_id", "band_val")
+    bands.join(broadcast(dense), Seq("band_id", "band_val"), "left_anti")
+  }
 
   private[queries] def minhashCandShared(s: SparkSession, d: String): DataFrame =
     memo.getOrElseUpdate((s, d, "cand3"), minhashCandidates(minhashSigShared(s, d)).cache())
@@ -640,16 +759,6 @@ object TextDedup {
     s"""WITH $simhashSql SELECT doc_id, simhash FROM sim""") {
     (s, d) => simhashShared(s, d)
   }
-
-  /** A band bucket with n members contributes O(n²) candidate pairs on one
-    * shuffle key — the LSH analogue of the hot-shingle skew bomb. Measured
-    * on this corpus at sf0.1: uncapped byte-banding produced 955k pairs
-    * from 5000 docs (the shared small vocabulary makes fingerprints
-    * cluster). Buckets above the cap carry no *near*-dup signal — a
-    * degenerate identical-fingerprint cluster is the exact-dedup family's
-    * job (groupBy(simhash) is linear) — so they are dropped from PAIR
-    * generation, same treatment as [[MaxShingleDf]]. */
-  private val MaxBandBucket = 25
 
   /** SimHash near-dup pairs via HAMMING BANDING: the 32-bit fingerprint
     * splits into 4 bytes; by pigeonhole, any pair within hamming
@@ -1630,6 +1739,7 @@ object TextDedup {
     dedupExact, dedupJaccard, dedupSubstring, dedupMinhashLsh, dedupMinhashEstimate,
     dedupLshVerified, dedupLshRecall,
     dedupSimhash, dedupSimhashHamming, dedupComponents, dedupKeep, dedupIncremental,
+    dedupIncrementalLsh,
     curationPipeline, sampleDeterministic, samplePriority, sampleStratified,
     vocabTop, vocabZipf,
     pagerank, triangleCount, communitiesLpa, textNovelty, dedupPpjoin, dedupPrefix)

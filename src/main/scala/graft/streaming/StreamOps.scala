@@ -99,6 +99,26 @@ object StreamOps {
       fingerprintCol: String = "fingerprint"): DataFrame =
     stream.join(corpus.select(fingerprintCol), Seq(fingerprintCol), "left_anti")
 
+  /** Streaming NEAR-dup candidates against a STATIC corpus — the
+    * streaming twin of q_dedup_minhash_lsh's candidate generation (the
+    * exact-fingerprint twin is [[dedupeAgainstCorpus]]): each arriving
+    * doc's MinHash band keys come from a stateless scalar projection
+    * ([[graft.queries.TextDedup.minhashBandsFor]] — no aggregation, so
+    * it runs unchanged on the stream), equi-join the corpus band table
+    * ([[graft.queries.TextDedup.minhashCorpusBands]]; stream-static
+    * inner join — stateless stream-side, the static side broadcast or
+    * co-located when bucketed on (band_id, band_val)), and multi-band
+    * hits collapse via `dropDuplicatesWithinWatermark` on
+    * (doc_id, corpus_doc_id) — watermark-bounded state, NOT a growing
+    * candidate set. Emitted pairs feed the same candidate-linear exact
+    * verification the batch path uses. */
+  def nearDupCandidates(stream: DataFrame, corpusBands: DataFrame): DataFrame =
+    graft.queries.TextDedup.minhashBandsFor(stream)
+      .join(corpusBands, Seq("band_id", "band_val"))
+      .select(col("doc_id"), col("corpus_doc_id"), col("ts"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("doc_id", "corpus_doc_id")
+
   /** Publish each micro-batch's full (complete-mode) aggregate as an
     * ATOMIC snapshot generation: foreachBatch → [[graft.etl.Sink.Manifest]]
     * .overwrite. A reader resolving the manifest at ANY instant — including

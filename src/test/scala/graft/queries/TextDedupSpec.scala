@@ -55,6 +55,24 @@ class TextDedupSpec extends SparkSpec {
       "drain must release the final labels snapshot (leaseRdd)")
   }
 
+  test("per-row scalar band table == aggregate MinHash bands (min distributivity)") {
+    // minhashBandsFor must produce EXACTLY the band keys the batch LSH
+    // family derives via explode+groupBy-min, or stream-vs-corpus buckets
+    // would silently miss: array_min over the doc's shingle-hash array is
+    // the same min as the aggregate over its exploded rows. Real docs
+    // (sf0.001), uncapped on both sides.
+    val sf = "/root/testdata/sf0.001"
+    val docsDf = graft.Tables.documents(spark, sf).select("doc_id", "text")
+    val scalar = TextDedup.minhashBandsFor(docsDf)
+      .select("doc_id", "band_id", "band_val")
+    val aggregate = TextDedup.minhashBands(
+      TextDedup.minhashSig(TextDedup.shingledRaw(spark, sf, 3)))
+    assert(scalar.except(aggregate).count() === 0 &&
+      aggregate.except(scalar).count() === 0,
+      "scalar and aggregate band derivations diverged")
+    assert(scalar.count() > 0)
+  }
+
   test("connectedComponents: two separate components keep distinct minima") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L))
     val edges = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")

@@ -81,6 +81,42 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupCandidates: stream-static LSH candidates == the batch band join") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs"),
+      (3L, "completely unrelated text about spark execution plans")).toDF("doc_id", "text")
+    val corpusBands = graft.queries.TextDedup.minhashCorpusBands(corpus).cache()
+    // stream side: doc 100 duplicates corpus doc 1 (identical shingles →
+    // identical signature → guaranteed band hit); 101 shares nothing
+    val streamDocs = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog", new java.sql.Timestamp(1700000000000L)),
+      (101L, "nothing here overlaps with any corpus document at all", new java.sql.Timestamp(1700000001000L)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-neardup").toString
+    streamDocs.toDF("doc_id", "text", "ts").write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, ts TIMESTAMP").parquet(dir)
+    val q = StreamOps.nearDupCandidates(stream, corpusBands)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("neardup_stream_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("neardup_stream_out")
+        .select("doc_id", "corpus_doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // batch twin: the same scalar band projection joined batch-side
+      val batch = graft.queries.TextDedup
+        .minhashBandsFor(streamDocs.toDF("doc_id", "text", "ts"))
+        .join(corpusBands, Seq("band_id", "band_val"))
+        .select("doc_id", "corpus_doc_id").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed === batch, "stream and batch candidate sets diverged")
+      assert(streamed.contains((100L, 1L)), "the crafted duplicate must be flagged")
+      assert(!streamed.exists(_._1 == 101L), "the unrelated doc must not match")
+    } finally { q.stop(); corpusBands.unpersist(); () }
+  }
+
   test("file-stream over real testdata events == batch q_stream_window grouping") {
     // the streaming file source wants a directory: stage the events file
     val dir = java.nio.file.Files.createTempDirectory("graft-events")
