@@ -511,11 +511,19 @@ object TextDedup {
         FROM nb n JOIN cb c
           ON n.band_id = c.band_id AND n.band_val = c.band_val""") {
     (s, d) =>
-      val all = docs(s, d).select("doc_id", "text")
-      val newDocs = all.filter(col("doc_id") % 4 === 1)
-      val corpus = all.filter(col("doc_id") % 4 =!= 1)
-      minhashBandsFor(newDocs)
-        .join(minhashCorpusBands(corpus), Seq("band_id", "band_val"))
+      // ONE scalar band pass over the whole table, leased: the new side,
+      // the corpus side, and the dense-bucket audit all read it — deriving
+      // each side separately would run the shingle+8×md5 projection twice
+      val bands = graft.ops.Caches.lease(
+        minhashBandsFor(docs(s, d).select("doc_id", "text")))
+      val nb = bands.filter(col("doc_id") % 4 === 1)
+      val cb = bands.filter(col("doc_id") % 4 =!= 1)
+        .withColumnRenamed("doc_id", "corpus_doc_id")
+      val dense = cb.groupBy("band_id", "band_val")
+        .agg(count(lit(1)).as("n")).filter(col("n") > MaxBandBucket)
+        .select("band_id", "band_val")
+      nb.join(cb.join(broadcast(dense), Seq("band_id", "band_val"), "left_anti"),
+          Seq("band_id", "band_val"))
         .select(col("doc_id").as("new_doc_id"), col("corpus_doc_id"))
         .distinct()
   }
