@@ -73,6 +73,31 @@ class TextDedupSpec extends SparkSpec {
     assert(scalar.count() > 0)
   }
 
+  test("scalar band table == aggregate bands on random docs incl. edge lengths (property)") {
+    // random word soups over a tiny alphabet maximize shingle collisions;
+    // lengths 0..6 words cover the below-k, exactly-k, and above-k edges
+    // (docs with <3 words drop from BOTH derivations)
+    val rnd = new scala.util.Random(1234)
+    val words = Seq("a", "bb", "ccc", "d", "ee")
+    val docsList = (0L until 60L).map { i =>
+      val n = rnd.nextInt(7)
+      (i, Seq.fill(n)(words(rnd.nextInt(words.size))).mkString(" "))
+    }
+    val df = docsList.toDF("doc_id", "text")
+    val scalar = TextDedup.minhashBandsFor(df).select("doc_id", "band_id", "band_val")
+    val viaAgg = TextDedup.minhashBands(TextDedup.minhashSig(
+      df.withColumn("ws", split(col("text"), " "))
+        .select(col("doc_id"), explode(expr(
+          """CASE WHEN size(ws) >= 3
+             THEN array_distinct(transform(sequence(1, size(ws) - 2),
+                                           i -> concat_ws(' ', slice(ws, i, 3))))
+             ELSE array() END""")).as("shingle"))))
+    assert(scalar.except(viaAgg).count() === 0 && viaAgg.except(scalar).count() === 0)
+    // only docs with ≥3 words band (4 bands each)
+    val expectedDocs = docsList.count(_._2.split(" ").count(_.nonEmpty) >= 3)
+    assert(scalar.select("doc_id").distinct().count() === expectedDocs)
+  }
+
   test("connectedComponents: two separate components keep distinct minima") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L))
     val edges = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
