@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+
+/** Canonical plan-shape fingerprints for every oracle query — the scale
+  * regression baseline PlanFingerprintSpec enforces: a code change that
+  * silently adds an Exchange, degrades a hash join to a nested loop, or
+  * introduces a Cartesian product must fail a test, not be discovered in
+  * the next bench. The fingerprint counts physical operators the 100 TB
+  * budget cares about; it deliberately ignores projections/filters (free)
+  * and exact child order (cosmetic).
+  *
+  * `runMain graft.PlanFingerprints` regenerates the committed baseline at
+  * `src/test/resources/plan_fingerprints.json` — rerun it (and review the
+  * diff like code) when a plan change is INTENTIONAL.
+  */
+object PlanFingerprints {
+  final case class Fp(exchanges: Int, smj: Int, bhj: Int, shj: Int,
+      bnlj: Int, cartesian: Int, sorts: Int, windows: Int)
+
+  /** Counts over the pre-execution physical plan text (deterministic at
+    * a fixed SF: no AQE re-plan has run yet, so the shape is the
+    * planner's verdict, not the runtime's — counting the EXPLAIN text
+    * rather than walking the tree because AdaptiveSparkPlanExec hides its
+    * inner plan from `collect`). `exchanges` counts SHUFFLE exchanges
+    * only; broadcast exchanges are the cheap kind the budget encourages
+    * and ride under `bhj`/`bnlj`. */
+  def fingerprint(explainText: String): Fp = {
+    def n(re: String): Int = re.r.findAllMatchIn(explainText).size
+    Fp(
+      exchanges = n("""Exchange (hashpartitioning|rangepartitioning|SinglePartition)"""),
+      smj = n("""SortMergeJoin"""),
+      bhj = n("""BroadcastHashJoin"""),
+      shj = n("""ShuffledHashJoin"""),
+      bnlj = n("""BroadcastNestedLoopJoin"""),
+      cartesian = n("""CartesianProduct"""),
+      sorts = n("""[^a-zA-Z]Sort \["""),
+      windows = n("""[^a-zA-Z]Window(GroupLimit)? \["""))
+  }
+
+  def render(queries: Map[String, Fp]): String =
+    queries.toSeq.sortBy(_._1).map { case (q, f) =>
+      s"""  "$q": {"exchanges":${f.exchanges},"smj":${f.smj},"bhj":${f.bhj},"shj":${f.shj},"bnlj":${f.bnlj},"cartesian":${f.cartesian},"sorts":${f.sorts},"windows":${f.windows}}"""
+    }.mkString("{\n", ",\n", "\n}\n")
+
+  def parse(json: String): Map[String, Fp] = {
+    val entry =
+      """"(q_\w+)":\s*\{"exchanges":(\d+),"smj":(\d+),"bhj":(\d+),"shj":(\d+),"bnlj":(\d+),"cartesian":(\d+),"sorts":(\d+),"windows":(\d+)\}""".r
+    entry.findAllMatchIn(json).map { m =>
+      m.group(1) -> Fp(m.group(2).toInt, m.group(3).toInt, m.group(4).toInt,
+        m.group(5).toInt, m.group(6).toInt, m.group(7).toInt,
+        m.group(8).toInt, m.group(9).toInt)
+    }.toMap
+  }
+
+  /** ALPHABETICAL construction order, matching the bench: session-shared
+    * memos materialize under the first consumer and later queries plan
+    * against InMemoryTableScan — the order must be fixed or fingerprints
+    * would depend on which query ran first. Callers pass a session with
+    * no memos built yet (the spec uses a fresh `newSession`). */
+  def collectAll(spark: SparkSession, sfDir: String): Map[String, Fp] =
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> fingerprint(fn(spark, sfDir).queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode))
+    }.toMap
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val out = if (args.length > 1) args(1)
+      else "src/test/resources/plan_fingerprints.json"
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val fps = collectAll(spark, sfDir)
+    val p = java.nio.file.Paths.get(out)
+    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.writeString(p, render(fps))
+    println(s"FINGERPRINTS ${fps.size} -> $out")
+    spark.stop()
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+/** Plan-shape regression gate: every oracle query's physical-plan
+  * fingerprint (shuffle exchanges, join strategies, sorts, windows) is
+  * compared against the committed baseline
+  * (`src/test/resources/plan_fingerprints.json`). A change that adds a
+  * shuffle, introduces a Cartesian product, or grows a nested-loop join
+  * fails HERE — at review time — instead of surfacing as a bench
+  * regression at 100× the data. Non-regressive drift (fewer exchanges, a
+  * strategy swap at equal cost) passes but is reported, so intentional
+  * plan changes get locked in by regenerating the baseline
+  * (`runMain graft.PlanFingerprints`) and reviewing the diff like code.
+  */
+class PlanFingerprintSpec extends SparkSpec {
+
+  test("no query's plan gained shuffles, nested loops, or cartesians vs the baseline") {
+    val res = getClass.getResourceAsStream("/plan_fingerprints.json")
+    assert(res != null, "baseline missing — run: runMain graft.PlanFingerprints")
+    val baseline = PlanFingerprints.parse(new String(res.readAllBytes(), "UTF-8"))
+    assert(baseline.size === SparkEntry.queries.size,
+      "query count changed — regenerate the baseline (runMain graft.PlanFingerprints)")
+    // fresh session: the shared test session may already hold other
+    // suites' memoized tables, which would plan as InMemoryTableScan and
+    // hide their build subtrees; memos key on the session instance, so a
+    // newSession sees none and plans match the baseline generator's
+    val current = PlanFingerprints.collectAll(spark.newSession(), "/root/testdata/sf0.001")
+    graft.ops.Caches.drain()
+    assert(current.keySet === baseline.keySet,
+      "query set changed — regenerate the baseline (runMain graft.PlanFingerprints)")
+    val regressions = current.toSeq.sortBy(_._1).flatMap { case (q, c) =>
+      val b = baseline(q)
+      Seq(
+        (c.exchanges > b.exchanges) -> s"$q: shuffle exchanges ${b.exchanges} → ${c.exchanges}",
+        (c.cartesian > b.cartesian) -> s"$q: cartesian products ${b.cartesian} → ${c.cartesian}",
+        (c.bnlj > b.bnlj) -> s"$q: broadcast nested loops ${b.bnlj} → ${c.bnlj}")
+        .collect { case (true, msg) => msg }
+    }
+    assert(regressions.isEmpty,
+      regressions.mkString("\n", "\n", "\n") +
+        "If the plan change is intentional: runMain graft.PlanFingerprints " +
+        "and review the baseline diff like code")
+    val drift = current.toSeq.sortBy(_._1)
+      .filter { case (q, c) => c != baseline(q) }.map(_._1)
+    if (drift.nonEmpty)
+      info(s"non-regressive plan drift (regenerate baseline to lock in): ${drift.mkString(", ")}")
+  }
+}
