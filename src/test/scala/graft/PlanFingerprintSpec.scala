@@ -19,10 +19,15 @@ class PlanFingerprintSpec extends SparkSpec {
     val baseline = PlanFingerprints.parse(new String(res.readAllBytes(), "UTF-8"))
     assert(baseline.size === SparkEntry.queries.size,
       "query count changed — regenerate the baseline (runMain graft.PlanFingerprints)")
-    // fresh session: the shared test session may already hold other
-    // suites' memoized tables, which would plan as InMemoryTableScan and
-    // hide their build subtrees; memos key on the session instance, so a
-    // newSession sees none and plans match the baseline generator's
+    // fresh-JVM conditions inside a shared JVM: (a) a new session, so the
+    // session-keyed memos rebuild in the same alphabetical order the
+    // generator saw; (b) an EMPTY cache manager — CacheManager is shared
+    // across sessions, so other suites' still-cached plans would
+    // structurally match subtrees here and swap them to InMemoryTableScan,
+    // changing exchange counts run-to-run. Clearing is safe: caches (not
+    // checkpoints) re-materialize lazily from lineage if a later suite
+    // touches its memo again.
+    spark.sharedState.cacheManager.clearCache()
     val current = PlanFingerprints.collectAll(spark.newSession(), "/root/testdata/sf0.001")
     graft.ops.Caches.drain()
     assert(current.keySet === baseline.keySet,
