@@ -29,7 +29,7 @@ object PlanFingerprints {
   def fingerprint(explainText: String): Fp = {
     def n(re: String): Int = re.r.findAllMatchIn(explainText).size
     Fp(
-      exchanges = n("""Exchange (hashpartitioning|rangepartitioning|SinglePartition)"""),
+      exchanges = n("""Exchange (hashpartitioning|rangepartitioning|SinglePartition|RoundRobinPartitioning)"""),
       smj = n("""SortMergeJoin"""),
       bhj = n("""BroadcastHashJoin"""),
       shj = n("""ShuffledHashJoin"""),

@@ -33,7 +33,16 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-    val raw = table(s, d, "events")
+    // schema inference itself rejects TIMESTAMP(NANOS) when the legacy
+    // conf is off ("Illegal Parquet type: INT64 (TIMESTAMP(NANOS,...))")
+    // — surface the actionable conf message instead of Spark's raw error
+    val raw =
+      try table(s, d, "events")
+      catch {
+        case e: Throwable if String.valueOf(e.getMessage).contains("NANOS") =>
+          requireNanosAsLong(s) // throws the curated message when conf unset
+          throw e
+      }
     raw.schema("ts").dataType match {
       case LongType => // legacy TIMESTAMP(NANOS) read as long: truncate to micros
         requireNanosAsLong(s)

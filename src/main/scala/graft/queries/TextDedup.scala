@@ -513,9 +513,13 @@ object TextDedup {
     (s, d) =>
       // ONE scalar band pass over the whole table, leased: the new side,
       // the corpus side, and the dense-bucket audit all read it — deriving
-      // each side separately would run the shingle+8×md5 projection twice
+      // each side separately would run the shingle+8×md5 projection twice.
+      // Projected BEFORE the lease: minhashBandsFor passes `text` through
+      // (the streaming caller needs its other columns), and caching it
+      // here would store every doc's text 4× for nothing
       val bands = graft.ops.Caches.lease(
-        minhashBandsFor(docs(s, d).select("doc_id", "text")))
+        minhashBandsFor(docs(s, d).select("doc_id", "text"))
+          .select("doc_id", "band_id", "band_val"))
       val nb = bands.filter(col("doc_id") % 4 === 1)
       val cb = bands.filter(col("doc_id") % 4 =!= 1)
         .withColumnRenamed("doc_id", "corpus_doc_id")
@@ -895,24 +899,25 @@ object TextDedup {
   private[graft] def connectedComponents(edges0: DataFrame, maxRounds: Int = 30): DataFrame =
     connectedComponentsWithRounds(edges0, maxRounds)._1
 
-  /** `df.localCheckpoint()` plus handles to the RDDs whose blocks back it
-    * (diffed from `getPersistentRDDs`, which `Dataset.unpersist` cannot
-    * reach for a checkpoint) — so iterative callers can RELEASE a round's
-    * blocks when it is replaced instead of accreting rounds+1 block sets
-    * per invocation for the life of the session (the same scratch
-    * accumulation mechanism as the r4 sketch-family regression). Diffing
-    * is sound here because CC runs single-threaded within one query; a
-    * concurrently-persisting peer query could be mis-captured, which is
-    * why this stays private to this loop rather than a general utility. */
+  /** `df.localCheckpoint()` plus a handle to the RDD whose blocks back it
+    * (the `LogicalRDD` the checkpointed Dataset wraps — `Dataset
+    * .unpersist` cannot reach it) — so iterative callers can RELEASE a
+    * round's blocks when it is replaced instead of accreting rounds+1
+    * block sets per invocation for the life of the session (the same
+    * scratch accumulation mechanism as the r4 sketch-family regression).
+    * The handle is extracted from the returned plan, NOT diffed from
+    * `getPersistentRDDs`: a diff window also captures any UPSTREAM memo
+    * cache that happens to materialize for the first time during the
+    * checkpoint's action (e.g. the shared LSH candidate table feeding the
+    * edge list), and releasing that would silently de-cache a
+    * session-shared memo for every later consumer. */
   private def localCheckpointTracked(
       df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
-    val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
     val ck = df.localCheckpoint()
-    val added = sc.getPersistentRDDs.collect {
-      case (id, r) if !before.contains(id) => r
-    }.toSeq
-    (ck, added)
+    val rdds = ck.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+    (ck, rdds)
   }
 
   private def release(rdds: Seq[org.apache.spark.rdd.RDD[_]]): Unit =

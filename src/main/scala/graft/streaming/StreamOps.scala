@@ -29,19 +29,41 @@ object StreamOps {
     * builder); native micros/NTZ → read with the inferred schema and cast
     * to session-TZ TimestampType. Either way `ts` leaves as TimestampType,
     * so every downstream windowed op and its batch twin agree. */
+  /** Declared schema for the current (micros) generation — also the
+    * fallback when the directory is EMPTY at stream start (the standard
+    * topology where the writer job starts after the reader: a streaming
+    * file source must be able to watch a not-yet-populated directory, so
+    * the sniff failing to infer is not an error). */
+  val eventsMicrosSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    val inferred = spark.read.parquet(dir).schema
-    inferred("ts").dataType match {
-      case LongType =>
+    val inferredOpt =
+      try Some(spark.read.parquet(dir).schema)
+      catch {
+        case e: Throwable if String.valueOf(e.getMessage).contains("NANOS") =>
+          // inference itself rejects TIMESTAMP(NANOS) without the legacy
+          // conf — surface the actionable message, not Spark's raw error
+          graft.Tables.requireNanosAsLong(spark)
+          throw e
+        case _: org.apache.spark.sql.AnalysisException =>
+          None // empty / not-yet-populated directory: fall back below
+      }
+    inferredOpt.map(_("ts").dataType) match {
+      case Some(LongType) =>
         graft.Tables.requireNanosAsLong(spark)
         spark.readStream.schema(eventsRawSchema).parquet(dir)
           .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case TimestampType =>
-        spark.readStream.schema(inferred).parquet(dir)
-      case TimestampNTZType =>
-        spark.readStream.schema(inferred).parquet(dir)
+      case Some(TimestampType) =>
+        spark.readStream.schema(inferredOpt.get).parquet(dir)
+      case Some(TimestampNTZType) =>
+        spark.readStream.schema(inferredOpt.get).parquet(dir)
           .withColumn("ts", col("ts").cast(TimestampType))
-      case other =>
+      case None =>
+        spark.readStream.schema(eventsMicrosSchema).parquet(dir)
+      case Some(other) =>
         throw new IllegalStateException(s"events.ts: unsupported parquet type $other")
     }
   }

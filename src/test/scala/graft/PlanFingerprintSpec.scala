@@ -24,12 +24,20 @@ class PlanFingerprintSpec extends SparkSpec {
     // generator saw; (b) an EMPTY cache manager — CacheManager is shared
     // across sessions, so other suites' still-cached plans would
     // structurally match subtrees here and swap them to InMemoryTableScan,
-    // changing exchange counts run-to-run. Clearing is safe: caches (not
-    // checkpoints) re-materialize lazily from lineage if a later suite
-    // touches its memo again.
+    // changing exchange counts run-to-run. Cost of clearing: earlier
+    // suites' memo ENTRIES are gone for good (getOrElseUpdate won't
+    // re-cache), so any later consumer recomputes uncached — a test-JVM
+    // slowdown, never a correctness change (lineage is intact; nothing in
+    // the suite checkpoints through the cache manager).
     spark.sharedState.cacheManager.clearCache()
     val current = PlanFingerprints.collectAll(spark.newSession(), "/root/testdata/sf0.001")
     graft.ops.Caches.drain()
+    // and clear OUR leavings too: the throwaway session's memo caches are
+    // registered in the shared CacheManager by canonicalized plan, and a
+    // later plan-shape suite would otherwise see ITS structurally-equal
+    // subtrees swapped to InMemoryTableScan — the same interference this
+    // spec defends against, pointed the other way
+    spark.sharedState.cacheManager.clearCache()
     assert(current.keySet === baseline.keySet,
       "query set changed — regenerate the baseline (runMain graft.PlanFingerprints)")
     val regressions = current.toSeq.sortBy(_._1).flatMap { case (q, c) =>
