@@ -62,6 +62,18 @@ class TablesSpec extends SparkSpec {
     }
   }
 
+  test("streaming reader starts on an EMPTY directory (writer-starts-later topology)") {
+    val dir = java.nio.file.Files.createTempDirectory("events-empty").toString
+    val stream = graft.streaming.StreamOps.readEvents(spark, dir)
+    assert(stream.isStreaming)
+    assert(stream.schema("ts").dataType === TimestampType,
+      "empty dir must fall back to the declared micros schema")
+    val q = stream.writeStream.format("memory").queryName("empty_dir_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("empty_dir_stream").count() === 0)
+  }
+
   test("legacy branch refuses to run without the session nanos conf (fails loudly)") {
     // library code checks, entry points decide: if the conf is absent the
     // long-typed generation must raise the actionable message, not read
