@@ -38,6 +38,25 @@ class TextDedupSpec extends SparkSpec {
     graft.ops.Caches.drain()
   }
 
+  test("CC checkpoint release never de-caches a memo that materializes mid-action") {
+    // the mis-capture regression: q_entity_cluster's edge list derives
+    // from the session-shared DL-scored pair memo, whose cache blocks
+    // first persist DURING the CC edges-checkpoint action — a
+    // getPersistentRDDs-diff tracker captured them as "the checkpoint's
+    // RDDs" and released them, silently de-caching the memo for every
+    // later consumer. The tracker now extracts the checkpoint's own
+    // LogicalRDD instead; the memo must remain cached afterwards.
+    val s2 = spark.newSession()
+    val sf = "/root/testdata/sf0.001"
+    Relational.entityCluster.fn(s2, sf).count()
+    graft.ops.Caches.drain()
+    // fuzzyDamerau.fn returns the memoized instance — its storage level
+    // tells us whether the shared cache survived the CC run
+    val memoized = Relational.fuzzyDamerau.fn(s2, sf)
+    assert(memoized.storageLevel.useMemory,
+      "shared fuzzy-pair memo was de-cached by the checkpoint tracker")
+  }
+
   test("connectedComponents releases intermediate checkpoints; drain frees the rest") {
     val sc = spark.sparkContext
     graft.ops.Caches.drain()
