@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST bare JSON line of `sbt "runMain graft.Bench"`
+// stdout. Two pieces of sbt decoration defeated that for seven rounds:
+// (1) forked-run output is routed through sbt's logger and gains an
+// "[info] " prefix — StdoutOutput passes it through verbatim;
+// (2) sbt appends a "[success] Total time…" epilogue AFTER our final
+// JSON line — showSuccess := false suppresses it.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not another setting —
+// exclude it from the unused-key lint.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -26,5 +37,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g (sandbox has 128 GiB): the r7 bench under 8g produced five phantom
+  // 18–36s rows that were full-GC pauses, not plan cost — size the heap so
+  // 32 task threads' shuffle/scratch never force stop-the-world collections.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

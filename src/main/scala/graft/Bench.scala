@@ -1,6 +1,19 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  private val gcBeans = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala.toSeq
+  }
+  /** Cumulative stop-the-world GC time, ms. */
+  private def gcMillis: Long = gcBeans.map(b => math.max(0L, b.getCollectionTime)).sum
+  /** Cumulative process CPU time, ms (-1 if the platform bean is absent). */
+  private def cpuMillis: Long =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime / 1000000L
+      case _ => -1L
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -25,6 +38,9 @@ object Bench {
     // order. Skipped under the single-query filter (a dev iterating on
     // one query shouldn't pay the full multi-family build); each family
     // catches independently so one failure can't silently skip the rest.
+    // The prewarm's wall-clock is REPORTED (prewarm_sec below) so the
+    // artifact carries the full suite cost, not just per-query time.
+    var prewarmSec = 0.0
     if (only.isEmpty) {
       val tw0 = System.nanoTime()
       val prewarms = Seq[(String, () => Unit)](
@@ -39,11 +55,18 @@ object Bench {
             System.err.println(s"[bench] prewarm $fam failed (continuing): ${e.getMessage}")
         }
       }
-      System.err.println(f"[bench] prewarm ${(System.nanoTime() - tw0) / 1e9}%.1f s")
+      prewarmSec = (System.nanoTime() - tw0) / 1e9
+      System.err.println(f"[bench] prewarm $prewarmSec%.1f s")
     }
+    // Per query, alongside wall time, record the delta of cumulative GC
+    // pause time and process CPU time: a row whose elapsed is dominated by
+    // gc_ms is a pause artifact, not plan cost (the r7 phantom 18–36s rows);
+    // a row with cpu_ms >> elapsed*cores is genuinely compute-bound.
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+      val gc0 = gcMillis
+      val cpu0 = cpuMillis
       val t0 = System.nanoTime()
       // noop-datasource write, NOT count(): count() lets Catalyst prune the
       // final projection, so pure-projection queries (string kernels,
@@ -55,20 +78,29 @@ object Bench {
         case e: Throwable => System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
       }
       val elapsed = (System.nanoTime() - t0) / 1e9
+      val gcMs = gcMillis - gc0
+      val cpuMs = if (cpu0 < 0) -1L else cpuMillis - cpu0
       // release this query's scratch caches so storage memory doesn't
       // accumulate across the suite (the r4 sketch-family regression);
       // session-shared memos are not leased and survive
       graft.ops.Caches.drain()
       // a failed query reports -1, never a plausible elapsed time
-      name -> (if (ok) elapsed else -1.0)
+      (name, if (ok) elapsed else -1.0, gcMs, cpuMs)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def jmap(entries: Seq[(String, String)]): String =
+      entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = jmap(results.map { case (k, v, _, _) => k -> v.toString })
+    val gcs = jmap(results.map { case (k, _, g, _) => k -> g.toString })
+    val cpus2 = jmap(results.map { case (k, _, _, c) => k -> c.toString })
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val gcTotal = results.map(_._3).sum
+    val heapMax = Runtime.getRuntime.maxMemory / (1024 * 1024)
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","prewarm_sec":$prewarmSec,""" +
+      s""""gc_ms_total":$gcTotal,"heap_max_mb":$heapMax,"queries":$qs,""" +
+      s""""gc_ms":$gcs,"cpu_ms":$cpus2,"sf":"$sfDir"}"""
     // full per-query map goes to a file: the driver keeps only the last
-    // ~2000 chars of stdout, and the 207-query map is ~6 KB — it can never
+    // ~2000 chars of stdout, and the 200+-query map is >6 KB — it can never
     // fit there
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
     try {
@@ -79,9 +111,12 @@ object Bench {
       case e: Throwable => System.err.println(s"[bench] could not write $out: ${e.getMessage}")
     }
     println(full)
-    // FINAL stdout line: compact summary, no per-query map — small enough
-    // to always survive the driver's stdout tail and parse
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":$failed,"sf":"$sfDir","detail":"$out"}""")
     spark.stop()
+    // FINAL stdout line: compact summary, no per-query map — small enough
+    // to always survive the driver's stdout tail and parse. Printed after
+    // spark.stop() so no Spark shutdown logging can land after it, and
+    // build.sbt's StdoutOutput/showSuccess settings keep sbt from
+    // prefixing or appending to it.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":$failed,"prewarm_sec":$prewarmSec,"gc_ms_total":$gcTotal,"sf":"$sfDir","detail":"$out"}""")
   }
 }

@@ -17,9 +17,12 @@ object TimeOne {
     spark.range(10).count()
     (1 to n).foreach { i =>
       val t0 = System.nanoTime()
-      val c = SparkEntry.queries(name)(spark, sfDir).count()
+      // same noop sink as Bench — count() would let Catalyst prune the
+      // output projection, under-measuring projection-heavy queries
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
       graft.ops.Caches.drain() // same per-query hygiene as Bench/Verify
-      println(f"RUN$i%d ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$c")
+      println(f"RUN$i%d ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()
   }
