@@ -41,6 +41,14 @@ object Caches {
     * data is gone for good, so the owning query result must be fully
     * consumed before the harness drains. */
   def leaseRdd(rdd: org.apache.spark.rdd.RDD[_]): Unit = {
+    // Guard the contract at lease time instead of by convention: a lease
+    // of an UNpersisted RDD is a caller bug (nothing to release — the
+    // caller probably meant `lease` on the Dataset), and it's precisely
+    // the callers holding non-persisted handles that would later be
+    // surprised by the no-recompute semantics above.
+    require(rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE,
+      s"leaseRdd requires a persisted (localCheckpoint-backed) RDD; " +
+        s"RDD ${rdd.id} has storage level NONE")
     rddLeases.add(rdd)
     ()
   }

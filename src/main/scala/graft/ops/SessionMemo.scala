@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.SparkContext
+import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
+import org.apache.spark.sql.SparkSession
+
+import scala.collection.concurrent.TrieMap
+
+/** Session-keyed memoization that does not outlive its session.
+  *
+  * The query families memoize corpus-snapshot derivations (LSH candidate
+  * tables, the IVF quantizer fit, BPE merges, the processed ETL tables)
+  * per (session, input-dir). A plain `TrieMap[(SparkSession, …), …]`
+  * pins every session it has ever seen — plans, encoders, the session
+  * state — for the life of the JVM: in a long-lived multi-session
+  * deployment (a Spark Connect server, a notebook gateway) that is an
+  * unbounded leak of stopped sessions.
+  *
+  * Entries are released two ways, belt and braces:
+  *   - an application-end listener (registered once per SparkContext, on
+  *     first insert) sweeps every registered memo when the context stops,
+  *     so release is prompt even if no memo is touched again;
+  *   - every access sweeps entries whose owning session's context has
+  *     stopped, covering contexts that died without the listener firing.
+  * The swept values need no explicit unpersist: cached/checkpointed
+  * blocks die with their context; dropping the map entry is what lets
+  * the session object itself be collected.
+  */
+final class SessionMemo[K, V] {
+  private val m = TrieMap.empty[(SparkSession, K), V]
+  SessionMemos.register(this)
+
+  /** Atomic get-or-build (TrieMap.getOrElseUpdate), keyed by session. */
+  def getOrElseUpdate(s: SparkSession, k: K)(build: => V): V = {
+    SessionMemos.watch(s)
+    evictStopped()
+    m.getOrElseUpdate((s, k), build)
+  }
+
+  private[ops] def evictStopped(): Int = {
+    var n = 0
+    m.keySet.foreach { key =>
+      if (key._1.sparkContext.isStopped && m.remove(key).isDefined) n += 1
+    }
+    n
+  }
+
+  /** Live entry count for `s` — test hook. */
+  def entriesFor(s: SparkSession): Int = m.count { case ((sess, _), _) => sess eq s }
+}
+
+/** Registry of every [[SessionMemo]] in the JVM, so one context-stop
+  * listener can sweep them all. */
+object SessionMemos {
+  private val memos = new java.util.concurrent.CopyOnWriteArrayList[SessionMemo[_, _]]()
+  private val watched = TrieMap.empty[SparkContext, Unit]
+
+  private[ops] def register(memo: SessionMemo[_, _]): Unit = { memos.add(memo); () }
+
+  /** Ensure exactly one application-end listener per SparkContext. */
+  private[ops] def watch(s: SparkSession): Unit = {
+    val sc = s.sparkContext
+    if (!sc.isStopped && watched.putIfAbsent(sc, ()).isEmpty) {
+      sc.addSparkListener(new SparkListener {
+        override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit = {
+          sweep()
+          watched.remove(sc)
+          ()
+        }
+      })
+    }
+  }
+
+  /** Drop every memo entry owned by a stopped session; returns how many
+    * were released. */
+  def sweep(): Int = {
+    import scala.jdk.CollectionConverters._
+    memos.asScala.map(_.evictStopped()).sum
+  }
+
+  /** Total live entries across all memos for `s` — test hook. */
+  def entriesFor(s: SparkSession): Int = {
+    import scala.jdk.CollectionConverters._
+    memos.asScala.map(_.entriesFor(s)).sum
+  }
+}

@@ -242,11 +242,10 @@ object Curation {
     * read one cached table instead of re-deriving (and separately
     * re-caching) the explode+md5+distinct per query. Pre-fix each sketch
     * query cached its own copy and never released it. */
-  private val gramMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val gramMemo = new graft.ops.SessionMemo[String, DataFrame]
 
   private def gram3h8(s: SparkSession, d: String): DataFrame =
-    gramMemo.getOrElseUpdate((s, d), gram3h8Fresh(s, d).cache())
+    gramMemo.getOrElseUpdate(s, d)(gram3h8Fresh(s, d).cache())
 
   /** Materializes the session-shared 3-gram hash universe and the BPE
     * training run so the first sketch/tokenizer consumer is not billed
@@ -816,11 +815,11 @@ object Curation {
     * final symbolized type table (w → ws after all merges), shared by the
     * trainer query and the tokenizer apply — train once, apply everywhere,
     * exactly the production split. */
-  private val bpeMemo = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), (Seq[(Long, String, String, Long)], DataFrame)]
+  private val bpeMemo =
+    new graft.ops.SessionMemo[String, (Seq[(Long, String, String, Long)], DataFrame)]
 
   private def bpeTrain(s: SparkSession, d: String): (Seq[(Long, String, String, Long)], DataFrame) =
-    bpeMemo.getOrElseUpdate((s, d), bpeTrainOn(
+    bpeMemo.getOrElseUpdate(s, d)(bpeTrainOn(
       docs(s, d)
         .select(explode(split(col("text"), " ")).as("w"))
         .groupBy("w").agg(count(lit(1)).as("n")),

@@ -250,15 +250,14 @@ object EtlQueries {
     * instead of each re-planning (and re-codegen'ing) the whole
     * carve+generalise+unpivot subtree — at 100 TB this is the difference
     * between running the pipeline once and running it six times. */
-  private val tableMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+  private val tableMemo = new graft.ops.SessionMemo[(String, String), DataFrame]
 
   private def indexTable(s: SparkSession, d: String): DataFrame =
-    tableMemo.getOrElseUpdate((s, d, "index"),
+    tableMemo.getOrElseUpdate(s, (d, "index"))(
       IndexPipeline(synthIndexRaw(s, d), Schemas.defaultTargetGeographies).cache())
 
   private def adult4Table(s: SparkSession, d: String): DataFrame =
-    tableMemo.getOrElseUpdate((s, d, "adult4"), adult4Pipeline(s, d).cache())
+    tableMemo.getOrElseUpdate(s, (d, "adult4"))(adult4Pipeline(s, d).cache())
 
   /** Materializes the session-shared processed tables (index, adult4) so
     * the first of the eleven ETL-view consumers is not billed for the

@@ -179,6 +179,76 @@ object Similarity {
         .select("query_id", "bucket", "neighbor_id", "cos_sim", "rnk")
   }
 
+  /** A sign-LSH bucket with n members generates O(n²) in-bucket cosine
+    * pairs on ONE shuffle key — the similarity-family analogue of
+    * [[TextDedup.MaxBandBucket]]'s skew bomb. Same treatment: buckets over
+    * the cap carry no *near*-neighbor signal (a degenerate
+    * identical-embedding cluster belongs to exact dedup, which is a linear
+    * groupBy) and are dropped from pair generation. */
+  private[graft] val MaxSimBucket = 25
+
+  /** Adversarial robustness gate for the ANN family: a crafted shard where
+    * HALF the corpus is one identical embedding — all even vec_ids share
+    * one sign-LSH bucket, so that bucket holds ≥50% of rows and uncapped
+    * in-bucket scoring would pay O((n/2)²) cosines on a single shuffle key
+    * (at sf0.1: ~6.2M pairs through one task). The [[MaxSimBucket]]
+    * dense-bucket drop removes it (and any unlucky co-bucketed benign
+    * vectors) from pair generation via a broadcast anti-join before the
+    * candidate join, leaving the benign buckets' exact top-3 — the oracle
+    * agrees on exactly which neighbors survive. Topology otherwise
+    * identical to [[topkLshBucketed]]. */
+  val topkAdversarialBucket = QuerySpec(
+    "q_sim_adversarial_bucket",
+    s"""WITH adv AS (SELECT vec_id,
+              CASE WHEN vec_id % 2 = 0
+                   THEN list_transform(generate_series(1, 64), i -> CAST(0.5 AS DOUBLE))
+                   ELSE embedding END AS embedding FROM embeddings),
+        e AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM adv),
+        bk AS (SELECT vec_id, embedding, nrm, ${bucketSql("embedding")} AS bucket FROM e),
+        dense AS (SELECT bucket FROM bk GROUP BY 1 HAVING count(*) > $MaxSimBucket),
+        kept AS (SELECT b.* FROM bk b
+                 WHERE NOT EXISTS (SELECT 1 FROM dense d WHERE d.bucket = b.bucket)),
+        scored AS (
+          SELECT q.vec_id AS query_id, q.bucket AS bucket, c.vec_id AS neighbor_id,
+                 ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos_sim
+          FROM kept q JOIN kept c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+          WHERE q.vec_id < 10)
+        SELECT query_id, bucket, neighbor_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY cos_sim DESC, neighbor_id) AS rnk
+              FROM scored) t
+        WHERE rnk <= 3""") {
+    (s, d) =>
+      VectorExpressions.register(s)
+      val adv = Tables.embeddings(s, d).select(col("vec_id"),
+        when(col("vec_id") % 2 === 0, typedLit(Seq.fill(64)(0.5f)))
+          .otherwise(col("embedding")).as("embedding"))
+        .withColumn("nrm", vector_norm_f32(col("embedding")))
+      // one leased bucket pass; the dense audit and both join sides read it
+      val bk = graft.ops.Caches.lease(
+        adv.withColumn("bucket", bucketCol(col("embedding"), 64)))
+      val dense = bk.groupBy("bucket").agg(count(lit(1)).as("n"))
+        .filter(col("n") > MaxSimBucket).select("bucket")
+      val kept = bk.join(broadcast(dense), Seq("bucket"), "left_anti")
+      val q = kept.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm"), col("bucket"))
+      val c = kept.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+        col("nrm").as("c_nrm"), col("bucket"))
+      q.join(c, Seq("bucket"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos_sim",
+          vector_dot_f32(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
+        .withColumn("rnk",
+          row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("query_id")
+              .orderBy(col("cos_sim").desc, col("neighbor_id")))
+            .cast("long"))
+        .filter(col("rnk") <= 3)
+        .select("query_id", "bucket", "neighbor_id", "cos_sim", "rnk")
+  }
+
   /** Multi-probe sign-LSH: each query probes its own bucket AND every
     * bucket within hamming distance 2 (≤2 planes flipped, 1+8+28 = 37
     * probes) — the standard recall fix for near-boundary vectors, still
@@ -283,23 +353,21 @@ object Similarity {
     * q_semdedup and q_cluster_kmeans share one quantizer fit, mirroring a
     * production deployment where the coarse quantizer is trained once and
     * reused by every index build and dedup pass. */
-  private val centMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Seq[(Long, Seq[Double])]]
+  private val centMemo = new graft.ops.SessionMemo[String, Seq[(Long, Seq[Double])]]
 
   private def centroidsShared(s: SparkSession, d: String): Seq[(Long, Seq[Double])] =
-    centMemo.getOrElseUpdate((s, d), {
+    centMemo.getOrElseUpdate(s, d)({
       val e = withNorm(s, d).cache()
       try kmeansCentroids(s, e) finally { e.unpersist(); () }
     })
 
   /** Shared derived-DataFrame memo (same pattern as TextDedup.memo). */
-  private val memo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+  private val memo = new graft.ops.SessionMemo[(String, String), DataFrame]
 
   /** Final cell assignment (vec_id, embedding, nrm, cell) — Spark twin of
     * the `cells` CTE in [[cellsChainSql]]; cached once per session. */
   private def cellsShared(s: SparkSession, d: String): DataFrame =
-    memo.getOrElseUpdate((s, d, "cells"), {
+    memo.getOrElseUpdate(s, (d, "cells"))({
       import s.implicits._
       val centDf = centroidsShared(s, d).toDF("cent_id", "cent_emb")
         .withColumn("cent_nrm", VectorExpressions.vector_norm_f64(col("cent_emb")))
@@ -1009,7 +1077,8 @@ object Similarity {
   }
 
   val specs: Seq[QuerySpec] = Seq(
-    embedCosineNearDup, topkBruteForce, topkLshBucketed, topkLshMultiprobe,
+    embedCosineNearDup, topkBruteForce, topkLshBucketed, topkAdversarialBucket,
+    topkLshMultiprobe,
     topkIvf, topkRecall, semDedup, clusterStats, embedStats, embedQuantize,
     topkPq, topkIvfPq, centroidShift, hardNegatives)
 }

@@ -213,6 +213,12 @@ object TextDedup {
     * dropped from PAIR generation, same treatment as [[MaxShingleDf]]. */
   private[graft] val MaxBandBucket = 25
 
+  /** The identical document planted across half the corpus by the
+    * adversarial-bucket gate (plain words, no quotes — it is embedded in
+    * the DuckDB oracle as a SQL string literal). */
+  private[graft] val AdversarialText =
+    "the quick brown fox jumps over the lazy dog again and again"
+
   /** Word-shingle column: distinct k-word shingles per doc, document-
     * frequency-capped. Guarded so short docs yield an empty array (Spark
     * `sequence(1, n)` with n<1 would otherwise generate a DESCENDING
@@ -226,7 +232,7 @@ object TextDedup {
     * private[graft] so PlanSpec can prove the hot-shingle guard directly
     * (df bound + broadcast anti-join plan shape). */
   private[graft] def shingled(s: SparkSession, d: String, k: Int): DataFrame =
-    memo.getOrElseUpdate((s, d, s"shingled$k"), shingledFresh(s, d, k).cache())
+    memo.getOrElseUpdate(s, (d, s"shingled$k"))(shingledFresh(s, d, k).cache())
 
   /** Session-scoped shared materializations of the dedup intermediates
     * (df-capped shingle streams, MinHash signatures, LSH candidates) —
@@ -236,8 +242,7 @@ object TextDedup {
     * reads the same materialized table; `cache()` is the in-session
     * stand-in for that write. Plan-shape tests use [[shingledFresh]] (the
     * builder), since the memoized form plans as an InMemoryTableScan. */
-  private val memo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+  private val memo = new graft.ops.SessionMemo[(String, String), DataFrame]
 
   /** The UNcapped distinct (doc_id, shingle) stream — the common front of
     * [[shingledFresh]] (which df-caps it) and [[textNovelty]] (which must
@@ -438,7 +443,7 @@ object TextDedup {
   }
 
   private[queries] def minhashSigShared(s: SparkSession, d: String): DataFrame =
-    memo.getOrElseUpdate((s, d, "sig3"), minhashSig(shingled(s, d, 3)).cache())
+    memo.getOrElseUpdate(s, (d, "sig3"))(minhashSig(shingled(s, d, 3)).cache())
 
   /** Per-ROW MinHash band table over a (doc_id, text, …) frame — a pure
     * scalar projection (shingle array → k md5 mins → band concats →
@@ -532,6 +537,59 @@ object TextDedup {
         .distinct()
   }
 
+  /** Adversarial robustness gate for the LSH dedup family: a crafted
+    * pathological shard where HALF the corpus is one identical document —
+    * every even doc shares every band, so each of the 4 band buckets
+    * holds 50% of all rows. Uncapped banding would emit O((n/2)²) pairs
+    * from those buckets alone (at sf0.1: ~3.1M pairs from 2500 identical
+    * docs — a single-key shuffle bomb); the [[MaxBandBucket]] dense-drop
+    * removes them from PAIR generation map-side (broadcast anti-join),
+    * leaving only the benign half's near-dup candidates. Degenerate
+    * identical-text clusters are the EXACT dedup family's job (a linear
+    * groupBy) — this query pins that the near-dup plan stays bounded when
+    * fed the worst case, with the oracle agreeing on exactly which pairs
+    * survive. Same per-row band builder + dense-drop topology as
+    * [[dedupIncrementalLsh]] / [[minhashCorpusBands]]. */
+  val dedupAdversarialBucket = QuerySpec(
+    "q_dedup_adversarial_bucket",
+    s"""WITH adv AS (SELECT doc_id,
+                CASE WHEN doc_id % 2 = 0 THEN '$AdversarialText'
+                     ELSE text END AS text FROM documents),
+        w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM adv),
+        sh0 AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+                FROM w, UNNEST(generate_series(1, greatest(len(ws) - 2, 0))) AS u(i)),
+        sig AS (SELECT doc_id, $minhashSigSql FROM sh0 GROUP BY doc_id),
+        bands AS ($minhashBandsSql),
+        dense AS (SELECT band_id, band_val FROM bands
+                  GROUP BY 1, 2 HAVING count(*) > $MaxBandBucket),
+        bk AS (SELECT b.* FROM bands b
+               WHERE NOT EXISTS (SELECT 1 FROM dense d
+                                 WHERE d.band_id = b.band_id
+                                   AND d.band_val = b.band_val))
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM bk a JOIN bk b
+          ON a.band_id = b.band_id AND a.band_val = b.band_val
+             AND a.doc_id < b.doc_id""") {
+    (s, d) =>
+      val adv = docs(s, d).select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, lit(AdversarialText))
+          .otherwise(col("text")).as("text"))
+      // one leased band pass; the dense audit and both join sides read it
+      val bands = graft.ops.Caches.lease(
+        minhashBandsFor(adv).select("doc_id", "band_id", "band_val"))
+      val dense = bands.groupBy("band_id", "band_val")
+        .agg(count(lit(1)).as("n")).filter(col("n") > MaxBandBucket)
+        .select("band_id", "band_val")
+      val bk = bands.join(broadcast(dense), Seq("band_id", "band_val"), "left_anti")
+        .select("doc_id", "band_id", "band_val")
+      bk.select(col("doc_id").as("a_id"), col("band_id"), col("band_val"))
+        .join(bk.select(col("doc_id").as("b_id"), col("band_id"), col("band_val")),
+          Seq("band_id", "band_val"))
+        .filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+  }
+
   /** Static corpus band table for stream-static near-dup: the per-row
     * band builder over the corpus, DENSE BUCKETS DROPPED (a bucket with
     * n members contributes O(n) join hits per arriving probe and O(n²)
@@ -549,8 +607,20 @@ object TextDedup {
     bands.join(broadcast(dense), Seq("band_id", "band_val"), "left_anti")
   }
 
+  /** The shared LSH candidate table is the most-referenced memo (ten dedup
+    * consumers, the whole graph family, Curation's novelty pass) and the
+    * deepest to build (~25 shuffle exchanges). `localCheckpoint` rather
+    * than `cache()`: the lineage is TRUNCATED, so a consumer referencing
+    * it twice (e.g. the symmetrized edge union) plans against a scan of
+    * the materialized snapshot instead of inlining the 25-exchange build
+    * per reference — q_link_predict's cold plan was 228 exchanges under
+    * `cache()`, ~6 under the checkpoint. This is also the honest stand-in
+    * for the production topology (a snapshot table WRITTEN by a separate
+    * job has no lineage to inline). Eager: first access pays the build,
+    * exactly like the cache-on-first-action form; never leased, so the
+    * harness drain can't strand it (its blocks die with the session). */
   private[queries] def minhashCandShared(s: SparkSession, d: String): DataFrame =
-    memo.getOrElseUpdate((s, d, "cand3"), minhashCandidates(minhashSigShared(s, d)).cache())
+    memo.getOrElseUpdate(s, (d, "cand3"))(minhashCandidates(minhashSigShared(s, d)).localCheckpoint())
 
   /** Materializes the session-shared dedup intermediates (capped shingles,
     * MinHash signatures, LSH candidate pairs) so whichever consumer runs
@@ -760,7 +830,7 @@ object TextDedup {
     * (in-suite it was the single most expensive query at 25.8s for that
     * reason). Same corpus-snapshot semantics as [[minhashSigShared]]. */
   private[queries] def simhashShared(s: SparkSession, d: String): DataFrame =
-    memo.getOrElseUpdate((s, d, "simhash32"), simhashDf(s, d).cache())
+    memo.getOrElseUpdate(s, (d, "simhash32"))(simhashDf(s, d).cache())
 
   /** SimHash: 32-bit fingerprint from the md5 nibbles of the doc's distinct
     * tokens — bit_j = sign of Σ_token (±1 by whether md5 nibble j has its
@@ -974,7 +1044,14 @@ object TextDedup {
       }
     }
     release(edgesRdds) // loop done: only the final labels snapshot survives
-    require(converged, s"label propagation did not converge in $rounds rounds")
+    if (!converged) {
+      // error path: the last round's checkpoint blocks have no consumer
+      // and leaseRdd below never runs — free them before throwing, or
+      // they linger for the session
+      release(labelsRdds)
+      throw new IllegalArgumentException(
+        s"requirement failed: label propagation did not converge in $rounds rounds")
+    }
     // the final labels blocks are query-scoped scratch: consumers read the
     // result within their query action, then the harness drains. (A
     // drained checkpoint cannot be recomputed — CC results are never
@@ -1752,7 +1829,7 @@ object TextDedup {
     dedupExact, dedupJaccard, dedupSubstring, dedupMinhashLsh, dedupMinhashEstimate,
     dedupLshVerified, dedupLshRecall,
     dedupSimhash, dedupSimhashHamming, dedupComponents, dedupKeep, dedupIncremental,
-    dedupIncrementalLsh,
+    dedupIncrementalLsh, dedupAdversarialBucket,
     curationPipeline, sampleDeterministic, samplePriority, sampleStratified,
     vocabTop, vocabZipf,
     pagerank, triangleCount, communitiesLpa, textNovelty, dedupPpjoin, dedupPrefix)

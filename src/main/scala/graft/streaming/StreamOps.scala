@@ -39,6 +39,18 @@ object StreamOps {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
+  /** The only inference failures that legitimately mean "directory not
+    * yet populated" (the writer-starts-after-reader topology): an
+    * existing-but-empty dir (UNABLE_TO_INFER_SCHEMA) or a dir the writer
+    * has not created yet (PATH_NOT_FOUND). Any OTHER AnalysisException —
+    * corrupt footers, unreadable files, permission errors — must surface,
+    * not silently fall back to the micros schema and fail confusingly at
+    * runtime. Known limitation, by the same topology: an empty dir that
+    * later receives legacy-NANOS files was declared micros at start and
+    * the first batch fails with a schema mismatch — declare via
+    * [[eventsRawSchema]] by hand for that (historical) generation. */
+  private val emptyStartConditions = Seq("UNABLE_TO_INFER_SCHEMA", "PATH_NOT_FOUND")
+
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     val inferredOpt =
       try Some(spark.read.parquet(dir).schema)
@@ -48,7 +60,8 @@ object StreamOps {
           // conf — surface the actionable message, not Spark's raw error
           graft.Tables.requireNanosAsLong(spark)
           throw e
-        case _: org.apache.spark.sql.AnalysisException =>
+        case e: org.apache.spark.sql.AnalysisException
+            if emptyStartConditions.exists(String.valueOf(e.getCondition).contains) =>
           None // empty / not-yet-populated directory: fall back below
       }
     inferredOpt.map(_("ts").dataType) match {
