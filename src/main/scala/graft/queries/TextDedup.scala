@@ -630,6 +630,10 @@ object TextDedup {
   def prewarmShared(s: SparkSession, d: String): Unit = {
     minhashCandShared(s, d).count() // forces shingled3 → sig3 → cand3
     simhashShared(s, d).count()
+    // the 5-gram stream is a second snapshot table (Jaccard dedup,
+    // decontamination); without this its ~6s build was billed to its
+    // alphabetically-first consumer (q_decontaminate, r8 find)
+    shingled(s, d, 5).count()
     ()
   }
 
