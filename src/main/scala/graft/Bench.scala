@@ -87,18 +87,11 @@ object Bench {
       // a failed query reports -1, never a plausible elapsed time
       (name, if (ok) elapsed else -1.0, gcMs, cpuMs)
     }
-    def jmap(entries: Seq[(String, String)]): String =
-      entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val qs = jmap(results.map { case (k, v, _, _) => k -> v.toString })
-    val gcs = jmap(results.map { case (k, _, g, _) => k -> g.toString })
-    val cpus2 = jmap(results.map { case (k, _, _, c) => k -> c.toString })
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)
     val gcTotal = results.map(_._3).sum
     val heapMax = Runtime.getRuntime.maxMemory / (1024 * 1024)
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","prewarm_sec":$prewarmSec,""" +
-      s""""gc_ms_total":$gcTotal,"heap_max_mb":$heapMax,"queries":$qs,""" +
-      s""""gc_ms":$gcs,"cpu_ms":$cpus2,"sf":"$sfDir"}"""
+    val full = fullJson(results, prewarmSec, heapMax, sfDir)
     // full per-query map goes to a file: the driver keeps only the last
     // ~2000 chars of stdout, and the 200+-query map is >6 KB — it can never
     // fit there
@@ -117,6 +110,38 @@ object Bench {
     // spark.stop() so no Spark shutdown logging can land after it, and
     // build.sbt's StdoutOutput/showSuccess settings keep sbt from
     // prefixing or appending to it.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":$failed,"prewarm_sec":$prewarmSec,"gc_ms_total":$gcTotal,"sf":"$sfDir","detail":"$out"}""")
+    println(summaryJson(total, results.size, failed, prewarmSec, gcTotal, sfDir, out))
   }
+
+  // ---- artifact builders, separated from main so BenchFormatSpec can pin
+  // the driver contract (a bare single-line JSON payload) as a unit test
+  // instead of re-learning it from a failed round ----
+
+  private def jmap(entries: Seq[(String, String)]): String =
+    entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+
+  /** The full artifact written to target/bench.json: per-query wall
+    * seconds plus the gc-pause and process-CPU deltas that attribute any
+    * wall-time outlier to pause vs plan cost. */
+  private[graft] def fullJson(
+      results: Seq[(String, Double, Long, Long)],
+      prewarmSec: Double, heapMaxMb: Long, sfDir: String): String = {
+    val qs = jmap(results.map { case (k, v, _, _) => k -> v.toString })
+    val gcs = jmap(results.map { case (k, _, g, _) => k -> g.toString })
+    val cpus = jmap(results.map { case (k, _, _, c) => k -> c.toString })
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val gcTotal = results.map(_._3).sum
+    s"""{"metric":"total","value":$total,"unit":"sec","prewarm_sec":$prewarmSec,""" +
+      s""""gc_ms_total":$gcTotal,"heap_max_mb":$heapMaxMb,"queries":$qs,""" +
+      s""""gc_ms":$gcs,"cpu_ms":$cpus,"sf":"$sfDir"}"""
+  }
+
+  /** The compact final-stdout-line summary the driver parses; must stay
+    * a single line with no per-query map (the driver keeps only the last
+    * ~2000 chars of stdout). */
+  private[graft] def summaryJson(
+      total: Double, n: Int, failed: Int, prewarmSec: Double,
+      gcTotal: Long, sfDir: String, detail: String): String =
+    s"""{"metric":"total","value":$total,"unit":"sec","n":$n,"failed":$failed,""" +
+      s""""prewarm_sec":$prewarmSec,"gc_ms_total":$gcTotal,"sf":"$sfDir","detail":"$detail"}"""
 }

@@ -1,0 +1,69 @@
+package graft
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench-artifact driver contract: both the full per-query
+  * artifact and the compact final-stdout summary must be SINGLE-LINE,
+  * strictly parseable JSON with the fields the driver reads. Seven
+  * rounds of `"parsed": null` came from decoration AROUND the payload
+  * (sbt's `[info] ` prefix and `[success]` epilogue — fixed in
+  * build.sbt); this spec keeps the payload itself from ever becoming
+  * the problem. Jackson (bundled with Spark) is the strict parser. */
+class BenchFormatSpec extends AnyFunSuite {
+
+  private val mapper = new ObjectMapper()
+
+  // representative result rows: a sub-second query, a long one whose
+  // Double renders in scientific-notation-free form, and a FAILED row
+  // (elapsed −1, the sentinel the driver must be able to tell apart)
+  private val results = Seq[(String, Double, Long, Long)](
+    ("q_alpha", 0.123456789, 12L, 340L),
+    ("q_beta", 35.900000001, 18000L, 113000L),
+    ("q_failed", -1.0, 0L, -1L))
+
+  test("full artifact is one line of strict JSON with per-query maps") {
+    val s = Bench.fullJson(results, prewarmSec = 41.93, heapMaxMb = 24576L,
+      sfDir = "/root/testdata/sf0.1")
+    assert(!s.contains("\n"), "artifact must be a single line")
+    val node = mapper.readTree(s) // throws on any malformed JSON
+    assert(node.get("metric").asText() == "total")
+    assert(node.get("unit").asText() == "sec")
+    // total excludes failed rows' -1 sentinel
+    assert(math.abs(node.get("value").asDouble() - (0.123456789 + 35.900000001)) < 1e-9)
+    assert(node.get("queries").size() == 3)
+    assert(node.get("queries").get("q_failed").asDouble() == -1.0)
+    assert(node.get("gc_ms").get("q_beta").asLong() == 18000L)
+    assert(node.get("cpu_ms").get("q_alpha").asLong() == 340L)
+    assert(node.get("prewarm_sec").asDouble() == 41.93)
+    assert(node.get("heap_max_mb").asLong() == 24576L)
+    assert(node.get("gc_ms_total").asLong() == 18012L)
+  }
+
+  test("compact summary is one line of strict JSON small enough for the driver's tail") {
+    val s = Bench.summaryJson(total = 152.7682598430001, n = 210, failed = 0,
+      prewarmSec = 36.920548792, gcTotal = 828L,
+      sfDir = "/root/testdata/sf0.1", detail = "target/bench.json")
+    assert(!s.contains("\n"))
+    // the driver keeps only the last ~2000 chars of stdout; leave ample
+    // headroom so field additions can't silently push it over
+    assert(s.length < 500, s"summary too long for the driver tail: ${s.length}")
+    val node = mapper.readTree(s)
+    assert(node.get("metric").asText() == "total")
+    assert(node.get("n").asInt() == 210)
+    assert(node.get("failed").asInt() == 0)
+    assert(node.get("value").asDouble() > 0)
+    assert(node.get("detail").asText() == "target/bench.json")
+  }
+
+  test("extreme Double values still render as valid JSON numbers") {
+    // Scala renders tiny/huge doubles in scientific notation (1.0E-4);
+    // that IS valid JSON — pin that a parser agrees, so a pathological
+    // timing can never corrupt the artifact
+    val s = Bench.fullJson(Seq(("q_x", 1.0e-4, 0L, 0L), ("q_y", 9.87654321e7, 1L, 2L)),
+      0.0, 1L, "sf")
+    val node = mapper.readTree(s)
+    assert(node.get("queries").get("q_x").asDouble() == 1.0e-4)
+    assert(node.get("queries").get("q_y").asDouble() == 9.87654321e7)
+  }
+}
