@@ -87,9 +87,7 @@ object Bench {
       // a failed query reports -1, never a plausible elapsed time
       (name, if (ok) elapsed else -1.0, gcMs, cpuMs)
     }
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val failed = results.count(_._2 < 0)
-    val gcTotal = results.map(_._3).sum
+    val (total, failed, gcTotal) = totals(results)
     val heapMax = Runtime.getRuntime.maxMemory / (1024 * 1024)
     val full = fullJson(results, prewarmSec, heapMax, sfDir)
     // full per-query map goes to a file: the driver keeps only the last
@@ -104,7 +102,11 @@ object Bench {
       case e: Throwable => System.err.println(s"[bench] could not write $out: ${e.getMessage}")
     }
     println(full)
-    spark.stop()
+    // a shutdown failure must not cost the driver its final parseable
+    // line — the suite already ran; nothing stop() does changes results
+    try spark.stop() catch {
+      case e: Throwable => System.err.println(s"[bench] spark.stop failed: ${e.getMessage}")
+    }
     // FINAL stdout line: compact summary, no per-query map — small enough
     // to always survive the driver's stdout tail and parse. Printed after
     // spark.stop() so no Spark shutdown logging can land after it, and
@@ -112,6 +114,12 @@ object Bench {
     // prefixing or appending to it.
     println(summaryJson(total, results.size, failed, prewarmSec, gcTotal, sfDir, out))
   }
+
+  /** (wall-seconds total excluding failed rows' −1 sentinel, failed
+    * count, gc-ms total) — the ONE derivation both artifacts use, so
+    * bench.json and the stdout summary can never disagree. */
+  private[graft] def totals(results: Seq[(String, Double, Long, Long)]): (Double, Int, Long) =
+    (results.map(_._2).filter(_ >= 0).sum, results.count(_._2 < 0), results.map(_._3).sum)
 
   // ---- artifact builders, separated from main so BenchFormatSpec can pin
   // the driver contract (a bare single-line JSON payload) as a unit test
@@ -129,8 +137,7 @@ object Bench {
     val qs = jmap(results.map { case (k, v, _, _) => k -> v.toString })
     val gcs = jmap(results.map { case (k, _, g, _) => k -> g.toString })
     val cpus = jmap(results.map { case (k, _, _, c) => k -> c.toString })
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val gcTotal = results.map(_._3).sum
+    val (total, _, gcTotal) = totals(results)
     s"""{"metric":"total","value":$total,"unit":"sec","prewarm_sec":$prewarmSec,""" +
       s""""gc_ms_total":$gcTotal,"heap_max_mb":$heapMaxMb,"queries":$qs,""" +
       s""""gc_ms":$gcs,"cpu_ms":$cpus,"sf":"$sfDir"}"""

@@ -54,13 +54,23 @@ object PlanFingerprints {
     }.toMap
   }
 
+  /** Shared-snapshot BUILD plans pinned alongside the queries. A memo
+    * backed by an eager localCheckpoint (minhashCandShared) truncates
+    * lineage, so every consumer's fingerprint sees only the snapshot
+    * scan (0 exchanges) — a regression in the build pipeline itself
+    * would never fail the gate without these entries. Named q_builder_*
+    * to ride the existing parse/render format; they are NOT oracle
+    * queries (no SparkEntry/Verify registration). */
+  def builders: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+    "q_builder_minhash_cand" -> ((s, d) => graft.queries.TextDedup.minhashCandFresh(s, d)))
+
   /** ALPHABETICAL construction order, matching the bench: session-shared
     * memos materialize under the first consumer and later queries plan
     * against InMemoryTableScan — the order must be fixed or fingerprints
     * would depend on which query ran first. Callers pass a session with
     * no memos built yet (the spec uses a fresh `newSession`). */
   def collectAll(spark: SparkSession, sfDir: String): Map[String, Fp] =
-    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    (SparkEntry.queries ++ builders).toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> fingerprint(fn(spark, sfDir).queryExecution.explainString(
         org.apache.spark.sql.execution.SimpleMode))
     }.toMap

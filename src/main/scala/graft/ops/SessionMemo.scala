@@ -25,16 +25,34 @@ import scala.collection.concurrent.TrieMap
   * The swept values need no explicit unpersist: cached/checkpointed
   * blocks die with their context; dropping the map entry is what lets
   * the session object itself be collected.
+  *
+  * KNOWN LIMIT: eviction is keyed on CONTEXT stop. Sessions that churn
+  * over one long-lived shared SparkContext (`newSession()` clones on a
+  * gateway) are not reclaimed until that context stops — Spark exposes
+  * no session-close signal to hook, and their cached blocks belong to
+  * the live context anyway. Deployments with that topology should key
+  * workloads per-context or recycle the context on a cadence.
   */
 final class SessionMemo[K, V] {
   private val m = TrieMap.empty[(SparkSession, K), V]
+  private val buildLock = new Object
   SessionMemos.register(this)
 
-  /** Atomic get-or-build (TrieMap.getOrElseUpdate), keyed by session. */
+  /** Get-or-build, keyed by session; the build is ATOMIC per memo.
+    * TrieMap.getOrElseUpdate alone evaluates `build` optimistically
+    * outside any lock, so two threads racing a cold key would both run
+    * the (expensive, possibly eagerly-checkpointing) build and the
+    * loser's blocks would linger unreferenced for the session. The lock
+    * is per-MEMO, not per-key — coarse, but builds are rare one-time
+    * corpus-snapshot materializations and the hot path (memo hit) never
+    * takes it. */
   def getOrElseUpdate(s: SparkSession, k: K)(build: => V): V = {
     SessionMemos.watch(s)
     evictStopped()
-    m.getOrElseUpdate((s, k), build)
+    m.get((s, k)) match {
+      case Some(v) => v
+      case None => buildLock.synchronized(m.getOrElseUpdate((s, k), build))
+    }
   }
 
   private[ops] def evictStopped(): Int = {
@@ -57,8 +75,14 @@ object SessionMemos {
 
   private[ops] def register(memo: SessionMemo[_, _]): Unit = { memos.add(memo); () }
 
-  /** Ensure exactly one application-end listener per SparkContext. */
+  /** Ensure exactly one application-end listener per SparkContext. Also
+    * prunes `watched` keys whose context has stopped: if the listener
+    * never fired (listener bus dropped the event or was stopped before
+    * it drained), the sweep-on-access path reclaims the memo ENTRIES but
+    * this map would otherwise pin one stopped SparkContext per churn —
+    * the leak class this file exists to close. */
   private[ops] def watch(s: SparkSession): Unit = {
+    watched.keySet.foreach(c => if (c.isStopped) watched.remove(c))
     val sc = s.sparkContext
     if (!sc.isStopped && watched.putIfAbsent(sc, ()).isEmpty) {
       sc.addSparkListener(new SparkListener {

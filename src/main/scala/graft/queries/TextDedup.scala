@@ -622,6 +622,15 @@ object TextDedup {
   private[queries] def minhashCandShared(s: SparkSession, d: String): DataFrame =
     memo.getOrElseUpdate(s, (d, "cand3"))(minhashCandidates(minhashSigShared(s, d)).localCheckpoint())
 
+  /** The candidate-table build WITHOUT memo or checkpoint — the plan the
+    * separate snapshot job would run. Exists so PlanFingerprintSpec can
+    * pin the deepest build in the suite: consumers' fingerprints see only
+    * the post-checkpoint snapshot scan (0 exchanges), so without this
+    * entry a shuffle/cartesian regression in the shingle→signature→
+    * candidate pipeline would never fail a test. */
+  private[graft] def minhashCandFresh(s: SparkSession, d: String): DataFrame =
+    minhashCandidates(minhashSig(shingledFresh(s, d, 3)))
+
   /** Materializes the session-shared dedup intermediates (capped shingles,
     * MinHash signatures, LSH candidate pairs) so whichever consumer runs
     * first is not billed for the corpus-snapshot build — Bench calls this

@@ -17,7 +17,7 @@ class PlanFingerprintSpec extends SparkSpec {
     val res = getClass.getResourceAsStream("/plan_fingerprints.json")
     assert(res != null, "baseline missing — run: runMain graft.PlanFingerprints")
     val baseline = PlanFingerprints.parse(new String(res.readAllBytes(), "UTF-8"))
-    assert(baseline.size === SparkEntry.queries.size,
+    assert(baseline.size === SparkEntry.queries.size + PlanFingerprints.builders.size,
       "query count changed — regenerate the baseline (runMain graft.PlanFingerprints)")
     // fresh-JVM conditions inside a shared JVM: (a) a new session, so the
     // session-keyed memos rebuild in the same alphabetical order the
