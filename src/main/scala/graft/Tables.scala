@@ -7,6 +7,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Catalyst — callers express filters/projections declaratively.
   */
 object Tables {
+  /** Plain single-file scans. NOTE the testdata parquet is single
+    * row group, so every scan is ONE task until the first exchange —
+    * sites with heavy per-row compute BEFORE their first shuffle apply
+    * [[graft.ops.Scale.fanOutScan]] AFTER their narrow projection
+    * (fan-out here at the reader was measured a net loss: the exchange
+    * blocks column pruning, so narrow queries shuffled wide columns). */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 

@@ -34,6 +34,48 @@ object Scale {
     salted.join(replicated, Seq(key, "_salt"), joinType).drop("_salt")
   }
 
+  /** Split-amplify a scan whose source provides fewer splits than the
+    * session has cores: parquet assigns tasks at ROW-GROUP granularity, so
+    * a table written as few large row groups caps every pre-shuffle stage
+    * at that task count no matter what `maxPartitionBytes` says — scan,
+    * heavy per-row projections (shingle+hash kernels, regex extraction,
+    * binary decode), and partial aggregation all run near-serial while the
+    * rest of the cluster idles. One round-robin exchange of the (small, by
+    * construction) input restores parallelism for everything downstream.
+    *
+    * Deliberately ADAPTIVE and self-disabling at scale: a 100 TB table has
+    * thousands of row groups, the split count meets the target, and this
+    * is the identity — no exchange enters the plan. It only fires in the
+    * "small input, expensive compute" regime, where repartition-after-read
+    * is the standard Spark idiom.
+    *
+    * USE AT THE COMPUTE SITE, AFTER the narrow projection — never at the
+    * table reader. Measured at the reader it was a net loss (sf0.1 suite
+    * +64 s): an exchange there blocks column pruning, so 2-column queries
+    * shuffled full rows (text/binary payloads), and key-less round-robin
+    * adds a sort-before-repartition of every column it carries. Callers
+    * pass the table's (near-)unique key: hash partitioning on it is
+    * sort-free, deterministic, and evenly spread. */
+  def fanOutScan(df: DataFrame, key: Column): DataFrame = {
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 >= target) df
+    else df.repartition(target, key)
+  }
+
+  /** Key-less variant for NARROW projections with no near-unique column
+    * to hash on (e.g. (flag, x, y) ahead of a grouped moment sum):
+    * round-robin, which sorts the carried rows per input partition before
+    * redistribution (sortBeforeRepartition) — fine for a few numeric
+    * columns, ruinous for text/binary; prefer the keyed form when any
+    * wide column rides along. */
+  def fanOutScan(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 >= target) df
+    else df.repartition(target)
+  }
+
   /** Top-k per group without a global sort: per-partition rank + filter.
     * Catalyst already lowers orderBy+limit to TakeOrderedAndProject for the
     * global case; this is the grouped analogue (one shuffle on the group

@@ -260,7 +260,8 @@ object Curation {
     * 3-grams — the shared universe the KMV and HLL cardinality sketches
     * both estimate, so their outputs are directly comparable. */
   private def gram3h8Fresh(s: SparkSession, d: String): DataFrame =
-    docs(s, d)
+    // fan out before the shingle+md5 kernel (see Scale.fanOutScan)
+    graft.ops.Scale.fanOutScan(docs(s, d).select("doc_id", "text"), col("doc_id"))
       .withColumn("ws", split(col("text"), " "))
       .select(explode(expr(
         """CASE WHEN size(ws) >= 3

@@ -202,8 +202,11 @@ object EventsMultimodal {
        FROM inter WHERE 20 * (na + nb - 2 * inter) <= na + nb""") {
     (s, d) =>
       graft.functions.VectorExpressions.register(s)
-      val dd = Tables.documents(s, d).select(
-        col("doc_id"), col("text"), length(col("text")).cast("long").as("n"))
+      // fan out before the per-char explode (see multimodalBlockhash)
+      val dd = graft.ops.Scale.fanOutScan(
+        Tables.documents(s, d).select(
+          col("doc_id"), col("text"), length(col("text")).cast("long").as("n")),
+        col("doc_id"))
       // split-to-chars then ascii is O(doc) — per-position
       // substring(text, i, 1) rescans the string from the start for
       // every i (O(doc²) per item); the n >= 1 guard stays because
@@ -340,8 +343,12 @@ object EventsMultimodal {
        FROM inter WHERE 20 * (na + nb - 2 * inter) <= na + nb""") {
     (s, d) =>
       graft.functions.VectorExpressions.register(s)
-      val dd = Tables.documents(s, d).select(
-        col("doc_id"), col("text"), length(col("text")).cast("long").as("n"))
+      // fan out before the per-char explode — the O(total chars) key
+      // projection is the query's CPU floor and otherwise runs one-task
+      val dd = graft.ops.Scale.fanOutScan(
+        Tables.documents(s, d).select(
+          col("doc_id"), col("text"), length(col("text")).cast("long").as("n")),
+        col("doc_id"))
       // split-to-chars with the 0-based index lambda is O(doc); the
       // per-position substring form rescans from the start for every i
       // (O(doc²) per item). i 0-based ≡ (i_1based − 1).

@@ -52,7 +52,10 @@ object Profiling {
                        nd$i AS n_distinct, mn$i AS min_val, mx$i AS max_val FROM a"""
           }.mkString("\nUNION ALL\n")}""") {
       (s, d) =>
-        val o = Tables.orders(s, d)
+        // the multi-distinct Expand multiplies rows ×(cols+1) BEFORE the
+        // first exchange — fan the pruned scan out so it isn't single-task
+        val o = graft.ops.Scale.fanOutScan(
+          Tables.orders(s, d).select(cols.map(col): _*), col("o_orderkey"))
         val aggs = count(lit(1)).cast("long").as("nr") +:
           cols.zipWithIndex.flatMap { case (c, i) =>
             Seq(

@@ -628,8 +628,13 @@ object Relational {
         WHERE l_shipdate <= TIMESTAMP '2000-09-01'
         GROUP BY 1, 2""") {
     (s, d) =>
-      li(s, d)
-        .filter(col("l_shipdate") <= lit("2000-09-01").cast("timestamp"))
+      // filter first (stays pushed into the scan), then fan the narrow
+      // 6-column projection out so the decimal partial sums parallelize
+      graft.ops.Scale.fanOutScan(
+        li(s, d)
+          .filter(col("l_shipdate") <= lit("2000-09-01").cast("timestamp"))
+          .select("l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           Exact.sumD(col("l_quantity")).as("sum_qty"),
@@ -1018,9 +1023,12 @@ object Relational {
                  / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS r
         FROM m""") {
     (s, d) =>
-      li(s, d)
-        .select(col("l_returnflag"), col("l_quantity").as("x"),
-          (col("l_extendedprice") / 1024).as("y"))
+      // fan the narrow 3-column projection out before the moment sums:
+      // five Exact decimal sums × 600k rows otherwise run on the single
+      // scan task (see Scale.fanOutScan)
+      graft.ops.Scale.fanOutScan(
+        li(s, d).select(col("l_returnflag"), col("l_quantity").as("x"),
+          (col("l_extendedprice") / 1024).as("y")))
         .groupBy("l_returnflag")
         .agg(
           count(lit(1)).as("n"),

@@ -249,7 +249,10 @@ object TextDedup {
     * see every gram: the capped-away hot shingles are exactly the
     * non-novel evidence). */
   private[graft] def shingledRaw(s: SparkSession, d: String, k: Int): DataFrame =
-    docs(s, d)
+    // split-amplify the single-row-group scan BEFORE the shingle kernel:
+    // split+array_distinct+transform+explode is the CPU floor of the whole
+    // dedup family and otherwise runs one-task-per-file (see fanOutScan)
+    graft.ops.Scale.fanOutScan(docs(s, d).select("doc_id", "text"), col("doc_id"))
       .withColumn("ws", split(col("text"), " "))
       .select(col("doc_id"), explode(expr(
         s"""CASE WHEN size(ws) >= $k
@@ -352,7 +355,7 @@ object TextDedup {
                  NOT list_contains(COALESCE(ds.dup_pos, []), ix_zz)), ' '), '') AS clean_text
         FROM tt LEFT JOIN ds ON ds.doc_id = tt.doc_id""") {
     (s, d) =>
-      val toks = docs(s, d)
+      val toks = graft.ops.Scale.fanOutScan(docs(s, d).select("doc_id", "text"), col("doc_id"))
         .select(col("doc_id"), split(col("text"), " ").as("ws"))
         .withColumn("n_tokens", size(col("ws")).cast("long"))
       val grams = toks
@@ -523,7 +526,8 @@ object TextDedup {
       // (the streaming caller needs its other columns), and caching it
       // here would store every doc's text 4× for nothing
       val bands = graft.ops.Caches.lease(
-        minhashBandsFor(docs(s, d).select("doc_id", "text"))
+        minhashBandsFor(graft.ops.Scale.fanOutScan(
+            docs(s, d).select("doc_id", "text"), col("doc_id")))
           .select("doc_id", "band_id", "band_val"))
       val nb = bands.filter(col("doc_id") % 4 === 1)
       val cb = bands.filter(col("doc_id") % 4 =!= 1)
@@ -571,9 +575,11 @@ object TextDedup {
           ON a.band_id = b.band_id AND a.band_val = b.band_val
              AND a.doc_id < b.doc_id""") {
     (s, d) =>
-      val adv = docs(s, d).select(col("doc_id"),
-        when(col("doc_id") % 2 === 0, lit(AdversarialText))
-          .otherwise(col("text")).as("text"))
+      val adv = graft.ops.Scale.fanOutScan(
+        docs(s, d).select("doc_id", "text"), col("doc_id"))
+        .select(col("doc_id"),
+          when(col("doc_id") % 2 === 0, lit(AdversarialText))
+            .otherwise(col("text")).as("text"))
       // one leased band pass; the dense audit and both join sides read it
       val bands = graft.ops.Caches.lease(
         minhashBandsFor(adv).select("doc_id", "band_id", "band_val"))
@@ -825,7 +831,7 @@ object TextDedup {
     * column (the partial-aggregate update path does not share subtrees
     * across aggregate functions). */
   private def simhashDf(s: SparkSession, d: String): DataFrame = {
-    val tok = docs(s, d)
+    val tok = graft.ops.Scale.fanOutScan(docs(s, d).select("doc_id", "text"), col("doc_id"))
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("token"))
       .select(col("doc_id"), md5(col("token")).as("h"))
     val sumCols = (0 until SimhashBits).map(j =>
