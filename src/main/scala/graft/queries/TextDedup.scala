@@ -132,7 +132,8 @@ object TextDedup {
     (s, d) =>
       // split-to-chars + O(1) array indexing: the per-position
       // substr(text, i, 2) form rescans the string per bigram (O(doc²))
-      val bg = docs(s, d)
+      val bg = graft.ops.Scale.fanOutScan(
+          docs(s, d).select("doc_id", "lang", "text"), col("doc_id"))
         .withColumn("cs", split(col("text"), ""))
         .select(col("lang"), explode(expr(
           """CASE WHEN length(text) >= 2
@@ -1632,7 +1633,7 @@ object TextDedup {
                                              zzq -> CAST(zzq AS VARCHAR)), ',') AS postings
        FROM bg GROUP BY 1""") {
     (s, d) =>
-      docs(s, d)
+      graft.ops.Scale.fanOutScan(docs(s, d).select("doc_id", "text"), col("doc_id"))
         .withColumn("ws", split(col("text"), " "))
         .select(col("doc_id"), explode(expr(
           """CASE WHEN size(ws) >= 2
