@@ -40,28 +40,29 @@ object Scale {
     * at that task count no matter what `maxPartitionBytes` says — scan,
     * heavy per-row projections (shingle+hash kernels, regex extraction,
     * binary decode), and partial aggregation all run near-serial while the
-    * rest of the cluster idles. One round-robin exchange of the (small, by
-    * construction) input restores parallelism for everything downstream.
+    * rest of the cluster idles. One hash exchange on the table's
+    * (near-)unique key restores parallelism for everything downstream —
+    * sort-free, deterministic, evenly spread, and it SATISFIES downstream
+    * ClusteredDistributions on the same key (a later groupBy(key, …)
+    * reuses the exchange instead of adding one).
     *
-    * Deliberately ADAPTIVE and self-disabling at scale: a 100 TB table has
-    * thousands of row groups, the split count meets the target, and this
-    * is the identity — no exchange enters the plan. It only fires in the
-    * "small input, expensive compute" regime, where repartition-after-read
-    * is the standard Spark idiom.
+    * Deliberately ADAPTIVE and self-disabling at scale: the guard counts
+    * the source's parquet ROW GROUPS (the true ceiling on data-bearing
+    * scan tasks — byte-range splits whose range holds no row-group
+    * midpoint read zero rows, so `rdd.getNumPartitions` over-counts;
+    * measured: sf0.1 lineitem plans 3 splits of which one carries all
+    * 600k rows). A production table has thousands of row groups, the
+    * count meets the target, and this is the identity — no exchange
+    * enters the plan. Footers are read once per (session, file set) via
+    * a [[SessionMemo]]; non-file sources fall back to the RDD partition
+    * count.
     *
     * USE AT THE COMPUTE SITE, AFTER the narrow projection — never at the
     * table reader. Measured at the reader it was a net loss (sf0.1 suite
     * +64 s): an exchange there blocks column pruning, so 2-column queries
     * shuffled full rows (text/binary payloads), and key-less round-robin
-    * adds a sort-before-repartition of every column it carries. Callers
-    * pass the table's (near-)unique key: hash partitioning on it is
-    * sort-free, deterministic, and evenly spread. */
-  def fanOutScan(df: DataFrame, key: Column): DataFrame = {
-    val spark = df.sparkSession
-    val target = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 >= target) df
-    else df.repartition(target, key)
-  }
+    * adds a sort-before-repartition of every column it carries. */
+  def fanOutScan(df: DataFrame, key: Column): DataFrame = fanOut(df, Some(key))
 
   /** Key-less variant for NARROW projections with no near-unique column
     * to hash on (e.g. (flag, x, y) ahead of a grouped moment sum):
@@ -69,11 +70,36 @@ object Scale {
     * redistribution (sortBeforeRepartition) — fine for a few numeric
     * columns, ruinous for text/binary; prefer the keyed form when any
     * wide column rides along. */
-  def fanOutScan(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
-    val target = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 >= target) df
-    else df.repartition(target)
+  def fanOutScan(df: DataFrame): DataFrame = fanOut(df, None)
+
+  private def fanOut(df: DataFrame, key: Option[Column]): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (dataBearingSplits(df) * 2 >= target) df
+    else key.fold(df.repartition(target))(k => df.repartition(target, k))
+  }
+
+  private val rowGroupMemo = new SessionMemo[Seq[String], Int]
+
+  /** Upper bound on tasks that will actually carry rows for `df`'s scan:
+    * total parquet row groups across its input files (each row group is
+    * read by exactly one task). Footer reads are memoized per (session,
+    * sorted file list). Falls back to the planned RDD partition count for
+    * non-file sources or unreadable footers. */
+  private[ops] def dataBearingSplits(df: DataFrame): Int = {
+    val files = df.inputFiles
+    if (files.isEmpty) df.rdd.getNumPartitions
+    else
+      try rowGroupMemo.getOrElseUpdate(df.sparkSession, files.toSeq.sorted) {
+        val conf = df.sparkSession.sessionState.newHadoopConf()
+        files.iterator.map { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getFooter.getBlocks.size
+          finally r.close()
+        }.sum
+      }
+      catch { case scala.util.control.NonFatal(_) => df.rdd.getNumPartitions }
   }
 
   /** Top-k per group without a global sort: per-partition rank + filter.

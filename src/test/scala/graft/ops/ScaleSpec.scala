@@ -160,4 +160,49 @@ class ScaleSpec extends SparkSpec {
     // and the result is still the plain 1..100 running sum
     assert(out.orderBy("ord").select("cum").as[Long].collect().toSeq === (1L to 100L))
   }
+
+  // ---- fanOutScan: both guard branches, on real parquet files ----
+  // The guard counts ROW GROUPS, not byte-range splits: a single-row-group
+  // file plans multiple splits of which only one carries rows (measured:
+  // sf0.1 lineitem -> splits (0, 600000, 0)), so an rdd-partition guard
+  // self-disables in exactly the pathology fanOutScan exists to fix.
+
+  private def withTempParquet(write: String => Unit)(body: String => Unit): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("fanout").toString
+    try { write(dir); body(dir) }
+    finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("fanOutScan amplifies a single-row-group scan to the session's parallelism") {
+    withTempParquet { dir =>
+      spark.range(10000).selectExpr("id", "id * 2 AS v")
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+    } { dir =>
+      val df = spark.read.parquet(dir)
+      assert(Scale.dataBearingSplits(df) === 1)
+      val out = Scale.fanOutScan(df, col("id"))
+      val target = spark.sparkContext.defaultParallelism
+      assert(out.rdd.getNumPartitions === target, "fan-out must widen to defaultParallelism")
+      // semantics preserved: same rows, exactly once
+      assert(out.count() === 10000)
+      assert(out.agg(sum("v")).as[Long].head() === (0L until 10000L).map(_ * 2).sum)
+      // and every output partition actually carries rows (hash on unique id)
+      val sizes = out.rdd.mapPartitions(it => Iterator(it.size)).collect()
+      assert(sizes.count(_ > 0) === target)
+    }
+  }
+
+  test("fanOutScan is the identity when the source already provides enough row groups") {
+    withTempParquet { dir =>
+      // 8 files x 1 row group each >= 2*defaultParallelism under local[4]
+      spark.range(8000).selectExpr("id", "id * 3 AS v")
+        .repartition(8, col("id")).write.mode("overwrite").parquet(dir)
+    } { dir =>
+      val df = spark.read.parquet(dir)
+      assert(Scale.dataBearingSplits(df) >= 8)
+      val out = Scale.fanOutScan(df, col("id"))
+      assert(out.queryExecution.analyzed eq df.queryExecution.analyzed,
+        "enough splits -> identity, no exchange may enter the plan")
+    }
+  }
 }
