@@ -112,7 +112,8 @@ object Bench {
     // spark.stop() so no Spark shutdown logging can land after it, and
     // build.sbt's StdoutOutput/showSuccess settings keep sbt from
     // prefixing or appending to it.
-    println(summaryJson(total, results.size, failed, prewarmSec, gcTotal, sfDir, out))
+    println(summaryJson(total, results.size, failed, prewarmSec, gcTotal,
+      effectiveCores(results), sfDir, out))
   }
 
   /** (wall-seconds total excluding failed rows' −1 sentinel, failed
@@ -128,9 +129,28 @@ object Bench {
   private def jmap(entries: Seq[(String, String)]): String =
     entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
 
+  /** Effective cores this run actually got: suite process-CPU seconds /
+    * suite wall seconds. The sandbox VM is time-shared by its host —
+    * identical code measured 145.5 s and 184.0 s minutes apart with
+    * per-query CPU uniformly inflated — so a slow PASS (vs a slow QUERY,
+    * which gc_ms/cpu_ms already attribute) needs its own tell. A healthy
+    * 32-thread suite reads ~6–12; a contended pass reads visibly lower
+    * WITH proportionally higher wall. -1 if the CPU bean is absent. */
+  private[graft] def effectiveCores(results: Seq[(String, Double, Long, Long)]): Double = {
+    val wall = results.map(_._2).filter(_ >= 0).sum
+    val cpu = results.collect { case (_, w, _, c) if w >= 0 && c >= 0 => c }.sum
+    if (wall <= 0 || cpu <= 0) -1.0
+    else math.rint(cpu / 10.0 / wall) / 100.0 // cpu ms → cores, 2 decimals
+  }
+
+  /** Host load average at call time (OS bean; -1 where unsupported). */
+  private def loadAvg: Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+
   /** The full artifact written to target/bench.json: per-query wall
     * seconds plus the gc-pause and process-CPU deltas that attribute any
-    * wall-time outlier to pause vs plan cost. */
+    * wall-time outlier to pause vs plan cost, and the run-level
+    * contention tells (effective_cores, load_avg_end). */
   private[graft] def fullJson(
       results: Seq[(String, Double, Long, Long)],
       prewarmSec: Double, heapMaxMb: Long, sfDir: String): String = {
@@ -139,8 +159,9 @@ object Bench {
     val cpus = jmap(results.map { case (k, _, _, c) => k -> c.toString })
     val (total, _, gcTotal) = totals(results)
     s"""{"metric":"total","value":$total,"unit":"sec","prewarm_sec":$prewarmSec,""" +
-      s""""gc_ms_total":$gcTotal,"heap_max_mb":$heapMaxMb,"queries":$qs,""" +
-      s""""gc_ms":$gcs,"cpu_ms":$cpus,"sf":"$sfDir"}"""
+      s""""gc_ms_total":$gcTotal,"heap_max_mb":$heapMaxMb,""" +
+      s""""effective_cores":${effectiveCores(results)},"load_avg_end":$loadAvg,""" +
+      s""""queries":$qs,"gc_ms":$gcs,"cpu_ms":$cpus,"sf":"$sfDir"}"""
   }
 
   /** The compact final-stdout-line summary the driver parses; must stay
@@ -148,7 +169,8 @@ object Bench {
     * ~2000 chars of stdout). */
   private[graft] def summaryJson(
       total: Double, n: Int, failed: Int, prewarmSec: Double,
-      gcTotal: Long, sfDir: String, detail: String): String =
+      gcTotal: Long, effCores: Double, sfDir: String, detail: String): String =
     s"""{"metric":"total","value":$total,"unit":"sec","n":$n,"failed":$failed,""" +
-      s""""prewarm_sec":$prewarmSec,"gc_ms_total":$gcTotal,"sf":"$sfDir","detail":"$detail"}"""
+      s""""prewarm_sec":$prewarmSec,"gc_ms_total":$gcTotal,""" +
+      s""""effective_cores":$effCores,"sf":"$sfDir","detail":"$detail"}"""
 }

@@ -38,11 +38,16 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(node.get("prewarm_sec").asDouble() == 41.93)
     assert(node.get("heap_max_mb").asLong() == 24576L)
     assert(node.get("gc_ms_total").asLong() == 18012L)
+    // contention tells: cpu only over non-failed rows (340 + 113000 ms
+    // over 36.02 wall-s ≈ 3.15 cores); load_avg is whatever the OS bean
+    // says but must parse as a number
+    assert(math.abs(node.get("effective_cores").asDouble() - 3.15) < 0.01)
+    assert(node.get("load_avg_end").isNumber)
   }
 
   test("compact summary is one line of strict JSON small enough for the driver's tail") {
     val s = Bench.summaryJson(total = 152.7682598430001, n = 210, failed = 0,
-      prewarmSec = 36.920548792, gcTotal = 828L,
+      prewarmSec = 36.920548792, gcTotal = 828L, effCores = 7.42,
       sfDir = "/root/testdata/sf0.1", detail = "target/bench.json")
     assert(!s.contains("\n"))
     // the driver keeps only the last ~2000 chars of stdout; leave ample
