@@ -23,7 +23,8 @@ class BenchFormatSpec extends AnyFunSuite {
     ("q_failed", -1.0, 0L, -1L))
 
   test("full artifact is one line of strict JSON with per-query maps") {
-    val s = Bench.fullJson(results, prewarmSec = 41.93, heapMaxMb = 24576L,
+    val s = Bench.fullJson(results, Seq("q_beta" -> 1.07),
+      prewarmSec = 41.93, heapMaxMb = 24576L,
       sfDir = "/root/testdata/sf0.1")
     assert(!s.contains("\n"), "artifact must be a single line")
     val node = mapper.readTree(s) // throws on any malformed JSON
@@ -43,6 +44,9 @@ class BenchFormatSpec extends AnyFunSuite {
     // says but must parse as a number
     assert(math.abs(node.get("effective_cores").asDouble() - 3.15) < 0.01)
     assert(node.get("load_avg_end").isNumber)
+    // outlier re-runs: a transient 35.9s row carrying a 1.07s retry
+    // refutes itself inside the artifact
+    assert(node.get("retry_sec").get("q_beta").asDouble() == 1.07)
   }
 
   test("compact summary is one line of strict JSON small enough for the driver's tail") {
@@ -66,7 +70,7 @@ class BenchFormatSpec extends AnyFunSuite {
     // that IS valid JSON — pin that a parser agrees, so a pathological
     // timing can never corrupt the artifact
     val s = Bench.fullJson(Seq(("q_x", 1.0e-4, 0L, 0L), ("q_y", 9.87654321e7, 1L, 2L)),
-      0.0, 1L, "sf")
+      Seq.empty, 0.0, 1L, "sf")
     val node = mapper.readTree(s)
     assert(node.get("queries").get("q_x").asDouble() == 1.0e-4)
     assert(node.get("queries").get("q_y").asDouble() == 9.87654321e7)
