@@ -97,10 +97,19 @@ object Bench {
       .filter { case (_, e, _, _) => e >= RetryThresholdSec }
       .map { case (name, _, _, _) =>
         val t0 = System.nanoTime()
-        try { SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save() }
-        catch { case _: Throwable => () }
+        // same measurement discipline as the first pass: failure reports
+        // -1 (a quick throw must not masquerade as a fast retry and
+        // "refute" a real regression), and the cache drain runs OUTSIDE
+        // the timed window, exactly like the main loop
+        val ok = try {
+          SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); true
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] retry $name FAILED: ${e.getMessage}"); false
+        }
+        val elapsed = (System.nanoTime() - t0) / 1e9
         graft.ops.Caches.drain()
-        name -> (System.nanoTime() - t0) / 1e9
+        name -> (if (ok) elapsed else -1.0)
       }
     val (total, failed, gcTotal) = totals(results)
     val heapMax = Runtime.getRuntime.maxMemory / (1024 * 1024)

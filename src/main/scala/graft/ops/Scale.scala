@@ -47,15 +47,12 @@ object Scale {
     * reuses the exchange instead of adding one).
     *
     * Deliberately ADAPTIVE and self-disabling at scale: the guard counts
-    * the source's parquet ROW GROUPS (the true ceiling on data-bearing
-    * scan tasks — byte-range splits whose range holds no row-group
-    * midpoint read zero rows, so `rdd.getNumPartitions` over-counts;
-    * measured: sf0.1 lineitem plans 3 splits of which one carries all
-    * 600k rows). A production table has thousands of row groups, the
-    * count meets the target, and this is the identity — no exchange
-    * enters the plan. Footers are read once per (session, file set) via
-    * a [[SessionMemo]]; non-file sources fall back to the RDD partition
-    * count.
+    * DATA-BEARING splits — min(planned splits, parquet row groups), see
+    * [[dataBearingSplits]]. A production table has thousands of row
+    * groups and splits, the count meets the target, and this is the
+    * identity — no exchange enters the plan. The probe runs once per
+    * (session, file set) via a [[SessionMemo]]; non-file sources fall
+    * back to the RDD partition count.
     *
     * USE AT THE COMPUTE SITE, AFTER the narrow projection — never at the
     * table reader. Measured at the reader it was a net loss (sf0.1 suite
@@ -78,28 +75,37 @@ object Scale {
     else key.fold(df.repartition(target))(k => df.repartition(target, k))
   }
 
-  private val rowGroupMemo = new SessionMemo[Seq[String], Int]
+  private val splitsMemo = new SessionMemo[Seq[String], Int]
 
-  /** Upper bound on tasks that will actually carry rows for `df`'s scan:
-    * total parquet row groups across its input files (each row group is
-    * read by exactly one task). Footer reads are memoized per (session,
-    * sorted file list). Falls back to the planned RDD partition count for
-    * non-file sources or unreadable footers. */
+  /** Number of tasks that will actually carry rows for `df`'s scan:
+    * min(planned byte-range splits, total parquet row groups). Either
+    * bound alone is wrong — planned splits over-count when a row group's
+    * midpoint lands in one of several ranges (measured: sf0.1 lineitem
+    * plans 3 splits holding 0/600000/0 rows), and row groups over-count
+    * when byte-range packing bins many small row groups into few splits
+    * (a file of 64 tiny row groups still plans ~3 splits under a 4 MB
+    * maxSplitBytes). Memoized per (session, sorted file list) — one
+    * physical-plan probe + one footer sweep per file set, not per call;
+    * a file whose footer can't be read (non-parquet source, corrupt
+    * footer) contributes the planned count, i.e. constrains nothing,
+    * without discarding the readable files' counts. */
   private[ops] def dataBearingSplits(df: DataFrame): Int = {
     val files = df.inputFiles
     if (files.isEmpty) df.rdd.getNumPartitions
-    else
-      try rowGroupMemo.getOrElseUpdate(df.sparkSession, files.toSeq.sorted) {
-        val conf = df.sparkSession.sessionState.newHadoopConf()
-        files.iterator.map { f =>
+    else splitsMemo.getOrElseUpdate(df.sparkSession, files.toSeq.sorted) {
+      val planned = df.rdd.getNumPartitions
+      val conf = df.sparkSession.sessionState.newHadoopConf()
+      val rowGroups = files.iterator.map { f =>
+        try {
           val in = org.apache.parquet.hadoop.util.HadoopInputFile
             .fromPath(new org.apache.hadoop.fs.Path(f), conf)
           val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          try r.getFooter.getBlocks.size
+          try r.getFooter.getBlocks.size.toLong
           finally r.close()
-        }.sum
-      }
-      catch { case scala.util.control.NonFatal(_) => df.rdd.getNumPartitions }
+        } catch { case scala.util.control.NonFatal(_) => planned.toLong }
+      }.sum
+      math.min(planned.toLong, rowGroups).toInt
+    }
   }
 
   /** Top-k per group without a global sort: per-partition rank + filter.
