@@ -808,6 +808,63 @@ object TextDedup {
       result
   }
 
+  /** WEIGHTED (multiset) Jaccard verification over the LSH candidates —
+    * the refinement [[dedupLshVerified]]'s set semantics can't see: two
+    * docs drawing on the same vocabulary with different word FREQUENCIES
+    * score identically under set Jaccard but diverge under
+    * J_w = Σ min(c_a,c_b) / Σ max(c_a,c_b), the standard bag-of-words
+    * similarity for "same words, different emphasis" near-dups
+    * (templates filled differently, boilerplate with varied repetition).
+    * Σ max needs no second pass: Σ max = N_a + N_b − Σ min over token
+    * counts, so the integer verdict 3·Σmin ≥ N_a+N_b ⇔ J_w ≥ 1/2.
+    *
+    * Scale shape: candidate-linear exactly like [[dedupLshVerified]] —
+    * the per-doc token-count table joins once per candidate side, keyed
+    * on (doc_id, token); no df cap needed because the pair set is
+    * LSH-bounded before any token join. All-integer, cross-engine
+    * bitwise. On THIS corpus the surviving pair set coincides with the
+    * set-Jaccard gate's (the synthetic near-dups are clones with
+    * single-token deltas, so counts track sets); the oracle still
+    * proves the multiset arithmetic end-to-end — inter_w is the
+    * count-weighted intersection, not the shared-token count. */
+  val dedupWeightedJaccard = QuerySpec(
+    "q_dedup_weighted_jaccard",
+    s"""WITH ${shingleSql(3)},
+        $minhashCandSql,
+        tc AS (SELECT doc_id, u.token AS token, CAST(count(*) AS BIGINT) AS c
+               FROM (SELECT doc_id, str_split(text, ' ') AS ws FROM documents) w,
+                    UNNEST(w.ws) AS u(token)
+               GROUP BY 1, 2),
+        tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM tc GROUP BY 1),
+        interw AS (
+          SELECT cd.a_id, cd.b_id, CAST(sum(least(a.c, b.c)) AS BIGINT) AS inter_w
+          FROM cand cd
+          JOIN tc a ON a.doc_id = cd.a_id
+          JOIN tc b ON b.doc_id = cd.b_id AND b.token = a.token
+          GROUP BY 1, 2)
+        SELECT i.a_id, i.b_id, i.inter_w, ta.n AS n_a, tb.n AS n_b
+        FROM interw i
+        JOIN tot ta ON ta.doc_id = i.a_id
+        JOIN tot tb ON tb.doc_id = i.b_id
+        WHERE 3 * i.inter_w >= ta.n + tb.n""") {
+    (s, d) =>
+      val tc = graft.ops.Caches.lease(
+        graft.ops.Scale.fanOutScan(docs(s, d).select("doc_id", "text"), col("doc_id"))
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+          .groupBy("doc_id", "token").agg(count(lit(1)).as("c")))
+      val tot = tc.groupBy("doc_id").agg(sum(col("c")).as("n"))
+      val cand = minhashCandShared(s, d)
+      val interw = cand
+        .join(tc.toDF("a_id", "token", "ca"), "a_id")
+        .join(tc.toDF("b_id", "token", "cb"), Seq("b_id", "token"))
+        .groupBy("a_id", "b_id").agg(sum(least(col("ca"), col("cb"))).as("inter_w"))
+      interw
+        .join(tot.toDF("a_id", "n_a"), "a_id")
+        .join(tot.toDF("b_id", "n_b"), "b_id")
+        .filter(lit(3) * col("inter_w") >= col("n_a") + col("n_b"))
+        .select("a_id", "b_id", "inter_w", "n_a", "n_b")
+  }
+
   // 32 bits = one md5 nibble per bit position; 16 was measurably too
   // coarse (59% of all candidate pairs landed within hamming 3 at sf0.01)
   private val SimhashBits = 32
@@ -1847,7 +1904,7 @@ object TextDedup {
     textStats, langId, ngramProfile, fingerprint, invertedIndex, degreeDist,
     dedupContainment,
     dedupExact, dedupJaccard, dedupSubstring, dedupMinhashLsh, dedupMinhashEstimate,
-    dedupLshVerified, dedupLshRecall,
+    dedupLshVerified, dedupWeightedJaccard, dedupLshRecall,
     dedupSimhash, dedupSimhashHamming, dedupComponents, dedupKeep, dedupIncremental,
     dedupIncrementalLsh, dedupAdversarialBucket,
     curationPipeline, sampleDeterministic, samplePriority, sampleStratified,
