@@ -512,6 +512,66 @@ object Curation {
         .groupBy("source", "split").agg(count(lit(1)).cast("long").as("n"))
   }
 
+  /** LEAKAGE-SAFE split: assignment at near-dup-CLUSTER granularity, not
+    * document granularity. [[splitAssign]]'s content hash keeps EXACT
+    * duplicates together, but near-duplicates (different bytes, same
+    * content) hash apart and can straddle train/test — the classic eval
+    * contamination path. Here every document inherits its connected
+    * component under the J≥0.1 near-dup graph (singletons are their own
+    * cluster) and the split is a hash of the CLUSTER id, so a near-dup
+    * pair landing in different splits is structurally impossible — the
+    * whole component moves together. Output is the per-split doc and
+    * cluster census.
+    *
+    * Scale shape: the CC labels come from the log-round pointer-jumping
+    * pass the dedup family already runs (candidate-bounded edges, never
+    * all-pairs); the assignment itself is a per-row projection and the
+    * census one groupBy. The oracle recomputes the clusters as a
+    * recursive transitive closure and must agree bitwise. */
+  val splitLeakageSafe = QuerySpec(
+    "q_split_leakage_safe",
+    s"""WITH RECURSIVE ${TextDedup.shingleSql(5)},
+        sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+               FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+        pairs AS (
+          SELECT pr.a_id, pr.b_id
+          FROM pr JOIN sz sa ON sa.doc_id = pr.a_id
+                  JOIN sz sb ON sb.doc_id = pr.b_id
+          WHERE 11 * pr.inter >= sa.n + sb.n),
+        edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+                  UNION ALL SELECT b_id, a_id FROM pairs),
+        reach(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        comp AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+                 FROM reach GROUP BY src),
+        allc AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster
+                 FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+        t AS (SELECT cluster,
+                     CASE WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+                          WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+                          ELSE 'test' END AS split
+              FROM allc)
+        SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT cluster) AS BIGINT) AS n_clusters
+        FROM t GROUP BY 1""") {
+    (s, d) =>
+      val comp = TextDedup.dedupComponents.fn(s, d) // (doc_id, cluster_id)
+      val all = docs(s, d).select("doc_id")
+        .join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster"))
+      val bucket = substring(md5(col("cluster").cast("string")), 1, 2)
+      all.withColumn("split",
+          when(bucket < "e6", "train").when(bucket < "f3", "val").otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          countDistinct(col("cluster")).cast("long").as("n_clusters"))
+  }
+
   // -------------------------------------------------------------------
   // Cross-source overlap matrix
   // -------------------------------------------------------------------
@@ -1705,7 +1765,7 @@ object Curation {
     curationIngest, sampleBalanced,
     decontaminate, textRepetition, piiRedact, sampleWeighted,
     packChunks, sketchKmv, sketchBloom, sketchHll, histogramEquidepth,
-    splitAssign, sourceOverlap, tfidfTopk, embedProject, qualityAudit,
+    splitAssign, splitLeakageSafe, sourceOverlap, tfidfTopk, embedProject, qualityAudit,
     bpeMerges, bpeTokenize, mixRates, kmvJaccard, chunkOverlap, chunkContent, kmvAgg,
     lmFluency, cooccurPmi, bm25Topk, hybridRrf, textBoilerplate, textDiversity,
     textReadability)
