@@ -201,4 +201,33 @@ class CurationSpec extends SparkSpec {
       s"shift stability broken: only $kept of ${h1.size} chunk hashes survived a prefix edit")
     assert(h1.size >= 3, "doc 7 must split into enough chunks for the property to be non-vacuous")
   }
+
+  test("splitLeakageSafe: no near-dup pair straddles a split boundary") {
+    // reconstruct the per-doc assignment exactly as the query derives it
+    // (cluster-id hash), then check it against the ACTUAL near-dup pair
+    // list: every J>=0.1 pair must land in one split. The oracle hash
+    // pins engine equality; this pins the leakage property itself.
+    val comp = graft.queries.TextDedup.dedupComponents.fn(spark, sf)
+    val perDoc = Tables.documents(spark, sf).select("doc_id")
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster"))
+      .withColumn("b", substring(md5(col("cluster").cast("string")), 1, 2))
+      .withColumn("split",
+        when(col("b") < "e6", "train").when(col("b") < "f3", "val").otherwise("test"))
+      .select("doc_id", "split")
+    val pairs = graft.queries.TextDedup.dedupJaccard.fn(spark, sf).select("a_id", "b_id")
+    assert(pairs.count() > 0, "near-dup pair list must be non-empty or the property is vacuous")
+    val straddlers = pairs
+      .join(perDoc.toDF("a_id", "a_split"), "a_id")
+      .join(perDoc.toDF("b_id", "b_split"), "b_id")
+      .filter(col("a_split") =!= col("b_split"))
+    assert(straddlers.count() === 0, "a near-dup pair crossed a split boundary")
+    // and the query's census agrees with the reconstruction
+    val census = Curation.splitLeakageSafe.fn(spark, sf)
+      .select("split", "n_docs").as[(String, Long)].collect().toMap
+    val mine = perDoc.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(census === mine)
+    graft.ops.Caches.drain()
+  }
 }
