@@ -493,22 +493,31 @@ object Curation {
     * means exact duplicates land in the same split, so train/test leakage
     * through dup pairs is structurally impossible — the property a
     * row-number split does not have. */
+  /** The 90/5/5 md5-bucket split policy — ONE definition for every split
+    * operator (content-hash split, leakage-safe cluster split, the
+    * curation pipeline) so the boundaries can never drift apart between
+    * call sites or between engines. `0x00..0xe5` → train (~89.8%),
+    * `0xe6..0xf2` → val (~5.1%), rest → test. */
+  private[queries] def splitCaseSql(keyExpr: String): String =
+    s"""CASE WHEN substr(md5($keyExpr), 1, 2) < 'e6' THEN 'train'
+             WHEN substr(md5($keyExpr), 1, 2) < 'f3' THEN 'val'
+             ELSE 'test' END"""
+
+  private[queries] def splitCol(key: Column): Column = {
+    val b = substring(md5(key), 1, 2)
+    when(b < "e6", "train").when(b < "f3", "val").otherwise("test")
+  }
+
   val splitAssign = QuerySpec(
     "q_split_assign",
-    """WITH t AS (
-         SELECT source,
-                CASE WHEN substr(md5(text), 1, 2) < 'e6' THEN 'train'
-                     WHEN substr(md5(text), 1, 2) < 'f3' THEN 'val'
-                     ELSE 'test' END AS split
+    s"""WITH t AS (
+         SELECT source, ${splitCaseSql("text")} AS split
          FROM documents)
        SELECT source, split, CAST(count(*) AS BIGINT) AS n
        FROM t GROUP BY 1, 2""") {
     (s, d) =>
-      val bucket = substring(md5(col("text")), 1, 2)
       docs(s, d).select(
-          col("source"),
-          when(bucket < "e6", "train").when(bucket < "f3", "val")
-            .otherwise("test").as("split"))
+          col("source"), splitCol(col("text")).as("split"))
         .groupBy("source", "split").agg(count(lit(1)).cast("long").as("n"))
   }
 
@@ -531,29 +540,11 @@ object Curation {
   val splitLeakageSafe = QuerySpec(
     "q_split_leakage_safe",
     s"""WITH RECURSIVE ${TextDedup.shingleSql(5)},
-        sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
-               FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-               GROUP BY 1, 2),
-        pairs AS (
-          SELECT pr.a_id, pr.b_id
-          FROM pr JOIN sz sa ON sa.doc_id = pr.a_id
-                  JOIN sz sb ON sb.doc_id = pr.b_id
-          WHERE 11 * pr.inter >= sa.n + sb.n),
-        edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
-                  UNION ALL SELECT b_id, a_id FROM pairs),
-        reach(src, dst) AS (
-          SELECT src, dst FROM edges
-          UNION
-          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-        comp AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
-                 FROM reach GROUP BY src),
+        ${TextDedup.componentsSql},
         allc AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster
                  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
         t AS (SELECT cluster,
-                     CASE WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
-                          WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
-                          ELSE 'test' END AS split
+                     ${splitCaseSql("CAST(cluster AS VARCHAR)")} AS split
               FROM allc)
         SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
                CAST(count(DISTINCT cluster) AS BIGINT) AS n_clusters
@@ -564,9 +555,7 @@ object Curation {
         .join(comp, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("cluster_id"), col("doc_id")).as("cluster"))
-      val bucket = substring(md5(col("cluster").cast("string")), 1, 2)
-      all.withColumn("split",
-          when(bucket < "e6", "train").when(bucket < "f3", "val").otherwise("test"))
+      all.withColumn("split", splitCol(col("cluster").cast("string")))
         .groupBy("split")
         .agg(count(lit(1)).cast("long").as("n_docs"),
           countDistinct(col("cluster")).cast("long").as("n_clusters"))
@@ -750,9 +739,7 @@ object Curation {
                     AND base.n_distinct * 2 >= base.n_words
                     AND tp.top_bigram_n * 10 <= (base.n_words - 1) * 3)
         SELECT doc_id, source, n_words,
-               CASE WHEN substr(md5(text), 1, 2) < 'e6' THEN 'train'
-                    WHEN substr(md5(text), 1, 2) < 'f3' THEN 'val'
-                    ELSE 'test' END AS split
+               ${splitCaseSql("text")} AS split
         FROM gated""") {
     (s, d) =>
       val fp = docs(s, d).select(
@@ -782,7 +769,6 @@ object Curation {
              ELSE array() END""")).as("bigram"))
         .groupBy("doc_id", "bigram").agg(count(lit(1)).as("n"))
         .groupBy("doc_id").agg(max("n").as("top_bigram_n"))
-      val bucket = substring(md5(col("text")), 1, 2)
       base.join(tp, Seq("doc_id"))
         // integer-only gates: ratio thresholds as cross-multiplication, so
         // neither engine evaluates a float boundary
@@ -790,8 +776,7 @@ object Curation {
           col("n_distinct") * 2 >= col("n_words") &&
           col("top_bigram_n") * 10 <= (col("n_words") - 1) * 3)
         .select(col("doc_id"), col("source"), col("n_words"),
-          when(bucket < "e6", "train").when(bucket < "f3", "val")
-            .otherwise("test").as("split"))
+          splitCol(col("text")).as("split"))
   }
 
   /** Declarative data-quality audit (the Deequ/dbt-test shape): a single

@@ -303,13 +303,17 @@ object TextDedup {
         .filter(col("a_id") < col("b_id"))
         .groupBy("a_id", "b_id")
         .agg(count(lit(1)).as("inter"))
-      val result = pr.join(sz.toDF("a_id", "n_a"), "a_id")
-        .join(sz.toDF("b_id", "n_b"), "b_id")
-        .filter(lit(11) * col("inter") >= col("n_a") + col("n_b"))
-        .select("a_id", "b_id", "inter", "n_a", "n_b")
-        // tiny result: materialize eagerly so downstream consumers
-        // (components/keep) reuse rows, not lineage
-        .localCheckpoint()
+      // tiny result: materialize eagerly so downstream consumers
+      // (components/keep/leakage-safe split) reuse rows, not lineage.
+      // The checkpoint blocks are LEASED: Dataset.unpersist can't reach
+      // them, so without the lease each of this fn's four call sites
+      // stranded a block set for the session (r8 self-review find)
+      val (result, rdds) = localCheckpointTracked(
+        pr.join(sz.toDF("a_id", "n_a"), "a_id")
+          .join(sz.toDF("b_id", "n_b"), "b_id")
+          .filter(lit(11) * col("inter") >= col("n_a") + col("n_b"))
+          .select("a_id", "b_id", "inter", "n_a", "n_b"))
+      rdds.foreach(graft.ops.Caches.leaseRdd)
       result
   }
 
@@ -832,8 +836,7 @@ object TextDedup {
     s"""WITH ${shingleSql(3)},
         $minhashCandSql,
         tc AS (SELECT doc_id, u.token AS token, CAST(count(*) AS BIGINT) AS c
-               FROM (SELECT doc_id, str_split(text, ' ') AS ws FROM documents) w,
-                    UNNEST(w.ws) AS u(token)
+               FROM w, UNNEST(w.ws) AS u(token)
                GROUP BY 1, 2),
         tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM tc GROUP BY 1),
         interw AS (
@@ -983,10 +986,15 @@ object TextDedup {
     * detected by the monotone label sum. The 100 TB-scale standard
     * (GraphX/pregel does the same loop). Oracle: recursive-CTE transitive
     * closure — fine at oracle scale, unusable at ours. */
-  val dedupComponents = QuerySpec(
-    "q_dedup_components",
-    s"""WITH RECURSIVE ${shingleSql(5)},
-        sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+  /** Recursive transitive-closure CTE chain over the J≥0.1 near-dup
+    * pairs: defines `pairs`/`edges`/`reach`/`comp(doc_id, cluster_id)`.
+    * ONE definition shared by the components, keep, and leakage-safe
+    * split oracles — same convention as [[shingleSql]]/[[minhashCandSql]]
+    * so the Spark side (which delegates to [[connectedComponents]]) and
+    * every consuming oracle can never drift apart. Callers prepend
+    * `WITH RECURSIVE ${shingleSql(5)},`. */
+  private[queries] val componentsSql =
+    s"""sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
         pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
                GROUP BY 1, 2),
@@ -1000,9 +1008,15 @@ object TextDedup {
         reach(src, dst) AS (
           SELECT src, dst FROM edges
           UNION
-          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
-        SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
-        FROM reach GROUP BY src""") {
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        comp AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+                 FROM reach GROUP BY src)"""
+
+  val dedupComponents = QuerySpec(
+    "q_dedup_components",
+    s"""WITH RECURSIVE ${shingleSql(5)},
+        $componentsSql
+        SELECT doc_id, cluster_id FROM comp""") {
     (s, d) =>
       val pairs = dedupJaccard.fn(s, d).select("a_id", "b_id")
       val edges = pairs
@@ -1143,24 +1157,9 @@ object TextDedup {
   val dedupKeep = QuerySpec(
     "q_dedup_keep",
     s"""WITH RECURSIVE ${shingleSql(5)},
-        sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
-               FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-               GROUP BY 1, 2),
-        pairs AS (
-          SELECT pr.a_id, pr.b_id
-          FROM pr JOIN sz sa ON sa.doc_id = pr.a_id
-                  JOIN sz sb ON sb.doc_id = pr.b_id
-          WHERE 11 * pr.inter >= sa.n + sb.n),
-        edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
-                  UNION ALL SELECT b_id, a_id FROM pairs),
-        reach(src, dst) AS (
-          SELECT src, dst FROM edges
-          UNION
-          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
-        SELECT src AS doc_id, least(src, min(dst)) AS cluster_id,
-               (src = least(src, min(dst))) AS keep
-        FROM reach GROUP BY src""") {
+        $componentsSql
+        SELECT doc_id, cluster_id, (doc_id = cluster_id) AS keep
+        FROM comp""") {
     (s, d) =>
       dedupComponents.fn(s, d)
         .withColumn("keep", col("doc_id") === col("cluster_id"))

@@ -223,10 +223,19 @@ class CurationSpec extends SparkSpec {
       .join(perDoc.toDF("b_id", "b_split"), "b_id")
       .filter(col("a_split") =!= col("b_split"))
     assert(straddlers.count() === 0, "a near-dup pair crossed a split boundary")
-    // and the query's census agrees with the reconstruction
+    // and the query's census agrees with this INLINE reconstruction —
+    // the split policy constants here are deliberately written out
+    // long-hand (not via Curation.splitCol), so a drift in the shared
+    // helper's boundaries fails this test rather than moving both sides
     val census = Curation.splitLeakageSafe.fn(spark, sf)
-      .select("split", "n_docs").as[(String, Long)].collect().toMap
-    val mine = perDoc.groupBy("split").count().as[(String, Long)].collect().toMap
+      .select("split", "n_docs", "n_clusters").as[(String, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val mine = perDoc
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("split"), coalesce(col("cluster_id"), col("doc_id")).as("cluster"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("nd"), countDistinct(col("cluster")).as("nc"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
     assert(census === mine)
     graft.ops.Caches.drain()
   }
