@@ -77,6 +77,12 @@ object Scale {
 
   private val splitsMemo = new SessionMemo[Seq[String], Int]
 
+  /** Footer sweeps executed so far (cumulative, JVM lifetime) — the
+    * observable ScaleSpec uses to prove the production short-circuit
+    * really skips the O(files) serial footer I/O, not just that the
+    * returned count happens to be right. */
+  private[ops] val footerSweeps = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Number of tasks that will actually carry rows for `df`'s scan:
     * min(planned byte-range splits, total parquet row groups). Either
     * bound alone is wrong — planned splits over-count when a row group's
@@ -84,27 +90,47 @@ object Scale {
     * plans 3 splits holding 0/600000/0 rows), and row groups over-count
     * when byte-range packing bins many small row groups into few splits
     * (a file of 64 tiny row groups still plans ~3 splits under a 4 MB
-    * maxSplitBytes). Memoized per (session, sorted file list) — one
-    * physical-plan probe + one footer sweep per file set, not per call;
-    * a file whose footer can't be read (non-parquet source, corrupt
-    * footer) contributes the planned count, i.e. constrains nothing,
-    * without discarding the readable files' counts. */
+    * maxSplitBytes).
+    *
+    * PRODUCTION SHORT-CIRCUIT, no footer I/O: every non-empty file holds
+    * ≥1 row group, so `rowGroups ≥ files.length` and therefore
+    * `min(planned, files.length) ≤ min(planned, rowGroups)` — a lower
+    * bound computable from the driver-side file listing alone. When that
+    * bound already satisfies [[fanOut]]'s `×2 ≥ defaultParallelism`
+    * target the exact count cannot change the verdict, so the sweep is
+    * skipped — a cold session scanning a 400k-file production table
+    * never pays minutes of serial object-store footer opens to learn
+    * the fan-out is a no-op. (Caveat: all-empty files would overstate
+    * the bound, but a scan that plans ≥ parallelism/2 splits over empty
+    * files merely skips an optional widening — semantics unaffected.)
+    *
+    * Otherwise (split-poor sources — the sandbox testdata) the footer
+    * sweep runs, memoized per (session, sorted file list) — one
+    * physical-plan probe + one sweep per file set, not per call; a file
+    * whose footer can't be read (non-parquet source, corrupt footer)
+    * contributes the planned count, i.e. constrains nothing, without
+    * discarding the readable files' counts. */
   private[ops] def dataBearingSplits(df: DataFrame): Int = {
     val files = df.inputFiles
     if (files.isEmpty) df.rdd.getNumPartitions
-    else splitsMemo.getOrElseUpdate(df.sparkSession, files.toSeq.sorted) {
+    else {
       val planned = df.rdd.getNumPartitions
-      val conf = df.sparkSession.sessionState.newHadoopConf()
-      val rowGroups = files.iterator.map { f =>
-        try {
-          val in = org.apache.parquet.hadoop.util.HadoopInputFile
-            .fromPath(new org.apache.hadoop.fs.Path(f), conf)
-          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          try r.getFooter.getBlocks.size.toLong
-          finally r.close()
-        } catch { case scala.util.control.NonFatal(_) => planned.toLong }
-      }.sum
-      math.min(planned.toLong, rowGroups).toInt
+      val floor = math.min(planned, files.length)
+      if (floor * 2 >= df.sparkSession.sparkContext.defaultParallelism) floor
+      else splitsMemo.getOrElseUpdate(df.sparkSession, files.toSeq.sorted) {
+        footerSweeps.incrementAndGet()
+        val conf = df.sparkSession.sessionState.newHadoopConf()
+        val rowGroups = files.iterator.map { f =>
+          try {
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try r.getFooter.getBlocks.size.toLong
+            finally r.close()
+          } catch { case scala.util.control.NonFatal(_) => planned.toLong }
+        }.sum
+        math.min(planned.toLong, rowGroups).toInt
+      }
     }
   }
 

@@ -209,4 +209,50 @@ class ScaleSpec extends SparkSpec {
         "enough splits -> identity, no exchange may enter the plan")
     }
   }
+
+  test("guard short-circuits on file count alone — no footer sweep above the threshold") {
+    // The production cold-start path: a many-file table must decide
+    // "identity" from the driver-side listing (min(planned, files) already
+    // meets the target), never by serially opening O(files) parquet
+    // footers. The cumulative sweep counter is the proof — it must not
+    // move for the many-file scan, and must move for a split-poor one.
+    withTempParquet { dir =>
+      spark.range(8000).selectExpr("id", "id * 3 AS v")
+        .repartition(8, col("id")).write.mode("overwrite").parquet(dir)
+    } { dir =>
+      // force one planned split per file so the floor is the file count
+      // (tiny files otherwise bin-pack into one partition and the guard
+      // rightly falls through to the sweep)
+      val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "1048576")
+      spark.conf.set("spark.sql.files.openCostInBytes", (4 * 1024 * 1024).toString)
+      try {
+        val df = spark.read.parquet(dir)
+        assert(df.inputFiles.length === 8)
+        assert(df.rdd.getNumPartitions >= 2, "fixture must plan multiple splits")
+        val before = Scale.footerSweeps.get()
+        val splits = Scale.dataBearingSplits(df)
+        assert(splits * 2 >= spark.sparkContext.defaultParallelism)
+        assert(Scale.footerSweeps.get() === before,
+          "file-count floor met the target — the footer sweep must not run")
+        // and fanOutScan stays the identity without any sweep either
+        val out = Scale.fanOutScan(df, col("id"))
+        assert(out.queryExecution.analyzed eq df.queryExecution.analyzed)
+        assert(Scale.footerSweeps.get() === before)
+      } finally {
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+        spark.conf.unset("spark.sql.files.openCostInBytes")
+      }
+      // control: a split-poor single-file scan DOES sweep (fresh file set,
+      // so the memo can't satisfy it)
+      withTempParquet { d2 =>
+        spark.range(100).coalesce(1).write.mode("overwrite").parquet(d2)
+      } { d2 =>
+        val before = Scale.footerSweeps.get()
+        assert(Scale.dataBearingSplits(spark.read.parquet(d2)) === 1)
+        assert(Scale.footerSweeps.get() === before + 1,
+          "split-poor scan must still probe footers")
+      }
+    }
+  }
 }
