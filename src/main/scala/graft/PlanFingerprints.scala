@@ -14,6 +14,15 @@ import org.apache.spark.sql.SparkSession
   * `runMain graft.PlanFingerprints` regenerates the committed baseline at
   * `src/test/resources/plan_fingerprints.json` — rerun it (and review the
   * diff like code) when a plan change is INTENTIONAL.
+  *
+  * ENVIRONMENT COUPLING: the committed baseline is only valid under the
+  * generator's environment — `local[4]` (defaultParallelism 4, shuffle
+  * partitions 4) over the driver-generated single-row-group sf0.001
+  * testdata. `Scale.fanOutScan` plans an extra keyed exchange exactly
+  * when data-bearing splits × 2 < defaultParallelism, so a ≤2-core
+  * session or regenerated multi-row-group testdata flips ~13 queries'
+  * exchange counts. PlanFingerprintSpec asserts the preconditions up
+  * front so a mismatch points at the environment, not the queries.
   */
 object PlanFingerprints {
   final case class Fp(exchanges: Int, smj: Int, bhj: Int, shj: Int,
@@ -55,14 +64,18 @@ object PlanFingerprints {
   }
 
   /** Shared-snapshot BUILD plans pinned alongside the queries. A memo
-    * backed by an eager localCheckpoint (minhashCandShared) truncates
-    * lineage, so every consumer's fingerprint sees only the snapshot
-    * scan (0 exchanges) — a regression in the build pipeline itself
-    * would never fail the gate without these entries. Named q_builder_*
-    * to ride the existing parse/render format; they are NOT oracle
-    * queries (no SparkEntry/Verify registration). */
+    * backed by an eager localCheckpoint or cache (minhashCandShared,
+    * simhashShared, gram3h8, the BPE train) hides its build from every
+    * consumer's fingerprint — they see only the snapshot scan (0
+    * exchanges) — so a regression in the build pipeline itself would
+    * never fail the gate without these entries. Named q_builder_* to
+    * ride the existing parse/render format; they are NOT oracle queries
+    * (no SparkEntry/Verify registration). */
   def builders: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
-    "q_builder_minhash_cand" -> ((s, d) => graft.queries.TextDedup.minhashCandFresh(s, d)))
+    "q_builder_minhash_cand" -> ((s, d) => graft.queries.TextDedup.minhashCandFresh(s, d)),
+    "q_builder_simhash" -> ((s, d) => graft.queries.TextDedup.simhashDf(s, d)),
+    "q_builder_gram3h8" -> ((s, d) => graft.queries.Curation.gram3h8Fresh(s, d)),
+    "q_builder_bpe" -> ((s, d) => graft.queries.Curation.bpeIterFresh(s, d)))
 
   /** ALPHABETICAL construction order, matching the bench: session-shared
     * memos materialize under the first consumer and later queries plan

@@ -259,7 +259,7 @@ object Curation {
   /** Distinct 32-bit (8-hex-char md5-prefix) hashes of the corpus' word
     * 3-grams — the shared universe the KMV and HLL cardinality sketches
     * both estimate, so their outputs are directly comparable. */
-  private def gram3h8Fresh(s: SparkSession, d: String): DataFrame =
+  private[graft] def gram3h8Fresh(s: SparkSession, d: String): DataFrame =
     // fan out before the shingle+md5 kernel (see Scale.fanOutScan)
     graft.ops.Scale.fanOutScan(docs(s, d).select("doc_id", "text"), col("doc_id"))
       .withColumn("ws", split(col("text"), " "))
@@ -486,18 +486,16 @@ object Curation {
   // Deterministic train/val/test split
   // -------------------------------------------------------------------
 
-  /** Content-hash train/val/test assignment (90/5/5 by md5 bucket) with
-    * per-source stratification counts. The assignment is a pure per-row
-    * projection — reshard-stable, engine-independent, no rand() — and the
-    * audit rollup is one groupBy. Splitting on CONTENT hash (not doc_id)
-    * means exact duplicates land in the same split, so train/test leakage
-    * through dup pairs is structurally impossible — the property a
-    * row-number split does not have. */
   /** The 90/5/5 md5-bucket split policy — ONE definition for every split
     * operator (content-hash split, leakage-safe cluster split, the
     * curation pipeline) so the boundaries can never drift apart between
     * call sites or between engines. `0x00..0xe5` → train (~89.8%),
-    * `0xe6..0xf2` → val (~5.1%), rest → test. */
+    * `0xe6..0xf2` → val (~5.1%), rest → test. The assignment is a pure
+    * per-row projection — reshard-stable, engine-independent, no
+    * rand() — and hashing CONTENT (not doc_id) means exact duplicates
+    * land in the same split, so train/test leakage through dup pairs is
+    * structurally impossible — the property a row-number split does not
+    * have (near-dups need the cluster-granular variant, q_split_leakage_safe). */
   private[queries] def splitCaseSql(keyExpr: String): String =
     s"""CASE WHEN substr(md5($keyExpr), 1, 2) < 'e6' THEN 'train'
              WHEN substr(md5($keyExpr), 1, 2) < 'f3' THEN 'val'
@@ -871,6 +869,36 @@ object Curation {
         .groupBy("w").agg(count(lit(1)).as("n")),
       BpeMerges))
 
+  /** Per-iteration adjacent-pair count over a symbolized type table —
+    * the ONE plan the BPE merge loop runs `rounds` times (explode the
+    * symbol positions, sum word frequencies per (a, b), take the top
+    * pair). Factored out so [[bpeIterFresh]] can expose the identical
+    * plan to the fingerprint gate. */
+  private def bpePairCounts(wc: DataFrame): DataFrame =
+    wc.select(split(trim(col("ws")), " ").as("syms"), col("n"))
+      .select(explode(expr(
+        """CASE WHEN size(syms) >= 2 THEN sequence(1, size(syms) - 1)
+           ELSE CAST(array() AS array<int>) END""")).as("pj"),
+        col("syms"), col("n"))
+      .select(expr("syms[pj - 1]").as("a"), expr("syms[pj]").as("b"), col("n"))
+      .groupBy("a", "b").agg(sum("n").cast("long").as("cnt"))
+      .orderBy(col("cnt").desc, col("a"), col("b"))
+      .limit(1)
+
+  /** The BPE build's round-1 plan WITHOUT memo or checkpoint — word-count
+    * aggregation over the corpus feeding the per-iteration pair count.
+    * The training loop itself is driver-coordinated (each round collects
+    * ONE row and rewrites the tiny type table), so this single-iteration
+    * plan IS the repeated unit whose shape the fingerprint gate pins;
+    * a shuffle/cartesian regression here multiplies by `rounds`. */
+  private[graft] def bpeIterFresh(s: SparkSession, d: String): DataFrame =
+    bpePairCounts(
+      docs(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("n"))
+        .select(col("w"),
+          concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("ws"), col("n")))
+
   /** The merge loop over an arbitrary (w, n) word-frequency table —
     * private[queries] so the property spec can drive it with generated
     * corpora against a reference implementation. */
@@ -882,16 +910,7 @@ object Curation {
         // the type table is tiny and every iteration rescans it
         .localCheckpoint()
       val merges = (1 to rounds).map { i =>
-        val top = wc
-          .select(split(trim(col("ws")), " ").as("syms"), col("n"))
-          .select(explode(expr(
-            """CASE WHEN size(syms) >= 2 THEN sequence(1, size(syms) - 1)
-               ELSE CAST(array() AS array<int>) END""")).as("pj"),
-            col("syms"), col("n"))
-          .select(expr("syms[pj - 1]").as("a"), expr("syms[pj]").as("b"), col("n"))
-          .groupBy("a", "b").agg(sum("n").cast("long").as("cnt"))
-          .orderBy(col("cnt").desc, col("a"), col("b"))
-          .limit(1).head()
+        val top = bpePairCounts(wc).head()
         val (a, b, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
         wc = wc.select(col("w"), expr(
           s"replace(ws, ${sqlQuote(s" $a $b ")}, ${sqlQuote(s" $a$b ")})").as("ws"),

@@ -282,7 +282,14 @@ object TextDedup {
     * intersections, integer-only threshold test (11·|∩| ≥ |A|+|B| ⇔
     * J ≥ 0.1). The shingle join is the scale path: shuffle on shingle,
     * skew-safe because [[shingled]] df-caps the stream first — no shuffle
-    * key can fan out more than MaxShingleDf² pairs. */
+    * key can fan out more than MaxShingleDf² pairs.
+    *
+    * LIFETIME: the returned frame is backed by a LEASED localCheckpoint
+    * (see below) — its blocks die at the next `Caches.drain()` and the
+    * truncated lineage cannot be recomputed. Its four indirect consumers
+    * (components, keep, leakage-safe split, and the pair query itself)
+    * all read it within their own query action, which is the contract:
+    * do NOT hold the result across a drain. */
   val dedupJaccard = QuerySpec(
     "q_dedup_jaccard",
     s"""WITH ${shingleSql(5)},
@@ -891,7 +898,7 @@ object TextDedup {
     * separate `sum(… md5(token) …)` children it was re-evaluated per sum
     * column (the partial-aggregate update path does not share subtrees
     * across aggregate functions). */
-  private def simhashDf(s: SparkSession, d: String): DataFrame = {
+  private[graft] def simhashDf(s: SparkSession, d: String): DataFrame = {
     val tok = graft.ops.Scale.fanOutScan(docs(s, d).select("doc_id", "text"), col("doc_id"))
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("token"))
       .select(col("doc_id"), md5(col("token")).as("h"))

@@ -14,6 +14,20 @@ package graft
 class PlanFingerprintSpec extends SparkSpec {
 
   test("no query's plan gained shuffles, nested loops, or cartesians vs the baseline") {
+    // Environment preconditions FIRST: the committed baseline was
+    // generated under local[4] over single-row-group sf0.001 parquet, and
+    // Scale.fanOutScan's identity/fan-out branch depends on exactly that
+    // (defaultParallelism vs data-bearing splits). If either drifts, ~13
+    // fingerprints flip at once — fail with a message that points at the
+    // environment instead of a confusing 13-query diff.
+    assert(spark.sparkContext.defaultParallelism === 4,
+      "baseline requires defaultParallelism 4 (local[4]) — regenerate " +
+        "plan_fingerprints.json for this environment or fix the session master")
+    val docsFiles = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").inputFiles
+    assert(docsFiles.length === 1,
+      "baseline requires the driver's single-file sf0.001 testdata — " +
+        "regenerated multi-file testdata changes fanOutScan's branch; " +
+        "regenerate plan_fingerprints.json")
     val res = getClass.getResourceAsStream("/plan_fingerprints.json")
     assert(res != null, "baseline missing — run: runMain graft.PlanFingerprints")
     val baseline = PlanFingerprints.parse(new String(res.readAllBytes(), "UTF-8"))
