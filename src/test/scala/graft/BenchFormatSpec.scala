@@ -17,13 +17,14 @@ class BenchFormatSpec extends AnyFunSuite {
   // representative result rows: a sub-second query, a long one whose
   // Double renders in scientific-notation-free form, and a FAILED row
   // (elapsed −1, the sentinel the driver must be able to tell apart)
-  private val results = Seq[(String, Double, Long, Long)](
-    ("q_alpha", 0.123456789, 12L, 340L),
-    ("q_beta", 35.900000001, 18000L, 113000L),
-    ("q_failed", -1.0, 0L, -1L))
+  private val results = Seq(
+    Bench.Row("q_alpha", 0.123456789, 12L, 340L, 2048L),
+    Bench.Row("q_beta", 35.900000001, 18000L, 113000L, 104857600L),
+    Bench.Row("q_failed", -1.0, 0L, -1L, 0L))
 
   test("full artifact is one line of strict JSON with per-query maps") {
     val s = Bench.fullJson(results, Seq("q_beta" -> 1.07),
+      prewarmFamilies = Seq("dedup" -> 12.5, "curation" -> 3.25),
       prewarmSec = 41.93, heapMaxMb = 24576L,
       sfDir = "/root/testdata/sf0.1")
     assert(!s.contains("\n"), "artifact must be a single line")
@@ -37,6 +38,10 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(node.get("gc_ms").get("q_beta").asLong() == 18000L)
     assert(node.get("cpu_ms").get("q_alpha").asLong() == 340L)
     assert(node.get("prewarm_sec").asDouble() == 41.93)
+    // per-family prewarm attribution: a 3× regression in one family's
+    // snapshot build must be visible in the artifact, not one lump
+    assert(node.get("prewarm_family_sec").get("dedup").asDouble() == 12.5)
+    assert(node.get("prewarm_family_sec").get("curation").asDouble() == 3.25)
     assert(node.get("heap_max_mb").asLong() == 24576L)
     assert(node.get("gc_ms_total").asLong() == 18012L)
     // contention tells: cpu only over non-failed rows (340 + 113000 ms
@@ -47,6 +52,25 @@ class BenchFormatSpec extends AnyFunSuite {
     // outlier re-runs: a transient 35.9s row carrying a 1.07s retry
     // refutes itself inside the artifact
     assert(node.get("retry_sec").get("q_beta").asDouble() == 1.07)
+    // shuffle volume: 100 MiB → 100.0 MB-ish (MB = 1e6 bytes, 3 decimals),
+    // and a 2 KiB band-key shuffle still resolves as non-zero
+    assert(math.abs(node.get("shuffle_mb").get("q_beta").asDouble() - 104.858) < 1e-9)
+    assert(node.get("shuffle_mb").get("q_alpha").asDouble() == 0.002)
+  }
+
+  test("retry selection: threshold OR top-K, never a failed row") {
+    // 12 sub-threshold rows (0.1..1.2 s) + one over threshold + one failed:
+    // the hard 2.5 s edge alone would retry only q_big; top-K must pull in
+    // the 10 slowest passing rows too, and q_failed must never appear
+    val rows = (1 to 12).map(i => Bench.Row(f"q_r$i%02d", i * 0.1, 0L, 0L, 0L)) ++
+      Seq(Bench.Row("q_big", 9.9, 0L, 0L, 0L), Bench.Row("q_failed", -1.0, 0L, 0L, 0L))
+    val picked = Bench.retrySelection(rows).map(_.name)
+    assert(picked.contains("q_big"))
+    assert(!picked.contains("q_failed"))
+    assert(picked.size == Bench.RetryTopK, s"expected top-${Bench.RetryTopK}, got $picked")
+    // the slowest sub-threshold rows are in; the fastest are out
+    assert(picked.contains("q_r12") && picked.contains("q_r04"))
+    assert(!picked.contains("q_r01") && !picked.contains("q_r03"))
   }
 
   test("compact summary is one line of strict JSON small enough for the driver's tail") {
@@ -69,8 +93,9 @@ class BenchFormatSpec extends AnyFunSuite {
     // Scala renders tiny/huge doubles in scientific notation (1.0E-4);
     // that IS valid JSON — pin that a parser agrees, so a pathological
     // timing can never corrupt the artifact
-    val s = Bench.fullJson(Seq(("q_x", 1.0e-4, 0L, 0L), ("q_y", 9.87654321e7, 1L, 2L)),
-      Seq.empty, 0.0, 1L, "sf")
+    val s = Bench.fullJson(
+      Seq(Bench.Row("q_x", 1.0e-4, 0L, 0L, 0L), Bench.Row("q_y", 9.87654321e7, 1L, 2L, 0L)),
+      Seq.empty, Seq.empty, 0.0, 1L, "sf")
     val node = mapper.readTree(s)
     assert(node.get("queries").get("q_x").asDouble() == 1.0e-4)
     assert(node.get("queries").get("q_y").asDouble() == 9.87654321e7)
