@@ -205,5 +205,48 @@ object GraphOps {
           when(col("_hit").isNull, 1L).otherwise(0L).cast("long").as("is_new"))
   }
 
-  val specs: Seq[QuerySpec] = Seq(kcore, bfsHops, linkPredict)
+  /** The crafted worst-case topology for [[graphAdversarial]]: one
+    * super-node (doc 0) star-linked to EVERY even doc — degree n/2, the
+    * pathological key skew for the dst-keyed propagation join — while
+    * the odd docs form a single maximum-diameter chain (1–3–5–…, n/2
+    * hops — the worst case for round count). Derived entirely from the
+    * documents table's ids so both engines see the identical graph.
+    * Symmetrized, like every edge input to [[TextDedup.connectedComponents]]. */
+  private[graft] def adversarialEdges(s: SparkSession, d: String): DataFrame = {
+    val ids = graft.Tables.documents(s, d).select("doc_id")
+    val star = ids.filter(col("doc_id") % 2 === 0 && col("doc_id") > 0)
+      .select(lit(0L).as("src"), col("doc_id").as("dst"))
+    val odds = ids.filter(col("doc_id") % 2 === 1)
+    val chain = odds.toDF("src").join(odds.toDF("dst"), expr("dst = src + 2"))
+    val e = star.unionByName(chain)
+    e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  /** Adversarial-topology gate for the graph family — the skew analogue
+    * of q_dedup_adversarial_bucket / q_sim_adversarial_bucket: the REAL
+    * pointer-jump CC runs over [[adversarialEdges]]' star/chain hybrid
+    * and must reproduce the closed-form ground truth (evens incl. the
+    * hub → component 0; odds → component 1). What it proves, under
+    * worst-case degree skew AND worst-case diameter at once:
+    *   - the hot dst=0 key carries n/2 rows of NARROW (id, label) pairs
+    *     through the per-round join — skew AQE can split, never text —
+    *     and the min-label groupBy partial-aggregates map-side, so no
+    *     single reducer sees the super-node's neighborhood unreduced;
+    *   - pointer jumping keeps the round count logarithmic in the n/2
+    *     chain diameter (GraphProfilingSpec pins the bound; a plain
+    *     propagate-only loop would need n/2 rounds and fail maxRounds).
+    * The oracle is the closed form — derivable because the topology is a
+    * deterministic function of doc_id — so the gate is independent of
+    * any CC implementation on either engine. */
+  val graphAdversarial = QuerySpec(
+    "q_graph_adversarial",
+    """SELECT doc_id,
+              CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END AS BIGINT) AS cluster_id
+       FROM documents""") {
+    (s, d) =>
+      TextDedup.connectedComponents(adversarialEdges(s, d))
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  val specs: Seq[QuerySpec] = Seq(kcore, bfsHops, linkPredict, graphAdversarial)
 }

@@ -27,6 +27,28 @@ class GraphProfilingSpec extends SparkSpec {
     assert(GraphOps.kcoreOf(g, 2, 3).count() === 0L)
   }
 
+  test("adversarial star/chain hybrid: CC exact under degree skew, rounds stay logarithmic") {
+    // the q_graph_adversarial topology on the sf0.001 documents table:
+    // hub 0 at degree n/2 (worst-case key skew for the dst join) plus a
+    // maximum-diameter odd chain (worst case for round count). CC must
+    // hit the closed form AND converge in O(log diameter) rounds — a
+    // propagate-only loop would need ~n/2 rounds and blow the budget.
+    val sf = "/root/testdata/sf0.001"
+    val edges = GraphOps.adversarialEdges(spark, sf)
+    val n = graft.Tables.documents(spark, sf).count() // 500 ⇒ chain of 250 odds
+    val (labels, rounds) = TextDedup.connectedComponentsWithRounds(edges)
+    val bad = labels
+      .withColumn("expect", when(col("id") % 2 === 0, 0L).otherwise(1L))
+      .filter(col("label") =!= col("expect")).count()
+    assert(bad === 0L, "CC must reproduce the closed-form components")
+    assert(labels.count() === n, "every doc must be labeled")
+    val diameter = n / 2 - 1
+    val logBound = 2 * (64 - java.lang.Long.numberOfLeadingZeros(diameter)) + 4
+    assert(rounds <= logBound,
+      s"pointer jumping must stay logarithmic: $rounds rounds for diameter $diameter")
+    graft.ops.Caches.drain()
+  }
+
   test("minHops: chain distances are exact and depth-bounded") {
     val g = sym(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
     val seeds = Seq(0L).toDF("v")
