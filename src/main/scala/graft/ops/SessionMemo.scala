@@ -68,12 +68,27 @@ final class SessionMemo[K, V] {
 }
 
 /** Registry of every [[SessionMemo]] in the JVM, so one context-stop
-  * listener can sweep them all. */
+  * listener can sweep them all. Holds WEAK references: the production
+  * memos are object-field singletons (strongly reachable for the JVM
+  * lifetime anyway), but ad-hoc instances (per-test `new SessionMemo`)
+  * must not be pinned here forever — cleared referents are pruned on
+  * every register/sweep. */
 object SessionMemos {
-  private val memos = new java.util.concurrent.CopyOnWriteArrayList[SessionMemo[_, _]]()
+  private val memos =
+    new java.util.concurrent.CopyOnWriteArrayList[java.lang.ref.WeakReference[SessionMemo[_, _]]]()
   private val watched = TrieMap.empty[SparkContext, Unit]
 
-  private[ops] def register(memo: SessionMemo[_, _]): Unit = { memos.add(memo); () }
+  private[ops] def register(memo: SessionMemo[_, _]): Unit = {
+    memos.removeIf(r => r.get == null)
+    memos.add(new java.lang.ref.WeakReference[SessionMemo[_, _]](memo))
+    ()
+  }
+
+  /** Registered (not-yet-collected) memo count — test hook. */
+  private[ops] def registrySize: Int = {
+    memos.removeIf(r => r.get == null)
+    memos.size
+  }
 
   /** Ensure exactly one application-end listener per SparkContext. Also
     * prunes `watched` keys whose context has stopped: if the listener
@@ -99,12 +114,13 @@ object SessionMemos {
     * were released. */
   def sweep(): Int = {
     import scala.jdk.CollectionConverters._
-    memos.asScala.map(_.evictStopped()).sum
+    memos.removeIf(r => r.get == null)
+    memos.asScala.flatMap(r => Option(r.get)).map(_.evictStopped()).sum
   }
 
   /** Total live entries across all memos for `s` — test hook. */
   def entriesFor(s: SparkSession): Int = {
     import scala.jdk.CollectionConverters._
-    memos.asScala.map(_.entriesFor(s)).sum
+    memos.asScala.flatMap(r => Option(r.get)).map(_.entriesFor(s)).sum
   }
 }

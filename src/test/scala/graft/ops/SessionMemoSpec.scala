@@ -36,4 +36,23 @@ class SessionMemoSpec extends SparkSpec {
     // memo access sweeps any other stopped-session entries it finds
     assert(SessionMemos.sweep() === 0, "listener sweep left stopped-session entries behind")
   }
+
+  test("registry holds memo instances weakly — collected instances are pruned") {
+    // ad-hoc instances (this suite, SessionMemoBuildSpec) must not pin the
+    // registry forever; only strongly-reachable singletons may persist
+    val before = SessionMemos.registrySize
+    (1 to 64).foreach(_ => new SessionMemo[String, String])
+    assert(SessionMemos.registrySize >= before, "fresh instances register")
+    // no strong refs remain; poll gc until the weak refs clear (bounded —
+    // an unreferenced batch of 64 small objects collects promptly)
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    var size = SessionMemos.registrySize
+    while (size > before && System.nanoTime() < deadline) {
+      System.gc()
+      Thread.sleep(50)
+      size = SessionMemos.registrySize
+    }
+    assert(size <= before,
+      s"collected memos must be pruned from the registry ($before -> $size)")
+  }
 }
