@@ -75,7 +75,8 @@ object PlanFingerprints {
     "q_builder_minhash_cand" -> ((s, d) => graft.queries.TextDedup.minhashCandFresh(s, d)),
     "q_builder_simhash" -> ((s, d) => graft.queries.TextDedup.simhashDf(s, d)),
     "q_builder_gram3h8" -> ((s, d) => graft.queries.Curation.gram3h8Fresh(s, d)),
-    "q_builder_bpe" -> ((s, d) => graft.queries.Curation.bpeIterFresh(s, d)))
+    "q_builder_bpe" -> ((s, d) => graft.queries.Curation.bpeIterFresh(s, d)),
+    "q_builder_ivf_cells" -> ((s, d) => graft.queries.Similarity.ivfAssignFresh(s, d)))
 
   /** ALPHABETICAL construction order, matching the bench: session-shared
     * memos materialize under the first consumer and later queries plan

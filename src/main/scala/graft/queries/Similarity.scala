@@ -387,6 +387,25 @@ object Similarity {
     ()
   }
 
+  /** One Lloyd assignment WITHOUT memo or cache — the per-iteration unit
+    * the driver-coordinated k-means loop repeats (the full fit can't be
+    * fingerprinted: it collects per iteration), seeded from the first
+    * [[IvfK]] vectors as a plan rather than a collected literal so no
+    * action runs at explain time. Exists for the q_builder_ivf_cells
+    * fingerprint entry: every ANN consumer plans against the cells
+    * CACHE, so a shuffle regression in the assignment build itself
+    * would otherwise never fail the plan gate. */
+  private[graft] def ivfAssignFresh(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(s, d)
+    val centDf = e.filter(col("vec_id") < IvfK)
+      .select(col("vec_id").as("cent_id"),
+        col("embedding").cast("array<double>").as("cent_emb"))
+      .withColumn("cent_nrm", VectorExpressions.vector_norm_f64(col("cent_emb")))
+    assignCells(e, centDf)
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("nrm"), col("cent_id").as("cell"))
+  }
+
   /** DuckDB twin of [[Exact.sumD]]-based per-dimension mean. */
   private def meanSql(x: String): String = s"${graft.Exact.sumSql(x)} / COUNT(*)"
 
