@@ -1765,7 +1765,122 @@ object Curation {
         .orderBy("source")
   }
 
+  // -------------------------------------------------------------------
+  // Hashed n-gram importance resampling (DSIR-shaped)
+  // -------------------------------------------------------------------
+
+  /** The "target domain" stand-in: two of the twenty synthetic sources
+    * (10% of the corpus) — the pool the raw documents are scored
+    * against, as in data-selection pipelines where a small high-quality
+    * corpus (wiki/books) defines the target distribution. */
+  private val DsirTargetSources = Seq("src0", "src1")
+  private val DsirBuckets = 256
+  private val DsirTopK = 100
+
+  /** Per-occurrence hashed 3-gram features: every word 3-gram of every
+    * doc, bucketed to [[DsirBuckets]] features via the first two hex
+    * chars of md5 — NON-distinct (the importance estimate wants counts,
+    * unlike the distinct gram universe the sketches share). */
+  private def dsirOccurrences(s: SparkSession, d: String): DataFrame =
+    graft.ops.Scale.fanOutScan(
+        docs(s, d).select(col("doc_id"), col("source"), col("text")), col("doc_id"))
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"), col("source"), explode(expr(
+        """CASE WHEN size(ws) >= 3
+           THEN transform(sequence(1, size(ws) - 2),
+                          i -> concat_ws(' ', slice(ws, i, 3)))
+           ELSE CAST(array() AS array<string>) END""")).as("shingle"))
+      .select(col("doc_id"), col("source"),
+        expr("CAST(conv(substring(md5(shingle), 1, 2), 16, 10) AS BIGINT)").as("bucket"))
+
+  /** Importance resampling over hashed n-gram features — the shape of
+    * DSIR (Xie et al., "Data Selection for Language Models via
+    * Importance Resampling", arXiv:2302.03169): represent every doc by
+    * hashed 3-gram bucket counts, estimate the target (two designated
+    * sources) and raw (the rest) bucket distributions with add-1
+    * smoothing, weight each bucket by the target/raw likelihood ratio,
+    * and keep the top-[[DsirTopK]] raw docs by mean per-occurrence
+    * ratio. Deviations from the paper, chosen for cross-engine
+    * exactness: LINEAR ratio weights in integer millionths instead of
+    * log-ratios (per-bucket monotone in the same ratio; no float log
+    * whose last ulp differs between engines), and mean-per-gram
+    * normalization instead of a length-dependent log-sum (comparable
+    * scores across doc lengths, and the integer division is identical
+    * in both engines for the all-positive operands here).
+    *
+    * Magnitude bound: w_m ≤ (T+1)(R+256)·10⁶/(T+256) ≈ R·10⁶ and the
+    * per-doc sum adds ≤ len(doc) of them — safe in int64 up to ~10⁹
+    * grams per scoring shard; a 100 TB deployment scores per-shard with
+    * the ratio table broadcast (256 rows — trained once on a sample,
+    * exactly the paper's topology) and re-scales the constant if a
+    * single shard exceeds that.
+    *
+    * Scale shape: one pass for the two 256-row bucket histograms
+    * (map-side combinable groupBy), the weight table broadcasts, and
+    * the scoring pass is one groupBy(doc_id) over the occurrence
+    * stream — no joins wider than the broadcast, nothing quadratic,
+    * shuffle carries (doc_id, bucket) pairs only. */
+  val importanceHashgram = QuerySpec(
+    "q_importance_hashgram", {
+      val tgtList = DsirTargetSources.map(s => s"'$s'").mkString(", ")
+      s"""WITH w AS (SELECT doc_id, source, str_split(text, ' ') AS ws FROM documents),
+          occ AS (SELECT doc_id, source,
+                         ${hexSql("substr(md5(array_to_string(ws[i:i+2], ' ')), 1, 2)", 2)} AS bucket
+                  FROM w, UNNEST(generate_series(1, greatest(len(ws) - 2, 0))) AS u(i)),
+          b AS (SELECT UNNEST(generate_series(0, ${DsirBuckets - 1})) AS bucket),
+          t AS (SELECT bucket, count(*) AS c FROM occ WHERE source IN ($tgtList) GROUP BY 1),
+          r AS (SELECT bucket, count(*) AS c FROM occ WHERE source NOT IN ($tgtList) GROUP BY 1),
+          tot AS (SELECT (SELECT count(*) FROM occ WHERE source IN ($tgtList)) AS tn,
+                         (SELECT count(*) FROM occ WHERE source NOT IN ($tgtList)) AS rn),
+          wt AS (SELECT b.bucket,
+                        ((COALESCE(t.c, 0) + 1) * (tot.rn + $DsirBuckets) * 1000000)
+                          // ((COALESCE(r.c, 0) + 1) * (tot.tn + $DsirBuckets)) AS w_m
+                 FROM b LEFT JOIN t ON t.bucket = b.bucket
+                        LEFT JOIN r ON r.bucket = b.bucket
+                        CROSS JOIN tot),
+          sc AS (SELECT o.doc_id,
+                        CAST(SUM(wt.w_m) // COUNT(*) AS BIGINT) AS score_m,
+                        CAST(COUNT(*) AS BIGINT) AS n_grams
+                 FROM occ o JOIN wt ON wt.bucket = o.bucket
+                 WHERE o.source NOT IN ($tgtList)
+                 GROUP BY 1)
+          SELECT doc_id, score_m, n_grams, CAST(rnk AS BIGINT) AS rnk
+          FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY score_m DESC, doc_id) AS rnk
+                FROM sc) z
+          WHERE rnk <= $DsirTopK"""
+    }) {
+    (s, d) =>
+      val occ = dsirOccurrences(s, d)
+      val isTgt = col("source").isin(DsirTargetSources: _*)
+      val t = occ.filter(isTgt).groupBy("bucket").agg(count(lit(1)).as("tc"))
+      val r = occ.filter(!isTgt).groupBy("bucket").agg(count(lit(1)).as("rc"))
+      val tot = occ.agg(
+        sum(when(isTgt, 1L).otherwise(0L)).as("tn"),
+        sum(when(isTgt, 0L).otherwise(1L)).as("rn"))
+      val buckets = s.range(DsirBuckets).select(col("id").as("bucket"))
+      val wt = buckets
+        .join(t, Seq("bucket"), "left")
+        .join(r, Seq("bucket"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("bucket"),
+          expr(s"((coalesce(tc, 0) + 1) * (rn + $DsirBuckets) * 1000000L)" +
+            s" div ((coalesce(rc, 0) + 1) * (tn + $DsirBuckets))").as("w_m"))
+      val sc = occ.filter(!isTgt)
+        .join(broadcast(wt), "bucket")
+        .groupBy("doc_id")
+        // integral div (not /, which is double division in Spark) —
+        // matches DuckDB's // exactly for these all-positive operands
+        .agg(expr("sum(w_m) div count(1)").cast("long").as("score_m"),
+          count(lit(1)).cast("long").as("n_grams"))
+      sc.withColumn("rnk",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("score_m").desc, col("doc_id"))).cast("long"))
+        .filter(col("rnk") <= DsirTopK)
+        .select("doc_id", "score_m", "n_grams", "rnk")
+  }
+
   val specs: Seq[QuerySpec] = Seq(
+    importanceHashgram,
     curationIngest, sampleBalanced,
     decontaminate, textRepetition, piiRedact, sampleWeighted,
     packChunks, sketchKmv, sketchBloom, sketchHll, histogramEquidepth,

@@ -202,6 +202,28 @@ class CurationSpec extends SparkSpec {
     assert(h1.size >= 3, "doc 7 must split into enough chunks for the property to be non-vacuous")
   }
 
+  test("importanceHashgram: raw docs only, contiguous ranks, non-degenerate ratios") {
+    val out = Curation.importanceHashgram.fn(spark, sf).cache()
+    try {
+      val rows = out.orderBy("rnk").collect()
+      assert(rows.length > 50, "top-k selection must be well-populated")
+      // only RAW (non-target) docs are resampled
+      val tgtDocs = Tables.documents(spark, sf)
+        .filter(col("source").isin("src0", "src1")).select("doc_id")
+      assert(out.join(tgtDocs, "doc_id").count() === 0,
+        "target-domain docs must never appear in the resampled output")
+      // ranks are 1..n with scores non-increasing (deterministic tie-break)
+      assert(rows.map(_.getLong(3)).toSeq === (1L to rows.length))
+      val scores = rows.map(_.getLong(1)).toSeq
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        "scores must be non-increasing in rank")
+      // non-degenerate: the head is genuinely target-enriched (ratio > 1.0
+      // in millionths) and the scores are not all one value
+      assert(scores.head > 1000000L, s"head score ${scores.head} must exceed neutral 1e6")
+      assert(scores.distinct.size > 10, "score distribution must not collapse")
+    } finally { out.unpersist(); () }
+  }
+
   test("splitLeakageSafe: no near-dup pair straddles a split boundary") {
     // reconstruct the per-doc assignment exactly as the query derives it
     // (cluster-id hash), then check it against the ACTUAL near-dup pair
