@@ -1872,10 +1872,15 @@ object Curation {
         // matches DuckDB's // exactly for these all-positive operands
         .agg(expr("sum(w_m) div count(1)").cast("long").as("score_m"),
           count(lit(1)).cast("long").as("n_grams"))
-      sc.withColumn("rnk",
+      // top-k BEFORE ranking: orderBy+limit lowers to TakeOrderedAndProject
+      // (per-partition top-k + merge, distributed), so the rank window
+      // only ever sees the K selected rows — a global row_number over the
+      // full score table would serialize billions of raw docs onto one
+      // task at 100 TB
+      sc.orderBy(col("score_m").desc, col("doc_id")).limit(DsirTopK)
+        .withColumn("rnk",
           row_number().over(org.apache.spark.sql.expressions.Window
             .orderBy(col("score_m").desc, col("doc_id"))).cast("long"))
-        .filter(col("rnk") <= DsirTopK)
         .select("doc_id", "score_m", "n_grams", "rnk")
   }
 
