@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Exact, QuerySpec, Tables}
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -129,6 +129,109 @@ object EventsMultimodal {
           min("ts").as("session_start"),
           max("ts").as("session_end"),
           Exact.sumD(col("value")).as("total_value"))
+  }
+
+  private val SkewGapMicros = 1800000000L // 30 min, same gap as q_sessionize
+  private val SkewBucketMicros = 21600000000L // 6 h time buckets
+
+  /** Skew-immune sessionization — the distributed form of [[sessionize]]'s
+    * lag-chain. The classic shape windows PARTITION BY user: one user
+    * owning half a 100 TB stream serializes half the data onto one task,
+    * the same wall [[graft.ops.Scale.distributedRank]]/`prefixSum` break
+    * for ranks and running sums. Three phases, exact for ANY bucket
+    * width, every step a pure function of the data (a first cut used
+    * `repartitionByRange` + `spark_partition_id()` as the bucket; the
+    * partition-id column is non-deterministic to Catalyst, and
+    * `prefixSum`'s self-branch then computed offsets and in-bucket sums
+    * against potentially different assignments — session ids skipped and
+    * merged. Deterministic TIME buckets remove the hazard outright):
+    *
+    *   1. bucket every event by `unix_micros(ts) div W` and compute the
+    *      lag within (user, bucket) — parallelism is #(user, bucket), so
+    *      the hot user splits across its active time range instead of
+    *      serializing onto one task;
+    *   2. fix each (user, bucket)'s FIRST event with a boundary table:
+    *      per (user, bucket) the max (ts, event_id) pair, prefix-maxed
+    *      over buckets within the user (robust to empty buckets) — one
+    *      row per OCCUPIED (user, bucket), so the per-user sequential
+    *      window here touches metadata-sized summaries (≤ time-range/W
+    *      rows per user), never the event stream;
+    *   3. number sessions per user with the two-phase prefix scan over
+    *      the new-session flags ([[graft.ops.Scale.prefixSum]], bucket =
+    *      the same time bucket, trivially monotone in (ts, event_id)
+    *      within every user).
+    *
+    * Bit-identical to the single-window form (the oracle runs exactly
+    * that) for any W; W only moves the parallelism/summary-size
+    * trade-off. */
+  private[graft] def sessionizeDistributed(ev: DataFrame, bucketMicros: Long): DataFrame = {
+    val b = ev.withColumn("bkt", expr(s"unix_micros(ts) div ${bucketMicros}L"))
+    val wLocal = Window.partitionBy("user_id", "bkt").orderBy("ts", "event_id")
+    val local = b.withColumn("prev_ts", lag("ts", 1).over(wLocal))
+    // per-(user, bucket) maxima (struct max = the order's last pair); the
+    // prefix-max over buckets gives every bucket's first event its TRUE
+    // predecessor even when intermediate buckets are empty
+    val lasts = b.groupBy("user_id", "bkt")
+      .agg(max(struct(col("ts"), col("event_id"))).as("m"))
+    val wPrev = Window.partitionBy("user_id").orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bounds = lasts
+      .withColumn("pm", max("m").over(wPrev))
+      .select(col("user_id"), col("bkt"), col("pm.ts").as("b_ts"))
+    val flagged = local.join(bounds, Seq("user_id", "bkt"), "left")
+      .withColumn("eff_ts", coalesce(col("prev_ts"), col("b_ts")))
+      .withColumn("new_sess",
+        when(col("eff_ts").isNull
+          || unix_micros(col("ts")) - unix_micros(col("eff_ts")) > SkewGapMicros, 1)
+          .otherwise(0))
+      .withColumn("ord", struct(col("ts"), col("event_id")))
+      .select("user_id", "ord", "ts", "value", "new_sess", "bkt")
+    graft.ops.Scale.prefixSum(flagged, Seq("user_id"), "ord", "new_sess",
+        bucket = col("bkt"), outCol = "session_id")
+      .groupBy(col("user_id"), col("session_id").cast("long").as("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min("ts").as("session_start"),
+        max("ts").as("session_end"),
+        Exact.sumD(col("value")).as("total_value"))
+  }
+
+  /** The sessionization family's adversarial gate, the streaming/temporal
+    * analogue of q_graph_adversarial: HALF the event stream is remapped
+    * onto one synthetic hot user (event_id parity — 5k of 10k events at
+    * sf0.01, 50k of 100k at sf0.1), and [[sessionizeDistributed]] must
+    * produce exactly what the naive per-user lag-chain produces (the
+    * oracle IS that lag-chain) while no single task ever holds the hot
+    * user's full run (EventsInvariantsSpec pins the partition-size bound
+    * and the window keying). */
+  val sessionizeSkew = QuerySpec(
+    "q_sessionize_skew",
+    s"""WITH ev AS (
+          SELECT CASE WHEN event_id % 2 = 0 THEN -1 ELSE user_id END AS user_id,
+                 event_id, ts, value
+          FROM events),
+        g AS (
+          SELECT user_id, event_id, ts, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > $SkewGapMicros
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM ev
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        se AS (
+          SELECT user_id, event_id, ts, value,
+                 SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM g)
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               COUNT(1) AS n_events, min(ts) AS session_start, max(ts) AS session_end,
+               ${Exact.sumSql("value")} AS total_value
+        FROM se GROUP BY 1, 2""") {
+    (s, d) =>
+      sessionizeDistributed(
+        Tables.events(s, d).select(
+          when(col("event_id") % 2 === 0, -1L).otherwise(col("user_id")).as("user_id"),
+          col("event_id"), col("ts"), col("value")),
+        SkewBucketMicros)
   }
 
   /** Multimodal-column plumbing: treat content as an opaque binary payload
@@ -1721,7 +1824,7 @@ object EventsMultimodal {
 
   val specs: Seq[QuerySpec] = Seq(
     ohlcResample,
-    streamWindow, streamSliding, sessionWindow, sessionize, multimodalMeta,
+    streamWindow, streamSliding, sessionWindow, sessionize, sessionizeSkew, multimodalMeta,
     multimodalHistDup, multimodalQuality, multimodalBlockhash, multimodalFrames,
     multimodalAudio, rfmSegments,
     asofJoin, asofExec, rangeJoinBinned,

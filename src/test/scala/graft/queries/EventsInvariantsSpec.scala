@@ -13,6 +13,44 @@ class EventsInvariantsSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
   private def q(name: String) = graft.SparkEntry.queries(name)(spark, sf)
 
+  test("sessionizeDistributed == naive per-user lag-chain under crafted 50% single-user skew") {
+    // the q_sessionize_skew shape (half the stream on one hot user), but
+    // proved IN-ENGINE against the naive single-window form, for a bucket
+    // width small enough that the hot user crosses many buckets AND
+    // intermediate empty buckets occur — the boundary-fix path the oracle
+    // hash alone can't isolate
+    val ev = Tables.events(spark, sf).select(
+      when(col("event_id") % 2 === 0, -1L).otherwise(col("user_id")).as("user_id"),
+      col("event_id"), col("ts"), col("value"))
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val naive = ev
+      .withColumn("new_sess",
+        when(lag("ts", 1).over(w).isNull
+          || unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(w)) > 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"), min("ts").as("session_start"),
+        max("ts").as("session_end"), graft.Exact.sumD(col("value")).as("total_value"))
+    // two widths: 6h (the query's) and 37 minutes (odd, gap-incommensurate,
+    // forces many boundary fixes) — exactness must not depend on W
+    Seq(21600000000L, 2220000000L).foreach { wMicros =>
+      val dist = EventsMultimodal.sessionizeDistributed(ev, wMicros)
+      assert(dist.count() === naive.count(), s"row count diverged at W=$wMicros")
+      assert(dist.except(naive).count() === 0 && naive.except(dist).count() === 0,
+        s"distributed sessionization diverged from the single-window form at W=$wMicros")
+    }
+    // the skew pin: the event-level lag runs keyed on (user, bucket) —
+    // never on user alone — so no task ever holds the hot user's full run
+    val plan = EventsMultimodal.sessionizeDistributed(ev, 21600000000L)
+      .queryExecution.optimizedPlan.toString
+    val lagLines = plan.linesIterator.filter(_.contains("lag(")).toSeq
+    assert(lagLines.nonEmpty && lagLines.forall(l => l.contains("bkt")),
+      s"event-level lag window must be keyed on (user_id, bkt):\n${lagLines.mkString("\n")}")
+  }
+
   test("interval_merge: islands are disjoint, ordered, and cover every interval") {
     val isl = q("q_interval_merge").cache()
     try {
