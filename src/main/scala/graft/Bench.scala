@@ -36,11 +36,14 @@ object Bench {
     /** Listener events post asynchronously; poll until the counter holds
       * still for one interval (bounded) so a query's trailing task-end
       * events don't leak into the next query's delta. Runs OUTSIDE the
-      * timed window. */
-    def settledRead(): Long = {
+      * timed window. A FAILED query gets a much longer bound (task kill
+      * can take seconds, far past the normal cap) so its stragglers
+      * can't inflate the next row's shuffle_mb — the exact attribution
+      * signal this tally exists to provide. */
+    def settledRead(maxSpins: Int = 40): Long = { // default <= ~200 ms
       var prev = bytes.get()
       var spins = 0
-      while (spins < 40) { // <= ~200 ms worst case
+      while (spins < maxSpins) {
         Thread.sleep(5)
         val cur = bytes.get()
         if (cur == prev) return cur
@@ -121,7 +124,9 @@ object Bench {
       val elapsed = (System.nanoTime() - t0) / 1e9
       val gcMs = gcMillis - gc0
       val cpuMs = if (cpu0 < 0) -1L else cpuMillis - cpu0
-      val shBytes = tally.settledRead() - sh0
+      // a failed query's in-flight tasks may report bytes seconds later —
+      // wait them out (<= ~5 s) so they bill to this row, not the next
+      val shBytes = tally.settledRead(maxSpins = if (ok) 40 else 1000) - sh0
       // release this query's scratch caches so storage memory doesn't
       // accumulate across the suite (the r4 sketch-family regression);
       // session-shared memos are not leased and survive

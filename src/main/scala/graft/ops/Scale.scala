@@ -113,11 +113,15 @@ object Scale {
   private[ops] def dataBearingSplits(df: DataFrame): Int = {
     val files = df.inputFiles
     if (files.isEmpty) df.rdd.getNumPartitions
-    else {
+    else splitsMemo.getOrElseUpdate(df.sparkSession, files.toSeq.sorted) {
+      // the physical-plan probe AND the short-circuit both live inside the
+      // memo closure: a memo hit is one map lookup — fanOutScan runs at
+      // every compute site during query construction, and re-planning the
+      // scan per call would bill wasted driver work to every bench row
       val planned = df.rdd.getNumPartitions
       val floor = math.min(planned, files.length)
       if (floor * 2 >= df.sparkSession.sparkContext.defaultParallelism) floor
-      else splitsMemo.getOrElseUpdate(df.sparkSession, files.toSeq.sorted) {
+      else {
         footerSweeps.incrementAndGet()
         val conf = df.sparkSession.sessionState.newHadoopConf()
         val rowGroups = files.iterator.map { f =>
@@ -162,14 +166,22 @@ object Scale {
     *
     * `orderCol` must be unique within each group (ties across a bucket
     * boundary would make bucketing order-dependent).
-    */
+    *
+    * `broadcastOffsets`: the offset table holds one row per occupied
+    * (group, bucket). With a HANDFUL of groups (corpus shards, packing
+    * streams — this helper's original shape) it is metadata-sized and the
+    * default broadcast is right. Keyed by a high-cardinality column
+    * (per-user sessionization: millions of groups × buckets) the
+    * broadcast itself becomes the wall — pass false and the offsets join
+    * shuffles on (group, bucket), the same keys the in-bucket window
+    * exchanges on anyway, so the plan stays one exchange per side. */
   def prefixSum(
       df: DataFrame, partCols: Seq[String], orderCol: String, valueCol: String,
-      bucket: Column, outCol: String): DataFrame = {
+      bucket: Column, outCol: String, broadcastOffsets: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val withB = df.withColumn("_psb", bucket)
     val grpB = (partCols :+ "_psb").map(col)
-    // phase 1: per-bucket totals (tiny — one row per (group, bucket))
+    // phase 1: per-bucket totals (one row per occupied (group, bucket))
     val perBucket = withB.groupBy(grpB: _*).agg(sum(col(valueCol)).as("_psum"))
     // phase 2: exclusive prefix over buckets; #buckets rows per group, so
     // the single-task-per-group window is over a trivially small input
@@ -178,10 +190,13 @@ object Scale {
     val offsets = perBucket
       .withColumn("_poff", coalesce(sum(col("_psum")).over(wBuckets), lit(0L)))
       .drop("_psum")
-    // phase 3: in-bucket running sum + broadcast bucket offset
+    // phase 3: in-bucket running sum + bucket offset
     val wInBucket = Window.partitionBy(grpB: _*).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, 0)
-    withB.join(broadcast(offsets), partCols :+ "_psb")
+    val joined =
+      if (broadcastOffsets) withB.join(broadcast(offsets), partCols :+ "_psb")
+      else withB.join(offsets, partCols :+ "_psb")
+    joined
       .withColumn(outCol, sum(col(valueCol)).over(wInBucket) + col("_poff"))
       .drop("_psb", "_poff")
   }

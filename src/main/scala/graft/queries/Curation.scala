@@ -1808,18 +1808,24 @@ object Curation {
     * scores across doc lengths, and the integer division is identical
     * in both engines for the all-positive operands here).
     *
-    * Magnitude bound: w_m ≤ (T+1)(R+256)·10⁶/(T+256) ≈ R·10⁶ and the
-    * per-doc sum adds ≤ len(doc) of them — safe in int64 up to ~10⁹
-    * grams per scoring shard; a 100 TB deployment scores per-shard with
-    * the ratio table broadcast (256 rows — trained once on a sample,
-    * exactly the paper's topology) and re-scales the constant if a
-    * single shard exceeds that.
+    * The ratio is computed in TWO integer stages — p_t in millionths
+    * first, then × the inverse raw probability — so no intermediate
+    * product ever multiplies both corpus totals together:
+    * `p_t_m = (t_b+1)·10⁶ div (T+256)` (≤ 10⁶ by construction), then
+    * `w_m = p_t_m·(R+256) div (r_b+1)`. Magnitude bound: each stage
+    * stays in int64 for T, R up to ~9·10¹² grams — beyond any single
+    * fit shard (a one-stage `(t_b+1)(R+256)·10⁶` numerator overflows at
+    * ~10⁷ grams, silently on Spark's wrap vs loudly on DuckDB — the
+    * cross-engine divergence this split exists to rule out). The inner
+    * floor means a bucket with target probability < 10⁻⁶ weights 0 —
+    * the hard form of the down-weight the ratio already implies.
     *
-    * Scale shape: one pass for the two 256-row bucket histograms
-    * (map-side combinable groupBy), the weight table broadcasts, and
-    * the scoring pass is one groupBy(doc_id) over the occurrence
-    * stream — no joins wider than the broadcast, nothing quadratic,
-    * shuffle carries (doc_id, bucket) pairs only. */
+    * Scale shape: ONE corpus pass fits both histograms (a single
+    * groupBy(bucket, side) — ≤ 2·256 rows, collected: the trained
+    * weight table is the artifact DSIR ships, fit by a bounded sample
+    * job in production), the weight table broadcasts, and the scoring
+    * pass is one groupBy(doc_id) over the occurrence stream — nothing
+    * quadratic, shuffle carries (doc_id, bucket) pairs only. */
   val importanceHashgram = QuerySpec(
     "q_importance_hashgram", {
       val tgtList = DsirTargetSources.map(s => s"'$s'").mkString(", ")
@@ -1833,8 +1839,8 @@ object Curation {
           tot AS (SELECT (SELECT count(*) FROM occ WHERE source IN ($tgtList)) AS tn,
                          (SELECT count(*) FROM occ WHERE source NOT IN ($tgtList)) AS rn),
           wt AS (SELECT b.bucket,
-                        ((COALESCE(t.c, 0) + 1) * (tot.rn + $DsirBuckets) * 1000000)
-                          // ((COALESCE(r.c, 0) + 1) * (tot.tn + $DsirBuckets)) AS w_m
+                        (((COALESCE(t.c, 0) + 1) * 1000000) // (tot.tn + $DsirBuckets))
+                          * (tot.rn + $DsirBuckets) // (COALESCE(r.c, 0) + 1) AS w_m
                  FROM b LEFT JOIN t ON t.bucket = b.bucket
                         LEFT JOIN r ON r.bucket = b.bucket
                         CROSS JOIN tot),
@@ -1850,21 +1856,25 @@ object Curation {
           WHERE rnk <= $DsirTopK"""
     }) {
     (s, d) =>
+      import s.implicits._
       val occ = dsirOccurrences(s, d)
       val isTgt = col("source").isin(DsirTargetSources: _*)
-      val t = occ.filter(isTgt).groupBy("bucket").agg(count(lit(1)).as("tc"))
-      val r = occ.filter(!isTgt).groupBy("bucket").agg(count(lit(1)).as("rc"))
-      val tot = occ.agg(
-        sum(when(isTgt, 1L).otherwise(0L)).as("tn"),
-        sum(when(isTgt, 0L).otherwise(1L)).as("rn"))
-      val buckets = s.range(DsirBuckets).select(col("id").as("bucket"))
-      val wt = buckets
-        .join(t, Seq("bucket"), "left")
-        .join(r, Seq("bucket"), "left")
-        .crossJoin(broadcast(tot))
-        .select(col("bucket"),
-          expr(s"((coalesce(tc, 0) + 1) * (rn + $DsirBuckets) * 1000000L)" +
-            s" div ((coalesce(rc, 0) + 1) * (tn + $DsirBuckets))").as("w_m"))
+      // ONE fit pass: per-(bucket, side) counts, ≤ 2·DsirBuckets rows —
+      // a metadata-sized collect in the suite's documented class (bloom
+      // words, centroids); separate t/r/total DataFrame branches each
+      // re-ran the full 3-gram explode (4 corpus scans where 2 suffice)
+      val hist = occ.groupBy(col("bucket"), isTgt.as("is_tgt"))
+        .agg(count(lit(1)).as("c")).collect()
+      val tc = hist.filter(_.getBoolean(1)).map(x => x.getLong(0) -> x.getLong(2)).toMap
+      val rc = hist.filter(!_.getBoolean(1)).map(x => x.getLong(0) -> x.getLong(2)).toMap
+      val tn = tc.values.sum
+      val rn = rc.values.sum
+      // same two-stage integer formula as the oracle (Scala / on positive
+      // Longs == DuckDB // == Spark div)
+      val wt = (0L until DsirBuckets.toLong).map { bkt =>
+        val ptm = (tc.getOrElse(bkt, 0L) + 1) * 1000000L / (tn + DsirBuckets)
+        (bkt, ptm * (rn + DsirBuckets) / (rc.getOrElse(bkt, 0L) + 1))
+      }.toDF("bucket", "w_m")
       val sc = occ.filter(!isTgt)
         .join(broadcast(wt), "bucket")
         .groupBy("doc_id")

@@ -186,8 +186,12 @@ object EventsMultimodal {
           .otherwise(0))
       .withColumn("ord", struct(col("ts"), col("event_id")))
       .select("user_id", "ord", "ts", "value", "new_sess", "bkt")
+    // broadcastOffsets = false: the offset table is one row per occupied
+    // (user, bucket) — per-user keying makes it corpus-cardinality at
+    // scale, so it joins by shuffle on the keys the in-bucket window
+    // already exchanges on, never through an unbounded broadcast
     graft.ops.Scale.prefixSum(flagged, Seq("user_id"), "ord", "new_sess",
-        bucket = col("bkt"), outCol = "session_id")
+        bucket = col("bkt"), outCol = "session_id", broadcastOffsets = false)
       .groupBy(col("user_id"), col("session_id").cast("long").as("session_id"))
       .agg(
         count(lit(1)).as("n_events"),
