@@ -51,6 +51,45 @@ class EventsInvariantsSpec extends SparkSpec {
       s"event-level lag window must be keyed on (user_id, bkt):\n${lagLines.mkString("\n")}")
   }
 
+  test("sessionizeDistributed == naive on random streams and bucket widths (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    // random micro-streams: few users (collisions likely), timestamps
+    // spanning several gap lengths so sessions split and merge, random
+    // bucket widths incl. smaller-than-gap and bigger-than-span
+    val rowGen = for {
+      u <- Gen.choose(0L, 3L)
+      tMicros <- Gen.choose(0L, 20L * 1800000000L) // 0..20 gap-lengths
+      v <- Gen.choose(-100, 100)
+    } yield (u, tMicros, v.toDouble)
+    (0 until 4).foreach { i =>
+      val rows = Gen.nonEmptyListOf(rowGen)
+        .apply(Gen.Parameters.default.withSize(90), Seed(23L + i)).get
+        .zipWithIndex
+        .map { case ((u, t, v), id) => (u, id.toLong, t, v) }
+      val wMicros = Seq(600000000L, 1800000000L, 5400000000L, 100L * 1800000000L)(i)
+      val ev = rows.toDF("user_id", "event_id", "tm", "value")
+        .withColumn("ts", timestamp_micros(col("tm"))).drop("tm")
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val naive = ev
+        .withColumn("new_sess",
+          when(lag("ts", 1).over(w).isNull
+            || unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(w)) > 1800000000L, 1)
+            .otherwise(0))
+        .withColumn("session_id",
+          sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long"))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"), min("ts").as("session_start"),
+          max("ts").as("session_end"), graft.Exact.sumD(col("value")).as("total_value"))
+      val dist = EventsMultimodal.sessionizeDistributed(
+        ev.select("user_id", "event_id", "ts", "value"), wMicros)
+      assert(dist.except(naive).count() === 0 && naive.except(dist).count() === 0,
+        s"diverged at seed ${23 + i}, W=$wMicros")
+    }
+  }
+
   test("interval_merge: islands are disjoint, ordered, and cover every interval") {
     val isl = q("q_interval_merge").cache()
     try {
