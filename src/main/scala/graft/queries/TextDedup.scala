@@ -1172,6 +1172,37 @@ object TextDedup {
         .withColumn("keep", col("doc_id") === col("cluster_id"))
   }
 
+  /** The quality-priority KEEP decision — what production dedup actually
+    * ships: within each near-dup cluster keep the LONGEST document
+    * (near-dups are usually subset/superset variants of one page; the
+    * longest is the most complete), tiebreak lowest doc_id. The integer
+    * length makes the argmax cross-engine exact where a float quality
+    * score would not be. Complements [[dedupKeep]]'s canonical-minimum
+    * (stable ids for joining) — this one chooses WHICH text survives.
+    * Scale shape: the per-cluster window is bounded by cluster size,
+    * which the banding df-caps and [[MaxBandBucket]] dense-drop already
+    * bound — never corpus-wide. */
+  val dedupKeepBest = QuerySpec(
+    "q_dedup_keep_best",
+    s"""WITH RECURSIVE ${shingleSql(5)},
+        $componentsSql,
+        scored AS (SELECT c.doc_id, c.cluster_id, d.n_chars
+                   FROM comp c JOIN documents d ON d.doc_id = c.doc_id)
+        SELECT doc_id, cluster_id, CAST(n_chars AS BIGINT) AS n_chars,
+               (ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                   ORDER BY n_chars DESC, doc_id) = 1) AS keep
+        FROM scored""") {
+    (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      dedupComponents.fn(s, d)
+        .join(docs(s, d).select(col("doc_id"), col("n_chars").cast("long").as("n_chars")),
+          "doc_id")
+        .withColumn("keep",
+          row_number().over(Window.partitionBy("cluster_id")
+            .orderBy(col("n_chars").desc, col("doc_id"))) === 1)
+        .select("doc_id", "cluster_id", "n_chars", "keep")
+  }
+
   /** Incremental dedup — the steady-state ingest shape: a NEW batch
     * (doc_id ≥ 250 stands in for today's crawl) anti-joined on normalized
     * fingerprint against the EXISTING corpus, keeping only first-seen
@@ -1911,7 +1942,8 @@ object TextDedup {
     dedupContainment,
     dedupExact, dedupJaccard, dedupSubstring, dedupMinhashLsh, dedupMinhashEstimate,
     dedupLshVerified, dedupWeightedJaccard, dedupLshRecall,
-    dedupSimhash, dedupSimhashHamming, dedupComponents, dedupKeep, dedupIncremental,
+    dedupSimhash, dedupSimhashHamming, dedupComponents, dedupKeep, dedupKeepBest,
+    dedupIncremental,
     dedupIncrementalLsh, dedupAdversarialBucket,
     curationPipeline, sampleDeterministic, samplePriority, sampleStratified,
     vocabTop, vocabZipf,

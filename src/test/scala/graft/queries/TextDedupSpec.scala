@@ -9,6 +9,27 @@ import org.apache.spark.sql.functions._
 class TextDedupSpec extends SparkSpec {
   import spark.implicits._
 
+  test("dedupKeepBest: exactly one keeper per cluster, and it is the longest member") {
+    val sf = "/root/testdata/sf0.001"
+    val out = TextDedup.dedupKeepBest.fn(spark, sf).cache()
+    try {
+      assert(out.count() > 0, "near-dup clusters must exist or the property is vacuous")
+      val perCluster = out.groupBy("cluster_id").agg(
+        sum(when(col("keep"), 1).otherwise(0)).as("keepers"),
+        max("n_chars").as("max_chars"),
+        max(when(col("keep"), col("n_chars"))).as("kept_chars"))
+      assert(perCluster.filter(col("keepers") =!= 1).count() === 0,
+        "each cluster must keep exactly one doc")
+      assert(perCluster.filter(col("kept_chars") =!= col("max_chars")).count() === 0,
+        "the kept doc must have the cluster-max length")
+      // and the membership agrees with the canonical-minimum keep's clusters
+      val keepRows = graft.queries.TextDedup.dedupKeep.fn(spark, sf)
+        .select("doc_id", "cluster_id")
+      assert(out.select("doc_id", "cluster_id").except(keepRows).count() === 0,
+        "keep-best must decide over the same clusters as canonical keep")
+    } finally { out.unpersist(); graft.ops.Caches.drain() }
+  }
+
   test("connectedComponents: 40-node chain (diameter 39) converges with bounded lineage") {
     // a path graph is the worst case for plain min-label propagation (one
     // hop per round = 39 rounds); pointer jumping doubles reach per round,
