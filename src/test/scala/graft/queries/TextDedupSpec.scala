@@ -22,11 +22,14 @@ class TextDedupSpec extends SparkSpec {
         "each cluster must keep exactly one doc")
       assert(perCluster.filter(col("kept_chars") =!= col("max_chars")).count() === 0,
         "the kept doc must have the cluster-max length")
-      // and the membership agrees with the canonical-minimum keep's clusters
+      // and the membership agrees with the canonical-minimum keep's
+      // clusters — BOTH directions, so silently dropped rows (e.g. an
+      // inner-join refactor losing comp members) fail here too
       val keepRows = graft.queries.TextDedup.dedupKeep.fn(spark, sf)
         .select("doc_id", "cluster_id")
-      assert(out.select("doc_id", "cluster_id").except(keepRows).count() === 0,
-        "keep-best must decide over the same clusters as canonical keep")
+      val mine = out.select("doc_id", "cluster_id")
+      assert(mine.except(keepRows).count() === 0 && keepRows.except(mine).count() === 0,
+        "keep-best must decide over exactly the same clusters as canonical keep")
     } finally { out.unpersist(); graft.ops.Caches.drain() }
   }
 
