@@ -201,44 +201,122 @@ object Scale {
       .drop("_psb", "_poff")
   }
 
+  /** Sort key for [[distributedRank]]: a column NAME plus direction.
+    * Names rather than arbitrary `Column` expressions because the rank's
+    * deterministic range bucketing must (a) re-select exactly these
+    * columns for the boundary sample and (b) rebuild per-boundary
+    * comparison predicates with the direction explicit — neither is
+    * recoverable from an opaque `Column` without reaching into Catalyst
+    * internals. Spark's default null placement applies (asc → nulls
+    * first, desc → nulls last). */
+  final case class SortKey(name: String, desc: Boolean = false) {
+    def order: Column = if (desc) col(name).desc else col(name).asc
+  }
+
   /** Distributed global rank (the ROW_NUMBER analogue of [[prefixSum]]).
     * A plain `row_number() OVER (ORDER BY ...)` moves the ENTIRE input
     * through one task — fine for a 31-row report, a hard wall for a
     * web-scale vocabulary (10⁸–10⁹ token types). The distributed form:
     *
-    *   1. range-partition on the sort keys (`repartitionByRange` —
-    *      partition i's keys all precede partition i+1's, and equal-head
-    *      key runs split across partitions by the tiebreaker columns, so
-    *      a Zipf head can't pile onto one range);
-    *   2. rank WITHIN each range partition (a window partitioned by the
-    *      captured `spark_partition_id()` — parallelism = `parts`, never 1);
-    *   3. count rows per partition (one tiny row each), exclusive-prefix
-    *      those counts (a window over `parts` rows — metadata-sized), and
-    *      broadcast the offsets back: global rank = local rank + offset.
+    *   1. assign every row a DETERMINISTIC range bucket — a pure function
+    *      of the row's key values, built once from a sampled boundary
+    *      table (see [[rangeBucket]]): bucket i's keys all precede bucket
+    *      i+1's, and equal-head key runs split across buckets by the
+    *      tiebreaker columns, so a Zipf head can't pile onto one bucket;
+    *   2. rank WITHIN each bucket (a window partitioned by the bucket —
+    *      parallelism = #buckets, never 1);
+    *   3. count rows per bucket (one tiny row each), exclusive-prefix
+    *      those counts (a window over ≤ `parts` rows — metadata-sized),
+    *      and broadcast the offsets back: global rank = local rank +
+    *      bucket offset.
     *
-    * Bit-identical to the single-task `row_number` when `orderCols` is a
+    * DETERMINISM (the r9→r10 rewrite): the first form range-partitioned
+    * with `repartitionByRange` and captured `spark_partition_id()` — but
+    * that column is non-deterministic to Catalyst, and the frame carrying
+    * it is consumed by TWO plan branches (local ranks, bucket counts). If
+    * the branches' exchanges are ever planned or recomputed independently
+    * (exchange reuse disabled, stage retry after executor loss, AQE
+    * replan), the two evaluations can assign DIFFERENT partition ids —
+    * range boundaries come from a reservoir sample whose content depends
+    * on upstream shuffle-read row order — and local ranks silently
+    * disagree with offsets. The exact class that bit the first cut of
+    * sessionizeDistributed (EventsMultimodal). The fix is the same one:
+    * the bucket is now a pure function of the data, so any number of
+    * independent re-evaluations agree by construction.
+    *
+    * Bit-identical to the single-task `row_number` when `keys` is a
     * TOTAL order (unique per row) — required, as with any deterministic
-    * use of row_number. Cost: one extra pass over the input (the range
-    * exchange) buys unbounded scale-out of the rank itself.
+    * use of row_number. Cost: one bounded boundary-sample job at
+    * construction (TakeOrdered over `parts`×32 rows — the same class of
+    * sampling pass `repartitionByRange` ran internally) buys unbounded,
+    * replan-safe scale-out of the rank itself.
     */
   def distributedRank(
-      df: DataFrame, orderCols: Seq[Column], parts: Int, outCol: String): DataFrame = {
+      df: DataFrame, keys: Seq[SortKey], parts: Int, outCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(parts > 0)
-    // the partition id is captured as a COLUMN right after the range
-    // exchange: downstream shuffles may move the row, the id keeps the
-    // range-order meaning it had when assigned
-    val ranged = df.repartitionByRange(parts, orderCols: _*)
-      .withColumn("_drp", spark_partition_id())
-    val local = ranged.withColumn("_drl",
-      row_number().over(Window.partitionBy("_drp").orderBy(orderCols: _*)).cast("long"))
-    val counts = ranged.groupBy("_drp").agg(count(lit(1)).as("_drn"))
-    val wPref = Window.orderBy("_drp").rowsBetween(Window.unboundedPreceding, -1)
+    require(parts > 0 && keys.nonEmpty)
+    val orderCols = keys.map(_.order)
+    val bucketed = df.withColumn("_drb", rangeBucket(df, keys, parts))
+    val local = bucketed.withColumn("_drl",
+      row_number().over(Window.partitionBy("_drb").orderBy(orderCols: _*)).cast("long"))
+    val counts = bucketed.groupBy("_drb").agg(count(lit(1)).as("_drn"))
+    val wPref = Window.orderBy("_drb").rowsBetween(Window.unboundedPreceding, -1)
     val offsets = counts
       .withColumn("_dro", coalesce(sum(col("_drn")).over(wPref), lit(0L)))
       .drop("_drn")
-    local.join(broadcast(offsets), "_drp")
+    local.join(broadcast(offsets), "_drb")
       .withColumn(outCol, col("_drl") + col("_dro"))
-      .drop("_drp", "_drl", "_dro")
+      .drop("_drb", "_drl", "_dro")
   }
+
+  /** Deterministic range-bucket expression over `keys`: ≈equal-frequency
+    * boundaries sampled once at construction and embedded as LITERAL
+    * comparison chains, so the returned Column is a pure function of the
+    * row — safe for any number of consuming plan branches (the whole
+    * point, see [[distributedRank]]).
+    *
+    * Sampling: the `parts`×32 rows with the smallest `xxhash64(keys)` — a
+    * uniform sample over the (unique, by contract) key tuples, fetched
+    * with one TakeOrdered job and collected (metadata-sized: ≤ `parts`×32
+    * rows, the suite's documented driver-collect class). Sample
+    * determinism is irrelevant to correctness: the boundaries are
+    * collected ONCE and frozen as constants — even a different sample on
+    * a rerun only moves bucket SIZES, never rank values. Boundary skew:
+    * a hot head value's run is split by the tiebreaker keys exactly as
+    * `repartitionByRange` split it (ScaleSpec pins the crafted-skew
+    * case). Fewer sampled rows than `parts` just yields fewer, larger
+    * buckets — correctness is unaffected. */
+  private[ops] def rangeBucket(df: DataFrame, keys: Seq[SortKey], parts: Int): Column = {
+    val keyCols = keys.map(k => col(k.name))
+    val sample =
+      if (parts == 1) Array.empty[org.apache.spark.sql.Row]
+      else df.select(keyCols: _*)
+        .withColumn("_h", xxhash64(keyCols: _*))
+        .orderBy(col("_h") +: keyCols: _*) // hash ties broken by the keys
+        .limit(parts * 32)
+        .drop("_h")
+        .orderBy(keys.map(_.order): _*) // tiny sorted boundary table
+        .collect()
+    val m = sample.length
+    val boundaries = (1 until parts).map(j => j * m / parts)
+      .filter(i => i > 0 && i < m).distinct.map(sample(_))
+    if (boundaries.isEmpty) lit(0)
+    else boundaries.map(b => when(boundaryLte(b, keys), 1).otherwise(0)).reduce(_ + _)
+  }
+
+  /** `boundary ≤ row` under the lexicographic key order, with the
+    * boundary's values known constants (so null boundary components
+    * resolve STATICALLY — no three-valued-logic surprises; a null ROW
+    * component falls out correctly because `lit(v) < NULL` is null →
+    * false under `when`, matching asc-nulls-first / desc-nulls-last). */
+  private def boundaryLte(b: org.apache.spark.sql.Row, keys: Seq[SortKey]): Column =
+    keys.zipWithIndex.foldRight(lit(true): Column) { case ((k, i), rest) =>
+      val v = b.get(i)
+      val r = col(k.name)
+      val eq = if (v == null) r.isNull else r === lit(v)
+      val strict =
+        if (k.desc) { if (v == null) lit(false) else r.isNull || (lit(v) > r) }
+        else { if (v == null) r.isNotNull else lit(v) < r }
+      strict || (eq && rest)
+    }
 }

@@ -474,7 +474,7 @@ object Profiling {
        WHERE levenshtein(a.t, b.t) <= 2""") {
     (s, d) =>
       val v = Tables.customer(s, d).select(col("c_name").as("t")).distinct()
-      val r = graft.ops.Scale.distributedRank(v, Seq(col("t")), 8, "rnk")
+      val r = graft.ops.Scale.distributedRank(v, Seq(graft.ops.Scale.SortKey("t")), 8, "rnk")
       val a = r.toDF("a_name", "a_rnk")
         .select(col("a_name"), col("a_rnk"),
           explode(expr("array(1L, 2L)")).as("off"))

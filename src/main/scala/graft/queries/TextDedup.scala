@@ -1650,7 +1650,8 @@ object TextDedup {
       // range-partitioned rank is bit-identical to the single-task window
       // — without ever serializing the vocabulary through one task
       val ranked = graft.ops.Scale.distributedRank(
-        cnt, Seq(col("n").desc, col("token")), parts = 16, outCol = "rnk")
+        cnt, Seq(graft.ops.Scale.SortKey("n", desc = true), graft.ops.Scale.SortKey("token")),
+        parts = 16, outCol = "rnk")
       val total = cnt.agg(sum(col("n")).as("total"))
       graft.ops.Scale.prefixSum(ranked, Seq.empty, "rnk", "n",
           bucket = expr("rnk div 8"), outCol = "cum_n")

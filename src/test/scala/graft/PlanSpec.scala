@@ -405,22 +405,22 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q_vocab_zipf: no single-task window ever sees the type table") {
-    // the rank goes through Scale.distributedRank (keyed on the range
-    // partition id) and the running sum through Scale.prefixSum (keyed on
-    // the bucket) — the only unpartitioned windows left are over
-    // per-partition counts / per-bucket totals, metadata-sized by
+    // the rank goes through Scale.distributedRank (keyed on the
+    // deterministic range bucket) and the running sum through
+    // Scale.prefixSum (keyed on the bucket) — the only unpartitioned
+    // windows left are over per-bucket counts / totals, metadata-sized by
     // construction. A 10⁹-type vocabulary would rank at full parallelism.
     val opt = SparkEntry.queries("q_vocab_zipf")(spark, sf)
       .queryExecution.optimizedPlan.toString
     val rn = opt.linesIterator.filter(_.contains("row_number")).toSeq
-    assert(rn.nonEmpty && rn.forall(_.contains("_drp")),
-      s"the vocab rank must be per-range-partition (_drp), got:\n$rn")
+    assert(rn.nonEmpty && rn.forall(_.contains("_drb")),
+      s"the vocab rank must be per-range-bucket (_drb), got:\n$rn")
     val cum = opt.linesIterator
       .filter(l => l.contains("sum(") && l.contains("specifiedwindowframe")
         && l.contains("unboundedpreceding"))
       .toSeq
-    // every full-width running sum keys on a bucket/partition column
-    assert(cum.forall(l => l.contains("_psb") || l.contains("_drp") || l.contains("_drn")
+    // every full-width running sum keys on a bucket column
+    assert(cum.forall(l => l.contains("_psb") || l.contains("_drb") || l.contains("_drn")
         || l.contains("_psum")),
       s"running-sum windows must be bucketed:\n${cum.mkString("\n")}")
   }
@@ -497,16 +497,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("q_snm_pairs: the global name rank is range-partitioned, never single-task") {
+  test("q_snm_pairs: the global name rank is range-bucketed, never single-task") {
     // sorted-neighborhood blocking needs a TOTAL order over the names; a
     // plain row_number() window would serialize the table through one
     // task at a web-scale entity set (the q_vocab_zipf lesson). The rank
-    // must come from Scale.distributedRank's per-range-partition windows.
+    // must come from Scale.distributedRank's per-range-bucket windows.
     val opt = SparkEntry.queries("q_snm_pairs")(spark, sf)
       .queryExecution.optimizedPlan.toString
     val rn = opt.linesIterator.filter(_.contains("row_number")).toSeq
-    assert(rn.nonEmpty && rn.forall(_.contains("_drp")),
-      s"the SNM rank must be per-range-partition (_drp), got:\n$rn")
+    assert(rn.nonEmpty && rn.forall(_.contains("_drb")),
+      s"the SNM rank must be per-range-bucket (_drb), got:\n$rn")
   }
 
   test("q_basket_rules / q_share_drift: scalars broadcast onto map-side-combined counts") {

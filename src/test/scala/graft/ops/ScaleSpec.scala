@@ -73,15 +73,16 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  private val descKeys = Seq(Scale.SortKey("n", desc = true), Scale.SortKey("token"))
+
   test("distributedRank matches the single-task row_number exactly") {
     import org.apache.spark.sql.expressions.Window
     // Zipf-ish head: many rows share the top counts, tiebroken by token —
-    // the exact shape where equal keys must split across range partitions
+    // the exact shape where equal keys must split across range buckets
     val df = (1 to 500).map(i => (s"t${i % 37}_$i", (i % 13).toLong)).toDF("token", "n")
     val naive = df.withColumn("rnk",
       row_number().over(Window.orderBy(col("n").desc, col("token"))).cast("long"))
-    val dist = Scale.distributedRank(df, Seq(col("n").desc, col("token")),
-      parts = 7, outCol = "rnk")
+    val dist = Scale.distributedRank(df, descKeys, parts = 7, outCol = "rnk")
     assert(dist.count() === naive.count())
     assert(dist.except(naive).count() === 0 && naive.except(dist).count() === 0)
   }
@@ -102,48 +103,80 @@ class ScaleSpec extends SparkSpec {
       val df = rows.toDF("token", "n")
       val naive = df.withColumn("rnk",
         row_number().over(Window.orderBy(col("n").desc, col("token"))).cast("long"))
-      val dist = Scale.distributedRank(df, Seq(col("n").desc, col("token")),
-        parts = parts, outCol = "rnk")
+      val dist = Scale.distributedRank(df, descKeys, parts = parts, outCol = "rnk")
       assert(dist.except(naive).count() === 0 && naive.except(dist).count() === 0,
         s"distributedRank diverged at seed ${11 + i}, parts $parts")
     }
   }
 
-  test("distributedRank under crafted skew: one dominant key spreads across range partitions") {
+  test("distributedRank under crafted skew: one dominant key spreads across range buckets") {
     import org.apache.spark.sql.expressions.Window
     // 90% of rows share ONE head value (the Zipf-head worst case for a
-    // rank partitioned on the value alone) — the tiebreaker rides in the
-    // range keys, so repartitionByRange splits the hot run instead of
-    // piling it onto one range partition
+    // rank bucketed on the value alone) — the tiebreaker rides in the
+    // boundary keys, so the sampled boundaries split the hot run instead
+    // of piling it into one bucket
     val df = (1 to 10000).map { i =>
       val n = if (i <= 9000) 999L else (i % 100).toLong
       (f"tok$i%05d", n)
     }.toDF("token", "n")
-    val orderCols = Seq(col("n").desc, col("token"))
     val parts = 8
     // exactness is unaffected by the skew
     val naive = df.withColumn("rnk",
       row_number().over(Window.orderBy(col("n").desc, col("token"))).cast("long"))
-    val dist = Scale.distributedRank(df, orderCols, parts, "rnk")
+    val dist = Scale.distributedRank(df, descKeys, parts, "rnk")
     assert(dist.except(naive).count() === 0 && naive.except(dist).count() === 0)
-    // the skew pin itself: no range partition carries the whole 9000-row
-    // hot run, and the input still fans out across partitions
-    val sizes = df.repartitionByRange(parts, orderCols: _*)
-      .groupBy(spark_partition_id()).count().collect().map(_.getLong(1))
+    // the skew pin itself: no range bucket carries the whole 9000-row
+    // hot run, and the input still spreads across most buckets
+    val sizes = df.withColumn("b", Scale.rangeBucket(df, descKeys, parts))
+      .groupBy("b").count().collect().map(_.getLong(1))
     assert(sizes.max < 9000L,
-      s"hot key must split across ranges, got ${sizes.sorted.reverse.toSeq}")
+      s"hot key must split across buckets, got ${sizes.sorted.reverse.toSeq}")
     assert(sizes.count(_ > 0) >= parts / 2,
-      s"skewed input should still use most partitions: ${sizes.sorted.reverse.toSeq}")
+      s"skewed input should still use most buckets: ${sizes.sorted.reverse.toSeq}")
   }
 
-  test("distributedRank's rank window partitions by the range-partition id, never globally") {
+  test("distributedRank's rank window partitions by the range bucket, never globally") {
     val df = (1 to 200).map(i => (i.toLong, s"tok$i")).toDF("n", "token")
-    val out = Scale.distributedRank(df, Seq(col("n").desc, col("token")),
-      parts = 8, outCol = "rnk")
+    val out = Scale.distributedRank(df, descKeys, parts = 8, outCol = "rnk")
     val plan = out.queryExecution.optimizedPlan.toString
     val rn = plan.linesIterator.filter(_.contains("row_number")).toSeq
-    assert(rn.nonEmpty && rn.forall(_.contains("_drp")),
-      s"row_number window must be keyed on _drp (per-range-partition), got:\n$plan")
+    assert(rn.nonEmpty && rn.forall(_.contains("_drb")),
+      s"row_number window must be keyed on _drb (per-range-bucket), got:\n$plan")
+  }
+
+  test("distributedRank is replan-safe: a pure-function bucket, no spark_partition_id") {
+    // The r9 hazard class: the bucket frame is consumed by TWO plan
+    // branches (local ranks, bucket counts). With exchange reuse OFF and
+    // AQE OFF each branch plans and EVALUATES its lineage independently —
+    // under the old repartitionByRange + spark_partition_id() form the two
+    // evaluations could assign different partition ids (range boundaries
+    // resample per evaluation, and upstream shuffle-read order is
+    // nondeterministic), silently desyncing ranks from offsets. The bucket
+    // is now a pure function of row values, so independent re-evaluation
+    // must still bit-match the single-window rank.
+    import org.apache.spark.sql.expressions.Window
+    val reuse = spark.conf.get("spark.sql.exchange.reuse", "true")
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // upstream SHUFFLE (groupBy) so each branch's recompute reads its
+      // input in whatever order the shuffle fetch delivers — the exact
+      // precondition under which the old form's sampling diverged
+      val df = (1 to 4000).map(i => (s"t${i % 613}", 1L)).toDF("token", "one")
+        .groupBy("token").agg(sum("one").as("n"))
+      val naive = df.withColumn("rnk",
+        row_number().over(Window.orderBy(col("n").desc, col("token"))).cast("long"))
+      val dist = Scale.distributedRank(df, descKeys, parts = 8, outCol = "rnk")
+      assert(dist.except(naive).count() === 0 && naive.except(dist).count() === 0)
+      // and the hazard pattern itself is gone from the plan
+      val plan = dist.queryExecution.optimizedPlan.toString.toLowerCase
+      assert(!plan.contains("spark_partition_id"),
+        s"distributedRank must not depend on spark_partition_id:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.exchange.reuse", reuse)
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    }
   }
 
   test("prefixSum in-bucket windows partition by (group, bucket), not group alone") {
