@@ -163,8 +163,11 @@ object EventsMultimodal {
     *
     * Bit-identical to the single-window form (the oracle runs exactly
     * that) for any W; W only moves the parallelism/summary-size
-    * trade-off. */
-  private[graft] def sessionizeDistributed(ev: DataFrame, bucketMicros: Long): DataFrame = {
+    * trade-off. `gapMicros` is the session gap — an explicit parameter
+    * (callers pass [[SkewGapMicros]]) so the generic helper can't be
+    * silently tied to one gap by a hardcoded constant. */
+  private[graft] def sessionizeDistributed(
+      ev: DataFrame, bucketMicros: Long, gapMicros: Long): DataFrame = {
     val b = ev.withColumn("bkt", expr(s"unix_micros(ts) div ${bucketMicros}L"))
     val wLocal = Window.partitionBy("user_id", "bkt").orderBy("ts", "event_id")
     val local = b.withColumn("prev_ts", lag("ts", 1).over(wLocal))
@@ -182,7 +185,7 @@ object EventsMultimodal {
       .withColumn("eff_ts", coalesce(col("prev_ts"), col("b_ts")))
       .withColumn("new_sess",
         when(col("eff_ts").isNull
-          || unix_micros(col("ts")) - unix_micros(col("eff_ts")) > SkewGapMicros, 1)
+          || unix_micros(col("ts")) - unix_micros(col("eff_ts")) > gapMicros, 1)
           .otherwise(0))
       .withColumn("ord", struct(col("ts"), col("event_id")))
       .select("user_id", "ord", "ts", "value", "new_sess", "bkt")
@@ -235,7 +238,7 @@ object EventsMultimodal {
         Tables.events(s, d).select(
           when(col("event_id") % 2 === 0, -1L).otherwise(col("user_id")).as("user_id"),
           col("event_id"), col("ts"), col("value")),
-        SkewBucketMicros)
+        SkewBucketMicros, SkewGapMicros)
   }
 
   /** Multimodal-column plumbing: treat content as an opaque binary payload

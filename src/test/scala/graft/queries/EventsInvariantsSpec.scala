@@ -37,14 +37,14 @@ class EventsInvariantsSpec extends SparkSpec {
     // two widths: 6h (the query's) and 37 minutes (odd, gap-incommensurate,
     // forces many boundary fixes) — exactness must not depend on W
     Seq(21600000000L, 2220000000L).foreach { wMicros =>
-      val dist = EventsMultimodal.sessionizeDistributed(ev, wMicros)
+      val dist = EventsMultimodal.sessionizeDistributed(ev, wMicros, 1800000000L)
       assert(dist.count() === naive.count(), s"row count diverged at W=$wMicros")
       assert(dist.except(naive).count() === 0 && naive.except(dist).count() === 0,
         s"distributed sessionization diverged from the single-window form at W=$wMicros")
     }
     // the skew pin: the event-level lag runs keyed on (user, bucket) —
     // never on user alone — so no task ever holds the hot user's full run
-    val plan = EventsMultimodal.sessionizeDistributed(ev, 21600000000L)
+    val plan = EventsMultimodal.sessionizeDistributed(ev, 21600000000L, 1800000000L)
       .queryExecution.optimizedPlan.toString
     val lagLines = plan.linesIterator.filter(_.contains("lag(")).toSeq
     assert(lagLines.nonEmpty && lagLines.forall(l => l.contains("bkt")),
@@ -69,13 +69,17 @@ class EventsInvariantsSpec extends SparkSpec {
         .zipWithIndex
         .map { case ((u, t, v), id) => (u, id.toLong, t, v) }
       val wMicros = Seq(600000000L, 1800000000L, 5400000000L, 100L * 1800000000L)(i)
+      // vary the session gap too — proves gapMicros is really threaded
+      // through (a hardcoded 30-min gap inside the helper would pass the
+      // i=1 case and fail the others)
+      val gapMicros = Seq(900000000L, 1800000000L, 3600000000L, 450000000L)(i)
       val ev = rows.toDF("user_id", "event_id", "tm", "value")
         .withColumn("ts", timestamp_micros(col("tm"))).drop("tm")
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       val naive = ev
         .withColumn("new_sess",
           when(lag("ts", 1).over(w).isNull
-            || unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(w)) > 1800000000L, 1)
+            || unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(w)) > gapMicros, 1)
             .otherwise(0))
         .withColumn("session_id",
           sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
@@ -84,9 +88,9 @@ class EventsInvariantsSpec extends SparkSpec {
         .agg(count(lit(1)).as("n_events"), min("ts").as("session_start"),
           max("ts").as("session_end"), graft.Exact.sumD(col("value")).as("total_value"))
       val dist = EventsMultimodal.sessionizeDistributed(
-        ev.select("user_id", "event_id", "ts", "value"), wMicros)
+        ev.select("user_id", "event_id", "ts", "value"), wMicros, gapMicros)
       assert(dist.except(naive).count() === 0 && naive.except(dist).count() === 0,
-        s"diverged at seed ${23 + i}, W=$wMicros")
+        s"diverged at seed ${23 + i}, W=$wMicros, gap=$gapMicros")
     }
   }
 
