@@ -211,7 +211,16 @@ object GraphOps {
     * the odd docs form a single maximum-diameter chain (1–3–5–…, n/2
     * hops — the worst case for round count). Derived entirely from the
     * documents table's ids so both engines see the identical graph.
-    * Symmetrized, like every edge input to [[TextDedup.connectedComponents]]. */
+    * Symmetrized, like every edge input to [[TextDedup.connectedComponents]].
+    *
+    * Every vertex also carries a SELF-LOOP: the star/chain construction
+    * assumes contiguous doc_ids (an isolated odd id — a gap leaving some
+    * odd o with neither o−2 nor o+2, or a lone odd — would otherwise
+    * appear in NO edge, and the Spark side would silently emit fewer rows
+    * than the one-per-document oracle). Self-loops don't change any
+    * component, so under today's contiguous ids the closed-form oracle
+    * still matches exactly — but if testdata generation ever changes, the
+    * gate diverges LOUDLY on labels instead of silently dropping rows. */
   private[graft] def adversarialEdges(s: SparkSession, d: String): DataFrame = {
     val ids = graft.Tables.documents(s, d).select("doc_id")
     val star = ids.filter(col("doc_id") % 2 === 0 && col("doc_id") > 0)
@@ -220,6 +229,7 @@ object GraphOps {
     val chain = odds.toDF("src").join(odds.toDF("dst"), expr("dst = src + 2"))
     val e = star.unionByName(chain)
     e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      .unionByName(ids.select(col("doc_id").as("src"), col("doc_id").as("dst")))
   }
 
   /** Adversarial-topology gate for the graph family — the skew analogue
