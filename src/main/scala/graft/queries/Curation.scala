@@ -1042,7 +1042,14 @@ object Curation {
     * K-Min-Values estimator). The EXACT Jaccard rides along from the
     * (source, token) table — each token touches ≤ sources² pairs, linear
     * in vocabulary — so the result table itself exhibits the estimator's
-    * error. All counts integer; both ratios are single divisions. */
+    * error. All counts integer; both ratios are single divisions.
+    *
+    * The exact side is the VERIFICATION-ONLY branch (same class as the
+    * bloom/DSIR driver collects): its token-equi self-join is linear in
+    * vocabulary, never all-pairs, but at 100 TB it is the column you
+    * would drop or compute on a sample — the deployable product is the
+    * sketch estimate, whose cost is one corpus scan plus 64-row
+    * arithmetic. */
   val kmvJaccard = {
     val k = 64
     QuerySpec(
@@ -1812,13 +1819,20 @@ object Curation {
     * first, then × the inverse raw probability — so no intermediate
     * product ever multiplies both corpus totals together:
     * `p_t_m = (t_b+1)·10⁶ div (T+256)` (≤ 10⁶ by construction), then
-    * `w_m = p_t_m·(R+256) div (r_b+1)`. Magnitude bound: each stage
-    * stays in int64 for T, R up to ~9·10¹² grams — beyond any single
-    * fit shard (a one-stage `(t_b+1)(R+256)·10⁶` numerator overflows at
-    * ~10⁷ grams, silently on Spark's wrap vs loudly on DuckDB — the
-    * cross-engine divergence this split exists to rule out). The inner
-    * floor means a bucket with target probability < 10⁻⁶ weights 0 —
-    * the hard form of the down-weight the ratio already implies.
+    * `w_m = p_t_m·(R+256) div (r_b+1)`. Magnitude bound: each STAGE
+    * stays in int64 for T, R up to ~9·10¹² grams (a one-stage
+    * `(t_b+1)(R+256)·10⁶` numerator overflows at ~10⁷ grams, silently
+    * on Spark's wrap vs loudly on DuckDB — the cross-engine divergence
+    * this split exists to rule out). The binding constraint, though, is
+    * the per-doc ACCUMULATION in the scoring pass: `sum(w_m)` over a
+    * doc's G grams reaches up to G·10⁶·(R+256) when a target-heavy,
+    * raw-rare bucket (p_t_m ≈ 10⁶, r_b = 0) dominates, so int64 safety
+    * requires G·(R+256) ≲ 9·10¹² — i.e. R up to ~9·10¹²/G_max, where
+    * G_max is the longest doc's gram count (G_max ≈ 10⁴ → R ≲ 10⁹
+    * grams per fit shard; larger shards must cap w_m or divide before
+    * summing). The inner floor means a bucket with target probability
+    * < 10⁻⁶ weights 0 — the hard form of the down-weight the ratio
+    * already implies.
     *
     * Scale shape: ONE corpus pass fits both histograms (a single
     * groupBy(bucket, side) — ≤ 2·256 rows, collected: the trained
