@@ -26,15 +26,24 @@ import scala.collection.concurrent.TrieMap
   * blocks die with their context; dropping the map entry is what lets
   * the session object itself be collected.
   *
-  * KNOWN LIMIT: eviction is keyed on CONTEXT stop. Sessions that churn
-  * over one long-lived shared SparkContext (`newSession()` clones on a
-  * gateway) are not reclaimed until that context stops — Spark exposes
-  * no session-close signal to hook, and their cached blocks belong to
-  * the live context anyway. Deployments with that topology should key
-  * workloads per-context or recycle the context on a cadence.
+  * CONTEXT-CHURN FALLBACK: eviction above is keyed on CONTEXT stop.
+  * Sessions that churn over one long-lived shared SparkContext
+  * (`newSession()` clones on a Spark Connect gateway) are never seen as
+  * stopped — Spark exposes no session-close signal to hook. A
+  * bounded-size insertion-order cap (`maxEntries`, default 64) converts
+  * that from "unbounded for context lifetime" to "bounded,
+  * recomputable": beyond the cap the OLDEST entry is dropped and its
+  * value released through `onEvict` (by default, any `Dataset` in the
+  * value — including inside tuples — is unpersisted, so a leased cache
+  * build frees its storage blocks; an evicted entry simply rebuilds on
+  * next access). The context-stop sweep remains the primary path.
   */
-final class SessionMemo[K, V] {
-  private val m = TrieMap.empty[(SparkSession, K), V]
+final class SessionMemo[K, V](
+    maxEntries: Int = 64,
+    onEvict: V => Unit = SessionMemo.releaseValue _) {
+  require(maxEntries >= 1, "maxEntries must be positive")
+  private val m = TrieMap.empty[(SparkSession, K), (Long, V)]
+  private val insertSeq = new java.util.concurrent.atomic.AtomicLong(0L)
   private val buildLock = new Object
   SessionMemos.register(this)
 
@@ -50,11 +59,33 @@ final class SessionMemo[K, V] {
     SessionMemos.watch(s)
     evictStopped()
     m.get((s, k)) match {
-      case Some(v) => v
-      case None => buildLock.synchronized(m.getOrElseUpdate((s, k), build))
+      case Some((_, v)) => v
+      case None => buildLock.synchronized {
+        m.get((s, k)) match {
+          case Some((_, v)) => v
+          case None =>
+            val v = build
+            m.put((s, k), (insertSeq.incrementAndGet(), v))
+            // size-cap fallback: evict-oldest by insertion sequence. The
+            // just-inserted key carries the max sequence so it can never
+            // be the victim (maxEntries >= 1). O(n) min-scan per insert —
+            // builds are rare corpus-snapshot materializations, n <= cap.
+            while (m.size > maxEntries) {
+              val victim = m.minBy(_._2._1)
+              m.remove(victim._1).foreach { case (_, ov) =>
+                try onEvict(ov)
+                catch { case scala.util.control.NonFatal(_) => () }
+              }
+            }
+            v
+        }
+      }
     }
   }
 
+  /** Context-stop sweep. No `onEvict` here: a stopped context's
+    * cached/checkpointed blocks are already gone with the context, and
+    * calling into its Datasets would throw. */
   private[ops] def evictStopped(): Int = {
     var n = 0
     m.keySet.foreach { key =>
@@ -65,6 +96,19 @@ final class SessionMemo[K, V] {
 
   /** Live entry count for `s` — test hook. */
   def entriesFor(s: SparkSession): Int = m.count { case ((sess, _), _) => sess eq s }
+}
+
+object SessionMemo {
+  /** Default `onEvict`: unpersist every `Dataset` reachable through the
+    * value, including components of tuple-valued memos (the
+    * `(metadata, DataFrame)` shape) — a size-cap eviction of a leased
+    * cache build must release its storage blocks, not just the map
+    * entry. Non-Dataset values need no release. */
+  private[ops] def releaseValue(v: Any): Unit = v match {
+    case ds: org.apache.spark.sql.Dataset[_] => ds.unpersist(); ()
+    case p: Product => p.productIterator.foreach(releaseValue)
+    case _ => ()
+  }
 }
 
 /** Registry of every [[SessionMemo]] in the JVM, so one context-stop

@@ -45,4 +45,37 @@ class SessionMemoBuildSpec extends graft.SparkSpec {
     assert(memo.getOrElseUpdate(s, "a")(999) === 1, "memo hit must not rebuild")
     assert(memo.entriesFor(s) === 2)
   }
+
+  test("size cap evicts oldest-inserted and releases the value via onEvict") {
+    // the sessions-churn fallback: a gateway cloning newSession() forever
+    // never trips the context-stop sweep, so the memo must bound itself —
+    // evict-oldest beyond maxEntries, releasing each victim exactly once
+    val evicted = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val memo = new SessionMemo[Int, Int](maxEntries = 8, onEvict = evicted += _)
+    val s = spark
+    (1 to 20).foreach(i => memo.getOrElseUpdate(s, i)(i * 10))
+    assert(memo.entriesFor(s) === 8, "live entries must stay at the cap")
+    assert(evicted.toSeq === (1 to 12).map(_ * 10),
+      "victims must be the oldest inserts, released in insertion order")
+    // the survivors are the newest 8, still memo hits (no rebuild)
+    (13 to 20).foreach(i =>
+      assert(memo.getOrElseUpdate(s, i)(-1) === i * 10, s"key $i must survive"))
+    // an evicted key rebuilds (recomputable, not lost state)
+    assert(memo.getOrElseUpdate(s, 1)(111) === 111)
+  }
+
+  test("default onEvict unpersists Dataset values, including inside tuples") {
+    val s = spark
+    val memo = new SessionMemo[Int, (String, org.apache.spark.sql.DataFrame)](maxEntries = 1)
+    val df1 = s.range(10).toDF("id").cache()
+    df1.count() // materialize the blocks
+    memo.getOrElseUpdate(s, 1)(("meta", df1))
+    assert(df1.storageLevel.useMemory, "leased build must be cached before eviction")
+    val df2 = s.range(5).toDF("id").cache()
+    memo.getOrElseUpdate(s, 2)(("meta", df2)) // evicts key 1
+    assert(memo.entriesFor(s) === 1)
+    assert(df1.storageLevel === org.apache.spark.storage.StorageLevel.NONE,
+      "evicted tuple's Dataset must be unpersisted by the default onEvict")
+    df2.unpersist()
+  }
 }
