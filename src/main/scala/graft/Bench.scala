@@ -161,7 +161,9 @@ object Bench {
       }
     val (total, failed, gcTotal) = totals(results)
     val heapMax = Runtime.getRuntime.maxMemory / (1024 * 1024)
-    val full = fullJson(results, retries, prewarmFamilies, prewarmSec, heapMax, sfDir)
+    val inflation = cpuInflation(results, baselineFor(sfDir))
+    val full = fullJson(results, retries, prewarmFamilies, prewarmSec, heapMax, sfDir,
+      inflation)
     // full per-query map goes to a file: the driver keeps only the last
     // ~2000 chars of stdout, and the 200+-query map is >6 KB — it can never
     // fit there
@@ -185,7 +187,7 @@ object Bench {
     // build.sbt's StdoutOutput/showSuccess settings keep sbt from
     // prefixing or appending to it.
     println(summaryJson(total, results.size, failed, prewarmSec, gcTotal,
-      effectiveCores(results), sfDir, out))
+      effectiveCores(results), inflation, sfDir, out))
   }
 
   /** (wall-seconds total excluding failed rows' −1 sentinel, failed
@@ -219,6 +221,59 @@ object Bench {
   private def loadAvg: Double =
     java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
 
+  /** The run-level contention tell effective_cores can't provide.
+    * CACHE-THRASH contention (another tenant evicting this JVM's cache
+    * lines) inflates process-CPU time in lockstep with wall time, so
+    * cpu/wall reads healthy on a pass that is uniformly 1.4× slower —
+    * the r9 204 s-vs-150 s driver/judge gap where both passes read
+    * effective_cores 5.08. Comparing each query's cpu_ms against a
+    * COMMITTED warm baseline separates the cases: plan changes move a
+    * few queries a lot (the retry column attributes those); host
+    * contention moves the MEDIAN ratio uniformly above 1. Healthy ≈
+    * 0.9–1.1; the r9 driver pass would have read ~1.35. Returns the
+    * median of per-query cpu_ms / baseline_cpu_ms over queries present
+    * in both (failed rows and absent-CPU-bean rows excluded); −1 when no
+    * baseline applies (different sf, missing resource, empty overlap). */
+  private[graft] def cpuInflation(results: Seq[Row], baseline: Map[String, Long]): Double = {
+    val ratios = results.collect {
+      case r if r.sec >= 0 && r.cpuMs > 0 && baseline.getOrElse(r.name, 0L) > 0L =>
+        r.cpuMs.toDouble / baseline(r.name)
+    }.sorted
+    val n = ratios.length
+    if (n == 0) -1.0
+    else {
+      val med = if (n % 2 == 1) ratios(n / 2) else (ratios(n / 2 - 1) + ratios(n / 2)) / 2
+      math.rint(med * 100) / 100
+    }
+  }
+
+  /** Committed warm per-query cpu_ms baseline, loaded from the classpath
+    * resource `graft/bench_cpu_baseline.tsv`. Format: a `# sf=<basename>`
+    * header naming the tier the baseline was measured at, then
+    * `name<TAB>cpuMs` lines. Returns empty (→ cpu_inflation −1) when the
+    * resource is absent or was measured at a DIFFERENT sf tier than
+    * `sfDir` — a ratio across tiers would be meaningless. */
+  private[graft] def baselineFor(sfDir: String): Map[String, Long] = {
+    val in = getClass.getClassLoader.getResourceAsStream("graft/bench_cpu_baseline.tsv")
+    if (in == null) Map.empty
+    else try {
+      val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      val sfName = new java.io.File(sfDir).getName
+      val declared = lines.collectFirst {
+        case l if l.startsWith("# sf=") => l.stripPrefix("# sf=").trim
+      }
+      if (!declared.contains(sfName)) Map.empty
+      else lines.filterNot(_.startsWith("#")).flatMap { l =>
+        l.split('\t') match {
+          case Array(name, ms) => scala.util.Try(name -> ms.trim.toLong).toOption
+          case _ => None
+        }
+      }.toMap
+    } catch {
+      case scala.util.control.NonFatal(_) => Map.empty
+    } finally in.close()
+  }
+
   /** Rows at or above this first-pass elapsed get one warm re-run whose
     * timing lands in `retry_sec` — the designed floors (iterative CC,
     * ppjoin) sit at 3.5–6 s, so they self-confirm while noise rows
@@ -251,7 +306,8 @@ object Bench {
       results: Seq[Row],
       retries: Seq[(String, Double)],
       prewarmFamilies: Seq[(String, Double)],
-      prewarmSec: Double, heapMaxMb: Long, sfDir: String): String = {
+      prewarmSec: Double, heapMaxMb: Long, sfDir: String,
+      cpuInflation: Double = -1.0): String = {
     val qs = jmap(results.map(r => r.name -> r.sec.toString))
     val gcs = jmap(results.map(r => r.name -> r.gcMs.toString))
     val cpus = jmap(results.map(r => r.name -> r.cpuMs.toString))
@@ -266,6 +322,7 @@ object Bench {
       s""""prewarm_family_sec":$pws,""" +
       s""""gc_ms_total":$gcTotal,"heap_max_mb":$heapMaxMb,""" +
       s""""effective_cores":${effectiveCores(results)},"load_avg_end":$loadAvg,""" +
+      s""""cpu_inflation":$cpuInflation,""" +
       s""""queries":$qs,"gc_ms":$gcs,"cpu_ms":$cpus,"shuffle_mb":$shs,""" +
       s""""retry_sec":$rts,"sf":"$sfDir"}"""
   }
@@ -275,8 +332,10 @@ object Bench {
     * ~2000 chars of stdout). */
   private[graft] def summaryJson(
       total: Double, n: Int, failed: Int, prewarmSec: Double,
-      gcTotal: Long, effCores: Double, sfDir: String, detail: String): String =
+      gcTotal: Long, effCores: Double, cpuInflation: Double,
+      sfDir: String, detail: String): String =
     s"""{"metric":"total","value":$total,"unit":"sec","n":$n,"failed":$failed,""" +
       s""""prewarm_sec":$prewarmSec,"gc_ms_total":$gcTotal,""" +
-      s""""effective_cores":$effCores,"sf":"$sfDir","detail":"$detail"}"""
+      s""""effective_cores":$effCores,"cpu_inflation":$cpuInflation,""" +
+      s""""sf":"$sfDir","detail":"$detail"}"""
 }

@@ -26,7 +26,7 @@ class BenchFormatSpec extends AnyFunSuite {
     val s = Bench.fullJson(results, Seq("q_beta" -> 1.07),
       prewarmFamilies = Seq("dedup" -> 12.5, "curation" -> 3.25),
       prewarmSec = 41.93, heapMaxMb = 24576L,
-      sfDir = "/root/testdata/sf0.1")
+      sfDir = "/root/testdata/sf0.1", cpuInflation = 1.08)
     assert(!s.contains("\n"), "artifact must be a single line")
     val node = mapper.readTree(s) // throws on any malformed JSON
     assert(node.get("metric").asText() == "total")
@@ -49,6 +49,8 @@ class BenchFormatSpec extends AnyFunSuite {
     // says but must parse as a number
     assert(math.abs(node.get("effective_cores").asDouble() - 3.15) < 0.01)
     assert(node.get("load_avg_end").isNumber)
+    // the run-level cache-thrash tell rides in the artifact
+    assert(node.get("cpu_inflation").asDouble() == 1.08)
     // outlier re-runs: a transient 35.9s row carrying a 1.07s retry
     // refutes itself inside the artifact
     assert(node.get("retry_sec").get("q_beta").asDouble() == 1.07)
@@ -76,7 +78,7 @@ class BenchFormatSpec extends AnyFunSuite {
   test("compact summary is one line of strict JSON small enough for the driver's tail") {
     val s = Bench.summaryJson(total = 152.7682598430001, n = 210, failed = 0,
       prewarmSec = 36.920548792, gcTotal = 828L, effCores = 7.42,
-      sfDir = "/root/testdata/sf0.1", detail = "target/bench.json")
+      cpuInflation = 1.02, sfDir = "/root/testdata/sf0.1", detail = "target/bench.json")
     assert(!s.contains("\n"))
     // the driver keeps only the last ~2000 chars of stdout; leave ample
     // headroom so field additions can't silently push it over
@@ -86,7 +88,47 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(node.get("n").asInt() == 210)
     assert(node.get("failed").asInt() == 0)
     assert(node.get("value").asDouble() > 0)
+    assert(node.get("cpu_inflation").asDouble() == 1.02)
     assert(node.get("detail").asText() == "target/bench.json")
+  }
+
+  test("cpu_inflation: median ratio over the baseline overlap; -1 when inapplicable") {
+    // 5 overlapping rows: ratios 1.0, 1.0, 1.4, 2.0, 0.5 → median 1.0
+    // even though two rows spiked (plan outliers belong to retry_sec, the
+    // MEDIAN isolates uniform cache-thrash contention); failed rows and
+    // rows missing from the baseline are excluded
+    val rows = Seq(
+      Bench.Row("q_a", 1.0, 0L, 1000L, 0L),
+      Bench.Row("q_b", 1.0, 0L, 2000L, 0L),
+      Bench.Row("q_c", 1.0, 0L, 1400L, 0L),
+      Bench.Row("q_d", 1.0, 0L, 4000L, 0L),
+      Bench.Row("q_e", 1.0, 0L, 500L, 0L),
+      Bench.Row("q_failed", -1.0, 0L, 9000L, 0L), // excluded: failed
+      Bench.Row("q_nobase", 1.0, 0L, 9000L, 0L)) // excluded: not in baseline
+    val base = Map("q_a" -> 1000L, "q_b" -> 2000L, "q_c" -> 1000L,
+      "q_d" -> 2000L, "q_e" -> 1000L, "q_failed" -> 1000L)
+    assert(Bench.cpuInflation(rows, base) == 1.0)
+    // uniform 1.35x contention (the r9 204-vs-150 shape) reads as 1.35
+    val contended = rows.take(5).map(r => r.copy(cpuMs = (r.cpuMs * 1.35).toLong))
+    assert(math.abs(Bench.cpuInflation(contended, base) - 1.35) <= 0.01)
+    // no baseline overlap → -1 sentinel
+    assert(Bench.cpuInflation(rows, Map.empty) == -1.0)
+    // even-count overlap: median is the midpoint of the two middle ratios
+    assert(Bench.cpuInflation(rows.take(4), base) == 1.2)
+  }
+
+  test("baselineFor: applies only at the recorded sf tier") {
+    // the committed resource is measured at sf0.1 — a ratio against a
+    // different tier's cpu would be meaningless and must disable itself
+    val atTier = Bench.baselineFor("/root/testdata/sf0.1")
+    val offTier = Bench.baselineFor("/root/testdata/sf0.001")
+    assert(offTier.isEmpty, "baseline must not apply across sf tiers")
+    // if the resource is committed it must parse to a non-empty map with
+    // plausible cpu values
+    if (atTier.nonEmpty) {
+      assert(atTier.valuesIterator.forall(_ > 0L))
+      assert(atTier.keysIterator.forall(_.startsWith("q_")))
+    }
   }
 
   test("extreme Double values still render as valid JSON numbers") {
