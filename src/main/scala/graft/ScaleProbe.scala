@@ -16,6 +16,7 @@ object ScaleProbe {
     "q_dedup_exact", "q_dedup_minhash_lsh", "q_dedup_jaccard",
     "q_dedup_adversarial_bucket", "q_sim_adversarial_bucket",
     "q_graph_adversarial", "q_importance_hashgram", "q_sessionize_skew",
+    "q_dedup_keep_best", "q_dedup_weighted_jaccard",
     "q_sim_lsh_bucketed", "q_pack_chunks", "q_curation_ingest",
     "q_decontaminate", "q_rank_quartile", "q_text_ngram_profile",
     "q_sketch_bloom", "q_histogram_equidepth", "q_tfidf_topk")
