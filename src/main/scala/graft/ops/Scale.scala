@@ -285,7 +285,13 @@ object Scale {
     * a hot head value's run is split by the tiebreaker keys exactly as
     * `repartitionByRange` split it (ScaleSpec pins the crafted-skew
     * case). Fewer sampled rows than `parts` just yields fewer, larger
-    * buckets — correctness is unaffected. */
+    * buckets — correctness is unaffected.
+    *
+    * CAVEAT: floating-point keys containing NaN are unsupported — SQL
+    * comparison operators treat every NaN comparison as false while
+    * SortOrder ranks NaN greatest, so a NaN row would bucket low but
+    * sort last (canonicalize NaNs out first, e.g. `nanvl`). The
+    * production keys here are strings and longs. */
   private[ops] def rangeBucket(df: DataFrame, keys: Seq[SortKey], parts: Int): Column = {
     val keyCols = keys.map(k => col(k.name))
     val sample =

@@ -70,11 +70,19 @@ final class SessionMemo[K, V](
             // just-inserted key carries the max sequence so it can never
             // be the victim (maxEntries >= 1). O(n) min-scan per insert —
             // builds are rare corpus-snapshot materializations, n <= cap.
-            while (m.size > maxEntries) {
-              val victim = m.minBy(_._2._1)
-              m.remove(victim._1).foreach { case (_, ov) =>
-                try onEvict(ov)
-                catch { case scala.util.control.NonFatal(_) => () }
+            // Scan a SNAPSHOT: evictStopped runs outside this lock on
+            // every access, so a bare minBy could race a concurrent
+            // sweep onto an emptied map.
+            var shrinking = m.size > maxEntries
+            while (shrinking) {
+              m.readOnlySnapshot().toSeq.sortBy(_._2._1).headOption match {
+                case Some((key, _)) if m.size > maxEntries =>
+                  m.remove(key).foreach { case (_, ov) =>
+                    try onEvict(ov)
+                    catch { case scala.util.control.NonFatal(_) => () }
+                  }
+                  shrinking = m.size > maxEntries
+                case _ => shrinking = false
               }
             }
             v
