@@ -258,5 +258,147 @@ object GraphOps {
         .select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
-  val specs: Seq[QuerySpec] = Seq(kcore, bfsHops, linkPredict, graphAdversarial)
+  /** The crafted weighted DIRECTED graph for [[graphSssp]], derived
+    * entirely from the documents table's ids so both engines see the
+    * identical topology (the [[adversarialEdges]] convention). Three edge
+    * families over the even ids:
+    *   - express: 0 → i, weight 100, for EVERY even i ≥ 2 — the 1-hop
+    *     path a hop-count BFS would always pick;
+    *   - head chain: i → i+2, weight 1, for even i ≤ 14 — so ids 2..16
+    *     are cheaper by chain (i/2 < 100) but need up to 8 hops;
+    *   - hub: one 0 → h edge at weight 10 (h = 2·(n div 4) — data-derived,
+    *     mid-table) plus a chain h → h+2 → … → h+12 at weight 1 — so the
+    *     hub neighborhood's cheapest path (10 + (i−h)/2 ≤ 16) BEATS its
+    *     1-hop express (100) while using up to 7 hops: cheapest ≠ fewest
+    *     hops, which is exactly what separates weighted relaxation from
+    *     the min-hop BFS of [[minHops]].
+    * Odd ids appear in no edge — unreachable by construction. Every even
+    * id gets its express edge from the ids TABLE (not an assumed range),
+    * so the output row set matches the one-per-document oracle even if
+    * testdata generation ever broke id contiguity; a gap could only shift
+    * a chain DISTANCE, which then fails the closed-form gate loudly
+    * rather than dropping rows silently (the q_graph_adversarial
+    * lesson, ADVICE r9). */
+  private[graft] def ssspEdges(s: SparkSession, d: String): DataFrame = {
+    val ids = graft.Tables.documents(s, d).select("doc_id")
+    val evens = ids.filter(col("doc_id") % 2 === 0)
+    val express = evens.filter(col("doc_id") >= 2)
+      .select(lit(0L).as("src"), col("doc_id").cast("long").as("dst"),
+        lit(100L).as("w"))
+    val headEv = evens.filter(col("doc_id") <= 16)
+    val chain = headEv.toDF("src").join(headEv.toDF("dst"), expr("dst = src + 2"))
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"),
+        lit(1L).as("w"))
+    val hubRow = broadcast(ids.agg(expr("2 * (count(1) div 4)").as("hub")))
+    val hubEntry = hubRow.select(lit(0L).as("src"), col("hub").cast("long").as("dst"),
+      lit(10L).as("w"))
+    val hubEv = evens.crossJoin(hubRow)
+      .filter(col("doc_id") >= col("hub") && col("doc_id") <= col("hub") + 12)
+      .select("doc_id")
+    val hubChain = hubEv.toDF("src").join(hubEv.toDF("dst"), expr("dst = src + 2"))
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"),
+        lit(1L).as("w"))
+    express.unionByName(chain).unionByName(hubEntry).unionByName(hubChain)
+  }
+
+  /** Single-source shortest paths over weighted directed (src, dst, w)
+    * edges by synchronous min-plus relaxation (distributed Bellman–Ford),
+    * returning ((v, dist) for every reachable vertex, rounds executed).
+    *
+    * Per round: one equi-join of the |reached|-row distance table onto
+    * edges keyed on src (the edge table is localCheckpoint'ed ONCE,
+    * pre-partitioned on src, so the edge side never re-exchanges), then
+    * one (dst, min) shuffle with map-side combine — the weighted
+    * generalization of [[minHops]]' MIN-idempotent frontier-free
+    * relaxation. The distance table checkpoints per round with the
+    * replaced round's blocks released immediately (the
+    * [[TextDedup.connectedComponentsWithRounds]] discipline), so plan
+    * depth and block residency are constant in round count.
+    *
+    * Convergence: the (row count, dist sum) pair — a new vertex changes
+    * the count; an improved distance strictly decreases the sum at equal
+    * count; and a round is a deterministic function of the distance
+    * table, so an UNCHANGED pair is a fixpoint. One scalar action per
+    * round, cheap against cached blocks. Rounds to fixpoint = the hop
+    * length of the longest cheapest path (+1 to observe no change) —
+    * a property of the GRAPH, not the data size; production graphs with
+    * large weighted diameters want the pointer-doubling distance-product
+    * form instead (the [[TextDedup.connectedComponents]] treatment).
+    * Fails loudly (releasing all blocks) if `maxRounds` is hit without a
+    * fixpoint — a silent stop would emit non-minimal distances. */
+  private[graft] def ssspWithRounds(
+      edges0: DataFrame, sourceId: Long, maxRounds: Int = 15): (DataFrame, Int) = {
+    val (edges, edgesRdds) = TextDedup.localCheckpointTracked(
+      edges0.toDF("src", "dst", "w").repartition(col("src")))
+    var (dist, distRdds) = TextDedup.localCheckpointTracked(
+      edges.sparkSession.range(1)
+        .select(lit(sourceId).as("v"), lit(0L).as("dist")))
+    def state(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), coalesce(sum("dist"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var prev = state(dist)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val relaxed = edges
+        .join(dist.toDF("src", "sdist"), "src")
+        .select(col("dst").as("v"), (col("sdist") + col("w")).as("dist"))
+        .unionByName(dist)
+        .groupBy("v").agg(min("dist").as("dist"))
+      rounds += 1
+      val (next, nextRdds) = TextDedup.localCheckpointTracked(relaxed)
+      TextDedup.release(distRdds)
+      dist = next
+      distRdds = nextRdds
+      val cur = state(next)
+      converged = cur == prev
+      prev = cur
+    }
+    TextDedup.release(edgesRdds)
+    if (!converged) {
+      TextDedup.release(distRdds)
+      throw new IllegalStateException(
+        s"sssp did not reach a fixpoint in $rounds rounds")
+    }
+    distRdds.foreach(graft.ops.Caches.leaseRdd)
+    (dist, rounds)
+  }
+
+  /** Weighted directed shortest paths — the capability the graph family
+    * lacked (CC/LPA/k-core/BFS/pagerank are all unweighted, and BFS is
+    * the only distance op). Runs the real [[ssspWithRounds]] relaxation
+    * over [[ssspEdges]]' crafted topology and must reproduce the closed
+    * form; the hub neighborhood is the teeth of the gate — its cheapest
+    * paths (cost 10+(i−h)/2, up to 8 hops) must beat the 1-hop express
+    * edge (cost 100), so a hop-count BFS, a premature-stop relaxation, or
+    * a weight-dropping join all fail loudly.
+    *
+    * Skew note: vertex 0 has out-degree n/2 (every express edge), so the
+    * relax join's src=0 key is the pathological fan-OUT — one distance
+    * row meeting n/2 edge rows. The join output is narrow (dst, cand)
+    * pairs and the min groupBy partial-aggregates map-side; the hot SIDE
+    * is the checkpointed edge table, which never re-exchanges. One row
+    * per document: odd ids are unreachable and surface as NULL via the
+    * left join (never silently dropped). */
+  val graphSssp = QuerySpec(
+    "q_graph_sssp",
+    """WITH n AS (SELECT 2 * (COUNT(*) // 4) AS hub FROM documents)
+       SELECT doc_id,
+              CAST(CASE
+                WHEN doc_id % 2 = 1 THEN NULL
+                WHEN doc_id = 0 THEN 0
+                WHEN doc_id <= 16 THEN doc_id // 2
+                WHEN doc_id >= hub AND doc_id <= hub + 12 THEN 10 + (doc_id - hub) // 2
+                ELSE 100 END AS BIGINT) AS dist
+       FROM documents CROSS JOIN n""") {
+    (s, d) =>
+      val docs = graft.Tables.documents(s, d).select("doc_id")
+      val (dist, _) = ssspWithRounds(ssspEdges(s, d), 0L)
+      docs.join(dist.toDF("doc_id", "dist"), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("dist").cast("long").as("dist"))
+  }
+
+  val specs: Seq[QuerySpec] =
+    Seq(kcore, bfsHops, linkPredict, graphAdversarial, graphSssp)
 }

@@ -1079,7 +1079,7 @@ object TextDedup {
     * checkpoint's action (e.g. the shared LSH candidate table feeding the
     * edge list), and releasing that would silently de-cache a
     * session-shared memo for every later consumer. */
-  private def localCheckpointTracked(
+  private[queries] def localCheckpointTracked(
       df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
     val ck = df.localCheckpoint()
     val rdds = ck.queryExecution.analyzed.collect {
@@ -1088,7 +1088,7 @@ object TextDedup {
     (ck, rdds)
   }
 
-  private def release(rdds: Seq[org.apache.spark.rdd.RDD[_]]): Unit =
+  private[queries] def release(rdds: Seq[org.apache.spark.rdd.RDD[_]]): Unit =
     rdds.foreach { r => try r.unpersist(false) catch { case _: Throwable => () } }
 
   /** [[connectedComponents]] plus the executed round count — the spec hook

@@ -67,6 +67,50 @@ class GraphProfilingSpec extends SparkSpec {
       3L -> 2L, 4L -> 1L, 5L -> 0L))
   }
 
+  test("ssspWithRounds: cheapest path beats fewest hops, directedness respected") {
+    // 0→3 direct costs 10; 0→1→2→3 costs 3 over 3 hops — the weighted
+    // answer (3) differs from what a hop-count BFS would settle on (the
+    // 1-hop edge). 4→0 is the ONLY edge into 0's component from 4, and
+    // it points TOWARD 0 — so 4 must stay unreachable from source 0
+    // (an accidental symmetrization would label it).
+    val e = Seq(
+      (0L, 3L, 10L), (0L, 1L, 1L), (1L, 2L, 1L), (2L, 3L, 1L), (4L, 0L, 1L)
+    ).toDF("src", "dst", "w")
+    val (dist, rounds) = GraphOps.ssspWithRounds(e, 0L, maxRounds = 10)
+    val out = dist.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
+    assert(rounds <= 4, s"3-hop optimum must fixpoint in ≤4 rounds, got $rounds")
+    graft.ops.Caches.drain()
+  }
+
+  test("ssspWithRounds: crafted documents topology hits the closed form, rounds bounded") {
+    // the q_graph_sssp gate graph on sf0.001: longest cheapest path is
+    // the 8-hop head chain to id 16, so the fixpoint must be OBSERVED by
+    // round 9 — and the hub neighborhood must take the 10+(i−h)/2 multi-
+    // hop path over its 1-hop weight-100 express edge.
+    val sf = "/root/testdata/sf0.001"
+    val (dist, rounds) = GraphOps.ssspWithRounds(GraphOps.ssspEdges(spark, sf), 0L)
+    val n = graft.Tables.documents(spark, sf).count()
+    val hub = 2 * (n / 4)
+    val out = dist.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out.size === n / 2, "every even id reachable, no odd id present")
+    assert(out(0L) === 0L)
+    assert(out(16L) === 8L, "head chain must beat the express edge")
+    assert(out(hub) === 10L && out(hub + 12) === 16L,
+      "hub paths must beat their 1-hop express edges")
+    assert(out(hub - 2) === 100L && out(hub + 14) === 100L,
+      "just outside the hub chain the express edge is optimal")
+    assert(rounds <= 9, s"8-hop optimum must fixpoint in ≤9 rounds, got $rounds")
+    graft.ops.Caches.drain()
+  }
+
+  test("ssspWithRounds: fails loudly when maxRounds cuts relaxation short") {
+    val e = Seq((0L, 1L, 1L), (1L, 2L, 1L), (2L, 3L, 1L)).toDF("src", "dst", "w")
+    assertThrows[IllegalStateException] {
+      GraphOps.ssspWithRounds(e, 0L, maxRounds = 2)
+    }
+  }
+
   test("cusumOf: a rate step puts the changepoint exactly at the kink") {
     // 10/day for days 1..10, then 20/day for 11..20: D_i = 20*pfx - i*300
     // is -100i on the left (min -1000 at i=10) and 100i-2000 on the right
