@@ -1095,9 +1095,125 @@ object Profiling {
             .cast("long").as("pass"))
   }
 
+  // -------------------------------------------------------------------
+  // Fellegi–Sunter probabilistic linkage scoring
+  // -------------------------------------------------------------------
+
+  /** Fellegi–Sunter probabilistic record-linkage scoring over
+    * sorted-neighborhood candidates — the SCORING layer the ER family
+    * lacked: q_fuzzy_match / q_edit1_neighbors / q_snm_pairs each generate
+    * blocked candidate pairs, but classify on a single field comparison;
+    * Fellegi–Sunter (JASA 1969) instead sums per-FIELD agreement weights
+    * log(m/u) and thresholds the total into match / review / nonmatch.
+    *
+    * Kept integer-exact cross-engine:
+    *   - u-probabilities (chance agreement among non-matches) are
+    *     FREQUENCY-DERIVED from the data, the classic refinement: for
+    *     nation and segment, odds_f = N(N−1) / Σ_v f_v(f_v−1) — the
+    *     inverse of the exact P(two random records agree on f);
+    *   - the log is an integer ⌊log2⌋+1 via `length(bin(odds))` — real
+    *     log-domain additive weighting without a floating-point log
+    *     (both engines render bin(BIGINT) without leading zeros);
+    *   - name (a unique identifier-like field, Σf(f−1)=0 makes its
+    *     frequency odds infinite) and the ±$100 balance band (a
+    *     continuous comparator with no frequency table) carry fixed
+    *     literal weights 12 and 4 — the documented m/u priors — and every
+    *     disagreement costs the flat −2 penalty.
+    * Thresholds 14/4 put name-agreement-plus-one-corroborating-field at
+    * 'match', name-only at 'review', the rest at 'nonmatch' — all three
+    * classes occur on the synthetic names (neighbors differ in trailing
+    * digits, so gap-1 pairs usually agree on name, gap-2 rarely).
+    *
+    * Scale shape: the global name rank comes from
+    * [[graft.ops.Scale.distributedRank]] (never a single-task window);
+    * candidates are the rank+offset equi-join (record-linear, the
+    * q_snm_pairs shape); the three weight aggregates are metadata-sized
+    * single rows broadcast onto the pair stream; scoring is a pure
+    * per-pair projection. */
+  val linkageFs = QuerySpec(
+    "q_linkage_fs",
+    """WITH c AS (SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+                         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+                  FROM customer),
+       tot AS (SELECT COUNT(*) AS n FROM c),
+       un AS (SELECT SUM(cnt * (cnt - 1)) AS s
+              FROM (SELECT COUNT(*) AS cnt FROM c GROUP BY c_nationkey)),
+       us AS (SELECT SUM(cnt * (cnt - 1)) AS s
+              FROM (SELECT COUNT(*) AS cnt FROM c GROUP BY c_mktsegment)),
+       w AS (SELECT length(bin(n * (n - 1) // un.s)) AS w_nat,
+                    length(bin(n * (n - 1) // us.s)) AS w_seg
+             FROM tot, un, us),
+       r AS (SELECT c.*, ROW_NUMBER() OVER (ORDER BY c_name) AS rnk FROM c),
+       p AS (SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
+                    CASE WHEN levenshtein(a.c_name, b.c_name) <= 1
+                         THEN 1 ELSE 0 END AS agree_name,
+                    CASE WHEN a.c_nationkey = b.c_nationkey
+                         THEN 1 ELSE 0 END AS agree_nation,
+                    CASE WHEN a.c_mktsegment = b.c_mktsegment
+                         THEN 1 ELSE 0 END AS agree_segment,
+                    CASE WHEN abs(a.cents - b.cents) <= 10000
+                         THEN 1 ELSE 0 END AS agree_balance
+             FROM r a JOIN r b ON b.rnk - a.rnk BETWEEN 1 AND 2),
+       sc AS (SELECT p.*,
+                     agree_name * 12 + (1 - agree_name) * (-2)
+                     + agree_nation * w_nat + (1 - agree_nation) * (-2)
+                     + agree_segment * w_seg + (1 - agree_segment) * (-2)
+                     + agree_balance * 4 + (1 - agree_balance) * (-2) AS score
+              FROM p CROSS JOIN w)
+       SELECT a_key, b_key,
+              CAST(agree_name AS BIGINT) AS agree_name,
+              CAST(agree_nation AS BIGINT) AS agree_nation,
+              CAST(agree_segment AS BIGINT) AS agree_segment,
+              CAST(agree_balance AS BIGINT) AS agree_balance,
+              CAST(score AS BIGINT) AS score,
+              CASE WHEN score >= 14 THEN 'match'
+                   WHEN score >= 4 THEN 'review'
+                   ELSE 'nonmatch' END AS decision
+       FROM sc""") {
+    (s, d) =>
+      val c = Tables.customer(s, d).select(
+        col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_mktsegment"),
+        expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").as("cents"))
+      val n = c.agg(count(lit(1)).as("n"))
+      val uNat = c.groupBy("c_nationkey").agg(count(lit(1)).as("cnt"))
+        .agg(sum(expr("cnt * (cnt - 1)")).as("s_nat"))
+      val uSeg = c.groupBy("c_mktsegment").agg(count(lit(1)).as("cnt"))
+        .agg(sum(expr("cnt * (cnt - 1)")).as("s_seg"))
+      val w = n.crossJoin(uNat).crossJoin(uSeg)
+        .select(expr("length(bin(n * (n - 1) div s_nat))").as("w_nat"),
+          expr("length(bin(n * (n - 1) div s_seg))").as("w_seg"))
+      val r = graft.ops.Scale.distributedRank(
+        c, Seq(graft.ops.Scale.SortKey("c_name")), 8, "rnk")
+      val a = r.toDF("a_key", "a_name", "a_nat", "a_seg", "a_cents", "a_rnk")
+        .select(col("a_key"), col("a_name"), col("a_nat"), col("a_seg"),
+          col("a_cents"), col("a_rnk"), explode(expr("array(1L, 2L)")).as("off"))
+      val b = r.toDF("b_key", "b_name", "b_nat", "b_seg", "b_cents", "b_rnk")
+      a.join(b, col("b_rnk") === col("a_rnk") + col("off"))
+        .crossJoin(broadcast(w))
+        .select(col("a_key"), col("b_key"),
+          when(levenshtein(col("a_name"), col("b_name")) <= 1, 1L)
+            .otherwise(0L).as("agree_name"),
+          when(col("a_nat") === col("b_nat"), 1L).otherwise(0L).as("agree_nation"),
+          when(col("a_seg") === col("b_seg"), 1L).otherwise(0L).as("agree_segment"),
+          when(abs(col("a_cents") - col("b_cents")) <= 10000, 1L)
+            .otherwise(0L).as("agree_balance"),
+          col("w_nat"), col("w_seg"))
+        .withColumn("score",
+          (col("agree_name") * 12 + (lit(1) - col("agree_name")) * -2
+            + col("agree_nation") * col("w_nat") + (lit(1) - col("agree_nation")) * -2
+            + col("agree_segment") * col("w_seg") + (lit(1) - col("agree_segment")) * -2
+            + col("agree_balance") * 4 + (lit(1) - col("agree_balance")) * -2)
+            .cast("long"))
+        .withColumn("decision",
+          when(col("score") >= 14, "match")
+            .when(col("score") >= 4, "review")
+            .otherwise("nonmatch"))
+        .drop("w_nat", "w_seg")
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     profileColumns, fdAudit, edit1Neighbors, cusumChangepoint, windowDistinctKmv,
     basketRules, shareDrift, snmPairs, decayScore, attribLastTouch,
     seasonalResidual, userStreak, bitmapDistinct, abTest, theilSen, skewAudit,
-    joinCardinality, kanonSuppress, heavyHitters, expectations)
+    joinCardinality, kanonSuppress, heavyHitters, expectations, linkageFs)
 }

@@ -111,6 +111,39 @@ class GraphProfilingSpec extends SparkSpec {
     }
   }
 
+  test("linkageFs: pair count, frequency-derived weights, and decision partition") {
+    val sf = "/root/testdata/sf0.001"
+    val out = Profiling.linkageFs.fn(spark, sf).cache()
+    val cust = graft.Tables.customer(spark, sf)
+    val n = cust.count()
+    // sorted-neighborhood candidates at offsets {1,2} over N ranked rows:
+    // (N−1) + (N−2) pairs, no more, no fewer
+    assert(out.count() === 2 * n - 3)
+    // recompute the frequency-derived integer log2 weights independently
+    def fieldWeight(f: String): Long = {
+      val s = cust.groupBy(f).count()
+        .agg(sum(expr("count * (count - 1)"))).head().getLong(0)
+      val odds = n * (n - 1) / s
+      64L - java.lang.Long.numberOfLeadingZeros(odds) // == length(bin(odds))
+    }
+    val (wNat, wSeg) = (fieldWeight("c_nationkey"), fieldWeight("c_mktsegment"))
+    val expected = col("agree_name") * 12 + (lit(1) - col("agree_name")) * -2 +
+      col("agree_nation") * wNat + (lit(1) - col("agree_nation")) * -2 +
+      col("agree_segment") * wSeg + (lit(1) - col("agree_segment")) * -2 +
+      col("agree_balance") * 4 + (lit(1) - col("agree_balance")) * -2
+    assert(out.filter(col("score") =!= expected).count() === 0L,
+      "score must equal the weighted field-agreement sum")
+    val wrongDecision = out.filter(
+      col("decision") =!= when(col("score") >= 14, "match")
+        .when(col("score") >= 4, "review").otherwise("nonmatch")).count()
+    assert(wrongDecision === 0L)
+    // the gate is only meaningful if the thresholds actually partition the
+    // data into all three classes on the synthetic names
+    assert(out.select("decision").distinct().count() === 3L)
+    out.unpersist()
+    graft.ops.Caches.drain()
+  }
+
   test("cusumOf: a rate step puts the changepoint exactly at the kink") {
     // 10/day for days 1..10, then 20/day for 11..20: D_i = 20*pfx - i*300
     // is -100i on the left (min -1000 at i=10) and 100i-2000 on the right
