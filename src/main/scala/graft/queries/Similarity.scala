@@ -1095,9 +1095,67 @@ object Similarity {
           "cos_sim", "rnk")
   }
 
+  /** ColBERT-style MaxSim late-interaction retrieval (Khattab & Zaharia,
+    * SIGIR'20) — the MULTI-vector scoring paradigm the rest of the family
+    * (brute-force / LSH / IVF / PQ, all single-vector) lacks: a "document"
+    * is a SET of token vectors, a query is a set of query-token vectors,
+    * and score(q, D) = Σ_{qᵢ∈q} max_{t∈D} qᵢ·t — each query token picks
+    * its best-matching document token, so partial topical matches score
+    * where a single pooled vector washes out.
+    *
+    * Mapping onto the synthetic table: documents are the label groups
+    * (first 8 vectors by vec_id — a per-label WindowGroupLimit, the
+    * bounded "token budget" a real multi-vector index enforces at encode
+    * time); the query is the 4 vectors with vec_id < 4.
+    *
+    * Cross-engine exactness: the dot is the sequential-fold kernel
+    * (bitwise equal to list_reduce), MAX over doubles is comparison-only,
+    * and the per-document sum of ≤4 maxima routes through [[graft.Exact]]
+    * quantized decimals — so the double score hash-compares exactly.
+    *
+    * Scale shape: the query set is metadata-sized and BROADCAST; the
+    * token table streams once through the (doc, q_token) max — map-side
+    * combinable, output |docs|×|q| narrow rows — then a |docs|-row final
+    * sum. The corpus never self-joins and no vector crosses a shuffle:
+    * with a million-doc corpus the only wide traffic is the one broadcast
+    * of the query tokens. At serving scale the same scorer composes with
+    * the IVF/PQ candidate pruning exactly as q_sim_ivfpq composes cells
+    * with codes — score only the pruned candidate set. */
+  val maxsimLateInteraction = QuerySpec(
+    "q_sim_maxsim",
+    s"""WITH tok AS (SELECT label, vec_id, embedding,
+                            ROW_NUMBER() OVER (PARTITION BY label
+                                               ORDER BY vec_id) AS tr
+                     FROM embeddings),
+        t AS (SELECT label, embedding FROM tok WHERE tr <= 8),
+        q AS (SELECT vec_id AS q_id, embedding AS q_emb
+              FROM embeddings WHERE vec_id < 4),
+        m AS (SELECT t.label, q.q_id,
+                     MAX(${dotSql("q.q_emb", "t.embedding")}) AS best
+              FROM t CROSS JOIN q GROUP BY 1, 2)
+        SELECT label, ${graft.Exact.sumSql("best")} AS maxsim_score
+        FROM m GROUP BY label""") {
+    (s, d) =>
+      VectorExpressions.register(s)
+      val e = Tables.embeddings(s, d)
+      val tok = e
+        .withColumn("tr", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("label").orderBy("vec_id")))
+        .filter(col("tr") <= 8)
+        .select("label", "embedding")
+      val q = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      tok.crossJoin(broadcast(q))
+        .select(col("label"), col("q_id"),
+          vector_dot_f32(col("q_emb"), col("embedding")).as("dp"))
+        .groupBy("label", "q_id").agg(max("dp").as("best"))
+        .groupBy("label").agg(graft.Exact.sumD(col("best")).as("maxsim_score"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     embedCosineNearDup, topkBruteForce, topkLshBucketed, topkAdversarialBucket,
     topkLshMultiprobe,
     topkIvf, topkRecall, semDedup, clusterStats, embedStats, embedQuantize,
-    topkPq, topkIvfPq, centroidShift, hardNegatives)
+    topkPq, topkIvfPq, centroidShift, hardNegatives, maxsimLateInteraction)
 }

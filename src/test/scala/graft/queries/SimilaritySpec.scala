@@ -25,6 +25,35 @@ class SimilaritySpec extends SparkSpec {
     assert(droppedMin.count() === 0, "the min-id member of a cell must always be kept")
   }
 
+  test("maxsim: self-match floor, HOF-kernel agreement, and one row per label") {
+    val out = Similarity.maxsimLateInteraction.fn(spark, sf).cache()
+    val labels = Tables.embeddings(spark, sf).select("label").distinct().count()
+    assert(out.count() === labels, "exactly one score per multi-vector document")
+    // recompute the full score through the interpreted HOF dot (aggregate
+    // over zip_with) — an independent evaluation path from the codegen
+    // kernel, same per-(label, q) max + Exact-sum derivation; bitwise
+    // agreement pins the kernel's fold order
+    val e = Tables.embeddings(spark, sf)
+    val tok = e.withColumn("tr", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("label").orderBy("vec_id")))
+      .filter(col("tr") <= 8).select("label", "embedding")
+    val q = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val hofScore = tok.crossJoin(broadcast(q))
+      .select(col("label"), col("q_id"),
+        expr("""aggregate(zip_with(q_emb, embedding,
+                  (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""").as("dp"))
+      .groupBy("label", "q_id").agg(max("dp").as("best"))
+      .groupBy("label").agg(graft.Exact.sumD(col("best")).as("hof_score"))
+    val diff = out.join(hofScore, "label")
+      .filter(col("maxsim_score") =!= col("hof_score")).count()
+    assert(diff === 0L, "codegen kernel and HOF fold must agree bitwise")
+    out.unpersist()
+    graft.ops.Caches.drain()
+  }
+
   test("semDedup: pair join is cell-blocked (no cartesian / nested-loop join)") {
     val plan = Similarity.semDedup.fn(spark, sf)
       .queryExecution.executedPlan.toString
