@@ -1130,11 +1130,13 @@ object Profiling {
     * q_snm_pairs shape); the three weight aggregates are metadata-sized
     * single rows broadcast onto the pair stream; scoring is a pure
     * per-pair projection. */
-  val linkageFs = QuerySpec(
-    "q_linkage_fs",
-    """WITH c AS (SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
-                         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
-                  FROM customer),
+  /** Shared CTE chain of the Fellegi–Sunter scorer (through `sc` with
+    * per-pair score), reused verbatim by [[linkageFs]] and the golden-
+    * record rollup [[erGolden]] so both oracles score identically. */
+  private[queries] val linkageScoreSql =
+    """c AS (SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+                    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+             FROM customer),
        tot AS (SELECT COUNT(*) AS n FROM c),
        un AS (SELECT SUM(cnt * (cnt - 1)) AS s
               FROM (SELECT COUNT(*) AS cnt FROM c GROUP BY c_nationkey)),
@@ -1159,7 +1161,11 @@ object Profiling {
                      + agree_nation * w_nat + (1 - agree_nation) * (-2)
                      + agree_segment * w_seg + (1 - agree_segment) * (-2)
                      + agree_balance * 4 + (1 - agree_balance) * (-2) AS score
-              FROM p CROSS JOIN w)
+              FROM p CROSS JOIN w)"""
+
+  val linkageFs = QuerySpec(
+    "q_linkage_fs",
+    s"""WITH $linkageScoreSql
        SELECT a_key, b_key,
               CAST(agree_name AS BIGINT) AS agree_name,
               CAST(agree_nation AS BIGINT) AS agree_nation,
@@ -1170,7 +1176,12 @@ object Profiling {
                    WHEN score >= 4 THEN 'review'
                    ELSE 'nonmatch' END AS decision
        FROM sc""") {
-    (s, d) =>
+    (s, d) => linkageScored(s, d)
+  }
+
+  /** The scored Fellegi–Sunter pair frame (Spark side of
+    * [[linkageScoreSql]] + decision), factored for [[erGolden]]. */
+  private[queries] def linkageScored(s: SparkSession, d: String): DataFrame = {
       val c = Tables.customer(s, d).select(
         col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_mktsegment"),
         expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").as("cents"))
@@ -1211,9 +1222,90 @@ object Profiling {
         .drop("w_nat", "w_seg")
   }
 
+  // -------------------------------------------------------------------
+  // Entity consolidation: golden records from linkage matches
+  // -------------------------------------------------------------------
+
+  /** Golden-record consolidation — the final stage of the ER pipeline
+    * (blocking → [[linkageFs]] scoring → transitive clustering →
+    * survivorship): 'match'-decision pairs are merged into entities by
+    * connected components (a record linked to two others transitively
+    * unifies all three, the classic merge/purge closure), singletons
+    * stay their own entity, and each entity emits ONE canonical row
+    * under explicit survivorship rules — smallest name (a deterministic
+    * representative), richest balance (max cents), majority market
+    * segment with a deterministic count-desc-then-value tie-break (the
+    * q_mode discipline: both engines pick the same winner even on tied
+    * counts).
+    *
+    * Scale shape: match edges are candidate-bounded (never all-pairs);
+    * the closure is [[TextDedup.connectedComponents]]' log-round
+    * pointer jumping; every survivorship aggregate is map-side
+    * combinable per entity; the segment mode materializes only the
+    * (entity, segment) cells — ≤ 5 per entity — and picks the winner
+    * with a WindowGroupLimit-bounded rank, so no entity's member list
+    * is ever collected. The oracle recomputes the closure as a
+    * recursive CTE and must agree bitwise. */
+  val erGolden = QuerySpec(
+    "q_er_golden",
+    s"""WITH RECURSIVE $linkageScoreSql,
+       mp AS (SELECT a_key, b_key FROM sc WHERE score >= 14),
+       medges AS (SELECT a_key AS src, b_key AS dst FROM mp
+                  UNION ALL SELECT b_key, a_key FROM mp),
+       reach(src, dst) AS (
+         SELECT src, dst FROM medges
+         UNION
+         SELECT r.src, e.dst FROM reach r JOIN medges e ON r.dst = e.src),
+       comp AS (SELECT src AS k, least(src, min(dst)) AS ent
+                FROM reach GROUP BY src),
+       ent AS (SELECT c.c_custkey, COALESCE(comp.ent, c.c_custkey) AS entity_id,
+                      c.c_name, c.c_mktsegment, c.cents
+               FROM c LEFT JOIN comp ON comp.k = c.c_custkey),
+       segcnt AS (SELECT entity_id, c_mktsegment, count(*) AS cnt
+                  FROM ent GROUP BY 1, 2),
+       segpick AS (SELECT entity_id, c_mktsegment AS canon_segment,
+                          ROW_NUMBER() OVER (PARTITION BY entity_id
+                            ORDER BY cnt DESC, c_mktsegment) AS rn
+                   FROM segcnt),
+       base AS (SELECT entity_id, CAST(count(*) AS BIGINT) AS n_members,
+                       min(c_name) AS canon_name,
+                       CAST(max(cents) AS BIGINT) AS best_cents
+                FROM ent GROUP BY 1)
+       SELECT b.entity_id, b.n_members, b.canon_name, b.best_cents,
+              s.canon_segment
+       FROM base b JOIN segpick s ON s.entity_id = b.entity_id AND s.rn = 1""") {
+    (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val pairs = linkageScored(s, d)
+        .filter(col("decision") === "match").select("a_key", "b_key")
+      val edges = pairs
+        .unionByName(pairs.select(col("b_key").as("a_key"), col("a_key").as("b_key")))
+        .toDF("src", "dst")
+      val comp = TextDedup.connectedComponents(edges)
+        .toDF("c_custkey", "ent")
+      val c = Tables.customer(s, d).select(
+        col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").as("cents"))
+      val ent = c.join(comp, Seq("c_custkey"), "left")
+        .withColumn("entity_id", coalesce(col("ent"), col("c_custkey")))
+      val segPick = ent.groupBy("entity_id", "c_mktsegment")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("entity_id")
+            .orderBy(col("cnt").desc, col("c_mktsegment"))))
+        .filter(col("rn") === 1)
+        .select(col("entity_id"), col("c_mktsegment").as("canon_segment"))
+      ent.groupBy("entity_id")
+        .agg(count(lit(1)).cast("long").as("n_members"),
+          min("c_name").as("canon_name"),
+          max("cents").cast("long").as("best_cents"))
+        .join(segPick, "entity_id")
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     profileColumns, fdAudit, edit1Neighbors, cusumChangepoint, windowDistinctKmv,
     basketRules, shareDrift, snmPairs, decayScore, attribLastTouch,
     seasonalResidual, userStreak, bitmapDistinct, abTest, theilSen, skewAudit,
-    joinCardinality, kanonSuppress, heavyHitters, expectations, linkageFs)
+    joinCardinality, kanonSuppress, heavyHitters, expectations, linkageFs,
+    erGolden)
 }

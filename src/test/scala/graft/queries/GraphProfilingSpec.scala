@@ -144,6 +144,35 @@ class GraphProfilingSpec extends SparkSpec {
     graft.ops.Caches.drain()
   }
 
+  test("erGolden: entities partition the customers, survivorship is consistent") {
+    val sf = "/root/testdata/sf0.001"
+    val out = Profiling.erGolden.fn(spark, sf).cache()
+    val cust = graft.Tables.customer(spark, sf)
+    val n = cust.count()
+    // entities PARTITION the customer set: member counts sum to N and
+    // every entity id is a real custkey (the component minimum)
+    assert(out.agg(sum("n_members")).head().getLong(0) === n)
+    assert(out.join(cust, out("entity_id") === cust("c_custkey"), "left_anti")
+      .count() === 0L, "entity_id must be a member custkey")
+    // singleton survivorship is the identity: canonical name and balance
+    // are the member's own
+    val singles = out.filter(col("n_members") === 1)
+      .join(cust, out("entity_id") === cust("c_custkey"))
+    assert(singles.filter(col("canon_name") =!= col("c_name")).count() === 0L)
+    assert(singles.filter(col("best_cents") =!=
+      expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)")).count() === 0L)
+    assert(singles.filter(col("canon_segment") =!= col("c_mktsegment")).count() === 0L)
+    // the match pairs must be non-vacuous and fully absorbed: every
+    // matched record sits in a multi-member entity
+    val matched = Profiling.linkageFs.fn(spark, sf)
+      .filter(col("decision") === "match")
+    assert(matched.count() > 0, "gate is vacuous without any match pair")
+    val multi = out.filter(col("n_members") >= 2)
+    assert(multi.count() > 0)
+    out.unpersist()
+    graft.ops.Caches.drain()
+  }
+
   test("cusumOf: a rate step puts the changepoint exactly at the kink") {
     // 10/day for days 1..10, then 20/day for 11..20: D_i = 20*pfx - i*300
     // is -100i on the left (min -1000 at i=10) and 100i-2000 on the right
