@@ -1616,6 +1616,102 @@ object Curation {
   }
 
   // -------------------------------------------------------------------
+  // Retrieval evaluation: known-item self-retrieval MRR
+  // -------------------------------------------------------------------
+
+  /** Known-item self-retrieval evaluation — the measurement loop the
+    * retrieval stack ([[bm25Topk]], [[hybridRrf]]) was missing: every
+    * probe document (doc_id ≡ 0 mod 97) is turned into a query from its
+    * OWN first five words, the whole corpus is BM25-ranked for that
+    * query, and the metric is the rank the probe document itself
+    * achieves (reciprocal rank in exact ppm). This is the standard
+    * self-retrieval harness for tuning retrieval-based decontamination
+    * and duplicate-detection: a healthy index puts a document at or near
+    * rank 1 for its own prefix; systematic failures surface as concrete
+    * (probe, rank) rows rather than an opaque average. Per-query
+    * candidate counts ride along — rr is only comparable between systems
+    * at equal candidate reach.
+    *
+    * Exactness: scores are the [[bm25TermSqlExpr]] integer basis points;
+    * ties break on doc_id, so ranks are deterministic cross-engine.
+    *
+    * Scale shape: the corpus pays the one token explode the retrieval
+    * family already shares; query terms (≤5 per probe) and their df rows
+    * are metadata-sized broadcasts; and the probe's rank is computed by
+    * COUNTING strictly-better candidates per query — a map-side
+    * combinable aggregation — never a per-query ranking window, so a
+    * stopword-heavy probe whose posting list spans the whole corpus
+    * cannot serialize onto one task. The self-score join broadcasts
+    * (#probes rows). */
+  val retrievalMrr = QuerySpec(
+    "q_retrieval_mrr",
+    s"""WITH q AS (SELECT doc_id AS q_id, text FROM documents
+                   WHERE doc_id % 97 = 0),
+        qt AS (SELECT DISTINCT q_id, u.token
+               FROM q, UNNEST(list_slice(str_split(text, ' '), 1, 5)) AS u(token)),
+        tok AS (SELECT doc_id, u.token
+                FROM documents, UNNEST(str_split(text, ' ')) AS u(token)),
+        dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+        sc AS (SELECT (SELECT count(*) FROM tok) AS t_total,
+                      (SELECT count(*) FROM documents) AS n_docs),
+        tfq AS (SELECT qt.q_id, tok.doc_id, tok.token, count(*) AS tf
+                FROM tok JOIN qt ON qt.token = tok.token GROUP BY 1, 2, 3),
+        dfq AS (SELECT token, count(*) AS df
+                FROM (SELECT DISTINCT doc_id, token FROM tfq) GROUP BY 1),
+        term AS (SELECT tfq.q_id, tfq.doc_id,
+                        CAST($bm25TermSqlExpr AS BIGINT) AS term_bp
+                 FROM tfq JOIN dfq ON dfq.token = tfq.token
+                          JOIN dl ON dl.doc_id = tfq.doc_id
+                          CROSS JOIN sc),
+        score AS (SELECT q_id, doc_id, sum(term_bp) AS score_bp
+                  FROM term GROUP BY 1, 2),
+        slf AS (SELECT q_id, score_bp AS self_bp FROM score WHERE doc_id = q_id),
+        rk AS (SELECT s.q_id,
+                      1 + count(*) FILTER (WHERE s.score_bp > f.self_bp
+                          OR (s.score_bp = f.self_bp AND s.doc_id < s.q_id))
+                        AS rnk,
+                      count(*) AS n_cands
+               FROM score s JOIN slf f ON f.q_id = s.q_id
+               GROUP BY s.q_id)
+        SELECT q_id, CAST(rnk AS BIGINT) AS rnk,
+               CAST(1000000 // rnk AS BIGINT) AS rr_ppm,
+               CAST(n_cands AS BIGINT) AS n_cands
+        FROM rk""") {
+    (s, d) =>
+      val corpus = docs(s, d)
+      val qt = corpus.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("q_id"),
+          explode(array_distinct(slice(split(col("text"), " "), 1, 5))).as("token"))
+      val tok = corpus
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val scalars = tok.agg(count(lit(1)).as("t_total"))
+        .crossJoin(corpus.agg(count(lit(1)).as("n_docs")))
+      val tfq = tok.join(broadcast(qt), "token")
+        .groupBy("q_id", "doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dfq = tfq.select("doc_id", "token").distinct()
+        .groupBy("token").agg(count(lit(1)).as("df"))
+      val score = tfq
+        .join(broadcast(dfq), Seq("token"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(scalars))
+        .withColumn("term_bp", expr(bm25TermSparkExpr))
+        .groupBy("q_id", "doc_id").agg(sum("term_bp").as("score_bp"))
+      val slf = score.filter(col("doc_id") === col("q_id"))
+        .select(col("q_id"), col("score_bp").as("self_bp"))
+      score.join(broadcast(slf), "q_id")
+        .groupBy("q_id")
+        .agg(
+          (lit(1L) + sum(when(col("score_bp") > col("self_bp")
+            || (col("score_bp") === col("self_bp") && col("doc_id") < col("q_id")),
+            1L).otherwise(0L))).as("rnk"),
+          count(lit(1)).as("n_cands"))
+        .select(col("q_id"), col("rnk").cast("long").as("rnk"),
+          expr("1000000L div rnk").cast("long").as("rr_ppm"),
+          col("n_cands").cast("long").as("n_cands"))
+  }
+
+  // -------------------------------------------------------------------
   // Line-level boilerplate detection (CCNet-style)
   // -------------------------------------------------------------------
 
@@ -1915,6 +2011,7 @@ object Curation {
     packChunks, sketchKmv, sketchBloom, sketchHll, histogramEquidepth,
     splitAssign, splitLeakageSafe, sourceOverlap, tfidfTopk, embedProject, qualityAudit,
     bpeMerges, bpeTokenize, mixRates, kmvJaccard, chunkOverlap, chunkContent, kmvAgg,
-    lmFluency, cooccurPmi, bm25Topk, hybridRrf, textBoilerplate, textDiversity,
+    lmFluency, cooccurPmi, bm25Topk, hybridRrf, retrievalMrr, textBoilerplate,
+    textDiversity,
     textReadability)
 }

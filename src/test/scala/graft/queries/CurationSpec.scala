@@ -12,6 +12,34 @@ class CurationSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("retrievalMrr: bounds, self-presence, and a crafted unique probe ranks first") {
+    val out = Curation.retrievalMrr.fn(spark, sf).cache()
+    val probes = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 97 === 0).count()
+    assert(out.count() === probes, "one row per probe document")
+    // rank ∈ [1, n_cands]; rr consistent with rank; candidates include self
+    assert(out.filter(col("rnk") < 1 || col("rnk") > col("n_cands")).count() === 0L)
+    assert(out.filter(col("rr_ppm") =!= expr("1000000L div rnk")).count() === 0L)
+    out.unpersist()
+    // a probe whose prefix words exist NOWHERE else must rank exactly 1:
+    // score > 0 only for the probe itself, so the strictly-better count
+    // is 0 — pins the rank arithmetic end-to-end on a controlled corpus
+    locally {
+      val dir = java.nio.file.Files.createTempDirectory("graft-mrr").toString
+      val docsDf = Seq(
+        (0L, "zqx wvu ytr plk mnb zqx filler tail words here", "en", "s", 10L),
+        (1L, "common words appear in every other document body", "en", "s", 10L),
+        (2L, "common words appear in every other document tail", "en", "s", 10L)
+      ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      docsDf.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val r = Curation.retrievalMrr.fn(spark, dir)
+        .filter(col("q_id") === 0L).head()
+      assert(r.getLong(1) === 1L, "unique-prefix probe must be rank 1")
+      assert(r.getLong(2) === 1000000L)
+    }
+    graft.ops.Caches.drain()
+  }
+
   test("packChunks: every doc's chunk offsets cover exactly its tokens, contiguously") {
     val chunks = Curation.packChunks.fn(spark, sf).cache()
     val nTok = Tables.documents(spark, sf)
