@@ -258,6 +258,80 @@ object GraphOps {
         .select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Personalized PageRank from a seed set — graph-propagated relevance
+    * for seed-expansion data selection: teleport mass is confined to the
+    * curated seed docs (doc_id ≡ 0 mod 17, the [[bfsHops]] seed set), so
+    * after k rounds a doc's rank measures how much seed mass reaches it
+    * through near-dup links with per-hop decay — the smooth
+    * generalization of the BFS blast radius (hops → decaying relevance),
+    * and the standard "find more like my curated set" selection signal.
+    * 3 synchronous rounds, integer 10¹²-unit mass (SUM(pr div deg) and
+    * the 15/85 split are exact integer ops, so the oracle unrolls the
+    * identical rounds bit-equally). Non-seed docs with no inbound seed
+    * path stay at rank 0 and ride along — their zero IS the signal.
+    *
+    * Scale shape per round: identical to [[TextDedup.pagerank]] (degree
+    * pre-joined onto the checkpointed edge table, one rank-onto-edges
+    * equi-join + one partial-aggregated contribution shuffle, rank table
+    * checkpointed per round) — the teleport mask is a per-row projection
+    * against the broadcast seed count. */
+  val pprSeed = {
+    val Scale = 1000000000000L
+    def iterSql(i: Int): String = {
+      val prev = s"pr${i - 1}"
+      s"""ct$i AS (SELECT e.dst AS doc_id, CAST(SUM(p.pr // d.deg) AS BIGINT) AS contrib
+                   FROM edges e JOIN $prev p ON p.doc_id = e.src
+                                JOIN deg d ON d.src = e.src
+                   GROUP BY 1),
+          pr$i AS (SELECT nodes.doc_id,
+                          (15 * (CASE WHEN nodes.doc_id % 17 = 0
+                                      THEN $Scale // ns.n ELSE 0 END)) // 100
+                            + (85 * COALESCE(ct$i.contrib, 0)) // 100 AS pr
+                   FROM nodes CROSS JOIN ns
+                   LEFT JOIN ct$i ON ct$i.doc_id = nodes.doc_id)"""
+    }
+    QuerySpec(
+      "q_ppr_seed",
+      s"""WITH ${TextDedup.shingleSql(3)},
+          ${TextDedup.minhashCandSql},
+          $edgesSql,
+          nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+          ns AS (SELECT COUNT(*) AS n FROM nodes WHERE doc_id % 17 = 0),
+          deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+          pr0 AS (SELECT doc_id, CASE WHEN doc_id % 17 = 0
+                                      THEN $Scale // ns.n ELSE 0 END AS pr
+                  FROM nodes CROSS JOIN ns),
+          ${(1 to 3).map(iterSql).mkString(",\n")}
+          SELECT doc_id, pr FROM pr3""") {
+      (s, d) =>
+        val e = edges(s, d)
+        val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+        val edgesDeg = e.join(deg, "src").localCheckpoint()
+        val nodes = edgesDeg.select(col("src").as("doc_id")).distinct()
+          .localCheckpoint()
+        val ns = broadcast(
+          nodes.filter(col("doc_id") % 17 === 0).agg(count(lit(1)).as("n")))
+        val base = nodes.crossJoin(ns)
+          .select(col("doc_id"),
+            when(col("doc_id") % 17 === 0, expr(s"$Scale div n"))
+              .otherwise(0L).as("tele"))
+        var pr = base.select(col("doc_id"), col("tele").as("pr"))
+        for (i <- 1 to 3) {
+          val contrib = edgesDeg
+            .join(pr.toDF("src", "pr"), "src")
+            .groupBy(col("dst").as("doc_id"))
+            .agg(sum(expr("pr div deg")).as("contrib"))
+          val next = base
+            .join(contrib, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              expr("(15 * tele) div 100 + (85 * coalesce(contrib, 0)) div 100")
+                .as("pr"))
+          pr = if (i < 3) next.localCheckpoint() else next
+        }
+        pr
+    }
+  }
+
   /** The crafted weighted DIRECTED graph for [[graphSssp]], derived
     * entirely from the documents table's ids so both engines see the
     * identical topology (the [[adversarialEdges]] convention). Three edge
@@ -400,5 +474,5 @@ object GraphOps {
   }
 
   val specs: Seq[QuerySpec] =
-    Seq(kcore, bfsHops, linkPredict, graphAdversarial, graphSssp)
+    Seq(kcore, bfsHops, linkPredict, graphAdversarial, graphSssp, pprSeed)
 }

@@ -144,6 +144,33 @@ class GraphProfilingSpec extends SparkSpec {
     graft.ops.Caches.drain()
   }
 
+  test("pprSeed: mass stays within the 3-hop seed neighborhood, seeds keep their teleport floor") {
+    val sf = "/root/testdata/sf0.001"
+    val out = GraphOps.pprSeed.fn(spark, sf).cache()
+    val scale = 1000000000000L
+    val cand = TextDedup.minhashCandShared(spark, sf)
+    val e = cand.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionByName(cand.select(col("b_id").as("src"), col("a_id").as("dst")))
+    val seeds = e.select(col("src").as("v")).distinct()
+      .filter(col("v") % 17 === 0)
+    val ns = seeds.count()
+    assert(ns > 0, "seed set must be non-vacuous on the candidate graph")
+    // positive rank implies 3-hop reachability from a seed (mass can
+    // floor to zero on long chains — the converse does not hold)
+    val reach = GraphOps.minHops(e, seeds, 3).select(col("doc_id"))
+    assert(out.filter(col("pr") > 0)
+      .join(reach, Seq("doc_id"), "left_anti").count() === 0L)
+    // every seed keeps at least its final-round teleport share
+    val floor = (15L * (scale / ns)) / 100L
+    assert(out.join(seeds.toDF("doc_id"), "doc_id")
+      .filter(col("pr") < floor).count() === 0L)
+    // total mass never exceeds the initial seed mass (teleport + damping
+    // only shrink it under integer floors)
+    assert(out.agg(sum("pr")).head().getLong(0) <= scale)
+    out.unpersist()
+    graft.ops.Caches.drain()
+  }
+
   test("erGolden: entities partition the customers, survivorship is consistent") {
     val sf = "/root/testdata/sf0.001"
     val out = Profiling.erGolden.fn(spark, sf).cache()
