@@ -34,9 +34,10 @@ import scala.collection.concurrent.TrieMap
   * that from "unbounded for context lifetime" to "bounded,
   * recomputable": beyond the cap the OLDEST entry is dropped and its
   * value released through `onEvict` (by default, any `Dataset` in the
-  * value — including inside tuples — is unpersisted, so a leased cache
-  * build frees its storage blocks; an evicted entry simply rebuilds on
-  * next access). The context-stop sweep remains the primary path.
+  * value — including inside tuples — is released, `cache()`- and
+  * `localCheckpoint()`-backed alike, so a leased build frees its
+  * storage blocks; an evicted entry simply rebuilds on next access).
+  * The context-stop sweep remains the primary path.
   */
 final class SessionMemo[K, V](
     maxEntries: Int = 64,
@@ -107,13 +108,34 @@ final class SessionMemo[K, V](
 }
 
 object SessionMemo {
-  /** Default `onEvict`: unpersist every `Dataset` reachable through the
+  /** Default `onEvict`: release every `Dataset` reachable through the
     * value, including components of tuple-valued memos (the
     * `(metadata, DataFrame)` shape) — a size-cap eviction of a leased
     * cache build must release its storage blocks, not just the map
-    * entry. Non-Dataset values need no release. */
+    * entry. Two release paths per Dataset, because the memo classes use
+    * both persistence forms:
+    *   - `Dataset.unpersist()` clears a `cache()`-backed value through
+    *     the CacheManager;
+    *   - a `localCheckpoint()`-backed value (the LSH candidate / simhash
+    *     snapshot shape) is INVISIBLE to `Dataset.unpersist` — the
+    *     blocks belong to the `LogicalRDD` the checkpointed plan wraps
+    *     (the `Caches.leaseRdd` lesson) — so the backing RDDs are
+    *     unpersisted directly off the analyzed plan. A drained
+    *     checkpoint cannot be recomputed, which is exactly the eviction
+    *     contract: the entry is GONE and the next access rebuilds from
+    *     scratch; an in-flight consumer of a just-evicted build is the
+    *     same hazard class the context-churn cap already accepts (the
+    *     victim is the OLDEST-inserted session's build — a dead clone
+    *     on the gateways this fallback exists for).
+    * Non-Dataset values need no release. */
   private[ops] def releaseValue(v: Any): Unit = v match {
-    case ds: org.apache.spark.sql.Dataset[_] => ds.unpersist(); ()
+    case ds: org.apache.spark.sql.Dataset[_] =>
+      ds.unpersist()
+      ds.queryExecution.analyzed.foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          try lr.rdd.unpersist(false) catch { case _: Throwable => () }
+        case _ => ()
+      }
     case p: Product => p.productIterator.foreach(releaseValue)
     case _ => ()
   }

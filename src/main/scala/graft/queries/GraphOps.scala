@@ -304,31 +304,7 @@ object GraphOps {
           ${(1 to 3).map(iterSql).mkString(",\n")}
           SELECT doc_id, pr FROM pr3""") {
       (s, d) =>
-        val e = edges(s, d)
-        val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-        val edgesDeg = e.join(deg, "src").localCheckpoint()
-        val nodes = edgesDeg.select(col("src").as("doc_id")).distinct()
-          .localCheckpoint()
-        val ns = broadcast(
-          nodes.filter(col("doc_id") % 17 === 0).agg(count(lit(1)).as("n")))
-        val base = nodes.crossJoin(ns)
-          .select(col("doc_id"),
-            when(col("doc_id") % 17 === 0, expr(s"$Scale div n"))
-              .otherwise(0L).as("tele"))
-        var pr = base.select(col("doc_id"), col("tele").as("pr"))
-        for (i <- 1 to 3) {
-          val contrib = edgesDeg
-            .join(pr.toDF("src", "pr"), "src")
-            .groupBy(col("dst").as("doc_id"))
-            .agg(sum(expr("pr div deg")).as("contrib"))
-          val next = base
-            .join(contrib, Seq("doc_id"), "left")
-            .select(col("doc_id"),
-              expr("(15 * tele) div 100 + (85 * coalesce(contrib, 0)) div 100")
-                .as("pr"))
-          pr = if (i < 3) next.localCheckpoint() else next
-        }
-        pr
+        TextDedup.pagerankRounds(edges(s, d), Some(col("doc_id") % 17 === 0))
     }
   }
 
@@ -340,8 +316,12 @@ object GraphOps {
     *     path a hop-count BFS would always pick;
     *   - head chain: i → i+2, weight 1, for even i ≤ 14 — so ids 2..16
     *     are cheaper by chain (i/2 < 100) but need up to 8 hops;
-    *   - hub: one 0 → h edge at weight 10 (h = 2·(n div 4) — data-derived,
-    *     mid-table) plus a chain h → h+2 → … → h+12 at weight 1 — so the
+    *   - hub: one 0 → h edge at weight 10 (h = max(18, 2·(n div 4)) —
+    *     data-derived, mid-table; the floor keeps the hub chain DISJOINT
+    *     from the head chain, whose last edge lands on 16 — without it a
+    *     sub-36-row table would let head-chain paths continue into the
+    *     hub chain and break the closed form) plus a chain
+    *     h → h+2 → … → h+12 at weight 1 — so the
     *     hub neighborhood's cheapest path (10 + (i−h)/2 ≤ 16) BEATS its
     *     1-hop express (100) while using up to 7 hops: cheapest ≠ fewest
     *     hops, which is exactly what separates weighted relaxation from
@@ -363,7 +343,7 @@ object GraphOps {
     val chain = headEv.toDF("src").join(headEv.toDF("dst"), expr("dst = src + 2"))
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"),
         lit(1L).as("w"))
-    val hubRow = broadcast(ids.agg(expr("2 * (count(1) div 4)").as("hub")))
+    val hubRow = broadcast(ids.agg(expr("greatest(18L, 2 * (count(1) div 4))").as("hub")))
     val hubEntry = hubRow.select(lit(0L).as("src"), col("hub").cast("long").as("dst"),
       lit(10L).as("w"))
     val hubEv = evens.crossJoin(hubRow)
@@ -457,7 +437,7 @@ object GraphOps {
     * left join (never silently dropped). */
   val graphSssp = QuerySpec(
     "q_graph_sssp",
-    """WITH n AS (SELECT 2 * (COUNT(*) // 4) AS hub FROM documents)
+    """WITH n AS (SELECT GREATEST(18, 2 * (COUNT(*) // 4)) AS hub FROM documents)
        SELECT doc_id,
               CAST(CASE
                 WHEN doc_id % 2 = 1 THEN NULL

@@ -1381,6 +1381,45 @@ object TextDedup {
     * driver-side state: N rides along as a broadcast one-row table. The
     * candidate graph is the LSH output, so edge count is bounded by the
     * banding design, not N². */
+  /** The shared synchronous PageRank loop — one implementation behind
+    * [[pagerank]] (uniform teleport) and [[GraphOps.pprSeed]] (teleport
+    * confined to a seed predicate), so the round discipline (degree
+    * pre-joined onto the once-checkpointed edge table, one rank-onto-
+    * edges equi-join + one partial-aggregated contribution shuffle per
+    * round, rank table checkpointed per round) is maintained in exactly
+    * one place. `seedFilter = None` gives every node teleport mass
+    * scale/|V|; `Some(pred)` gives scale/|seeds| to matching nodes and
+    * zero elsewhere. Integer arithmetic throughout — the SQL oracles
+    * unroll the identical rounds bit-equally. */
+  private[queries] def pagerankRounds(
+      edgesIn: DataFrame, seedFilter: Option[org.apache.spark.sql.Column],
+      rounds: Int = 3, scale: Long = 1000000000000L): DataFrame = {
+    val deg = edgesIn.groupBy("src").agg(count(lit(1)).as("deg"))
+    val edgesDeg = edgesIn.join(deg, "src").localCheckpoint()
+    val nodes = edgesDeg.select(col("src").as("doc_id")).distinct()
+      .localCheckpoint()
+    val cnt = broadcast(
+      seedFilter.fold(nodes)(f => nodes.filter(f)).agg(count(lit(1)).as("n")))
+    val base = nodes.crossJoin(cnt)
+      .select(col("doc_id"),
+        seedFilter.fold(expr(s"$scale div n"))(f =>
+          when(f, expr(s"$scale div n")).otherwise(0L)).as("tele"))
+    var pr = base.select(col("doc_id"), col("tele").as("pr"))
+    for (i <- 1 to rounds) {
+      val contrib = edgesDeg
+        .join(pr.toDF("src", "pr"), "src")
+        .groupBy(col("dst").as("doc_id"))
+        .agg(sum(expr("pr div deg")).as("contrib"))
+      val next = base
+        .join(contrib, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          expr("(15 * tele) div 100 + (85 * coalesce(contrib, 0)) div 100")
+            .as("pr"))
+      pr = if (i < rounds) next.localCheckpoint() else next
+    }
+    pr
+  }
+
   val pagerank = {
     val Scale = 1000000000000L  // 10^12 — integer rank units
     def iterSql(i: Int): String = {
@@ -1411,36 +1450,13 @@ object TextDedup {
         val cand = minhashCandShared(s, d)
         // The graph invariants (edges with degree attached, node set) are
         // tiny relative to the corpus — the LSH banding bounds them — and
-        // every iteration re-reads them, so materialize once and truncate
-        // their lineage back to the cached candidate table. Joining degree
-        // onto edges HERE removes a per-iteration join: each round is then
-        // one equi-join (rank onto edges) plus one contribution shuffle.
+        // every iteration re-reads them; pagerankRounds materializes them
+        // once with lineage truncated back to the cached candidate table,
+        // and checkpoints the rank table per round (the GraphX/Pregel
+        // pattern; dedupComponents does the same).
         val edges = cand.select(col("a_id").as("src"), col("b_id").as("dst"))
           .unionByName(cand.select(col("b_id").as("src"), col("a_id").as("dst")))
-        val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-        val edgesDeg = edges.join(deg, "src").localCheckpoint()
-        val nodes = edgesDeg.select(col("src").as("doc_id")).distinct()
-          .localCheckpoint()
-        val nn = broadcast(nodes.agg(count(lit(1)).as("n")))
-        val base = nodes.crossJoin(nn)
-        var pr = base.select(col("doc_id"), expr(s"$Scale div n").as("pr"))
-        for (i <- 1 to 3) {
-          val contrib = edgesDeg
-            .join(pr.toDF("src", "pr"), "src")
-            .groupBy(col("dst").as("doc_id"))
-            .agg(sum(expr("pr div deg")).as("contrib"))
-          val next = base
-            .join(contrib, Seq("doc_id"), "left")
-            .select(col("doc_id"),
-              expr(s"(15 * ($Scale div n)) div 100 + (85 * coalesce(contrib, 0)) div 100")
-                .as("pr"))
-          // eager per-round checkpoint: the rank table is |nodes| rows, so
-          // materializing it is cheap, and it keeps every round's physical
-          // plan two shuffles deep instead of growing 3 joins per round
-          // (the GraphX/Pregel pattern; dedupComponents does the same)
-          pr = if (i < 3) next.localCheckpoint() else next
-        }
-        pr
+        pagerankRounds(edges, None)
     }
   }
 

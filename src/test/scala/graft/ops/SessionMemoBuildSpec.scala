@@ -78,4 +78,25 @@ class SessionMemoBuildSpec extends graft.SparkSpec {
       "evicted tuple's Dataset must be unpersisted by the default onEvict")
     df2.unpersist()
   }
+
+  test("default onEvict releases localCheckpoint-backed values (blocks Dataset.unpersist can't reach)") {
+    // the production memo shape (TextDedup's LSH candidate snapshot) is a
+    // localCheckpoint, whose blocks belong to the LogicalRDD the plan
+    // wraps — Dataset.unpersist alone would drop the map entry but leak
+    // the blocks, defeating the churn cap for exactly the heaviest class
+    val s = spark
+    def persistedRddIds: Set[Int] =
+      s.sparkContext.getPersistentRDDs.keySet.toSet
+    val before = persistedRddIds
+    val memo = new SessionMemo[Int, org.apache.spark.sql.DataFrame](maxEntries = 1)
+    val ck = s.range(20).toDF("id").localCheckpoint()
+    val ckRdds = persistedRddIds -- before
+    assert(ckRdds.nonEmpty, "localCheckpoint must persist backing RDD blocks")
+    memo.getOrElseUpdate(s, 1)(ck)
+    memo.getOrElseUpdate(s, 2)(s.range(1).toDF("id")) // evicts key 1
+    assert(memo.entriesFor(s) === 1)
+    val after = persistedRddIds
+    assert(ckRdds.forall(id => !after.contains(id)),
+      "evicted localCheckpoint's backing RDD blocks must be released")
+  }
 }

@@ -91,9 +91,9 @@ class GraphProfilingSpec extends SparkSpec {
     val sf = "/root/testdata/sf0.001"
     val (dist, rounds) = GraphOps.ssspWithRounds(GraphOps.ssspEdges(spark, sf), 0L)
     val n = graft.Tables.documents(spark, sf).count()
-    val hub = 2 * (n / 4)
+    val hub = math.max(18L, 2 * (n / 4))
     val out = dist.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    assert(out.size === n / 2, "every even id reachable, no odd id present")
+    assert(out.size === (n + 1) / 2, "every even id reachable, no odd id present")
     assert(out(0L) === 0L)
     assert(out(16L) === 8L, "head chain must beat the express edge")
     assert(out(hub) === 10L && out(hub + 12) === 16L,
