@@ -1145,7 +1145,8 @@ object Profiling {
        w AS (SELECT length(bin(n * (n - 1) // un.s)) AS w_nat,
                     length(bin(n * (n - 1) // us.s)) AS w_seg
              FROM tot, un, us),
-       r AS (SELECT c.*, ROW_NUMBER() OVER (ORDER BY c_name) AS rnk FROM c),
+       r AS (SELECT c.*, ROW_NUMBER() OVER (ORDER BY c_name, c_custkey) AS rnk
+             FROM c),
        p AS (SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
                     CASE WHEN levenshtein(a.c_name, b.c_name) <= 1
                          THEN 1 ELSE 0 END AS agree_name,
@@ -1194,7 +1195,11 @@ object Profiling {
         .select(expr("length(bin(n * (n - 1) div s_nat))").as("w_nat"),
           expr("length(bin(n * (n - 1) div s_seg))").as("w_seg"))
       val r = graft.ops.Scale.distributedRank(
-        c, Seq(graft.ops.Scale.SortKey("c_name")), 8, "rnk")
+        // c_custkey tie-break keeps the sort a TOTAL order even if the
+        // synthetic names ever stop being unique — distributedRank (and
+        // the oracle's ROW_NUMBER) are only deterministic under one
+        c, Seq(graft.ops.Scale.SortKey("c_name"),
+          graft.ops.Scale.SortKey("c_custkey")), 8, "rnk")
       val a = r.toDF("a_key", "a_name", "a_nat", "a_seg", "a_cents", "a_rnk")
         .select(col("a_key"), col("a_name"), col("a_nat"), col("a_seg"),
           col("a_cents"), col("a_rnk"), explode(expr("array(1L, 2L)")).as("off"))
