@@ -453,6 +453,70 @@ object GraphOps {
         .select(col("doc_id"), col("dist").cast("long").as("dist"))
   }
 
+  /** The crafted DIRECTED topology for [[graphSccPivot]], derived from
+    * the documents ids (the [[ssspEdges]] convention). Four families:
+    *   - head cycle: 0 → 2 → … → 16 → 0 — the pivot's strongly
+    *     connected component, closed by the single 16 → 0 back edge;
+    *   - express: 0 → i for every even i ≥ 18 — forward-reachable from
+    *     the pivot, NO path back (F \ B);
+    *   - odd fan-in: i → 0 for every odd i — backward-reachable into
+    *     the pivot, never reached forward (B \ F).
+    * SCC(0) = F ∩ B = the evens ≤ 16 exactly; everything else exercises
+    * one side only, so a direction mix-up (symmetrized edges, swapped
+    * reverse) flips whole families and fails the closed form loudly. A
+    * doc-id gap inside the head cycle would break the chain and shrink
+    * the SCC — also a loud label divergence, never a silent row drop
+    * (every doc appears in the one-row-per-document output). */
+  private[graft] def sccEdges(s: SparkSession, d: String): DataFrame = {
+    val ids = graft.Tables.documents(s, d).select("doc_id")
+    val evens = ids.filter(col("doc_id") % 2 === 0)
+    val headEv = evens.filter(col("doc_id") <= 16)
+    val chain = headEv.toDF("src").join(headEv.toDF("dst"), expr("dst = src + 2"))
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+    val back = ids.filter(col("doc_id") === 16)
+      .select(col("doc_id").cast("long").as("src"), lit(0L).as("dst"))
+    val express = evens.filter(col("doc_id") >= 18)
+      .select(lit(0L).as("src"), col("doc_id").cast("long").as("dst"))
+    val oddIn = ids.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id").cast("long").as("src"), lit(0L).as("dst"))
+    chain.unionByName(back).unionByName(express).unionByName(oddIn)
+  }
+
+  /** Pivot-SCC membership — the forward–backward building block of
+    * distributed strongly-connected-components decomposition (Fleischer,
+    * Hendrickson & Pınar's divide-and-conquer: pick a pivot, compute its
+    * forward set F and backward set B with two reachability passes,
+    * F ∩ B is the pivot's SCC, recurse on the three remainders): the
+    * directed-graph question ("which docs are MUTUALLY linked with this
+    * one?") that undirected CC over-answers by construction. Both passes
+    * reuse the [[ssspWithRounds]] relaxation machinery at unit weight —
+    * run-to-fixpoint reachability with per-round checkpoint/release and
+    * the (count, sum) fixpoint detector — the backward pass on the
+    * REVERSED edge table; membership is one equi-join of the two
+    * |reached|-row sets. Scale shape per pass = the SSSP shape: edges
+    * checkpointed once partitioned on src, narrow (dst, cand) relax
+    * output, map-side-combined MIN. The full recursive decomposition
+    * adds only driver-side control flow around this exact kernel. */
+  val graphSccPivot = QuerySpec(
+    "q_graph_scc_pivot",
+    """SELECT doc_id,
+              CAST(CASE WHEN doc_id % 2 = 0 AND doc_id <= 16
+                   THEN 1 ELSE 0 END AS BIGINT) AS in_scc
+       FROM documents""") {
+    (s, d) =>
+      val e = sccEdges(s, d).withColumn("w", lit(1L))
+      val rev = e.select(col("dst").as("src"), col("src").as("dst"), col("w"))
+      val (fwd, _) = ssspWithRounds(e, 0L)
+      val (bwd, _) = ssspWithRounds(rev, 0L)
+      val scc = fwd.select("v").join(bwd.select("v"), "v")
+        .select(col("v").as("doc_id"), lit(1L).as("in_scc"))
+      graft.Tables.documents(s, d).select("doc_id")
+        .join(scc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("in_scc"), lit(0L)).cast("long").as("in_scc"))
+  }
+
   val specs: Seq[QuerySpec] =
-    Seq(kcore, bfsHops, linkPredict, graphAdversarial, graphSssp, pprSeed)
+    Seq(kcore, bfsHops, linkPredict, graphAdversarial, graphSssp, pprSeed,
+      graphSccPivot)
 }

@@ -104,6 +104,23 @@ class GraphProfilingSpec extends SparkSpec {
     graft.ops.Caches.drain()
   }
 
+  test("scc pivot machinery: F ∩ B keeps only mutual reachability on a crafted digraph") {
+    // cycle 0→1→2→0 is the pivot's SCC; 0→3 is forward-only and 4→0
+    // backward-only — each must survive exactly ONE pass, so a
+    // symmetrized edge table or a botched reversal flips the answer
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 0L), (0L, 3L), (4L, 0L))
+      .toDF("src", "dst").withColumn("w", lit(1L))
+    val rev = e.select(col("dst").as("src"), col("src").as("dst"), col("w"))
+    val (fwd, _) = GraphOps.ssspWithRounds(e, 0L, maxRounds = 10)
+    val (bwd, _) = GraphOps.ssspWithRounds(rev, 0L, maxRounds = 10)
+    val f = fwd.collect().map(_.getLong(0)).toSet
+    val b = bwd.collect().map(_.getLong(0)).toSet
+    assert(f === Set(0L, 1L, 2L, 3L))
+    assert(b === Set(0L, 1L, 2L, 4L))
+    assert((f intersect b) === Set(0L, 1L, 2L), "SCC(0) is exactly the cycle")
+    graft.ops.Caches.drain()
+  }
+
   test("ssspWithRounds: fails loudly when maxRounds cuts relaxation short") {
     val e = Seq((0L, 1L, 1L), (1L, 2L, 1L), (2L, 3L, 1L)).toDF("src", "dst", "w")
     assertThrows[IllegalStateException] {
