@@ -506,6 +506,44 @@ object Curation {
     when(b < "e6", "train").when(b < "f3", "val").otherwise("test")
   }
 
+  /** Reproducible global shuffle + sharding — the ordering pass a
+    * training run needs between curation and the data loader: every doc
+    * gets a content-hash SHARD (first md5 hex digit → 16 shards here;
+    * widen the prefix for 256/4096 at scale) and a deterministic
+    * POSITION within its shard (md5 order, doc_id tie-break for hash
+    * collisions), so the "shuffled" read order is (a) uniform — md5
+    * order is uncorrelated with any data attribute, the whole point of
+    * shuffling, (b) identical on every run/engine — resumable training,
+    * reproducible ablations — and (c) shard-parallel: a loader streams
+    * shard files independently, and interleaving shards preserves
+    * uniformity. The same hash-not-rand discipline as
+    * q_sample_deterministic / q_split_assign (rand() cannot
+    * cross-engine-hash and is not resumable).
+    *
+    * Scale shape: one projection + one window partitioned BY SHARD —
+    * parallelism = shard count, which is a free parameter (hex-prefix
+    * length), so no single task ever holds more than corpus/shards
+    * rows; no global sort, no total-order rank. The per-shard window is
+    * the intended layout for the downstream writer (partitionBy(shard),
+    * one sorted file per shard). */
+  val shuffleShard = QuerySpec(
+    "q_shuffle_shard",
+    """WITH h AS (SELECT doc_id, md5(text) AS hh FROM documents)
+       SELECT doc_id, substr(hh, 1, 1) AS shard,
+              CAST(ROW_NUMBER() OVER (PARTITION BY substr(hh, 1, 1)
+                                      ORDER BY hh, doc_id) AS BIGINT) AS pos
+       FROM h""") {
+    (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      docs(s, d)
+        .select(col("doc_id"), md5(col("text")).as("hh"))
+        .withColumn("shard", substring(col("hh"), 1, 1))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy("shard").orderBy(col("hh"), col("doc_id")))
+          .cast("long"))
+        .select("doc_id", "shard", "pos")
+  }
+
   val splitAssign = QuerySpec(
     "q_split_assign",
     s"""WITH t AS (
@@ -2009,7 +2047,7 @@ object Curation {
     curationIngest, sampleBalanced,
     decontaminate, textRepetition, piiRedact, sampleWeighted,
     packChunks, sketchKmv, sketchBloom, sketchHll, histogramEquidepth,
-    splitAssign, splitLeakageSafe, sourceOverlap, tfidfTopk, embedProject, qualityAudit,
+    splitAssign, splitLeakageSafe, shuffleShard, sourceOverlap, tfidfTopk, embedProject, qualityAudit,
     bpeMerges, bpeTokenize, mixRates, kmvJaccard, chunkOverlap, chunkContent, kmvAgg,
     lmFluency, cooccurPmi, bm25Topk, hybridRrf, retrievalMrr, textBoilerplate,
     textDiversity,

@@ -40,6 +40,24 @@ class CurationSpec extends SparkSpec {
     graft.ops.Caches.drain()
   }
 
+  test("shuffleShard: contiguous per-shard positions, full coverage, replayable") {
+    val a = Curation.shuffleShard.fn(spark, sf).cache()
+    assert(a.count() === Tables.documents(spark, sf).count(),
+      "every document gets exactly one (shard, pos)")
+    // positions within a shard are exactly 1..n (min/max/sum pin it)
+    val bad = a.groupBy("shard")
+      .agg(count(lit(1)).as("n"), min("pos").as("mn"),
+        max("pos").as("mx"), sum("pos").as("sm"))
+      .filter(col("mn") =!= 1L || col("mx") =!= col("n")
+        || col("sm") =!= expr("n * (n + 1) div 2"))
+    assert(bad.count() === 0L)
+    // the order is a pure function of content: a re-evaluation bit-matches
+    val b = Curation.shuffleShard.fn(spark, sf)
+    assert(a.except(b).count() === 0L && b.except(a).count() === 0L)
+    a.unpersist()
+    graft.ops.Caches.drain()
+  }
+
   test("packChunks: every doc's chunk offsets cover exactly its tokens, contiguously") {
     val chunks = Curation.packChunks.fn(spark, sf).cache()
     val nTok = Tables.documents(spark, sf)
