@@ -510,10 +510,12 @@ object Curation {
     * training run needs between curation and the data loader: every doc
     * gets a content-hash SHARD (first md5 hex digit → 16 shards here;
     * widen the prefix for 256/4096 at scale) and a deterministic
-    * POSITION within its shard (md5 order, doc_id tie-break for hash
-    * collisions), so the "shuffled" read order is (a) uniform — md5
-    * order is uncorrelated with any data attribute, the whole point of
-    * shuffling, (b) identical on every run/engine — resumable training,
+    * POSITION within its shard (md5 over text AND doc_id — so exact
+    * duplicates still spread uniformly — with a doc_id tie-break for
+    * hash collisions), so the "shuffled" read order is (a) uniform —
+    * hash order is uncorrelated with any data attribute, the whole
+    * point of shuffling, even on a dup-heavy pre-dedup corpus,
+    * (b) identical on every run/engine — resumable training,
     * reproducible ablations — and (c) shard-parallel: a loader streams
     * shard files independently, and interleaving shards preserves
     * uniformity. The same hash-not-rand discipline as
@@ -528,15 +530,24 @@ object Curation {
     * one sorted file per shard). */
   val shuffleShard = QuerySpec(
     "q_shuffle_shard",
-    """WITH h AS (SELECT doc_id, md5(text) AS hh FROM documents)
+    """WITH h AS (SELECT doc_id,
+                         md5(text || CAST(doc_id AS VARCHAR)) AS hh
+                  FROM documents)
        SELECT doc_id, substr(hh, 1, 1) AS shard,
               CAST(ROW_NUMBER() OVER (PARTITION BY substr(hh, 1, 1)
                                       ORDER BY hh, doc_id) AS BIGINT) AS pos
        FROM h""") {
     (s, d) =>
       import org.apache.spark.sql.expressions.Window
+      // the hash covers (text, doc_id), NOT text alone: exact-duplicate
+      // documents would otherwise share one md5 and land in one shard at
+      // consecutive positions — a run of identical examples and a shard
+      // size skew on a dup-heavy pre-dedup corpus, the exact clustering
+      // a shuffle exists to destroy. Including the id spreads duplicates
+      // uniformly while staying a pure function of the row.
       docs(s, d)
-        .select(col("doc_id"), md5(col("text")).as("hh"))
+        .select(col("doc_id"),
+          md5(concat(col("text"), col("doc_id").cast("string"))).as("hh"))
         .withColumn("shard", substring(col("hh"), 1, 1))
         .withColumn("pos", row_number().over(
           Window.partitionBy("shard").orderBy(col("hh"), col("doc_id")))

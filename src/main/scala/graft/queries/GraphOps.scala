@@ -504,10 +504,18 @@ object GraphOps {
                    THEN 1 ELSE 0 END AS BIGINT) AS in_scc
        FROM documents""") {
     (s, d) =>
-      val e = sccEdges(s, d).withColumn("w", lit(1L))
+      // materialize the edge build ONCE: both passes (and the reversal)
+      // read the checkpointed table instead of re-running the three
+      // documents scans + two self-joins per direction; the blocks are
+      // safe to release as soon as both passes return — fwd/bwd are
+      // themselves materialized checkpoints, so the remaining plan never
+      // re-reads the edge lineage
+      val (e, eRdds) = TextDedup.localCheckpointTracked(
+        sccEdges(s, d).withColumn("w", lit(1L)))
       val rev = e.select(col("dst").as("src"), col("src").as("dst"), col("w"))
       val (fwd, _) = ssspWithRounds(e, 0L)
       val (bwd, _) = ssspWithRounds(rev, 0L)
+      TextDedup.release(eRdds)
       val scc = fwd.select("v").join(bwd.select("v"), "v")
         .select(col("v").as("doc_id"), lit(1L).as("in_scc"))
       graft.Tables.documents(s, d).select("doc_id")

@@ -1198,6 +1198,8 @@ object Profiling {
         // c_custkey tie-break keeps the sort a TOTAL order even if the
         // synthetic names ever stop being unique — distributedRank (and
         // the oracle's ROW_NUMBER) are only deterministic under one
+        // total order, so without it duplicate names would rank
+        // arbitrarily and differently per engine
         c, Seq(graft.ops.Scale.SortKey("c_name"),
           graft.ops.Scale.SortKey("c_custkey")), 8, "rnk")
       val a = r.toDF("a_key", "a_name", "a_nat", "a_seg", "a_cents", "a_rnk")
