@@ -978,6 +978,46 @@ object Profiling {
             .as("published_total"))
   }
 
+  /** Distinct l-diversity audit — the disclosure check k-anonymity alone
+    * misses ([[kanonSuppress]] bounds CLASS SIZE; this bounds what a
+    * class REVEALS): a quasi-identifier class where k = 40 but every
+    * member shares one sensitive value still discloses that value for
+    * anyone linkable to the class (the homogeneity attack — Machanavajjhala
+    * et al., ICDE'06). Per QI class (order priority × order year) over
+    * the sensitive order status: k (class size), distinct-l (sensitive
+    * values present), the max single-value share in exact ppm (the
+    * probabilistic disclosure risk an attacker attains), and the l ≥ 2
+    * pass flag. Everything integer — k, l, and the one ×10⁶ division.
+    *
+    * Scale shape: one (QI, sensitive) count with map-side combine — the
+    * cell table is |QI classes| × |sensitive domain|, metadata-sized
+    * relative to the fact table — then a per-class rollup; no joins, no
+    * windows, nothing keyed below the class grain. */
+  val kanonLdiversity = QuerySpec(
+    "q_kanon_ldiversity",
+    """WITH cells AS (SELECT o_orderpriority,
+                             CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+                             o_orderstatus, count(*) AS c
+                      FROM orders GROUP BY 1, 2, 3)
+       SELECT o_orderpriority, yr,
+              CAST(sum(c) AS BIGINT) AS k,
+              CAST(count(*) AS BIGINT) AS l_distinct,
+              CAST(max(c) * 1000000 // sum(c) AS BIGINT) AS top_share_ppm,
+              CAST(CASE WHEN count(*) >= 2 THEN 1 ELSE 0 END AS BIGINT) AS diverse
+       FROM cells GROUP BY 1, 2""") {
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"),
+          year(col("o_orderdate")).cast("long").as("yr"),
+          col("o_orderstatus"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("o_orderpriority", "yr")
+        .agg(sum("c").cast("long").as("k"),
+          count(lit(1)).cast("long").as("l_distinct"),
+          expr("max(c) * 1000000L div sum(c)").cast("long").as("top_share_ppm"),
+          when(count(lit(1)) >= 2, 1L).otherwise(0L).cast("long").as("diverse"))
+  }
+
   // -------------------------------------------------------------------
   // Heavy hitters: Misra-Gries candidates + exact verify
   // -------------------------------------------------------------------
@@ -1313,6 +1353,6 @@ object Profiling {
     profileColumns, fdAudit, edit1Neighbors, cusumChangepoint, windowDistinctKmv,
     basketRules, shareDrift, snmPairs, decayScore, attribLastTouch,
     seasonalResidual, userStreak, bitmapDistinct, abTest, theilSen, skewAudit,
-    joinCardinality, kanonSuppress, heavyHitters, expectations, linkageFs,
+    joinCardinality, kanonSuppress, kanonLdiversity, heavyHitters, expectations, linkageFs,
     erGolden)
 }

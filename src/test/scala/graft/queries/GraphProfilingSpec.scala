@@ -217,6 +217,36 @@ class GraphProfilingSpec extends SparkSpec {
     graft.ops.Caches.drain()
   }
 
+  test("kanonLdiversity: a crafted homogeneous class is flagged, a diverse one passes") {
+    // the synthetic orders table is diverse in every class (the flag is
+    // vacuously 1 there — checked below), so the homogeneity-attack
+    // detection needs a crafted table: class (1-URGENT, 1995) has ONE
+    // status for all 5 members (l=1, top share 100%), class (2-HIGH,
+    // 1995) has three statuses over 6 rows
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ldiv").toString
+    val ts = java.sql.Timestamp.valueOf("1995-06-01 00:00:00")
+    val rows =
+      (1L to 5L).map(i => (i, i, "F", 10.0, ts, "1-URGENT")) ++
+        Seq((6L, 6L, "F", 1.0, ts, "2-HIGH"), (7L, 7L, "F", 1.0, ts, "2-HIGH"),
+          (8L, 8L, "O", 1.0, ts, "2-HIGH"), (9L, 9L, "O", 1.0, ts, "2-HIGH"),
+          (10L, 10L, "O", 1.0, ts, "2-HIGH"), (11L, 11L, "P", 1.0, ts, "2-HIGH"))
+    rows.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = Profiling.kanonLdiversity.fn(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out("1-URGENT") === ((5L, 1L, 1000000L, 0L)),
+      "homogeneous class: l=1, disclosure share 100%, flagged")
+    assert(out("2-HIGH") === ((6L, 3L, 500000L, 1L)),
+      "diverse class: l=3, top share 3/6, passes")
+    // and the real synthetic table must be non-degenerate for the oracle
+    val real = Profiling.kanonLdiversity.fn(spark, "/root/testdata/sf0.001")
+    assert(real.filter(col("l_distinct") < 2).count() === 0L)
+    graft.ops.Caches.drain()
+  }
+
   test("cusumOf: a rate step puts the changepoint exactly at the kink") {
     // 10/day for days 1..10, then 20/day for 11..20: D_i = 20*pfx - i*300
     // is -100i on the left (min -1000 at i=10) and 100i-2000 on the right
