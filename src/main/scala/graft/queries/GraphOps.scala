@@ -45,10 +45,7 @@ object GraphOps {
     var alive = e.select(col("src").as("v")).distinct().localCheckpoint()
     var deg: DataFrame = null
     for (i <- 1 to rounds) {
-      val ei = e
-        .join(alive.toDF("src"), "src")
-        .join(alive.toDF("dst"), "dst")
-      deg = ei.groupBy(col("src").as("v")).agg(count(lit(1)).as("dg"))
+      deg = kcoreRound(e, alive)
       val next = deg.filter(col("dg") >= k).select("v")
       alive = if (i < rounds) next.localCheckpoint() else next
     }
@@ -56,16 +53,29 @@ object GraphOps {
       .select(col("v").as("doc_id"), col("dg").cast("long").as("core_deg"))
   }
 
+  /** ONE peel round's surviving-subgraph degree count — factored as a
+    * named, fingerprint-gatable unit (q_builder_kcore_round; the loop's
+    * final fingerprint is checkpoint-hidden, see
+    * [[TextDedup.ccRound]]). */
+  private[graft] def kcoreRound(e: DataFrame, alive: DataFrame): DataFrame =
+    e.join(alive.toDF("src"), "src")
+      .join(alive.toDF("dst"), "dst")
+      .groupBy(col("src").as("v")).agg(count(lit(1)).as("dg"))
+
+  /** ONE frontier-free BFS relaxation round (q_builder_bfs_round). */
+  private[graft] def bfsRound(e: DataFrame, dist: DataFrame): DataFrame =
+    dist.unionByName(
+        e.join(dist.toDF("src", "hop"), "src")
+          .select(col("dst").as("v"), (col("hop") + 1).as("hop")))
+      .groupBy("v").agg(min("hop").as("hop"))
+
   /** Min-hop distances from a (v) seed set through symmetrized edges,
     * bounded depth; returns (doc_id, hops). Factored for the specs. */
   private[graft] def minHops(edgesIn: DataFrame, seeds: DataFrame, hops: Int): DataFrame = {
     val e = edgesIn.localCheckpoint()
     var dist = seeds.select(col("v"), lit(0).as("hop")).localCheckpoint()
     for (i <- 1 to hops) {
-      val expanded = e.join(dist.toDF("src", "hop"), "src")
-        .select(col("dst").as("v"), (col("hop") + 1).as("hop"))
-      val next = dist.unionByName(expanded)
-        .groupBy("v").agg(min("hop").as("hop"))
+      val next = bfsRound(e, dist)
       dist = if (i < hops) next.localCheckpoint() else next
     }
     dist.select(col("v").as("doc_id"), col("hop").cast("long").as("hops"))
@@ -380,6 +390,14 @@ object GraphOps {
     * form instead (the [[TextDedup.connectedComponents]] treatment).
     * Fails loudly (releasing all blocks) if `maxRounds` is hit without a
     * fixpoint — a silent stop would emit non-minimal distances. */
+  /** ONE weighted min-plus relaxation round (q_builder_sssp_round). */
+  private[graft] def ssspRelax(edges: DataFrame, dist: DataFrame): DataFrame =
+    edges
+      .join(dist.toDF("src", "sdist"), "src")
+      .select(col("dst").as("v"), (col("sdist") + col("w")).as("dist"))
+      .unionByName(dist)
+      .groupBy("v").agg(min("dist").as("dist"))
+
   private[graft] def ssspWithRounds(
       edges0: DataFrame, sourceId: Long, maxRounds: Int = 15): (DataFrame, Int) = {
     val (edges, edgesRdds) = TextDedup.localCheckpointTracked(
@@ -395,11 +413,7 @@ object GraphOps {
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
-      val relaxed = edges
-        .join(dist.toDF("src", "sdist"), "src")
-        .select(col("dst").as("v"), (col("sdist") + col("w")).as("dist"))
-        .unionByName(dist)
-        .groupBy("v").agg(min("dist").as("dist"))
+      val relaxed = ssspRelax(edges, dist)
       rounds += 1
       val (next, nextRdds) = TextDedup.localCheckpointTracked(relaxed)
       TextDedup.release(distRdds)

@@ -1091,6 +1091,29 @@ object TextDedup {
   private[queries] def release(rdds: Seq[org.apache.spark.rdd.RDD[_]]): Unit =
     rdds.foreach { r => try r.unpersist(false) catch { case _: Throwable => () } }
 
+  /** ONE synchronous CC round — propagate + pointer-jump — factored so
+    * the per-round plan is a named, fingerprint-gatable unit (see
+    * [[graft.PlanFingerprints.builders]] q_builder_cc_round): the loop's
+    * final fingerprint is just a LogicalRDD scan, so without this a
+    * shuffle regression in the ROUND body would never fail the plan
+    * gate. Min over {own label} ∪ {labels of neighbors}: the self row
+    * rides the union so no left join back onto labels is needed — one
+    * partial-aggregated groupBy shuffle; then pointer jump
+    * label ← min(label, label(label)) — every label is a member id and
+    * ids are unique, so the self-join key is unique on the right; the
+    * left join guards the id==label base case cheaply. */
+  private[graft] def ccRound(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val propagated = edges
+      .join(labels.toDF("dst", "dst_label"), "dst")
+      .select(col("src").as("id"), col("dst_label").as("label"))
+      .unionByName(labels)
+      .groupBy("id").agg(min("label").as("label"))
+    propagated
+      .join(propagated.toDF("label", "jump_label"), Seq("label"), "left")
+      .select(col("id"),
+        least(col("label"), coalesce(col("jump_label"), col("label"))).as("label"))
+  }
+
   /** [[connectedComponents]] plus the executed round count — the spec hook
     * for the O(log diameter) convergence pin (TextDedupSpec's crafted
     * path graph). */
@@ -1108,21 +1131,7 @@ object TextDedup {
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
-      // min over {own label} ∪ {labels of neighbors}: the self row rides
-      // the union so no left join back onto labels is needed — one
-      // groupBy shuffle (partial-aggregated map-side) per round
-      val propagated = edges
-        .join(labels.toDF("dst", "dst_label"), "dst")
-        .select(col("src").as("id"), col("dst_label").as("label"))
-        .unionByName(labels)
-        .groupBy("id").agg(min("label").as("label"))
-      // pointer jump: label ← min(label, label(label)) — every label is a
-      // member id and ids are unique, so the self-join key is unique on
-      // the right; left join guards the id==label base case cheaply
-      val jumped = propagated
-        .join(propagated.toDF("label", "jump_label"), Seq("label"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("jump_label"), col("label"))).as("label"))
+      val jumped = ccRound(edges, labels)
       rounds += 1
       val (next, nextRdds) = localCheckpointTracked(jumped) // eager: the round's one action
       release(labelsRdds) // the replaced round's blocks are dead — free them now
@@ -1391,7 +1400,7 @@ object TextDedup {
     * scale/|V|; `Some(pred)` gives scale/|seeds| to matching nodes and
     * zero elsewhere. Integer arithmetic throughout — the SQL oracles
     * unroll the identical rounds bit-equally. */
-  private[queries] def pagerankRounds(
+  private[graft] def pagerankRounds(
       edgesIn: DataFrame, seedFilter: Option[org.apache.spark.sql.Column],
       rounds: Int = 3, scale: Long = 1000000000000L): DataFrame = {
     val deg = edgesIn.groupBy("src").agg(count(lit(1)).as("deg"))
@@ -1406,18 +1415,27 @@ object TextDedup {
           when(f, expr(s"$scale div n")).otherwise(0L)).as("tele"))
     var pr = base.select(col("doc_id"), col("tele").as("pr"))
     for (i <- 1 to rounds) {
-      val contrib = edgesDeg
-        .join(pr.toDF("src", "pr"), "src")
-        .groupBy(col("dst").as("doc_id"))
-        .agg(sum(expr("pr div deg")).as("contrib"))
-      val next = base
-        .join(contrib, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          expr("(15 * tele) div 100 + (85 * coalesce(contrib, 0)) div 100")
-            .as("pr"))
+      val next = pagerankRound(edgesDeg, base, pr)
       pr = if (i < rounds) next.localCheckpoint() else next
     }
     pr
+  }
+
+  /** ONE synchronous PageRank round — contribution shuffle + damped
+    * teleport update — factored as a named, fingerprint-gatable unit
+    * (q_builder_pagerank_round; see [[ccRound]] for why loop rounds
+    * need their own gate entries). */
+  private[graft] def pagerankRound(
+      edgesDeg: DataFrame, base: DataFrame, pr: DataFrame): DataFrame = {
+    val contrib = edgesDeg
+      .join(pr.toDF("src", "pr"), "src")
+      .groupBy(col("dst").as("doc_id"))
+      .agg(sum(expr("pr div deg")).as("contrib"))
+    base
+      .join(contrib, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        expr("(15 * tele) div 100 + (85 * coalesce(contrib, 0)) div 100")
+          .as("pr"))
   }
 
   val pagerank = {
