@@ -80,15 +80,24 @@ object PlanFingerprints {
     iterativeRounds
 
   /** Per-ROUND plans of the five synchronous iterative loops (CC,
-    * k-core, BFS, PageRank, weighted SSSP). The loops checkpoint their
-    * state every round, so each ORACLE query's fingerprint is just a
-    * LogicalRDD scan plus the final projection — a shuffle regression
-    * inside the round body (the cost that repeats 3–30× per query)
-    * would never fail the plan gate without these. Each entry builds
-    * the first round's plan over the loop's REAL input construction
-    * (minus the checkpoints, so the entry stays action-free); counts
-    * therefore cover input-prep + one round, and any gained exchange in
-    * either fails here. */
+    * k-core, BFS, PageRank, weighted SSSP) — the cost that repeats
+    * 3–30× per query, gated as a NAMED unit. How much of a round each
+    * oracle query's own fingerprint already sees varies by loop: CC and
+    * SSSP checkpoint inside a while loop, so their final plans are bare
+    * LogicalRDD scans (a round regression is INVISIBLE there); k-core /
+    * BFS / PageRank skip the checkpoint only on the last round, so one
+    * round shows — but buried in a composite count where a +1 exchange
+    * does not say "the round body regressed". These entries pin each
+    * round in isolation, with a name that points at the loop.
+    *
+    * Inputs: the graph loops here run over [[graft.queries.GraphOps
+    * .adversarialEdges]] rather than the LSH-memo candidate edges the
+    * production queries feed them — deliberate, NOT a fidelity gap: the
+    * memo build is an eager action (these entries must stay
+    * action-free) and its plan is already pinned by
+    * q_builder_minhash_cand; the round body's shape is independent of
+    * which edge table flows in. SSSP uses its real crafted edge build.
+    * Counts therefore cover the stand-in input prep + one round. */
   private def iterativeRounds
       : Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = {
     import org.apache.spark.sql.functions._

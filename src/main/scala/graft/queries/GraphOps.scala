@@ -54,9 +54,9 @@ object GraphOps {
   }
 
   /** ONE peel round's surviving-subgraph degree count — factored as a
-    * named, fingerprint-gatable unit (q_builder_kcore_round; the loop's
-    * final fingerprint is checkpoint-hidden, see
-    * [[TextDedup.ccRound]]). */
+    * named, fingerprint-gatable unit (q_builder_kcore_round; see
+    * [[graft.PlanFingerprints]] for what each loop's own fingerprint
+    * does and does not show of its round body). */
   private[graft] def kcoreRound(e: DataFrame, alive: DataFrame): DataFrame =
     e.join(alive.toDF("src"), "src")
       .join(alive.toDF("dst"), "dst")
@@ -365,6 +365,14 @@ object GraphOps {
     express.unionByName(chain).unionByName(hubEntry).unionByName(hubChain)
   }
 
+  /** ONE weighted min-plus relaxation round (q_builder_sssp_round). */
+  private[graft] def ssspRelax(edges: DataFrame, dist: DataFrame): DataFrame =
+    edges
+      .join(dist.toDF("src", "sdist"), "src")
+      .select(col("dst").as("v"), (col("sdist") + col("w")).as("dist"))
+      .unionByName(dist)
+      .groupBy("v").agg(min("dist").as("dist"))
+
   /** Single-source shortest paths over weighted directed (src, dst, w)
     * edges by synchronous min-plus relaxation (distributed Bellman–Ford),
     * returning ((v, dist) for every reachable vertex, rounds executed).
@@ -390,14 +398,6 @@ object GraphOps {
     * form instead (the [[TextDedup.connectedComponents]] treatment).
     * Fails loudly (releasing all blocks) if `maxRounds` is hit without a
     * fixpoint — a silent stop would emit non-minimal distances. */
-  /** ONE weighted min-plus relaxation round (q_builder_sssp_round). */
-  private[graft] def ssspRelax(edges: DataFrame, dist: DataFrame): DataFrame =
-    edges
-      .join(dist.toDF("src", "sdist"), "src")
-      .select(col("dst").as("v"), (col("sdist") + col("w")).as("dist"))
-      .unionByName(dist)
-      .groupBy("v").agg(min("dist").as("dist"))
-
   private[graft] def ssspWithRounds(
       edges0: DataFrame, sourceId: Long, maxRounds: Int = 15): (DataFrame, Int) = {
     val (edges, edgesRdds) = TextDedup.localCheckpointTracked(
