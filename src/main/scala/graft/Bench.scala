@@ -162,6 +162,9 @@ object Bench {
     val (total, failed, gcTotal) = totals(results)
     val heapMax = Runtime.getRuntime.maxMemory / (1024 * 1024)
     val inflation = cpuInflation(results, baselineFor(sfDir))
+    if (rerunAdvised(inflation))
+      System.err.println(f"[bench] RERUN-ADVISED: cpu_inflation $inflation%.2f > " +
+        f"$InflationRerunThreshold — contended pass; re-run before committing this artifact")
     val full = fullJson(results, retries, prewarmFamilies, prewarmSec, heapMax, sfDir,
       inflation)
     // full per-query map goes to a file: the driver keeps only the last
@@ -274,6 +277,20 @@ object Bench {
     } finally in.close()
   }
 
+  /** Pass-health self-gate (the r10 lesson: the committed BENCH_r10.json
+    * was the round's noisiest pass at inflation 1.25 while four healthy
+    * same-HEAD passes existed). Above this [[cpuInflation]] the artifact
+    * carries `rerun_advised: true` and main prints a loud stderr marker —
+    * the round-close procedure re-runs once before committing instead of
+    * leading the record with a contended sample. 1.15 is the top of the
+    * calibrated healthy band (NOTES r10: healthy passes read 1.0–1.15). */
+  private[graft] val InflationRerunThreshold = 1.15
+
+  /** True when the pass self-reports contention worth a re-run; the −1
+    * no-baseline sentinel is NOT advice to re-run (nothing to compare). */
+  private[graft] def rerunAdvised(inflation: Double): Boolean =
+    inflation > InflationRerunThreshold
+
   /** Rows at or above this first-pass elapsed get one warm re-run whose
     * timing lands in `retry_sec` — the designed floors (iterative CC,
     * ppjoin) sit at 3.5–6 s, so they self-confirm while noise rows
@@ -322,7 +339,7 @@ object Bench {
       s""""prewarm_family_sec":$pws,""" +
       s""""gc_ms_total":$gcTotal,"heap_max_mb":$heapMaxMb,""" +
       s""""effective_cores":${effectiveCores(results)},"load_avg_end":$loadAvg,""" +
-      s""""cpu_inflation":$cpuInflation,""" +
+      s""""cpu_inflation":$cpuInflation,"rerun_advised":${rerunAdvised(cpuInflation)},""" +
       s""""queries":$qs,"gc_ms":$gcs,"cpu_ms":$cpus,"shuffle_mb":$shs,""" +
       s""""retry_sec":$rts,"sf":"$sfDir"}"""
   }
@@ -337,5 +354,6 @@ object Bench {
     s"""{"metric":"total","value":$total,"unit":"sec","n":$n,"failed":$failed,""" +
       s""""prewarm_sec":$prewarmSec,"gc_ms_total":$gcTotal,""" +
       s""""effective_cores":$effCores,"cpu_inflation":$cpuInflation,""" +
+      s""""rerun_advised":${rerunAdvised(cpuInflation)},""" +
       s""""sf":"$sfDir","detail":"$detail"}"""
 }

@@ -30,13 +30,22 @@ import scala.collection.concurrent.TrieMap
   * Sessions that churn over one long-lived shared SparkContext
   * (`newSession()` clones on a Spark Connect gateway) are never seen as
   * stopped — Spark exposes no session-close signal to hook. A
-  * bounded-size insertion-order cap (`maxEntries`, default 64) converts
-  * that from "unbounded for context lifetime" to "bounded,
-  * recomputable": beyond the cap the OLDEST entry is dropped and its
-  * value released through `onEvict` (by default, any `Dataset` in the
-  * value — including inside tuples — is released, `cache()`- and
-  * `localCheckpoint()`-backed alike, so a leased build frees its
-  * storage blocks; an evicted entry simply rebuilds on next access).
+  * bounded-size cap (`maxEntries`, default 64) converts that from
+  * "unbounded for context lifetime" to "bounded, recomputable": beyond
+  * the cap an entry is dropped and its value released through `onEvict`
+  * (by default, any `Dataset` in the value — including inside tuples —
+  * is released, `cache()`- and `localCheckpoint()`-backed alike, so a
+  * leased build frees its storage blocks; an evicted entry simply
+  * rebuilds on next access). Victim choice, in order:
+  *   1. entries owned by a session OTHER than the inserting caller's —
+  *      on the gateway topology this cap exists for, those are the dead
+  *      `newSession()` clones, while the caller's own entries may be
+  *      mid-consumption (the default onEvict drains localCheckpoint
+  *      blocks, which are NOT recomputable for an in-flight reader);
+  *   2. least-recently-USED within that pool: every memo HIT bumps the
+  *      entry's sequence, so a hot snapshot read on every query cannot
+  *      be the victim merely because it was built first — under churn
+  *      the first-built entry is typically the one entry still in use.
   * The context-stop sweep remains the primary path.
   */
 final class SessionMemo[K, V](
@@ -60,23 +69,30 @@ final class SessionMemo[K, V](
     SessionMemos.watch(s)
     evictStopped()
     m.get((s, k)) match {
-      case Some((_, v)) => v
+      case Some(hit @ (_, v)) => touch((s, k), hit); v
       case None => buildLock.synchronized {
         m.get((s, k)) match {
-          case Some((_, v)) => v
+          case Some(hit @ (_, v)) => touch((s, k), hit); v
           case None =>
             val v = build
             m.put((s, k), (insertSeq.incrementAndGet(), v))
-            // size-cap fallback: evict-oldest by insertion sequence. The
+            // size-cap fallback: evict least-recently-USED (reads bump
+            // the sequence), preferring entries whose session is NOT the
+            // inserting caller's — see the class scaladoc. The
             // just-inserted key carries the max sequence so it can never
-            // be the victim (maxEntries >= 1). O(n) min-scan per insert —
+            // be the victim (maxEntries >= 1). O(n) scan per insert —
             // builds are rare corpus-snapshot materializations, n <= cap.
             // Scan a SNAPSHOT: evictStopped runs outside this lock on
             // every access, so a bare minBy could race a concurrent
             // sweep onto an emptied map.
             var shrinking = m.size > maxEntries
             while (shrinking) {
-              m.readOnlySnapshot().toSeq.sortBy(_._2._1).headOption match {
+              val snap = m.readOnlySnapshot().toSeq
+              val pool = {
+                val others = snap.filter { case ((sess, _), _) => sess ne s }
+                if (others.nonEmpty) others else snap
+              }
+              pool.sortBy(_._2._1).headOption match {
                 case Some((key, _)) if m.size > maxEntries =>
                   m.remove(key).foreach { case (_, ov) =>
                     try onEvict(ov)
@@ -90,6 +106,16 @@ final class SessionMemo[K, V](
         }
       }
     }
+  }
+
+  /** Best-effort LRU bump on a memo hit: CAS against the exact observed
+    * (sequence, value) pair so a concurrent evict-then-rebuild can never
+    * be clobbered with the stale value (an unconditional replace after a
+    * rebuild raced in would silently regress the entry). A lost race is
+    * fine — the touch is an eviction-order hint, not state. */
+  private def touch(key: (SparkSession, K), old: (Long, V)): Unit = {
+    m.replace(key, old, (insertSeq.incrementAndGet(), old._2))
+    ()
   }
 
   /** Context-stop sweep. No `onEvict` here: a stopped context's
@@ -124,20 +150,37 @@ object SessionMemo {
     *     checkpoint cannot be recomputed, which is exactly the eviction
     *     contract: the entry is GONE and the next access rebuilds from
     *     scratch; an in-flight consumer of a just-evicted build is the
-    *     same hazard class the context-churn cap already accepts (the
-    *     victim is the OLDEST-inserted session's build — a dead clone
-    *     on the gateways this fallback exists for).
-    * Non-Dataset values need no release. */
-  private[ops] def releaseValue(v: Any): Unit = v match {
-    case ds: org.apache.spark.sql.Dataset[_] =>
-      ds.unpersist()
-      ds.queryExecution.analyzed.foreach {
-        case lr: org.apache.spark.sql.execution.LogicalRDD =>
-          try lr.rdd.unpersist(false) catch { case _: Throwable => () }
+    *     residual hazard the context-churn cap accepts, and the victim
+    *     policy minimizes it (other-session entries first — the dead
+    *     `newSession()` clones — then least-recently-used, so a build
+    *     handed out on the current access holds the max sequence and
+    *     cannot be drained by the insert that follows it).
+    * Non-Dataset values need no release.
+    *
+    * Traversal is an explicit WORKLIST, not recursion: `::` cons cells
+    * are Product2, so a memo value containing a long `List` (the
+    * `(Seq[merges], DataFrame)` shape) would otherwise recurse one
+    * frame per element and StackOverflow on eviction. Collections are
+    * enumerated via their iterator (one worklist entry per ELEMENT, at
+    * nesting depth not length); the Product branch then only sees
+    * non-collection products (tuples, case classes). */
+  private[ops] def releaseValue(v: Any): Unit = {
+    val work = scala.collection.mutable.ArrayDeque[Any](v)
+    while (work.nonEmpty) {
+      work.removeHead() match {
+        case ds: org.apache.spark.sql.Dataset[_] =>
+          ds.unpersist()
+          ds.queryExecution.analyzed.foreach {
+            case lr: org.apache.spark.sql.execution.LogicalRDD =>
+              try lr.rdd.unpersist(false) catch { case _: Throwable => () }
+            case _ => ()
+          }
+        case it: Iterable[_] => it.iterator.foreach(work.append)
+        case a: Array[_] => a.foreach(work.append)
+        case p: Product => p.productIterator.foreach(work.append)
         case _ => ()
       }
-    case p: Product => p.productIterator.foreach(releaseValue)
-    case _ => ()
+    }
   }
 }
 

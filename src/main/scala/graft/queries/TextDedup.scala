@@ -1407,8 +1407,17 @@ object TextDedup {
     val edgesDeg = edgesIn.join(deg, "src").localCheckpoint()
     val nodes = edgesDeg.select(col("src").as("doc_id")).distinct()
       .localCheckpoint()
-    val cnt = broadcast(
-      seedFilter.fold(nodes)(f => nodes.filter(f)).agg(count(lit(1)).as("n")))
+    val seedNodes = seedFilter.fold(nodes)(f => nodes.filter(f))
+    // loud, engine-SYMMETRIC failure on an empty seed set: `scale div n`
+    // with n=0 is silently NULL on Spark but a division-by-zero ERROR in
+    // the DuckDB oracle — the same degenerate input must fail identically
+    // on both engines (the ssspWithRounds maxRounds-guard convention).
+    // One bounded action against the already-checkpointed node table.
+    seedFilter.foreach { _ =>
+      require(seedNodes.limit(1).count() > 0,
+        "pagerankRounds: seed filter matches no node — teleport mass undefined")
+    }
+    val cnt = broadcast(seedNodes.agg(count(lit(1)).as("n")))
     val base = nodes.crossJoin(cnt)
       .select(col("doc_id"),
         seedFilter.fold(expr(s"$scale div n"))(f =>

@@ -49,8 +49,10 @@ class BenchFormatSpec extends AnyFunSuite {
     // says but must parse as a number
     assert(math.abs(node.get("effective_cores").asDouble() - 3.15) < 0.01)
     assert(node.get("load_avg_end").isNumber)
-    // the run-level cache-thrash tell rides in the artifact
+    // the run-level cache-thrash tell rides in the artifact, with the
+    // self-gate verdict beside it (1.08 is inside the healthy band)
     assert(node.get("cpu_inflation").asDouble() == 1.08)
+    assert(!node.get("rerun_advised").asBoolean())
     // outlier re-runs: a transient 35.9s row carrying a 1.07s retry
     // refutes itself inside the artifact
     assert(node.get("retry_sec").get("q_beta").asDouble() == 1.07)
@@ -89,7 +91,27 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(node.get("failed").asInt() == 0)
     assert(node.get("value").asDouble() > 0)
     assert(node.get("cpu_inflation").asDouble() == 1.02)
+    assert(!node.get("rerun_advised").asBoolean())
     assert(node.get("detail").asText() == "target/bench.json")
+  }
+
+  test("rerun_advised: fires above the calibrated healthy band only") {
+    // the r10 lesson: the committed artifact was an inflation-1.25 pass
+    // while four healthy same-HEAD passes existed — the artifact must
+    // self-adjudicate so the round-close procedure re-runs instead of
+    // committing the noisiest sample. The no-baseline −1 sentinel means
+    // "nothing to compare", never "re-run".
+    assert(!Bench.rerunAdvised(1.0))
+    assert(!Bench.rerunAdvised(Bench.InflationRerunThreshold)) // at the line: healthy
+    assert(Bench.rerunAdvised(1.25))
+    assert(!Bench.rerunAdvised(-1.0))
+    // and the flag rides in both artifacts when a pass IS contended
+    val contended = Bench.summaryJson(100.0, 10, 0, 1.0, 5L, 5.0, 1.25,
+      "/root/testdata/sf0.1", "target/bench.json")
+    assert(mapper.readTree(contended).get("rerun_advised").asBoolean())
+    val full = Bench.fullJson(results, Seq.empty, Seq.empty, 0.0, 1L, "sf",
+      cpuInflation = 1.31)
+    assert(mapper.readTree(full).get("rerun_advised").asBoolean())
   }
 
   test("cpu_inflation: median ratio over the baseline overlap; -1 when inapplicable") {

@@ -64,6 +64,59 @@ class SessionMemoBuildSpec extends graft.SparkSpec {
     assert(memo.getOrElseUpdate(s, 1)(111) === 111)
   }
 
+  test("touch-on-read: a hot entry survives churn while cold ones are evicted (LRU, not FIFO)") {
+    // the r10-judge finding: FIFO eviction made the FIRST-built entry the
+    // first victim under newSession() churn — precisely the hot leased
+    // snapshot every query reads. Reads now bump the sequence, so a hot
+    // key inserted FIRST must survive 64+ churn inserts.
+    val memo = new SessionMemo[Int, Int](maxEntries = 4, onEvict = _ => ())
+    val s = spark
+    memo.getOrElseUpdate(s, 0)(42) // the hot entry, oldest INSERT
+    (1 to 70).foreach { i =>
+      memo.getOrElseUpdate(s, i)(i)
+      assert(memo.getOrElseUpdate(s, 0)(-1) === 42,
+        s"hot entry must survive churn insert $i (was it evicted as 'oldest'?)")
+    }
+    // and the cold churn keys really were evicted around it
+    assert(memo.entriesFor(s) === 4)
+    assert(memo.getOrElseUpdate(s, 1)(111) === 111, "cold key must have been evicted")
+  }
+
+  test("size-cap victim prefers another session's entry over the caller's older one") {
+    // gateway shape: the caller's own (possibly mid-consumption) build
+    // must not be drained while a dead newSession() clone's entry exists —
+    // even when the caller's entry is the least-recently-used one
+    val evicted = scala.collection.mutable.ArrayBuffer.empty[String]
+    val memo = new SessionMemo[Int, String](maxEntries = 2, onEvict = evicted += _)
+    val s = spark
+    val clone = s.newSession()
+    memo.getOrElseUpdate(s, 1)("mine-old") // oldest overall
+    memo.getOrElseUpdate(clone, 2)("clone")
+    memo.getOrElseUpdate(s, 3)("mine-new") // over cap: victim must be the clone's
+    assert(evicted.toSeq === Seq("clone"),
+      "victim must be the other session's entry, not the caller's older one")
+    // fall back to least-recently-used overall only when every remaining
+    // entry is the caller's — "mine-old" being the victim NOW also proves
+    // it survived the first eviction
+    memo.getOrElseUpdate(s, 4)("mine-4")
+    assert(evicted.toSeq === Seq("clone", "mine-old"))
+    assert(memo.getOrElseUpdate(s, 3)("rebuilt") === "mine-new")
+  }
+
+  test("default onEvict releases a value containing a long List without StackOverflow") {
+    // :: cons cells are Product2 — the recursive Product walk overflowed
+    // one frame per element; the worklist form must handle a list far
+    // deeper than any thread stack and still reach the Dataset inside
+    val s = spark
+    val memo = new SessionMemo[Int, (List[Int], org.apache.spark.sql.DataFrame)](maxEntries = 1)
+    val df = s.range(10).toDF("id").cache()
+    df.count()
+    memo.getOrElseUpdate(s, 1)((List.fill(200000)(7), df))
+    memo.getOrElseUpdate(s, 2)((Nil, s.range(1).toDF("id"))) // evicts key 1
+    assert(df.storageLevel === org.apache.spark.storage.StorageLevel.NONE,
+      "the Dataset beside the long List must still be unpersisted")
+  }
+
   test("default onEvict unpersists Dataset values, including inside tuples") {
     val s = spark
     val memo = new SessionMemo[Int, (String, org.apache.spark.sql.DataFrame)](maxEntries = 1)

@@ -121,6 +121,19 @@ class GraphProfilingSpec extends SparkSpec {
     graft.ops.Caches.drain()
   }
 
+  test("pagerankRounds: an empty seed set fails loudly, not with silent null ranks") {
+    // `scale div n` at n=0 is NULL on Spark but a div-by-zero ERROR in
+    // DuckDB — asymmetric failure modes for the same degenerate input;
+    // the guard makes both engines fail the same way, at construction
+    val e = sym(Seq((1L, 2L), (2L, 3L)))
+    assertThrows[IllegalArgumentException] {
+      TextDedup.pagerankRounds(e, Some(lit(false)))
+    }
+    // a NON-empty seed set still constructs fine through the same path
+    assert(TextDedup.pagerankRounds(e, Some(col("doc_id") === 1L)).count() === 3L)
+    graft.ops.Caches.drain()
+  }
+
   test("ssspWithRounds: fails loudly when maxRounds cuts relaxation short") {
     val e = Seq((0L, 1L, 1L), (1L, 2L, 1L), (2L, 3L, 1L)).toDF("src", "dst", "w")
     assertThrows[IllegalStateException] {
