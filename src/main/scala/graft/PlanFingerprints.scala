@@ -135,6 +135,15 @@ object PlanFingerprints {
         val edges = GraphOps.ssspEdges(s, d).repartition(col("src"))
         val dist = s.range(1).select(lit(0L).as("v"), lit(0L).as("dist"))
         GraphOps.ssspRelax(edges, dist)
+      },
+      "q_builder_scc_trim_round" -> { (s, d) =>
+        // the real crafted edge build + one trim peel; the reachability
+        // rounds inside sccDecompose are already pinned by
+        // q_builder_sssp_round (same ssspRelax body at unit weight)
+        val e = GraphOps.sccFullEdges(s, d)
+        val v = graft.Tables.documents(s, d)
+          .select(col("doc_id").cast("long").as("v"))
+        GraphOps.sccTrimRound(e, v)
       })
   }
 

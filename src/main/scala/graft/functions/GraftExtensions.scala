@@ -43,6 +43,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("mg_topk", "mg_topk(string_col, k) - Misra-Gries heavy-hitter candidates with lower-bound counts"),
       SketchAggregates.buildMg))
     ext.injectFunction((
+      FunctionIdentifier("range_bucket_search"),
+      info("range_bucket_search",
+        "range_bucket_search(desc_flags, boundaries, key...) - binary-search range bucket over frozen boundaries"),
+      RangeBucketSearch.build))
+    ext.injectFunction((
       FunctionIdentifier("damerau_levenshtein"),
       info("damerau_levenshtein", "damerau_levenshtein(a, b) - true Damerau-Levenshtein distance over UTF-8 bytes"),
       es => VectorExpressions.DamerauLevenshtein(es.head, es(1))))

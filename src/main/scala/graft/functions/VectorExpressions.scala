@@ -260,6 +260,7 @@ object VectorExpressions {
     reg.createOrReplaceTempFunction("vector_l1_i64", es => VectorL1I64(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("vector_distsq_i64", es => VectorDistSqI64(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("damerau_levenshtein", es => DamerauLevenshtein(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("range_bucket_search", RangeBucketSearch.build, "built-in")
   }
 
   // Column-level entry points (require register(spark) on the session)

@@ -270,10 +270,18 @@ object Scale {
   }
 
   /** Deterministic range-bucket expression over `keys`: ≈equal-frequency
-    * boundaries sampled once at construction and embedded as LITERAL
-    * comparison chains, so the returned Column is a pure function of the
-    * row — safe for any number of consuming plan branches (the whole
-    * point, see [[distributedRank]]).
+    * boundaries sampled once at construction and FROZEN as literals, so
+    * the returned Column is a pure function of the row — safe for any
+    * number of consuming plan branches (the whole point, see
+    * [[distributedRank]]). Evaluation is a binary search over the sorted
+    * boundary array ([[graft.functions.RangeBucketSearch]]):
+    * ⌈log₂(parts)⌉ tuple comparisons per row and generated code whose
+    * size is CONSTANT in `parts` — the r10 form summed `parts − 1`
+    * literal `when` chains, an evaluation (and codegen-size) cliff at a
+    * web-scale vocabulary's parts ~10³–10⁴. Bucket values are identical
+    * (the chain counted boundaries ≤ row; the search lower-bounds the
+    * same count — ScaleSpec pins the equivalence property, nulls and
+    * desc included).
     *
     * Sampling: the `parts`×32 rows with the smallest `xxhash64(keys)` — a
     * uniform sample over the (unique, by contract) key tuples, fetched
@@ -292,7 +300,16 @@ object Scale {
     * SortOrder ranks NaN greatest, so a NaN row would bucket low but
     * sort last (canonicalize NaNs out first, e.g. `nanvl`). The
     * production keys here are strings and longs. */
-  private[ops] def rangeBucket(df: DataFrame, keys: Seq[SortKey], parts: Int): Column = {
+  private[ops] def rangeBucket(df: DataFrame, keys: Seq[SortKey], parts: Int): Column =
+    rangeBucketSearchCol(df, keys, sampleBoundaries(df, keys, parts))
+
+  /** The ≈equal-frequency boundary sample behind [[rangeBucket]]: the
+    * `parts`×32 rows with the smallest key-tuple hash, stride-indexed to
+    * `parts − 1` boundary tuples, sorted in the key order. One bounded
+    * TakeOrdered job + a metadata-sized collect (the suite's documented
+    * driver-collect class). */
+  private[ops] def sampleBoundaries(
+      df: DataFrame, keys: Seq[SortKey], parts: Int): Seq[org.apache.spark.sql.Row] = {
     val keyCols = keys.map(k => col(k.name))
     val sample =
       if (parts == 1) Array.empty[org.apache.spark.sql.Row]
@@ -304,11 +321,38 @@ object Scale {
         .orderBy(keys.map(_.order): _*) // tiny sorted boundary table
         .collect()
     val m = sample.length
-    val boundaries = (1 until parts).map(j => j * m / parts)
+    (1 until parts).map(j => j * m / parts)
       .filter(i => i > 0 && i < m).distinct.map(sample(_))
+  }
+
+  /** The binary-search bucket Column over FROZEN `boundaries` (sorted in
+    * the key order, as [[sampleBoundaries]] returns them). Boundary
+    * values are embedded cast to the key columns' exact types — the
+    * comparison semantics depend on it. */
+  private[ops] def rangeBucketSearchCol(
+      df: DataFrame, keys: Seq[SortKey],
+      boundaries: Seq[org.apache.spark.sql.Row]): Column =
+    if (boundaries.isEmpty) lit(0)
+    else {
+      graft.functions.VectorExpressions.register(df.sparkSession)
+      val keyCols = keys.map(k => col(k.name))
+      val types = df.select(keyCols: _*).schema.fields.map(_.dataType)
+      val descLit = array(keys.map(k => lit(k.desc)): _*)
+      val bndLit = array(boundaries.map { b =>
+        struct(keys.indices.map(i => lit(b.get(i)).cast(types(i))): _*)
+      }: _*)
+      call_function("range_bucket_search", descLit +: bndLit +: keyCols: _*)
+    }
+
+  /** The r10 literal `when`-chain form of [[rangeBucket]], retained as
+    * the executable SPEC of the bucket order: ScaleSpec property-tests
+    * the binary-search expression against this chain (nulls, desc, equal
+    * tuples) so the evaluation-strategy swap can never drift the
+    * semantics. Never called from production code — O(parts) per row. */
+  private[ops] def rangeBucketChain(
+      boundaries: Seq[org.apache.spark.sql.Row], keys: Seq[SortKey]): Column =
     if (boundaries.isEmpty) lit(0)
     else boundaries.map(b => when(boundaryLte(b, keys), 1).otherwise(0)).reduce(_ + _)
-  }
 
   /** `boundary ≤ row` under the lexicographic key order, with the
     * boundary's values known constants (so null boundary components

@@ -1691,11 +1691,16 @@ object Curation {
     * combinable aggregation — never a per-query ranking window, so a
     * stopword-heavy probe whose posting list spans the whole corpus
     * cannot serialize onto one task. The self-score join broadcasts
-    * (#probes rows). */
-  val retrievalMrr = QuerySpec(
-    "q_retrieval_mrr",
+    * (#probes rows).
+    *
+    * Two registered instances share this body, differing ONLY in the
+    * probe predicate: [[retrievalMrr]] (probes = every 97th doc — grows
+    * with the corpus, the workload-scaling diagnostic) and
+    * [[retrievalMrrFixed]] (probes capped at 6 fixed ids — the
+    * plan-scaling gate). */
+  private def retrievalMrrSql(probePred: String): String =
     s"""WITH q AS (SELECT doc_id AS q_id, text FROM documents
-                   WHERE doc_id % 97 = 0),
+                   WHERE $probePred),
         qt AS (SELECT DISTINCT q_id, u.token
                FROM q, UNNEST(list_slice(str_split(text, ' '), 1, 5)) AS u(token)),
         tok AS (SELECT doc_id, u.token
@@ -1725,10 +1730,15 @@ object Curation {
         SELECT q_id, CAST(rnk AS BIGINT) AS rnk,
                CAST(1000000 // rnk AS BIGINT) AS rr_ppm,
                CAST(n_cands AS BIGINT) AS n_cands
-        FROM rk""") {
-    (s, d) =>
+        FROM rk"""
+
+  /** Shared Spark program of [[retrievalMrr]] / [[retrievalMrrFixed]] —
+    * see [[retrievalMrrSql]]'s scaladoc for the plan rationale; the two
+    * registered instances differ ONLY in `probe`. */
+  private def retrievalMrrOf(
+      s: SparkSession, d: String, probe: org.apache.spark.sql.Column): DataFrame = {
       val corpus = docs(s, d)
-      val qt = corpus.filter(col("doc_id") % 97 === 0)
+      val qt = corpus.filter(probe)
         .select(col("doc_id").as("q_id"),
           explode(array_distinct(slice(split(col("text"), " "), 1, 5))).as("token"))
       val tok = corpus
@@ -1758,6 +1768,29 @@ object Curation {
         .select(col("q_id"), col("rnk").cast("long").as("rnk"),
           expr("1000000L div rnk").cast("long").as("rr_ppm"),
           col("n_cands").cast("long").as("n_cands"))
+  }
+
+  val retrievalMrr = QuerySpec(
+    "q_retrieval_mrr", retrievalMrrSql("doc_id % 97 = 0")) {
+    (s, d) => retrievalMrrOf(s, d, col("doc_id") % 97 === 0)
+  }
+
+  /** Fixed-eval-set twin of [[retrievalMrr]] — the plan-scaling GATE to
+    * that query's workload-scaling DIAGNOSTIC. q_retrieval_mrr's probe
+    * set grows with the corpus by construction (every 97th doc), so its
+    * (probes × postings) aggregation carries the suite's one super-
+    * linear ScaleProbe factor — a property of the WORKLOAD, not the
+    * plan. This twin runs the byte-identical plan with the probe set
+    * capped at the 6 sf0.001-tier probes (doc_id % 97 = 0 AND doc_id <
+    * 500 — the same 6 ids at every SF, matching a production eval set's
+    * fixed size), so its probe factor isolates the plan: corpus-linear
+    * token/dl/df streams, constant probe fan-out. The r10 verdict's
+    * documented asterisk retires here: NOTES records the probe factors
+    * ≤1.5× per 10× step. */
+  val retrievalMrrFixed = QuerySpec(
+    "q_retrieval_mrr_fixed",
+    retrievalMrrSql("doc_id % 97 = 0 AND doc_id < 500")) {
+    (s, d) => retrievalMrrOf(s, d, col("doc_id") % 97 === 0 && col("doc_id") < 500)
   }
 
   // -------------------------------------------------------------------
@@ -2060,7 +2093,8 @@ object Curation {
     packChunks, sketchKmv, sketchBloom, sketchHll, histogramEquidepth,
     splitAssign, splitLeakageSafe, shuffleShard, sourceOverlap, tfidfTopk, embedProject, qualityAudit,
     bpeMerges, bpeTokenize, mixRates, kmvJaccard, chunkOverlap, chunkContent, kmvAgg,
-    lmFluency, cooccurPmi, bm25Topk, hybridRrf, retrievalMrr, textBoilerplate,
+    lmFluency, cooccurPmi, bm25Topk, hybridRrf, retrievalMrr, retrievalMrrFixed,
+    textBoilerplate,
     textDiversity,
     textReadability)
 }

@@ -538,7 +538,210 @@ object GraphOps {
           coalesce(col("in_scc"), lit(0L)).cast("long").as("in_scc"))
   }
 
+  /** Edges restricted to the active vertex subset — both endpoints must
+    * survive. Two semi-joins; the checkpointed edge table arrives
+    * pre-partitioned on src, so the src side reuses its exchange. */
+  private def sccRestrict(e: DataFrame, v: DataFrame): DataFrame =
+    e.join(v.select(col("v").as("src")), Seq("src"), "left_semi")
+      .join(v.select(col("v").as("dst")), Seq("dst"), "left_semi")
+
+  /** ONE trim round of [[sccDecompose]] (q_builder_scc_trim_round):
+    * survivors are the vertices with ≥1 in-edge AND ≥1 out-edge inside
+    * the active subgraph. A vertex failing either test cannot sit on a
+    * cycle, so it is a singleton SCC — trimming it costs two
+    * metadata-narrow distinct projections + two equi-joins, against the
+    * alternative of a full forward+backward reachability pass PER
+    * singleton (the classic FW-BW degeneracy on DAG-shaped remainders:
+    * n singletons would take n pivot recursions without this peel). */
+  private[graft] def sccTrimRound(eV: DataFrame, v: DataFrame): DataFrame =
+    v.join(eV.select(col("src").as("v")).distinct(), "v")
+      .join(eV.select(col("dst").as("v")).distinct(), "v")
+
+  /** Full strongly-connected-components decomposition — the recursive
+    * FW-BW divide-and-conquer (Fleischer, Hendrickson & Pınar) the
+    * [[graphSccPivot]] kernel was documented to need only driver-side
+    * control flow for, now written and gated. Returns ((v, scc_id) for
+    * EVERY input vertex — scc_id = the minimum id in the vertex's SCC —
+    * plus the pivot-recursion count the spec pins).
+    *
+    * Driver loop over a worklist of vertex subsets:
+    *   1. TRIM: peel vertices with no in- or no out-edge in the active
+    *      subgraph ([[sccTrimRound]]) to fixpoint (bounded rounds —
+    *      stopping early is safe, it only leaves more for the pivot
+    *      step). Peeled vertices emit as singleton SCCs. This is what
+    *      keeps the recursion depth a property of the CONDENSATION, not
+    *      the vertex count: DAG-shaped remainders (the express fan-out,
+    *      the odd fan-in — at web scale, the vast majority of a link
+    *      graph) drain here in O(diameter) cheap rounds instead of one
+    *      full reachability recursion per singleton.
+    *   2. PIVOT: pivot = min surviving id; F / B = forward/backward
+    *      reachability via the [[ssspWithRounds]] relaxation at unit
+    *      weight (per-round checkpoint+release, (count, sum) fixpoint,
+    *      the q_builder_sssp_round-gated body); SCC = F ∩ B emits with
+    *      scc_id = pivot (pivot is the subset minimum, hence its SCC's
+    *      minimum — which makes labels the closed-form min-id). The
+    *      three remainders F∖B, B∖F, V∖(F∪B) — each of which provably
+    *      contains no SCC spanning into another — re-enter the worklist.
+    *
+    * Memory discipline: every subset/edge/fragment table is
+    * localCheckpoint'ed and released as soon as nothing reads it; the
+    * emitted fragments' blocks are leased to the consuming query (the
+    * [[ssspWithRounds]] convention). Fails loudly past `maxPivots` —
+    * a silent cap would emit unlabeled vertices. */
+  private[graft] def sccDecompose(
+      edges0: DataFrame, vertices0: DataFrame, maxPivots: Int,
+      maxTrimRounds: Int = 8, reachRounds: Int = 64): (DataFrame, Int) = {
+    import scala.collection.mutable
+    type Tracked = (DataFrame, Seq[org.apache.spark.rdd.RDD[_]])
+    val (edges, edgesRdds) = TextDedup.localCheckpointTracked(
+      edges0.toDF("src", "dst").repartition(col("src")))
+    val pieces = mutable.ListBuffer.empty[Tracked]
+    def emit(df: DataFrame): Unit =
+      pieces += TextDedup.localCheckpointTracked(df.toDF("v", "scc_id"))
+    val queue = mutable.Queue(TextDedup.localCheckpointTracked(vertices0.toDF("v")))
+    def releaseAll(extra: Seq[org.apache.spark.rdd.RDD[_]]*): Unit = {
+      extra.foreach(TextDedup.release)
+      queue.foreach(t => TextDedup.release(t._2))
+      pieces.foreach(t => TextDedup.release(t._2))
+      TextDedup.release(edgesRdds)
+    }
+    var pivots = 0
+    while (queue.nonEmpty) {
+      var (v, vRdds) = queue.dequeue()
+      var n = v.count()
+      var eV: DataFrame = null
+      var eVRdds: Seq[org.apache.spark.rdd.RDD[_]] = Nil
+      def swapEv(t: Tracked): Unit = {
+        if (eV ne null) TextDedup.release(eVRdds)
+        eV = t._1; eVRdds = t._2
+      }
+      // ---- trim to the ≥1-in/≥1-out core ----
+      var atFixpoint = false
+      var trims = 0
+      while (n > 1 && !atFixpoint && trims < maxTrimRounds) {
+        swapEv(TextDedup.localCheckpointTracked(sccRestrict(edges, v)))
+        val (core, coreRdds) = TextDedup.localCheckpointTracked(sccTrimRound(eV, v))
+        val m = core.count()
+        if (m == n) { TextDedup.release(coreRdds); atFixpoint = true }
+        else {
+          emit(v.join(core, Seq("v"), "left_anti")
+            .select(col("v"), col("v").as("scc_id")))
+          TextDedup.release(vRdds)
+          v = core; vRdds = coreRdds; n = m
+        }
+        trims += 1
+      }
+      if (n > 1 && !atFixpoint) // trim capped mid-peel: eV is stale
+        swapEv(TextDedup.localCheckpointTracked(sccRestrict(edges, v)))
+      // ---- pivot ----
+      if (n == 1)
+        emit(v.select(col("v"), col("v").as("scc_id")))
+      else if (n > 1) {
+        pivots += 1
+        if (pivots > maxPivots) {
+          releaseAll(vRdds, eVRdds)
+          throw new IllegalStateException(
+            s"scc decomposition exceeded $maxPivots pivot recursions — " +
+              "condensation larger than expected, or trim is not draining")
+        }
+        val pivot = v.agg(min(col("v"))).head().getLong(0)
+        val eW = eV.withColumn("w", lit(1L))
+        val (fwd, _) = ssspWithRounds(eW, pivot, reachRounds)
+        val (bwd, _) = ssspWithRounds(
+          eW.select(col("dst").as("src"), col("src").as("dst"), col("w")),
+          pivot, reachRounds)
+        val f = fwd.select("v")
+        val b = bwd.select("v")
+        emit(f.join(b, "v").select(col("v"), lit(pivot).as("scc_id")))
+        Seq(
+          f.join(b, Seq("v"), "left_anti"),
+          b.join(f, Seq("v"), "left_anti"),
+          v.join(f, Seq("v"), "left_anti").join(b, Seq("v"), "left_anti"))
+          .foreach { sub =>
+            val t = TextDedup.localCheckpointTracked(sub)
+            if (t._1.count() > 0) queue += t else TextDedup.release(t._2)
+          }
+      }
+      TextDedup.release(vRdds)
+      if (eV ne null) TextDedup.release(eVRdds)
+    }
+    TextDedup.release(edgesRdds)
+    if (pieces.isEmpty)
+      (vertices0.toDF("v").select(col("v"), col("v").as("scc_id")), pivots)
+    else {
+      val out = pieces.map(_._1).reduce(_.unionByName(_))
+      pieces.foreach(_._2.foreach(graft.ops.Caches.leaseRdd))
+      (out, pivots)
+    }
+  }
+
+  /** The crafted multi-SCC digraph for [[graphScc]] ([[sccEdges]]'
+    * convention — everything derives from the documents ids). Families:
+    *   - three disjoint directed cycles: evens 0–8, evens 12–20, evens
+    *     24–32 (chain i → i+2 plus one back edge hi → lo each) — the
+    *     ≥3 nontrivial SCCs;
+    *   - two bridges 8 → 12 and 20 → 24 — the condensation is a chain,
+    *     so min-pivot recursion must walk all three cycles (depth 3);
+    *   - express 0 → e for every even e outside the cycles (10, 22,
+    *     ≥34) — out-only singletons (F ∖ SCC fodder, trim-peeled);
+    *   - odd fan-in i → 0 for every odd i — in-only singletons.
+    * The bridge/back-edge targets are literals guarded by the id's
+    * existence in the table: a doc-id gap breaks a cycle and fails the
+    * closed form LOUDLY (labels diverge) instead of dropping rows. */
+  private[graft] def sccFullEdges(s: SparkSession, d: String): DataFrame = {
+    val ids = graft.Tables.documents(s, d).select("doc_id")
+    val evens = ids.filter(col("doc_id") % 2 === 0)
+    def cyc(lo: Int, hi: Int): DataFrame = {
+      val ev = evens.filter(col("doc_id").between(lo, hi))
+      val chain = ev.toDF("src").join(ev.toDF("dst"), expr("dst = src + 2"))
+        .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      val back = ids.filter(col("doc_id") === hi)
+        .select(col("doc_id").cast("long").as("src"), lit(lo.toLong).as("dst"))
+      chain.unionByName(back)
+    }
+    def bridge(from: Int, to: Int): DataFrame =
+      ids.filter(col("doc_id") === from)
+        .select(col("doc_id").cast("long").as("src"), lit(to.toLong).as("dst"))
+    val express = evens
+      .filter(col("doc_id") === 10 || col("doc_id") === 22 || col("doc_id") >= 34)
+      .select(lit(0L).as("src"), col("doc_id").cast("long").as("dst"))
+    val oddIn = ids.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id").cast("long").as("src"), lit(0L).as("dst"))
+    cyc(0, 8).unionByName(cyc(12, 20)).unionByName(cyc(24, 32))
+      .unionByName(bridge(8, 12)).unionByName(bridge(20, 24))
+      .unionByName(express).unionByName(oddIn)
+  }
+
+  /** ALL strongly connected components — the complete decomposition a
+    * user asking "which docs are mutually linked?" actually wants
+    * (q_graph_scc_pivot answers it for ONE pivot; this labels every
+    * vertex). Runs [[sccDecompose]] over [[sccFullEdges]]' three-cycle
+    * chain condensation; the closed-form oracle is derivable because
+    * the topology is a function of doc_id: min-id labels are 0 / 12 /
+    * 24 for the cycle members and self for every singleton. The gate's
+    * teeth: a direction mix-up merges cycle families through the
+    * one-way bridges; a trim that over-peels drops cycle members to
+    * self-labels; a recursion that stops after one pivot leaves cycles
+    * B and C mislabeled — each a loud label divergence. Depth is pinned
+    * by GraphProfilingSpec (3 pivots — the condensation chain — plus
+    * trim rounds, NEVER one per singleton). */
+  val graphScc = QuerySpec(
+    "q_graph_scc",
+    """SELECT doc_id,
+              CAST(CASE
+                WHEN doc_id % 2 = 0 AND doc_id <= 8 THEN 0
+                WHEN doc_id % 2 = 0 AND doc_id BETWEEN 12 AND 20 THEN 12
+                WHEN doc_id % 2 = 0 AND doc_id BETWEEN 24 AND 32 THEN 24
+                ELSE doc_id END AS BIGINT) AS scc_id
+       FROM documents""") {
+    (s, d) =>
+      val verts = graft.Tables.documents(s, d)
+        .select(col("doc_id").cast("long").as("v"))
+      val (out, _) = sccDecompose(sccFullEdges(s, d), verts, maxPivots = 8)
+      out.select(col("v").as("doc_id"), col("scc_id").cast("long").as("scc_id"))
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(kcore, bfsHops, linkPredict, graphAdversarial, graphSssp, pprSeed,
-      graphSccPivot)
+      graphSccPivot, graphScc)
 }

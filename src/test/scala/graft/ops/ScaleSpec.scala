@@ -179,6 +179,80 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("rangeBucket binary search == the r10 literal chain (nulls, desc, boundary-equal rows)") {
+    // The evaluation-strategy swap must not move a single row: the chain
+    // (retained as rangeBucketChain, the executable spec of the bucket
+    // order) and the binary-search expression run over the SAME frozen
+    // boundaries on data with null keys, both directions, and rows equal
+    // to boundary tuples (every boundary IS a data row here).
+    val rnd = new scala.util.Random(17)
+    val rows = (1 to 400).map { i =>
+      val n: Option[Long] = if (rnd.nextInt(5) == 0) None else Some(rnd.nextInt(40).toLong)
+      (n, s"tok${rnd.nextInt(90)}_$i", rnd.nextInt(1000))
+    }
+    val df = rows.toDF("n", "token", "m")
+    val keySets = Seq(
+      Seq(Scale.SortKey("n", desc = true), Scale.SortKey("token")),
+      Seq(Scale.SortKey("n"), Scale.SortKey("token", desc = true)),
+      Seq(Scale.SortKey("m"), Scale.SortKey("token"))) // int key — cast path
+    for (keys <- keySets; parts <- Seq(2, 16, 64)) {
+      val boundaries = Scale.sampleBoundaries(df, keys, parts)
+      assert(boundaries.nonEmpty, s"fixture must yield boundaries at parts=$parts")
+      val both = df
+        .withColumn("bs", Scale.rangeBucketSearchCol(df, keys, boundaries))
+        .withColumn("bc", Scale.rangeBucketChain(boundaries, keys))
+      val diff = both.filter(col("bs") =!= col("bc")).count()
+      assert(diff === 0,
+        s"search/chain diverged on $diff rows at keys=$keys parts=$parts")
+    }
+  }
+
+  test("distributedRank at parts=2048: exact, codegen'd, constant-size expression") {
+    // The r10 cliff this guards: the when-chain form at parts ~10³ was
+    // thousands of comparison terms per row and a generated method large
+    // enough to abandon whole-stage codegen. The search expression must
+    // (a) still bit-match the single-window rank, (b) carry the boundary
+    // table OUTSIDE the expression tree (O(1) nodes however large parts
+    // is), and (c) stay inside WholeStageCodegen with fallback disabled
+    // so a compile failure is loud.
+    import org.apache.spark.sql.expressions.Window
+    // spark.range, not a local Seq: ConvertToLocalRelation would fold the
+    // projection over a LocalRelation eagerly (interpreted, no physical
+    // plan to observe) and the codegen assertion would be vacuous
+    val df = spark.range(1, 6001).selectExpr(
+      "concat('t', id % 211, '_', id) AS token", "id % 97 AS n")
+    val fallback = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val naive = df.withColumn("rnk",
+        row_number().over(Window.orderBy(col("n").desc, col("token"))).cast("long"))
+      val dist = Scale.distributedRank(df, descKeys, parts = 2048, outCol = "rnk")
+      assert(dist.except(naive).count() === 0 && naive.except(dist).count() === 0)
+      // (b): the analyzed expression holds ~2k boundaries yet is 3 nodes
+      val bucketed = df.withColumn("b", Scale.rangeBucket(df, descKeys, 2048))
+      val rbs = bucketed.queryExecution.analyzed.expressions
+        .flatMap(_.collect { case r: graft.functions.RangeBucketSearch => r })
+      assert(rbs.nonEmpty, "rangeBucket must resolve to RangeBucketSearch")
+      assert(rbs.head.boundaries.length > 1000,
+        s"fixture must exercise a large boundary table, got ${rbs.head.boundaries.length}")
+      val nodes = rbs.head.collect { case e => e }.size
+      assert(nodes <= 8,
+        s"expression tree must be O(1) in parts, got $nodes nodes")
+      // (c): the bucket projection runs inside WholeStageCodegen
+      import org.apache.spark.sql.execution.{ProjectExec, WholeStageCodegenExec}
+      val wsc = bucketed.queryExecution.executedPlan.collect {
+        case w: WholeStageCodegenExec => w
+      }
+      val covered = wsc.exists(_.collect { case p: ProjectExec => p }.exists(
+        _.projectList.exists(
+          _.collect { case _: graft.functions.RangeBucketSearch => () }.nonEmpty)))
+      assert(covered,
+        s"bucket projection must be codegen'd:\n${bucketed.queryExecution.executedPlan}")
+      assert(bucketed.groupBy("b").count().count() > 1500,
+        "large-parts bucketing must actually spread the data")
+    } finally spark.conf.set("spark.sql.codegen.fallback", fallback)
+  }
+
   test("prefixSum in-bucket windows partition by (group, bucket), not group alone") {
     // the point of the two-phase scan: the big window's partitioning must
     // include the bucket, so parallelism is #(group, bucket) not #group

@@ -121,6 +121,63 @@ class GraphProfilingSpec extends SparkSpec {
     graft.ops.Caches.drain()
   }
 
+  test("sccDecompose: full decomposition labels every vertex with its SCC's min id") {
+    // two cycles joined by a one-way bridge, a DAG tail feeding in, an
+    // isolated vertex, and a self-loop — every structural case at once
+    val e = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L), // cycle A
+      (5L, 6L), (6L, 5L),           // cycle B
+      (3L, 5L),                     // bridge A→B (one-way)
+      (8L, 9L), (9L, 1L),           // DAG tail into A
+      (11L, 11L))                   // self-loop singleton
+      .toDF("src", "dst")
+    val v = Seq(1L, 2L, 3L, 5L, 6L, 8L, 9L, 10L, 11L).toDF("v")
+    val (out, pivots) = GraphOps.sccDecompose(e, v, maxPivots = 5)
+    val labels = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L,
+      8L -> 8L, 9L -> 9L, 10L -> 10L, 11L -> 11L))
+    // trim peels the tail + isolate; the self-loop survives trim but is
+    // emitted as a size-1 subset without a reachability pass — so only
+    // the two cycles cost pivots
+    assert(pivots === 2, s"expected 2 pivot recursions, got $pivots")
+    graft.ops.Caches.drain()
+  }
+
+  test("sccDecompose: a pure DAG drains entirely in trim — zero pivot recursions") {
+    // the FW-BW degeneracy the trim step exists for: without it, n
+    // singletons cost n forward+backward reachability recursions
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("src", "dst")
+    val v = Seq(1L, 2L, 3L, 4L).toDF("v")
+    val (out, pivots) = GraphOps.sccDecompose(e, v, maxPivots = 1)
+    assert(out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+    assert(pivots === 0, s"a DAG must never pivot, got $pivots")
+    graft.ops.Caches.drain()
+  }
+
+  test("sccDecompose: recursion depth on the crafted documents topology is the condensation chain") {
+    // three cycles bridged into a chain condensation → exactly 3 pivots,
+    // regardless of how many express/fan-in singletons surround them
+    val d = "/root/testdata/sf0.001"
+    val verts = graft.Tables.documents(spark, d)
+      .select(col("doc_id").cast("long").as("v"))
+    val (out, pivots) = GraphOps.sccDecompose(
+      GraphOps.sccFullEdges(spark, d), verts, maxPivots = 8)
+    assert(pivots === 3, s"condensation chain of 3 cycles must pivot 3×, got $pivots")
+    val labels = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size === 500, "every document labeled exactly once")
+    (0 to 499).foreach { i =>
+      val want =
+        if (i % 2 == 0 && i <= 8) 0L
+        else if (i % 2 == 0 && i >= 12 && i <= 20) 12L
+        else if (i % 2 == 0 && i >= 24 && i <= 32) 24L
+        else i.toLong
+      assert(labels(i.toLong) === want, s"doc $i")
+    }
+    graft.ops.Caches.drain()
+  }
+
   test("pagerankRounds: an empty seed set fails loudly, not with silent null ranks") {
     // `scale div n` at n=0 is NULL on Spark but a div-by-zero ERROR in
     // DuckDB — asymmetric failure modes for the same degenerate input;
