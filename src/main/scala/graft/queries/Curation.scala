@@ -441,6 +441,116 @@ object Curation {
   }
 
   // -------------------------------------------------------------------
+  // HDR log-linear quantile sketch
+  // -------------------------------------------------------------------
+
+  /** Shared integer bucket math of [[sketchHdrQuantile]] — factored so
+    * the spec can pin the error bound per bucket. Index of cents c ≥ 1:
+    * identity below 8; else 8·⌊log₂c⌋ + top-3-mantissa-bits — the
+    * HdrHistogram / DDSketch log-linear layout with 8 subbuckets per
+    * octave, pure integer (length(bin()) is ⌊log₂⌋+1, shift+mask the
+    * mantissa), so both engines bucket bit-identically. Lower bound of
+    * index i ≥ 8: (8 + i mod 8) · 2^(i div 8 − 3). Relative bucket
+    * width ≤ 1/8 ⇒ quantile estimates carry ≤ 12.5% relative error. */
+  private[queries] val hdrIdxSql =
+    """CASE WHEN cents < 8 THEN cents
+            ELSE 8 * (length(bin(cents)) - 1)
+                 + (shiftright(cents, length(bin(cents)) - 4) & 7) END"""
+  private[queries] val hdrIdxDuck =
+    """CASE WHEN cents < 8 THEN cents
+            ELSE 8 * (length(bin(cents)) - 1)
+                 + ((cents >> (length(bin(cents)) - 4)) & 7) END"""
+  private[queries] val hdrLbSql =
+    "CASE WHEN eidx < 8 THEN eidx ELSE shiftleft(8 + eidx % 8, CAST(eidx div 8 AS INT) - 3) END"
+  private[queries] val hdrLbDuck =
+    "CASE WHEN eidx < 8 THEN eidx ELSE (8 + eidx % 8) << (eidx // 8 - 3) END"
+
+  /** Mergeable quantile sketch — the member the sketch family (KMV /
+    * Bloom / HLL / count-min) was missing: relative-error quantiles
+    * WITHOUT a global sort or exact pass, via the HdrHistogram /
+    * DDSketch log-linear bucket layout (Tene's HdrHistogram; Masson et
+    * al., VLDB'19) on integer cents. The sketch IS a (bucket, count)
+    * table: one map-side-combinable groupBy whose key count is bounded
+    * by 8 buckets per octave × 64 octaves (~200 rows for any int64
+    * range) — mergeable across shards/days/workers by summing counts,
+    * exactly how a 100 TB latency/price distribution is monitored.
+    * Quantile estimate = lower bound of the first bucket whose
+    * cumulative count reaches ⌈q·n⌉ (cumulative over the ~200-row
+    * bucket table — metadata-sized, like every sketch rollup here).
+    *
+    * The exact PERCENTILE_DISC rides along as the per-SF GATE (computed
+    * the q_percentile_disc way; at production scale you'd ship only the
+    * sketch): err_ppm is the integer relative error and within_bound
+    * pins it ≤ 125000 ppm — the layout's ≤1/8 bucket width (the spec
+    * additionally pins the per-bucket bound analytically). All-integer
+    * end to end, so the oracle reproduces the sketch bit-for-bit. */
+  val sketchHdrQuantile = QuerySpec(
+    "q_sketch_hdr_quantile",
+    s"""WITH c AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+                   FROM lineitem
+                   WHERE l_extendedprice > 0),
+        i AS (SELECT cents, $hdrIdxDuck AS idx FROM c),
+        b AS (SELECT idx, count(*) AS cnt FROM i GROUP BY 1),
+        n AS (SELECT sum(cnt) AS n FROM b),
+        cum AS (SELECT idx, sum(cnt) OVER (ORDER BY idx) AS cum FROM b),
+        qs AS (SELECT unnest([50, 90, 95, 99]) AS pct),
+        r AS (SELECT pct, (pct * n.n + 99) // 100 AS rk FROM qs CROSS JOIN n),
+        est0 AS (SELECT r.pct, min(cum.idx) AS eidx
+                 FROM r JOIN cum ON cum.cum >= r.rk GROUP BY 1),
+        est AS (SELECT pct, $hdrLbDuck AS est_cents FROM est0),
+        ex AS (SELECT 50 AS pct, percentile_disc(0.50) WITHIN GROUP (ORDER BY cents) AS exact_cents FROM c
+               UNION ALL SELECT 90, percentile_disc(0.90) WITHIN GROUP (ORDER BY cents) FROM c
+               UNION ALL SELECT 95, percentile_disc(0.95) WITHIN GROUP (ORDER BY cents) FROM c
+               UNION ALL SELECT 99, percentile_disc(0.99) WITHIN GROUP (ORDER BY cents) FROM c)
+        SELECT CAST(est.pct AS BIGINT) AS pct,
+               CAST(est.est_cents AS BIGINT) AS est_cents,
+               CAST(ex.exact_cents AS BIGINT) AS exact_cents,
+               CAST(abs(est.est_cents - ex.exact_cents) * 1000000 // ex.exact_cents
+                    AS BIGINT) AS err_ppm,
+               CAST(CASE WHEN abs(est.est_cents - ex.exact_cents) * 1000000
+                              // ex.exact_cents <= 125000
+                         THEN 1 ELSE 0 END AS BIGINT) AS within_bound
+        FROM est JOIN ex ON ex.pct = est.pct""") {
+    (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val cents = Tables.lineitem(s, d)
+        .filter(col("l_extendedprice") > 0)
+        .select(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("cents"))
+      val b = cents.groupBy(expr(hdrIdxSql).as("idx")).agg(count(lit(1)).as("cnt"))
+      val n = b.agg(sum("cnt").as("n"))
+      val r = n.select(
+          explode(array(Seq(50, 90, 95, 99).map(q => lit(q.toLong)): _*)).as("pct"),
+          col("n"))
+        .withColumn("rk", expr("(pct * n + 99) div 100"))
+      // cumulative + estimate run over the ≤ ~200-row bucket table —
+      // metadata-sized by the layout's octave bound, never the data
+      val cum = b.withColumn("cum", sum("cnt").over(Window.orderBy("idx")))
+      val est = broadcast(r).join(cum, col("cum") >= col("rk"))
+        .groupBy("pct").agg(min("idx").as("eidx"))
+        .select(col("pct"), expr(hdrLbSql).as("est_cents"))
+      val ex = cents.agg(
+          expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY cents)").as("e50"),
+          expr("percentile_disc(0.90) WITHIN GROUP (ORDER BY cents)").as("e90"),
+          expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY cents)").as("e95"),
+          expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY cents)").as("e99"))
+        .select(expr(
+          // Spark's percentile_disc yields DOUBLE even on BIGINT input
+          // (DuckDB keeps BIGINT) — the values are exact integers, so
+          // the cast is lossless and realigns the types
+          """stack(4, 50L, CAST(e50 AS BIGINT), 90L, CAST(e90 AS BIGINT),
+                   95L, CAST(e95 AS BIGINT), 99L, CAST(e99 AS BIGINT))
+             AS (pct, exact_cents)"""))
+      est.join(broadcast(ex), "pct")
+        .select(col("pct").cast("long").as("pct"),
+          col("est_cents").cast("long").as("est_cents"),
+          col("exact_cents").cast("long").as("exact_cents"),
+          expr("abs(est_cents - exact_cents) * 1000000L div exact_cents")
+            .cast("long").as("err_ppm"),
+          when(expr("abs(est_cents - exact_cents) * 1000000L div exact_cents") <= 125000L,
+            1L).otherwise(0L).cast("long").as("within_bound"))
+  }
+
+  // -------------------------------------------------------------------
   // KMV cardinality sketch
   // -------------------------------------------------------------------
 
@@ -1794,6 +1904,129 @@ object Curation {
   }
 
   // -------------------------------------------------------------------
+  // Model-based classification (the learned quality/domain gate)
+  // -------------------------------------------------------------------
+
+  /** Multinomial naive-Bayes train + holdout scoring over (doc_id,
+    * label, text) — factored so the spec can run it on a crafted
+    * separable corpus (distinctive tokens per class ⇒ 100% holdout
+    * accuracy) while the registered query pins cross-engine exactness
+    * on the real corpus. Train split: doc_id % 3 ≠ 0.
+    *
+    * All-integer Fellegi–Sunter-style weights (the q_linkage_fs
+    * convention): w(l,t) = bitlen((c_lt + 1)·S ÷ (c_l + V)) — the
+    * Laplace-smoothed log₂-likelihood at scale S = 2²⁰ — and class
+    * prior bitlen(n_l·S ÷ n); score = prior + Σ tf·w; argmax with
+    * score-desc, label-asc deterministic ties. S bounds: c_lt·S < 2⁶³
+    * holds to ~2⁴² tokens per class; when c_l + V > (c_lt+1)·S the
+    * quotient floors to 0 and bin(0)='0' keeps a floor weight of 1 —
+    * production re-scales S with the corpus. */
+  private[queries] def nbPredictOf(labeled: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val S = 1048576L
+    val tok = labeled.select(col("doc_id"), col("label"),
+      explode(split(col("text"), " ")).as("token"))
+    val tr = tok.filter(col("doc_id") % 3 =!= 0)
+    val clt = tr.groupBy("label", "token").agg(count(lit(1)).as("c"))
+    val cl = clt.groupBy("label").agg(sum("c").as("cl"))
+    val nl = labeled.filter(col("doc_id") % 3 =!= 0)
+      .groupBy("label").agg(count(lit(1)).as("nl"))
+    val sc = tr.agg(countDistinct("token").as("v"))
+      .crossJoin(labeled.filter(col("doc_id") % 3 =!= 0).agg(count(lit(1)).as("n")))
+    val langs = cl.join(nl, "label").crossJoin(broadcast(sc))
+      .withColumn("prior", expr(s"length(bin(nl * $S div n))"))
+    val vocab = clt.select("token").distinct()
+    // the dense model matrix: vocab × classes (V·L rows — the trained
+    // artifact itself; absent (class, token) pairs take the smoothing
+    // floor, which is exactly why the cross join is needed)
+    val model = vocab.crossJoin(broadcast(langs))
+      .join(clt, Seq("label", "token"), "left")
+      .select(col("label"), col("token"),
+        expr(s"length(bin((coalesce(c, 0L) + 1) * $S div (cl + v)))").as("w"))
+    val tf = tok.filter(col("doc_id") % 3 === 0)
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    // model broadcast at this vocabulary; a web-scale V·L matrix joins
+    // as a posting join keyed on token — same plan shape, bigger build
+    val contrib = tf.join(broadcast(model), "token")
+      .groupBy(col("doc_id"), col("label")).agg(sum(col("tf") * col("w")).as("ts"))
+    val testd = labeled.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("label").as("actual_label"))
+    val scores = testd
+      .crossJoin(broadcast(langs.select("label", "prior")))
+      .join(contrib, Seq("doc_id", "label"), "left")
+      .withColumn("score", col("prior") + coalesce(col("ts"), lit(0L)))
+    // per-doc argmax: window keyed on doc_id — high-cardinality
+    // partitioning, L rows per group, fully parallel
+    scores.withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("score").desc, col("label"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("actual_label"), col("label").as("pred_label"),
+        col("score").cast("long").as("score"),
+        when(col("label") === col("actual_label"), 1L).otherwise(0L)
+          .cast("long").as("correct"))
+  }
+
+  /** Learned document classifier — the model-based gate the curation
+    * family's rule-based scores (q_text_stats, q_lm_fluency,
+    * q_text_repetition) stop short of: the fasttext/DCLM-shaped
+    * quality/domain classifier pattern (train a cheap linear model on a
+    * labeled subset, score the corpus, act on the prediction), here
+    * multinomial naive Bayes predicting `lang` from tokens with a ⅔/⅓
+    * content-split. Everything integer ([[nbPredictOf]]), so the oracle
+    * reproduces training AND scoring bit-for-bit — the accuracy on this
+    * near-shared-vocabulary synthetic corpus is close to chance BY
+    * CONSTRUCTION (the per-lang token mixtures barely differ); the
+    * separability property is pinned by the spec's crafted corpus
+    * instead, where holdout accuracy must be 100%.
+    *
+    * Scale shape: one token explode; training counts map-side
+    * combinable; the model is a V×L matrix (broadcast here, a
+    * token-keyed posting join at web scale); scoring is one join + one
+    * (doc, label) partial-aggregated sum; argmax a doc-keyed window
+    * over L rows per group. No global sorts, no driver loops. */
+  val classifyNb = QuerySpec(
+    "q_classify_nb",
+    """WITH tok AS (SELECT doc_id, lang AS label, u.token
+                    FROM documents, UNNEST(str_split(text, ' ')) AS u(token)),
+       tr AS (SELECT * FROM tok WHERE doc_id % 3 <> 0),
+       clt AS (SELECT label, token, count(*) AS c FROM tr GROUP BY 1, 2),
+       cl AS (SELECT label, sum(c) AS cl FROM clt GROUP BY 1),
+       nl AS (SELECT lang AS label, count(*) AS nl FROM documents
+              WHERE doc_id % 3 <> 0 GROUP BY 1),
+       sc AS (SELECT (SELECT count(DISTINCT token) FROM tr) AS v,
+                     (SELECT count(*) FROM documents WHERE doc_id % 3 <> 0) AS n),
+       langs AS (SELECT cl.label, cl.cl, nl.nl,
+                        length(bin(nl.nl * 1048576 // sc.n)) AS prior
+                 FROM cl JOIN nl ON nl.label = cl.label CROSS JOIN sc),
+       vocab AS (SELECT DISTINCT token FROM tr),
+       model AS (SELECT l.label, v.token,
+                        length(bin((COALESCE(c.c, 0) + 1) * 1048576 // (l.cl + sc.v)))
+                          AS w
+                 FROM vocab v CROSS JOIN langs l CROSS JOIN sc
+                 LEFT JOIN clt c ON c.label = l.label AND c.token = v.token),
+       tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+              WHERE doc_id % 3 = 0 GROUP BY 1, 2),
+       contrib AS (SELECT tf.doc_id, m.label, sum(tf.tf * m.w) AS ts
+                   FROM tf JOIN model m ON m.token = tf.token GROUP BY 1, 2),
+       testd AS (SELECT doc_id, lang AS actual_label FROM documents
+                 WHERE doc_id % 3 = 0),
+       scores AS (SELECT t.doc_id, t.actual_label, l.label,
+                         l.prior + COALESCE(c.ts, 0) AS score
+                  FROM testd t CROSS JOIN langs l
+                  LEFT JOIN contrib c ON c.doc_id = t.doc_id AND c.label = l.label),
+       pick AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                          ORDER BY score DESC, label) AS rn
+                FROM scores)
+       SELECT doc_id, actual_label, label AS pred_label,
+              CAST(score AS BIGINT) AS score,
+              CAST(CASE WHEN label = actual_label THEN 1 ELSE 0 END AS BIGINT)
+                AS correct
+       FROM pick WHERE rn = 1""") {
+    (s, d) =>
+      nbPredictOf(docs(s, d).select(col("doc_id"), col("lang").as("label"), col("text")))
+  }
+
+  // -------------------------------------------------------------------
   // Line-level boilerplate detection (CCNet-style)
   // -------------------------------------------------------------------
 
@@ -2094,6 +2327,7 @@ object Curation {
     splitAssign, splitLeakageSafe, shuffleShard, sourceOverlap, tfidfTopk, embedProject, qualityAudit,
     bpeMerges, bpeTokenize, mixRates, kmvJaccard, chunkOverlap, chunkContent, kmvAgg,
     lmFluency, cooccurPmi, bm25Topk, hybridRrf, retrievalMrr, retrievalMrrFixed,
+    classifyNb, sketchHdrQuantile,
     textBoilerplate,
     textDiversity,
     textReadability)

@@ -12,6 +12,60 @@ class CurationSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("nbPredictOf: crafted separable corpus — 100% holdout accuracy, deterministic ties") {
+    // three classes with disjoint signature tokens; the shared filler
+    // token carries no signal. Train = doc_id % 3 != 0, so ids 0/3/6…
+    // are the holdout the model never saw.
+    val rows = for {
+      (label, word) <- Seq(("ca", "alpha"), ("cb", "beta"), ("cc", "gamma"))
+      i <- 0 until 30
+    } yield (Seq("ca", "cb", "cc").indexOf(label) * 100L + i,
+      label, s"$word $word filler $word")
+    val labeled = rows.toDF("doc_id", "label", "text")
+    val out = Curation.nbPredictOf(labeled).cache()
+    val test = rows.count(_._1 % 3 == 0)
+    assert(out.count() === test, "one prediction per holdout doc")
+    assert(out.filter($"correct" === 0).count() === 0,
+      "signature tokens are fully separable — holdout accuracy must be 100%")
+    // tie determinism: a corpus where every class has IDENTICAL text —
+    // all scores equal up to priors; equal priors → smallest label wins
+    val tied = (for {
+      label <- Seq("x1", "x2"); i <- 0 until 9
+    } yield (Seq("x1", "x2").indexOf(label) * 50L + i, label, "same same"))
+      .toDF("doc_id", "label", "text")
+    val tiedOut = Curation.nbPredictOf(tied)
+    assert(tiedOut.select("pred_label").distinct().as[String].collect().toSeq
+      === Seq("x1"), "equal scores must break to the smallest label")
+    out.unpersist()
+  }
+
+  test("hdr quantile sketch: bucket math error bound, monotonicity, mergeability") {
+    // Evaluate the SHARED SQL bucket expressions (the same strings both
+    // engines run) over every cents value up to 200k: index monotone
+    // nondecreasing, lower bound ≤ value, relative error ≤ 1/8
+    val grid = spark.range(1, 200001).selectExpr("id AS cents")
+      .selectExpr("cents", s"${Curation.hdrIdxSql} AS idx")
+      .selectExpr("cents", "idx",
+        s"${Curation.hdrLbSql.replace("eidx", "idx")} AS lb")
+    val bad = grid.filter("lb > cents OR (cents - lb) * 8 > cents").count()
+    assert(bad === 0, "lower bound must satisfy lb <= c and (c - lb)/c <= 1/8")
+    val nonMono = grid
+      .selectExpr("cents", "idx", "lag(idx) OVER (ORDER BY cents) AS pidx")
+      .filter("pidx IS NOT NULL AND pidx > idx").count()
+    assert(nonMono === 0, "bucket index must be monotone in the value")
+    // mergeability: sketch(A ∪ B) == per-bucket sum of sketch(A), sketch(B)
+    val a = spark.range(1, 5000).selectExpr("id * 7 % 90000 + 1 AS cents")
+    val b = spark.range(1, 3000).selectExpr("id * 11 % 70000 + 1 AS cents")
+    def sketch(df: org.apache.spark.sql.DataFrame) =
+      df.selectExpr(s"${Curation.hdrIdxSql} AS idx")
+        .groupBy("idx").agg(count(lit(1)).as("cnt"))
+    val whole = sketch(a.union(b))
+    val merged = sketch(a).union(sketch(b))
+      .groupBy("idx").agg(sum("cnt").as("cnt"))
+    assert(whole.except(merged).count() === 0 && merged.except(whole).count() === 0,
+      "bucket-count sketches must merge by addition")
+  }
+
   test("retrievalMrr: bounds, self-presence, and a crafted unique probe ranks first") {
     val out = Curation.retrievalMrr.fn(spark, sf).cache()
     val probes = Tables.documents(spark, sf)
