@@ -528,19 +528,22 @@ object Curation {
       val est = broadcast(r).join(cum, col("cum") >= col("rk"))
         .groupBy("pct").agg(min("idx").as("eidx"))
         .select(col("pct"), expr(hdrLbSql).as("est_cents"))
-      val ex = cents.agg(
-          expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY cents)").as("e50"),
-          expr("percentile_disc(0.90) WITHIN GROUP (ORDER BY cents)").as("e90"),
-          expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY cents)").as("e95"),
-          expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY cents)").as("e99"))
-        .select(expr(
-          // Spark's percentile_disc yields DOUBLE even on BIGINT input
-          // (DuckDB keeps BIGINT) — the values are exact integers, so
-          // the cast is lossless and realigns the types
-          """stack(4, 50L, CAST(e50 AS BIGINT), 90L, CAST(e90 AS BIGINT),
-                   95L, CAST(e95 AS BIGINT), 99L, CAST(e99 AS BIGINT))
-             AS (pct, exact_cents)"""))
-      est.join(broadcast(ex), "pct")
+      // the exact gate via the DISTRIBUTED histogram-refinement selector
+      // (ops.Quantiles — PERCENTILE_DISC semantics, ceil(q·n) ranks,
+      // matching the sketch's rk and the oracle's WITHIN GROUP): a plain
+      // percentile_disc aggregate buffers the whole column per
+      // percentile in ONE task — the very wall this sketch exists to
+      // avoid, and it showed as a 6.8× ScaleProbe step before this swap.
+      // Cents are integers < 2^53, so the double round-trip is lossless.
+      val qs = Seq(50L, 90L, 95L, 99L)
+      val exact = graft.ops.Quantiles
+        .exactQuantiles(cents, "cents", qs.map(_ / 100.0))
+        .map(_.toLong)
+      val exactCol = qs.tail.zip(exact.tail)
+        .foldLeft(when(col("pct") === qs.head, lit(exact.head))) {
+          case (acc, (p, v)) => acc.when(col("pct") === p, lit(v))
+        }
+      est.withColumn("exact_cents", exactCol)
         .select(col("pct").cast("long").as("pct"),
           col("est_cents").cast("long").as("est_cents"),
           col("exact_cents").cast("long").as("exact_cents"),

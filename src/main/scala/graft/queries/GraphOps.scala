@@ -677,13 +677,16 @@ object GraphOps {
 
   /** The crafted multi-SCC digraph for [[graphScc]] ([[sccEdges]]'
     * convention — everything derives from the documents ids). Families:
-    *   - three disjoint directed cycles: evens 0–8, evens 12–20, evens
-    *     24–32 (chain i → i+2 plus one back edge hi → lo each) — the
-    *     ≥3 nontrivial SCCs;
-    *   - two bridges 8 → 12 and 20 → 24 — the condensation is a chain,
+    *   - three disjoint directed cycles: evens 0–4, evens 8–12, evens
+    *     16–20 (chain i → i+2 plus one back edge hi → lo each) — the
+    *     ≥3 nontrivial SCCs. 3-vertex cycles keep every gate tooth of
+    *     larger ones while halving the run-to-fixpoint reachability
+    *     rounds (the decomposition's cost is round-count × fixed
+    *     per-round cost — the longest forward path sets the floor);
+    *   - two bridges 4 → 8 and 12 → 16 — the condensation is a chain,
     *     so min-pivot recursion must walk all three cycles (depth 3);
-    *   - express 0 → e for every even e outside the cycles (10, 22,
-    *     ≥34) — out-only singletons (F ∖ SCC fodder, trim-peeled);
+    *   - express 0 → e for every even e outside the cycles (6, 14,
+    *     ≥22) — out-only singletons (F ∖ SCC fodder, trim-peeled);
     *   - odd fan-in i → 0 for every odd i — in-only singletons.
     * The bridge/back-edge targets are literals guarded by the id's
     * existence in the table: a doc-id gap breaks a cycle and fails the
@@ -703,12 +706,12 @@ object GraphOps {
       ids.filter(col("doc_id") === from)
         .select(col("doc_id").cast("long").as("src"), lit(to.toLong).as("dst"))
     val express = evens
-      .filter(col("doc_id") === 10 || col("doc_id") === 22 || col("doc_id") >= 34)
+      .filter(col("doc_id") === 6 || col("doc_id") === 14 || col("doc_id") >= 22)
       .select(lit(0L).as("src"), col("doc_id").cast("long").as("dst"))
     val oddIn = ids.filter(col("doc_id") % 2 === 1)
       .select(col("doc_id").cast("long").as("src"), lit(0L).as("dst"))
-    cyc(0, 8).unionByName(cyc(12, 20)).unionByName(cyc(24, 32))
-      .unionByName(bridge(8, 12)).unionByName(bridge(20, 24))
+    cyc(0, 4).unionByName(cyc(8, 12)).unionByName(cyc(16, 20))
+      .unionByName(bridge(4, 8)).unionByName(bridge(12, 16))
       .unionByName(express).unionByName(oddIn)
   }
 
@@ -717,8 +720,8 @@ object GraphOps {
     * (q_graph_scc_pivot answers it for ONE pivot; this labels every
     * vertex). Runs [[sccDecompose]] over [[sccFullEdges]]' three-cycle
     * chain condensation; the closed-form oracle is derivable because
-    * the topology is a function of doc_id: min-id labels are 0 / 12 /
-    * 24 for the cycle members and self for every singleton. The gate's
+    * the topology is a function of doc_id: min-id labels are 0 / 8 /
+    * 16 for the cycle members and self for every singleton. The gate's
     * teeth: a direction mix-up merges cycle families through the
     * one-way bridges; a trim that over-peels drops cycle members to
     * self-labels; a recursion that stops after one pivot leaves cycles
@@ -729,9 +732,9 @@ object GraphOps {
     "q_graph_scc",
     """SELECT doc_id,
               CAST(CASE
-                WHEN doc_id % 2 = 0 AND doc_id <= 8 THEN 0
-                WHEN doc_id % 2 = 0 AND doc_id BETWEEN 12 AND 20 THEN 12
-                WHEN doc_id % 2 = 0 AND doc_id BETWEEN 24 AND 32 THEN 24
+                WHEN doc_id % 2 = 0 AND doc_id <= 4 THEN 0
+                WHEN doc_id % 2 = 0 AND doc_id BETWEEN 8 AND 12 THEN 8
+                WHEN doc_id % 2 = 0 AND doc_id BETWEEN 16 AND 20 THEN 16
                 ELSE doc_id END AS BIGINT) AS scc_id
        FROM documents""") {
     (s, d) =>

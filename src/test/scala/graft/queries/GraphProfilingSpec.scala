@@ -169,9 +169,9 @@ class GraphProfilingSpec extends SparkSpec {
     assert(labels.size === 500, "every document labeled exactly once")
     (0 to 499).foreach { i =>
       val want =
-        if (i % 2 == 0 && i <= 8) 0L
-        else if (i % 2 == 0 && i >= 12 && i <= 20) 12L
-        else if (i % 2 == 0 && i >= 24 && i <= 32) 24L
+        if (i % 2 == 0 && i <= 4) 0L
+        else if (i % 2 == 0 && i >= 8 && i <= 12) 8L
+        else if (i % 2 == 0 && i >= 16 && i <= 20) 16L
         else i.toLong
       assert(labels(i.toLong) === want, s"doc $i")
     }
