@@ -1189,6 +1189,85 @@ object Curation {
         expr("(w * tt + tw * n_tok - 1) div (tw * n_tok)").cast("long").as("epochs"))
   }
 
+  /** Temperature-scaled mixture apportionment — [[mixRates]]' fixed
+    * weights replaced by the α-power law multilingual pretraining mixes
+    * use (p_l ∝ n_l^α, α = 1/2 here: the XLM-R / mT5 "temperature
+    * sampling" that upweights low-resource sources without letting the
+    * head drown the tail; Conneau et al., ACL'20 §3.1). A fixed token
+    * budget (10⁶) is then apportioned EXACTLY by largest-remainder
+    * (Hamilton) rounding, so Σ target_tok == budget bit-for-bit — the
+    * property a downstream packer relies on.
+    *
+    * All-integer end to end: n^(1/2) is an exact integer sqrt (floor of
+    * the correctly-rounded IEEE sqrt, then a ±1 integer correction — both
+    * engines round sqrt identically, and the correction makes even an
+    * off-by-one conversion exact); quota = ⌊B·w/W⌋ with the B·w products
+    * < 2⁵³; remainders rank (rem DESC, source) over the #sources rows.
+    * Scale shape: the corpus-sized work is ONE map-side-combinable
+    * groupBy(source) token count; the sqrt/quota/rank algebra runs on
+    * #sources rows (metadata-sized — the single-task window is over ~20
+    * rows, the same class as [[mixRates]]' scalar crossJoin). */
+  val mixTemperature = QuerySpec(
+    "q_mix_temperature",
+    """WITH t AS (SELECT source,
+                         CAST(SUM(CAST(len(str_split(text, ' ')) AS BIGINT)) AS BIGINT) AS n_tok
+                  FROM documents GROUP BY 1),
+        w AS (SELECT source, n_tok,
+                     s0 + CASE WHEN (s0 + 1) * (s0 + 1) <= n_tok THEN 1 ELSE 0 END
+                        - CASE WHEN s0 * s0 > n_tok THEN 1 ELSE 0 END AS w
+              FROM (SELECT source, n_tok,
+                           CAST(floor(sqrt(CAST(n_tok AS DOUBLE))) AS BIGINT) AS s0
+                    FROM t) t0),
+        g AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM w),
+        a AS (SELECT source, n_tok, w,
+                     (1000000 * w) // tw AS base, (1000000 * w) % tw AS rem
+              FROM w CROSS JOIN g),
+        s AS (SELECT CAST(1000000 - SUM(base) AS BIGINT) AS short FROM a),
+        r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk FROM a)
+        SELECT source, n_tok, CAST(w AS BIGINT) AS w_sqrt,
+               CAST(base + CASE WHEN rk <= short THEN 1 ELSE 0 END AS BIGINT) AS target_tok,
+               CAST((base + CASE WHEN rk <= short THEN 1 ELSE 0 END) * 1000000
+                    // n_tok AS BIGINT) AS rate_ppm
+        FROM r CROSS JOIN s""") {
+    (s, d) =>
+      temperatureApportion(
+        docs(s, d)
+          .groupBy("source")
+          .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_tok")),
+        budget = 1000000L)
+  }
+
+  /** Exact integer sqrt of a non-negative BIGINT column expression:
+    * floor of the IEEE sqrt, then a ±1 correction so w² ≤ n < (w+1)²
+    * holds even where the double conversion rounded across the boundary
+    * (possible for n near 2⁵³). Shared verbatim with the DuckDB oracle. */
+  private[queries] def isqrtExpr(n: String): org.apache.spark.sql.Column = {
+    val s0 = s"CAST(floor(sqrt(CAST($n AS DOUBLE))) AS BIGINT)"
+    expr(s"""$s0 + CASE WHEN ($s0 + 1) * ($s0 + 1) <= $n THEN 1 ELSE 0 END
+                 - CASE WHEN $s0 * $s0 > $n THEN 1 ELSE 0 END""")
+  }
+
+  /** [[mixTemperature]]'s core over any (source, n_tok) frame: α=1/2
+    * temperature weights + largest-remainder apportionment of `budget`
+    * tokens. Everything past the input frame is #sources-row algebra. */
+  private[queries] def temperatureApportion(tok: DataFrame, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = tok.withColumn("w", isqrtExpr("n_tok"))
+    val g = broadcast(w.agg(sum("w").cast("long").as("tw")))
+    val a = w.crossJoin(g)
+      .withColumn("base", expr(s"($budget * w) div tw"))
+      .withColumn("rem", expr(s"($budget * w) % tw"))
+    val short = broadcast(a.agg((lit(budget) - sum("base")).cast("long").as("short")))
+    a.withColumn("rk",
+        row_number().over(Window.orderBy(col("rem").desc, col("source"))))
+      .crossJoin(short)
+      .select(col("source"), col("n_tok"), col("w").cast("long").as("w_sqrt"),
+        expr("base + CASE WHEN rk <= short THEN 1 ELSE 0 END")
+          .cast("long").as("target_tok"),
+        expr("(base + CASE WHEN rk <= short THEN 1 ELSE 0 END) * 1000000 div n_tok")
+          .cast("long").as("rate_ppm"))
+  }
+
   // -------------------------------------------------------------------
   // KMV sketch algebra: pairwise source Jaccard
   // -------------------------------------------------------------------
@@ -2328,7 +2407,7 @@ object Curation {
     decontaminate, textRepetition, piiRedact, sampleWeighted,
     packChunks, sketchKmv, sketchBloom, sketchHll, histogramEquidepth,
     splitAssign, splitLeakageSafe, shuffleShard, sourceOverlap, tfidfTopk, embedProject, qualityAudit,
-    bpeMerges, bpeTokenize, mixRates, kmvJaccard, chunkOverlap, chunkContent, kmvAgg,
+    bpeMerges, bpeTokenize, mixRates, mixTemperature, kmvJaccard, chunkOverlap, chunkContent, kmvAgg,
     lmFluency, cooccurPmi, bm25Topk, hybridRrf, retrievalMrr, retrievalMrrFixed,
     classifyNb, sketchHdrQuantile,
     textBoilerplate,

@@ -72,46 +72,108 @@ object TextDedup {
           .cast("long") * lit(1.0) / nonZero(nTokWs)).as("stopword_ratio"))
   }
 
+  /** Stopword-marker tables of [[langId]], factored object-level so the
+    * eval twin [[langIdEval]] reuses the identical predictor on both
+    * engines (any drift between the two copies would masquerade as a
+    * model-quality change in the eval numbers). */
+  private[queries] val langIdMarkers = Seq(
+    "en" -> "the|a|and|of|to",
+    "de" -> "der|die|das|und|ist|nicht",
+    "fr" -> "le|la|les|et|est|que",
+    "es" -> "el|los|las|es|y|que",
+    "zh" -> "de|shi|le|zai|he")
+  private[queries] val langIdLangs = langIdMarkers.map(_._1)
+
+  /** DuckDB SELECT producing (doc_id, lang, s_en..s_zh, predicted). */
+  private[queries] val langIdPredSql = {
+    def scoreSql(pat: String) = s"CAST(len(regexp_extract_all(lower(text), '\\b($pat)\\b')) AS BIGINT)"
+    val scoreCols = langIdMarkers.map { case (l, p) => s"${scoreSql(p)} AS s_$l" }.mkString(",\n              ")
+    // argmax with priority en > de > fr > es > zh on ties
+    val caseSql = langIdLangs.init.zipWithIndex.map { case (l, i) =>
+      val rest = langIdLangs.drop(i + 1).map(r => s"s_$l >= s_$r").mkString(" AND ")
+      s"WHEN $rest THEN '$l'"
+    }.mkString(" ") + s" ELSE '${langIdLangs.last}'"
+    s"""SELECT doc_id, lang, s_en, s_de, s_fr, s_es, s_zh,
+               CASE $caseSql END AS predicted
+        FROM (SELECT doc_id, lang,
+                $scoreCols
+              FROM documents) sc"""
+  }
+
+  /** Spark twin of [[langIdPredSql]] over any (doc_id, lang, text) frame
+    * — factored from the sf-dir form so specs can feed a crafted corpus. */
+  private[queries] def langIdScoredOf(in: DataFrame): DataFrame = {
+    val scored = langIdMarkers.foldLeft(in) { case (df, (l, p)) =>
+      df.withColumn(s"s_$l",
+        size(expr(s"regexp_extract_all(lower(text), '\\\\b($p)\\\\b', 0)")).cast("long"))
+    }
+    val pred = langIdLangs.init.zipWithIndex.foldLeft(when(lit(false), "")) { case (c, (l, i)) =>
+      val rest = langIdLangs.drop(i + 1).map(r => col(s"s_$l") >= col(s"s_$r")).reduce(_ && _)
+      c.when(rest, l)
+    }.otherwise(langIdLangs.last)
+    scored.select(
+      col("doc_id") +: col("lang") +: langIdLangs.map(l => col(s"s_$l")) :+ pred.as("predicted"): _*)
+  }
+
+  private[queries] def langIdScored(s: SparkSession, d: String): DataFrame =
+    langIdScoredOf(docs(s, d))
+
+  /** Confusion rollup + integer-ppm metrics over any frame carrying
+    * (lang, predicted) — the Spark side of [[langIdEval]]. */
+  private[queries] def langIdConfusion(scored: DataFrame): DataFrame = {
+    val c = scored.groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+    val truth = c.groupBy("lang").agg(
+      sum("n").cast("long").as("support"),
+      sum(when(col("predicted") === col("lang"), col("n")).otherwise(0L))
+        .cast("long").as("tp"))
+    val pr = c.groupBy(col("predicted").as("plang"))
+      .agg(sum("n").cast("long").as("predn"))
+    val predn0 = coalesce(col("predn"), lit(0L))
+    truth.join(broadcast(pr), col("lang") === col("plang"), "left")
+      .select(col("lang"), col("support"), col("tp"),
+        (predn0 - col("tp")).cast("long").as("fp"),
+        (col("support") - col("tp")).cast("long").as("fn"),
+        when(predn0 === 0L, 0L)
+          .otherwise(expr("tp * 1000000 div predn"))
+          .cast("long").as("precision_ppm"),
+        expr("tp * 1000000 div support").cast("long").as("recall_ppm"),
+        expr("2 * tp * 1000000 div (support + coalesce(predn, 0))")
+          .cast("long").as("f1_ppm"))
+  }
+
   /** Language-ID by stopword-marker scoring: count per-language marker
     * words, argmax with a fixed priority order on ties. A real pipeline
     * would use character n-gram profiles; the operator shape (parallel
     * per-language scores → deterministic argmax) is identical. */
-  val langId = {
-    val markers = Seq(
-      "en" -> "the|a|and|of|to",
-      "de" -> "der|die|das|und|ist|nicht",
-      "fr" -> "le|la|les|et|est|que",
-      "es" -> "el|los|las|es|y|que",
-      "zh" -> "de|shi|le|zai|he")
-    def scoreSql(pat: String) = s"CAST(len(regexp_extract_all(lower(text), '\\b($pat)\\b')) AS BIGINT)"
-    val scoreCols = markers.map { case (l, p) => s"${scoreSql(p)} AS s_$l" }.mkString(",\n              ")
-    // argmax with priority en > de > fr > es > zh on ties
-    val langs = markers.map(_._1)
-    val caseSql = langs.init.zipWithIndex.map { case (l, i) =>
-      val rest = langs.drop(i + 1).map(r => s"s_$l >= s_$r").mkString(" AND ")
-      s"WHEN $rest THEN '$l'"
-    }.mkString(" ") + s" ELSE '${langs.last}'"
-    QuerySpec(
-      "q_text_langid",
-      s"""WITH sc AS (
-            SELECT doc_id, lang,
-              $scoreCols
-            FROM documents)
-          SELECT doc_id, lang, s_en, s_de, s_fr, s_es, s_zh,
-                 CASE $caseSql END AS predicted
-          FROM sc""") {
-      (s, d) =>
-        val scored = markers.foldLeft(docs(s, d)) { case (df, (l, p)) =>
-          df.withColumn(s"s_$l",
-            size(expr(s"regexp_extract_all(lower(text), '\\\\b($p)\\\\b', 0)")).cast("long"))
-        }
-        val pred = langs.init.zipWithIndex.foldLeft(when(lit(false), "")) { case (c, (l, i)) =>
-          val rest = langs.drop(i + 1).map(r => col(s"s_$l") >= col(s"s_$r")).reduce(_ && _)
-          c.when(rest, l)
-        }.otherwise(langs.last)
-        scored.select(
-          col("doc_id") +: col("lang") +: langs.map(l => col(s"s_$l")) :+ pred.as("predicted"): _*)
-    }
+  val langId = QuerySpec("q_text_langid", langIdPredSql)(langIdScored)
+
+  /** Classifier evaluation over the language-ID predictor: per-label
+    * confusion counts (tp/fp/fn vs the corpus' `lang` ground truth) and
+    * integer-ppm precision / recall / F1 — the quality gate any learned
+    * or rule-based curation classifier ships behind (2·tp/(2·tp+fp+fn)
+    * ≡ 2·tp/(support+predicted_n), kept in that closed form so the ppm
+    * division happens exactly once per label in both engines). Scale
+    * shape: the corpus-sized work is the predictor scan plus ONE
+    * map-side-combinable groupBy(lang, predicted) down to ≤|L|² rows;
+    * every metric after runs on that metadata-sized confusion table. */
+  val langIdEval = QuerySpec(
+    "q_langid_eval",
+    s"""WITH p AS ($langIdPredSql),
+        c AS (SELECT lang, predicted, count(*) AS n FROM p GROUP BY 1, 2),
+        truth AS (SELECT lang,
+                         CAST(sum(n) AS BIGINT) AS support,
+                         CAST(sum(CASE WHEN predicted = lang THEN n ELSE 0 END) AS BIGINT) AS tp
+                  FROM c GROUP BY 1),
+        pr AS (SELECT predicted AS lang, CAST(sum(n) AS BIGINT) AS predn FROM c GROUP BY 1)
+        SELECT t.lang, t.support, t.tp,
+               CAST(coalesce(pr.predn, 0) - t.tp AS BIGINT) AS fp,
+               CAST(t.support - t.tp AS BIGINT) AS fn,
+               CAST(CASE WHEN coalesce(pr.predn, 0) = 0 THEN 0
+                         ELSE t.tp * 1000000 // pr.predn END AS BIGINT) AS precision_ppm,
+               CAST(t.tp * 1000000 // t.support AS BIGINT) AS recall_ppm,
+               CAST(2 * t.tp * 1000000 // (t.support + coalesce(pr.predn, 0)) AS BIGINT) AS f1_ppm
+        FROM truth t LEFT JOIN pr ON pr.lang = t.lang""") {
+    (s, d) => langIdConfusion(langIdScored(s, d))
   }
 
   /** Character-bigram profile per language label: the building block real
@@ -1982,7 +2044,7 @@ object TextDedup {
   }
 
   val specs: Seq[QuerySpec] = Seq(
-    textStats, langId, ngramProfile, fingerprint, invertedIndex, degreeDist,
+    textStats, langId, langIdEval, ngramProfile, fingerprint, invertedIndex, degreeDist,
     dedupContainment,
     dedupExact, dedupJaccard, dedupSubstring, dedupMinhashLsh, dedupMinhashEstimate,
     dedupLshVerified, dedupWeightedJaccard, dedupLshRecall,

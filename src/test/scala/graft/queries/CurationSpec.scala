@@ -361,4 +361,39 @@ class CurationSpec extends SparkSpec {
     assert(census === mine)
     graft.ops.Caches.drain()
   }
+
+  test("isqrtExpr: exact integer sqrt across word sizes and near-2^52 boundaries") {
+    // the ±1 correction must land w² ≤ n < (w+1)² even where the
+    // double conversion or sqrt rounding crosses an integer boundary
+    val ns = (0L to 120L) ++
+      Seq(1L << 31, (1L << 31) - 1, (1L << 31) + 1).map(x => x * x) ++
+      Seq((1L << 26) - 1, 1L << 26, (1L << 26) + 1).map(x => x * x - 1) ++
+      Seq((1L << 52) - 1, 1L << 52, (1L << 52) + 1, 4503599560980121L)
+    val out = ns.toDF("n_tok").withColumn("w", Curation.isqrtExpr("n_tok"))
+      .as[(Long, Long)].collect()
+    out.foreach { case (n, w) =>
+      assert(w * w <= n && n < (w + 1) * (w + 1), s"isqrt($n) = $w out of bounds")
+    }
+  }
+
+  test("temperatureApportion: exact budget, Hamilton rounding, deterministic ties") {
+    // perfectly divisible: squares 100/400/2500 → weights 10/20/50 of 80
+    val sq = Seq(("a", 100L), ("b", 400L), ("c", 2500L)).toDF("source", "n_tok")
+    val got = Curation.temperatureApportion(sq, budget = 1000000L)
+      .select("source", "w_sqrt", "target_tok").as[(String, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(got.toSeq === Seq(("a", 10L, 125000L), ("b", 20L, 250000L), ("c", 50L, 625000L)))
+    // non-divisible: three weight-1 sources share 1e6 → 333334/333333/333333
+    // with the +1 going to the LEXICALLY SMALLEST source on the full rem tie
+    val tie = Seq(("x", 1L), ("y", 2L), ("z", 3L)).toDF("source", "n_tok")
+    val tieOut = Curation.temperatureApportion(tie, budget = 1000000L)
+      .select("source", "target_tok").as[(String, Long)].collect().toMap
+    assert(tieOut === Map("x" -> 333334L, "y" -> 333333L, "z" -> 333333L))
+    // the property a downstream packer relies on, at the query surface:
+    // Σ target_tok == budget bit-for-bit on the real corpus
+    val total = Curation.mixTemperature.fn(spark, sf)
+      .agg(sum("target_tok")).as[Long].collect().head
+    assert(total === 1000000L, s"apportionment must be exact, got $total")
+    graft.ops.Caches.drain()
+  }
 }

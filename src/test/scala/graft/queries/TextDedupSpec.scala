@@ -360,4 +360,35 @@ class TextDedupSpec extends SparkSpec {
     // value, so no O(df²) key exists (unlike the capped Jaccard family)
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("langIdConfusion: hand-checkable crafted corpus and conservation laws") {
+    // 3 en docs predicted en; 1 de doc full of English markers (predicted
+    // en → en fp, de fn); 2 fr docs predicted fr; 1 fr doc with German
+    // markers (predicted de → de fp, fr fn)
+    val crafted = Seq(
+      (0L, "en", "the cat and the hat"),
+      (1L, "en", "a tale of two cities"),
+      (2L, "en", "to be or not to be"),
+      (3L, "de", "the the the"),
+      (4L, "fr", "le chat et la chatte"),
+      (5L, "fr", "les enfants est que"),
+      (6L, "fr", "der die das und")).toDF("doc_id", "lang", "text")
+    val m = TextDedup.langIdConfusion(TextDedup.langIdScoredOf(crafted))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    // (support, tp, fp, fn, precision_ppm, recall_ppm, f1_ppm)
+    assert(m("en") === ((3L, 3L, 1L, 0L, 750000L, 1000000L, 857142L)))
+    assert(m("de") === ((1L, 0L, 1L, 1L, 0L, 0L, 0L)))
+    assert(m("fr") === ((3L, 2L, 0L, 1L, 1000000L, 666666L, 800000L)))
+    // conservation on the real corpus: Σtp+Σfn = N (every true label
+    // accounted), Σfp = Σfn (every miss is some other label's false hit
+    // when the predictor's range ⊆ the truth label set, as here)
+    val real = TextDedup.langIdEval.fn(spark, "/root/testdata/sf0.001")
+      .agg(sum("tp"), sum("fn"), sum("fp"), sum("support"))
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(real._1 + real._2 === real._4, "tp + fn must equal total support")
+    assert(real._3 === real._2, "fp and fn totals must balance")
+    assert(real._4 === 500L, "sf0.001 documents table is 500 docs")
+  }
 }
