@@ -144,6 +144,15 @@ object PlanFingerprints {
         val v = graft.Tables.documents(s, d)
           .select(col("doc_id").cast("long").as("v"))
         GraphOps.sccTrimRound(e, v)
+      },
+      "q_builder_landmark_round" -> { (s, d) =>
+        // real crafted edge build + one (v, lm)-keyed relaxation
+        val e = GraphOps.landmarkEdges(s, d).repartition(col("src"))
+        val seeds = graft.Tables.documents(s, d)
+          .select(col("doc_id").cast("long").as("v"))
+          .filter(col("v").isin(1L, 2L, 3L))
+          .select(col("v"), col("v").as("lm"), lit(0L).as("hop"))
+        GraphOps.landmarkRound(e, seeds)
       })
   }
 

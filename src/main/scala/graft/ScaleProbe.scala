@@ -20,7 +20,7 @@ object ScaleProbe {
     "q_graph_sssp", "q_linkage_fs", "q_sim_maxsim",
     "q_er_golden", "q_retrieval_mrr", "q_retrieval_mrr_fixed", "q_ppr_seed",
     "q_graph_scc_pivot",
-    "q_classify_nb", "q_sketch_hdr_quantile",
+    "q_classify_nb", "q_sketch_hdr_quantile", "q_graph_landmarks",
     "q_sim_lsh_bucketed", "q_pack_chunks", "q_curation_ingest",
     "q_decontaminate", "q_rank_quartile", "q_text_ngram_profile",
     "q_sketch_bloom", "q_histogram_equidepth", "q_tfidf_topk")

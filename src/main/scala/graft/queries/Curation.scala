@@ -2003,8 +2003,7 @@ object Curation {
     * holds to ~2⁴² tokens per class; when c_l + V > (c_lt+1)·S the
     * quotient floors to 0 and bin(0)='0' keeps a floor weight of 1 —
     * production re-scales S with the corpus. */
-  private[queries] def nbPredictOf(labeled: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  private[queries] def nbScoresOf(labeled: DataFrame): DataFrame = {
     val S = 1048576L
     val tok = labeled.select(col("doc_id"), col("label"),
       explode(split(col("text"), " ")).as("token"))
@@ -2033,20 +2032,57 @@ object Curation {
       .groupBy(col("doc_id"), col("label")).agg(sum(col("tf") * col("w")).as("ts"))
     val testd = labeled.filter(col("doc_id") % 3 === 0)
       .select(col("doc_id"), col("label").as("actual_label"))
-    val scores = testd
+    testd
       .crossJoin(broadcast(langs.select("label", "prior")))
       .join(contrib, Seq("doc_id", "label"), "left")
       .withColumn("score", col("prior") + coalesce(col("ts"), lit(0L)))
-    // per-doc argmax: window keyed on doc_id — high-cardinality
-    // partitioning, L rows per group, fully parallel
-    scores.withColumn("rn", row_number().over(
-        Window.partitionBy("doc_id").orderBy(col("score").desc, col("label"))))
+  }
+
+  /** Per-doc score ranking of [[nbScoresOf]]'s (doc, label) frame: rank 1
+    * is the argmax; rank 2 the runner-up (the margin's other leg). The
+    * window is keyed on doc_id — high-cardinality partitioning, L rows
+    * per group, fully parallel. */
+  private[queries] def nbRankedOf(labeled: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    nbScoresOf(labeled).withColumn("rn", row_number().over(
+      Window.partitionBy("doc_id").orderBy(col("score").desc, col("label"))))
+  }
+
+  private[queries] def nbPredictOf(labeled: DataFrame): DataFrame =
+    nbRankedOf(labeled)
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("actual_label"), col("label").as("pred_label"),
         col("score").cast("long").as("score"),
         when(col("label") === col("actual_label"), 1L).otherwise(0L)
           .cast("long").as("correct"))
-  }
+
+  /** Calibration / reliability rollup over [[nbRankedOf]]: per-doc
+    * confidence = the argmax-vs-runner-up score MARGIN (the integer
+    * log-likelihood-ratio gap — the natural confidence of a linear
+    * log-domain model), bucketed on a log₂ grid (bucket k holds margins
+    * in [2^(k−1), 2^k), capped at 7), with per-bucket holdout accuracy
+    * in ppm. A calibrated gate shows accuracy rising with the bucket —
+    * the evidence needed before acting on the classifier's confidence
+    * (e.g. routing low-margin docs to review instead of dropping them).
+    * Scale shape: the per-doc margin pivot is a (doc, rank≤2) rollup of
+    * the same doc-keyed window as the argmax; the bucket table is ≤8
+    * rows. */
+  private[queries] def nbCalibrationOf(labeled: DataFrame): DataFrame =
+    nbRankedOf(labeled)
+      .filter(col("rn") <= 2)
+      .groupBy("doc_id").agg(
+        max(when(col("rn") === 1, col("score"))).as("s1"),
+        max(when(col("rn") === 1,
+          when(col("label") === col("actual_label"), 1L).otherwise(0L))).as("correct"),
+        max(when(col("rn") === 2, col("score"))).as("s2"))
+      .withColumn("margin", col("s1") - coalesce(col("s2"), col("s1")))
+      .withColumn("bucket", expr("least(length(bin(1 + margin)) - 1, 7)"))
+      .groupBy(col("bucket").cast("long").as("bucket"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum("correct").cast("long").as("n_correct"),
+        expr("sum(correct) * 1000000 div count(1)").cast("long").as("accuracy_ppm"),
+        min("margin").cast("long").as("min_margin"),
+        max("margin").cast("long").as("max_margin"))
 
   /** Learned document classifier — the model-based gate the curation
     * family's rule-based scores (q_text_stats, q_lm_fluency,
@@ -2066,10 +2102,13 @@ object Curation {
     * token-keyed posting join at web scale); scoring is one join + one
     * (doc, label) partial-aggregated sum; argmax a doc-keyed window
     * over L rows per group. No global sorts, no driver loops. */
-  val classifyNb = QuerySpec(
-    "q_classify_nb",
-    """WITH tok AS (SELECT doc_id, lang AS label, u.token
-                    FROM documents, UNNEST(str_split(text, ' ')) AS u(token)),
+  /** DuckDB CTE chain through the ranked (doc, label, score, rn) frame —
+    * factored so [[classifyNb]] and [[classifyCalibration]] share the
+    * trained model and scoring verbatim (a drift between copies would
+    * masquerade as a calibration change). */
+  private[queries] val nbRankedSql =
+    """tok AS (SELECT doc_id, lang AS label, u.token
+               FROM documents, UNNEST(str_split(text, ' ')) AS u(token)),
        tr AS (SELECT * FROM tok WHERE doc_id % 3 <> 0),
        clt AS (SELECT label, token, count(*) AS c FROM tr GROUP BY 1, 2),
        cl AS (SELECT label, sum(c) AS cl FROM clt GROUP BY 1),
@@ -2098,7 +2137,11 @@ object Curation {
                   LEFT JOIN contrib c ON c.doc_id = t.doc_id AND c.label = l.label),
        pick AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
                           ORDER BY score DESC, label) AS rn
-                FROM scores)
+                FROM scores)"""
+
+  val classifyNb = QuerySpec(
+    "q_classify_nb",
+    s"""WITH $nbRankedSql
        SELECT doc_id, actual_label, label AS pred_label,
               CAST(score AS BIGINT) AS score,
               CAST(CASE WHEN label = actual_label THEN 1 ELSE 0 END AS BIGINT)
@@ -2106,6 +2149,32 @@ object Curation {
        FROM pick WHERE rn = 1""") {
     (s, d) =>
       nbPredictOf(docs(s, d).select(col("doc_id"), col("lang").as("label"), col("text")))
+  }
+
+  /** Calibration curve of [[classifyNb]] — see [[nbCalibrationOf]]. */
+  val classifyCalibration = QuerySpec(
+    "q_classify_calibration",
+    s"""WITH $nbRankedSql,
+        m AS (SELECT doc_id,
+                     max(CASE WHEN rn = 1 THEN score END) AS s1,
+                     max(CASE WHEN rn = 1 THEN
+                           CASE WHEN label = actual_label THEN 1 ELSE 0 END
+                         END) AS correct,
+                     max(CASE WHEN rn = 2 THEN score END) AS s2
+              FROM pick WHERE rn <= 2 GROUP BY 1),
+        b AS (SELECT correct,
+                     s1 - COALESCE(s2, s1) AS margin,
+                     least(length(bin(1 + s1 - COALESCE(s2, s1))) - 1, 7) AS bucket
+              FROM m)
+        SELECT CAST(bucket AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(correct) AS BIGINT) AS n_correct,
+               CAST(sum(correct) * 1000000 // count(*) AS BIGINT) AS accuracy_ppm,
+               CAST(min(margin) AS BIGINT) AS min_margin,
+               CAST(max(margin) AS BIGINT) AS max_margin
+        FROM b GROUP BY 1""") {
+    (s, d) =>
+      nbCalibrationOf(docs(s, d).select(col("doc_id"), col("lang").as("label"), col("text")))
   }
 
   // -------------------------------------------------------------------
@@ -2409,7 +2478,7 @@ object Curation {
     splitAssign, splitLeakageSafe, shuffleShard, sourceOverlap, tfidfTopk, embedProject, qualityAudit,
     bpeMerges, bpeTokenize, mixRates, mixTemperature, kmvJaccard, chunkOverlap, chunkContent, kmvAgg,
     lmFluency, cooccurPmi, bm25Topk, hybridRrf, retrievalMrr, retrievalMrrFixed,
-    classifyNb, sketchHdrQuantile,
+    classifyNb, classifyCalibration, sketchHdrQuantile,
     textBoilerplate,
     textDiversity,
     textReadability)

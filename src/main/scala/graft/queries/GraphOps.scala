@@ -744,7 +744,91 @@ object GraphOps {
       out.select(col("v").as("doc_id"), col("scc_id").cast("long").as("scc_id"))
   }
 
+  // -------------------------------------------------------------------
+  // Landmark distance labeling (k sources amortized in ONE loop)
+  // -------------------------------------------------------------------
+
+  /** Crafted doubling-tree digraph for [[graphLandmarks]]: i → 2i and
+    * i → 2i+1 for every PAIR of ids present in documents (ids ≥ 1; the
+    * dst-existence join means a doc-id gap prunes the subtree and fails
+    * the closed-form gate loudly, the [[sccEdges]] convention). Every
+    * vertex x ≥ 2 has the unique parent x >> 1, so the graph is a tree
+    * rooted at 1 and dist(s → x) has a pure-bit-math closed form:
+    * bitlen(x) − bitlen(s) iff s is a binary PREFIX of x
+    * (x >> (bitlen x − bitlen s) = s), unreachable otherwise. */
+  private[graft] def landmarkEdges(s: SparkSession, d: String): DataFrame = {
+    val ids = graft.Tables.documents(s, d)
+      .select(col("doc_id").cast("long").as("id"))
+    val src = ids.filter(col("id") >= 1)
+    src.select(col("id").as("src"), (col("id") * 2).as("dst"))
+      .unionByName(src.select(col("id").as("src"), (col("id") * 2 + 1).as("dst")))
+      .join(ids.select(col("id").as("dst")), Seq("dst"), "left_semi")
+      .select("src", "dst")
+  }
+
+  /** ONE landmark-BFS relaxation round over (v, lm, hop) state
+    * (q_builder_landmark_round): expand every labeled vertex through its
+    * out-edges PER LANDMARK, then MIN-merge with the carried state. The
+    * state key is the (vertex, landmark) pair — that is the whole trick:
+    * k landmarks ride one synchronous loop as k interleaved label sets,
+    * one edge join + one map-side-combinable MIN per round, instead of k
+    * separate traversals re-scanning the edge table k times. */
+  private[graft] def landmarkRound(e: DataFrame, dist: DataFrame): DataFrame =
+    dist.unionByName(
+        e.join(dist.select(col("v").as("src"), col("lm"), col("hop")), "src")
+          .select(col("dst").as("v"), col("lm"), (col("hop") + 1).as("hop")))
+      .groupBy("v", "lm").agg(min("hop").as("hop"))
+
+  /** Landmark distance labeling — the Eppstein–Wang / landmark-embedding
+    * primitive (closeness and distance ESTIMATES for all n vertices from
+    * k ≪ n exact single-source distance sets): exact hop distances from
+    * the landmark set {1, 2, 3} to every reachable vertex of the crafted
+    * doubling tree, all landmarks in ONE loop (see [[landmarkRound]]).
+    * Output is one row per REACHED (vertex, landmark) pair — landmark 1
+    * reaches everything; 2 and 3 reach their binary-prefix subtrees —
+    * against the closed-form bit-math oracle.
+    *
+    * Round count is not probed but PROVEN: the tree's depth is
+    * bitlen(maxId) − 1, computed from one metadata-sized max() collect,
+    * so the loop runs exactly the rounds the longest path needs (the
+    * fixpoint probes q_graph_sssp pays for are unnecessary when the
+    * diameter is known — at web scale you know it from the landmark
+    * construction). Per-round state is ≤ k·n narrow rows, checkpointed
+    * with the block-release discipline of the other iterative loops.
+    * Scale: state shuffles carry (v, lm, hop) longs only; the edge table
+    * is checkpointed once pre-partitioned on src and never re-exchanges;
+    * rounds grow with log(diameter-bounded id range), not data. */
+  val graphLandmarks = QuerySpec(
+    "q_graph_landmarks",
+    """WITH lm AS (SELECT doc_id AS landmark FROM documents WHERE doc_id IN (1, 2, 3))
+       SELECT x.doc_id, l.landmark,
+              CAST(length(bin(x.doc_id)) - length(bin(l.landmark)) AS BIGINT) AS dist
+       FROM (SELECT doc_id FROM documents WHERE doc_id >= 1) x
+       JOIN lm l
+         ON (x.doc_id >> (length(bin(x.doc_id)) - length(bin(l.landmark)))) = l.landmark""") {
+    (s, d) =>
+      val (e, edgeRdds) = TextDedup.localCheckpointTracked(
+        landmarkEdges(s, d).repartition(col("src")))
+      val ids = graft.Tables.documents(s, d)
+        .select(col("doc_id").cast("long").as("v"))
+      val maxId = ids.agg(coalesce(max("v"), lit(1L))).head().getLong(0)
+      val rounds = math.max(63 - java.lang.Long.numberOfLeadingZeros(math.max(maxId, 1L)), 1)
+      var (dist, distRdds) = TextDedup.localCheckpointTracked(
+        ids.filter(col("v").isin(1L, 2L, 3L))
+          .select(col("v"), col("v").as("lm"), lit(0L).as("hop")))
+      for (i <- 1 to rounds) {
+        val (next, nextRdds) = TextDedup.localCheckpointTracked(landmarkRound(e, dist))
+        TextDedup.release(distRdds)
+        dist = next
+        distRdds = nextRdds
+      }
+      TextDedup.release(edgeRdds)
+      distRdds.foreach(graft.ops.Caches.leaseRdd)
+      dist.select(col("v").as("doc_id"), col("lm").as("landmark"),
+        col("hop").cast("long").as("dist"))
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(kcore, bfsHops, linkPredict, graphAdversarial, graphSssp, pprSeed,
-      graphSccPivot, graphScc)
+      graphSccPivot, graphScc, graphLandmarks)
 }

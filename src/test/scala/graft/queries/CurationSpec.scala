@@ -362,6 +362,33 @@ class CurationSpec extends SparkSpec {
     graft.ops.Caches.drain()
   }
 
+  test("nbCalibrationOf: separable corpus is confident-and-right; tied corpus is margin-0 at coin-flip accuracy") {
+    // disjoint signature tokens → every holdout doc classified right
+    // with a LARGE margin: all occupied buckets must be 100% accurate
+    // and bucket 0 (margin < 1) must be empty
+    val rows = for {
+      (label, word) <- Seq(("ca", "alpha"), ("cb", "beta"), ("cc", "gamma"))
+      i <- 0 until 30
+    } yield (Seq("ca", "cb", "cc").indexOf(label) * 100L + i,
+      label, s"$word $word filler $word")
+    val sep = Curation.nbCalibrationOf(rows.toDF("doc_id", "label", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(sep.nonEmpty && sep.forall { case (_, n, c, acc) => n == c && acc == 1000000L },
+      s"separable corpus must be perfectly accurate in every bucket: ${sep.toSeq}")
+    assert(!sep.exists(_._1 == 0L), "signature margins must clear bucket 0")
+    assert(sep.map(_._2).sum === rows.count(_._1 % 3 == 0), "every holdout doc bucketed once")
+    // identical text everywhere → all scores tie → margin 0, bucket 0
+    // only, accuracy = the smallest label's share of the holdout
+    val tied = (for {
+      label <- Seq("x1", "x2"); i <- 0 until 9
+    } yield (Seq("x1", "x2").indexOf(label) * 50L + i, label, "same same"))
+      .toDF("doc_id", "label", "text")
+    val t = Curation.nbCalibrationOf(tied)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(t.toSeq === Seq((0L, 6L, 500000L, 0L, 0L)),
+      s"tied corpus must collapse to one margin-0 bucket at 50%: ${t.toSeq}")
+  }
+
   test("isqrtExpr: exact integer sqrt across word sizes and near-2^52 boundaries") {
     // the ±1 correction must land w² ≤ n < (w+1)² even where the
     // double conversion or sqrt rounding crosses an integer boundary

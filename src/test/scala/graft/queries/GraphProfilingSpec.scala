@@ -487,4 +487,31 @@ class GraphProfilingSpec extends SparkSpec {
       assert(sig === exp, s"xa=$xa xb=$xb")
     }
   }
+
+  test("graphLandmarks: independent closed form, and the proven round count IS the fixpoint") {
+    val sf = "/root/testdata/sf0.001"
+    def bitlen(x: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(x)
+    // independent recompute of the doubling-tree distances (same bit math
+    // as the oracle, but in Scala — a shared SQL bug can't hide here)
+    val expected = (for {
+      x <- 1L to 499L; s <- Seq(1L, 2L, 3L)
+      if bitlen(x) >= bitlen(s) && (x >> (bitlen(x) - bitlen(s))) == s
+    } yield (x, s, (bitlen(x) - bitlen(s)).toLong)).toSet
+    val out = GraphOps.graphLandmarks.fn(spark, sf)
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected)
+    // landmark 1 reaches every vertex; 2 and 3 partition the rest
+    assert(got.count(_._2 == 1L) === 499)
+    assert(got.count(_._2 == 2L) + got.count(_._2 == 3L) === 498)
+    // the loop runs exactly bitlen(maxId)−1 rounds WITHOUT fixpoint
+    // probes — prove the claim: one EXTRA relaxation round must change
+    // nothing (min-merge idempotent at the fixpoint)
+    val e = GraphOps.landmarkEdges(spark, sf)
+    val state = out.select(col("doc_id").as("v"), col("landmark").as("lm"),
+      col("dist").as("hop"))
+    val extra = GraphOps.landmarkRound(e, state)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(extra === got, "the proven round count must already be the fixpoint")
+    graft.ops.Caches.drain()
+  }
 }
