@@ -138,12 +138,22 @@ object PlanFingerprints {
       },
       "q_builder_scc_trim_round" -> { (s, d) =>
         // the real crafted edge build + one trim peel; the reachability
-        // rounds inside sccDecompose are already pinned by
-        // q_builder_sssp_round (same ssspRelax body at unit weight)
+        // rounds inside sccDecompose are pinned by q_builder_bidi_round
         val e = GraphOps.sccFullEdges(s, d)
         val v = graft.Tables.documents(s, d)
           .select(col("doc_id").cast("long").as("v"))
         GraphOps.sccTrimRound(e, v)
+      },
+      "q_builder_bidi_round" -> { (s, d) =>
+        // real crafted edge build, dir-tagged both ways + one relaxation
+        val e0 = GraphOps.sccEdges(s, d)
+        val e = e0.select(col("src"), col("dst"), lit(0).as("dir"))
+          .unionByName(e0.select(col("dst").as("src"), col("src").as("dst"),
+            lit(1).as("dir")))
+          .repartition(col("src"), col("dir"))
+        val seed = s.range(2)
+          .select(lit(0L).as("v"), col("id").cast("int").as("dir"), lit(0L).as("dist"))
+        GraphOps.bidiRelax(e, seed)
       },
       "q_builder_landmark_round" -> { (s, d) =>
         // real crafted edge build + one (v, lm)-keyed relaxation

@@ -503,14 +503,15 @@ object GraphOps {
     * F ∩ B is the pivot's SCC, recurse on the three remainders): the
     * directed-graph question ("which docs are MUTUALLY linked with this
     * one?") that undirected CC over-answers by construction. Both passes
-    * reuse the [[ssspWithRounds]] relaxation machinery at unit weight —
-    * run-to-fixpoint reachability with per-round checkpoint/release and
-    * the (count, sum) fixpoint detector — the backward pass on the
-    * REVERSED edge table; membership is one equi-join of the two
-    * |reached|-row sets. Scale shape per pass = the SSSP shape: edges
-    * checkpointed once partitioned on src, narrow (dst, cand) relax
-    * output, map-side-combined MIN. The full recursive decomposition
-    * adds only driver-side control flow around this exact kernel. */
+    * ride ONE [[bidiReach]] fixpoint loop — forward edges tagged dir=0,
+    * reversed dir=1 — with the [[ssspWithRounds]] discipline (per-round
+    * checkpoint/release, (count, sum) fixpoint detector); membership is
+    * one equi-join of the two |reached|-row sets. Scale shape = the SSSP
+    * shape at double edge width: edges checkpointed once partitioned on
+    * the (src, dir) key, narrow relax output, map-side-combined MIN, and
+    * HALF the per-round driver actions of two sequential passes. The
+    * full recursive decomposition adds only driver-side control flow
+    * around this exact kernel. */
   val graphSccPivot = QuerySpec(
     "q_graph_scc_pivot",
     """SELECT doc_id,
@@ -518,24 +519,101 @@ object GraphOps {
                    THEN 1 ELSE 0 END AS BIGINT) AS in_scc
        FROM documents""") {
     (s, d) =>
-      // materialize the edge build ONCE: both passes (and the reversal)
-      // read the checkpointed table instead of re-running the three
-      // documents scans + two self-joins per direction; the blocks are
-      // safe to release as soon as both passes return — fwd/bwd are
-      // themselves materialized checkpoints, so the remaining plan never
-      // re-reads the edge lineage
-      val (e, eRdds) = TextDedup.localCheckpointTracked(
-        sccEdges(s, d).withColumn("w", lit(1L)))
-      val rev = e.select(col("dst").as("src"), col("src").as("dst"), col("w"))
-      val (fwd, _) = ssspWithRounds(e, 0L)
-      val (bwd, _) = ssspWithRounds(rev, 0L)
+      // materialize the edge build ONCE: the bidirectional pass (which
+      // builds its own dir-tagged checkpoint from this) reads the
+      // checkpointed table instead of re-running the three documents
+      // scans + two self-joins; blocks release as soon as it returns —
+      // F/B are themselves materialized checkpoints, so the remaining
+      // plan never re-reads the edge lineage
+      val (e, eRdds) = TextDedup.localCheckpointTracked(sccEdges(s, d))
+      val (fwd, bwd, reachRdds) = bidiReach(e, 0L, maxRounds = 64)
       TextDedup.release(eRdds)
-      val scc = fwd.select("v").join(bwd.select("v"), "v")
+      reachRdds.foreach(graft.ops.Caches.leaseRdd)
+      val scc = fwd.join(bwd, "v")
         .select(col("v").as("doc_id"), lit(1L).as("in_scc"))
       graft.Tables.documents(s, d).select("doc_id")
         .join(scc, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("in_scc"), lit(0L)).cast("long").as("in_scc"))
+  }
+
+  /** ONE bidirectional reachability relaxation round over (v, dir, dist)
+    * state (q_builder_bidi_round): FW-BW's forward and backward passes
+    * ride ONE loop as direction-tagged label sets — the same
+    * amortization [[landmarkRound]] applies to landmarks — so each round
+    * costs one join + one map-side-combinable MIN instead of two, and
+    * the loop runs max(rounds_F, rounds_B) rounds instead of their SUM
+    * (re-relaxing the already-converged direction is MIN-idempotent). */
+  private[graft] def bidiRelax(e: DataFrame, dist: DataFrame): DataFrame =
+    dist.unionByName(
+        e.join(dist.select(col("v").as("src"), col("dir"), col("dist")),
+            Seq("src", "dir"))
+          .select(col("dst").as("v"), col("dir"), (col("dist") + 1L).as("dist")))
+      .groupBy("v", "dir").agg(min("dist").as("dist"))
+
+  /** Direction-tag a (src, dst) edge table for [[bidiRelax]]: the
+    * original orientation rides as dir=0, the reversal as dir=1 — so
+    * ONE table serves forward reachability, backward reachability
+    * (dir=1 rows), and the original-orientation consumers
+    * (filter dir=0), and [[sccDecompose]] can checkpoint it ONCE
+    * instead of re-tagging per pivot. */
+  private[graft] def bidiTag(edges0: DataFrame): DataFrame =
+    edges0.select(col("src"), col("dst"), lit(0).as("dir"))
+      .unionByName(
+        edges0.select(col("dst").as("src"), col("src").as("dst"), lit(1).as("dir")))
+
+  /** Forward AND backward reachability from `pivot` in one fixpoint loop
+    * over [[bidiRelax]], given an ALREADY-materialized dir-tagged edge
+    * table ([[bidiTag]]); state uses the [[ssspWithRounds]] discipline
+    * (per-round checkpoint + release, (count, sum) fixpoint detector,
+    * loud maxRounds). Returns (F, B, rounds) — the (v) frames backed by
+    * the final checkpoint, whose blocks are handed to the CALLER to
+    * release or lease, plus the round count the amortization spec pins
+    * (max(depth_F, depth_B) + 1 probe round, NOT their sum). */
+  private[graft] def bidiReachTagged(e: DataFrame, pivot: Long, maxRounds: Int)
+      : (DataFrame, DataFrame, Int, Seq[org.apache.spark.rdd.RDD[_]]) = {
+    var (dist, distRdds) = TextDedup.localCheckpointTracked(
+      e.sparkSession.range(2)
+        .select(lit(pivot).as("v"), col("id").cast("int").as("dir"), lit(0L).as("dist")))
+    def state(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), coalesce(sum("dist"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var prev = state(dist)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val relaxed = bidiRelax(e, dist)
+      rounds += 1
+      val (next, nextRdds) = TextDedup.localCheckpointTracked(relaxed)
+      TextDedup.release(distRdds)
+      dist = next
+      distRdds = nextRdds
+      val cur = state(next)
+      converged = cur == prev
+      prev = cur
+    }
+    if (!converged) {
+      TextDedup.release(distRdds)
+      throw new IllegalStateException(
+        s"bidirectional reachability did not reach a fixpoint in $rounds rounds")
+    }
+    (dist.filter(col("dir") === 0).select("v"),
+      dist.filter(col("dir") === 1).select("v"),
+      rounds, distRdds)
+  }
+
+  /** [[bidiReachTagged]] over a raw (src, dst) table: tags, checkpoints
+    * partitioned on the (src, dir) join key, runs, releases the tagged
+    * table. For one-shot callers; loops should tag once themselves. */
+  private[graft] def bidiReach(edges0: DataFrame, pivot: Long, maxRounds: Int)
+      : (DataFrame, DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
+    val (e, eRdds) = TextDedup.localCheckpointTracked(
+      bidiTag(edges0).repartition(col("src"), col("dir")))
+    try {
+      val (f, b, _, distRdds) = bidiReachTagged(e, pivot, maxRounds)
+      (f, b, distRdds)
+    } finally TextDedup.release(eRdds)
   }
 
   /** Edges restricted to the active vertex subset — both endpoints must
@@ -574,10 +652,10 @@ object GraphOps {
     *      the odd fan-in — at web scale, the vast majority of a link
     *      graph) drain here in O(diameter) cheap rounds instead of one
     *      full reachability recursion per singleton.
-    *   2. PIVOT: pivot = min surviving id; F / B = forward/backward
-    *      reachability via the [[ssspWithRounds]] relaxation at unit
-    *      weight (per-round checkpoint+release, (count, sum) fixpoint,
-    *      the q_builder_sssp_round-gated body); SCC = F ∩ B emits with
+    *   2. PIVOT: pivot = min surviving id; F and B from ONE
+    *      [[bidiReach]] fixpoint loop (direction-tagged state, per-round
+    *      checkpoint+release, (count, sum) fixpoint, the
+    *      q_builder_bidi_round-gated body); SCC = F ∩ B emits with
     *      scc_id = pivot (pivot is the subset minimum, hence its SCC's
     *      minimum — which makes labels the closed-form min-id). The
     *      three remainders F∖B, B∖F, V∖(F∪B) — each of which provably
@@ -593,8 +671,12 @@ object GraphOps {
       maxTrimRounds: Int = 8, reachRounds: Int = 64): (DataFrame, Int) = {
     import scala.collection.mutable
     type Tracked = (DataFrame, Seq[org.apache.spark.rdd.RDD[_]])
+    // tagged ONCE: dir=0 original orientation (trim reads this half),
+    // dir=1 reversed (the backward leg of every pivot's bidi pass) —
+    // per-pivot re-tagging was measured as the dominant fixed cost of
+    // the two-loop form this replaced
     val (edges, edgesRdds) = TextDedup.localCheckpointTracked(
-      edges0.toDF("src", "dst").repartition(col("src")))
+      bidiTag(edges0.toDF("src", "dst")).repartition(col("src"), col("dir")))
     val pieces = mutable.ListBuffer.empty[Tracked]
     def emit(df: DataFrame): Unit =
       pieces += TextDedup.localCheckpointTracked(df.toDF("v", "scc_id"))
@@ -620,7 +702,8 @@ object GraphOps {
       var trims = 0
       while (n > 1 && !atFixpoint && trims < maxTrimRounds) {
         swapEv(TextDedup.localCheckpointTracked(sccRestrict(edges, v)))
-        val (core, coreRdds) = TextDedup.localCheckpointTracked(sccTrimRound(eV, v))
+        val (core, coreRdds) = TextDedup.localCheckpointTracked(
+          sccTrimRound(eV.filter(col("dir") === 0), v))
         val m = core.count()
         if (m == n) { TextDedup.release(coreRdds); atFixpoint = true }
         else {
@@ -645,13 +728,9 @@ object GraphOps {
               "condensation larger than expected, or trim is not draining")
         }
         val pivot = v.agg(min(col("v"))).head().getLong(0)
-        val eW = eV.withColumn("w", lit(1L))
-        val (fwd, _) = ssspWithRounds(eW, pivot, reachRounds)
-        val (bwd, _) = ssspWithRounds(
-          eW.select(col("dst").as("src"), col("src").as("dst"), col("w")),
-          pivot, reachRounds)
-        val f = fwd.select("v")
-        val b = bwd.select("v")
+        // eV is the restricted TAGGED table, already checkpointed by the
+        // trim loop — the bidi pass consumes it with no re-tagging
+        val (f, b, _, reachRdds) = bidiReachTagged(eV, pivot, reachRounds)
         emit(f.join(b, "v").select(col("v"), lit(pivot).as("scc_id")))
         Seq(
           f.join(b, Seq("v"), "left_anti"),
@@ -661,6 +740,9 @@ object GraphOps {
             val t = TextDedup.localCheckpointTracked(sub)
             if (t._1.count() > 0) queue += t else TextDedup.release(t._2)
           }
+        // the emitted fragment and the three subsets are materialized
+        // checkpoints now — the F/B state blocks have no readers left
+        TextDedup.release(reachRdds)
       }
       TextDedup.release(vRdds)
       if (eV ne null) TextDedup.release(eVRdds)

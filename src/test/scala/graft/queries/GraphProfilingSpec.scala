@@ -488,6 +488,26 @@ class GraphProfilingSpec extends SparkSpec {
     }
   }
 
+  test("bidiReachTagged: F and B amortized in one loop — rounds = max(depth) + 1, not the sum") {
+    // forward chain of depth 10 from the pivot, backward depth 1: the
+    // direction-tagged loop must converge in max(10, 1) + 1 probe
+    // rounds; two sequential passes would pay (10 + 1) + (1 + 1)
+    val fwd = (0L until 10L).map(i => (i, i + 1))
+    val edges = (fwd :+ ((100L, 0L))).toDF("src", "dst")
+    val tagged = GraphOps.bidiTag(edges)
+      .repartition(col("src"), col("dir")).localCheckpoint()
+    val (f, b, rounds, rdds) =
+      GraphOps.bidiReachTagged(tagged, 0L, maxRounds = 20)
+    assert(f.as[Long].collect().toSet === (0L to 10L).toSet,
+      "forward set must be the whole chain")
+    assert(b.as[Long].collect().toSet === Set(0L, 100L),
+      "backward set must be the pivot and its one in-neighbor")
+    assert(rounds === 11,
+      s"one amortized loop must run max(10,1)+1 rounds, got $rounds")
+    TextDedup.release(rdds)
+    graft.ops.Caches.drain()
+  }
+
   test("graphLandmarks: independent closed form, and the proven round count IS the fixpoint") {
     val sf = "/root/testdata/sf0.001"
     def bitlen(x: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(x)
