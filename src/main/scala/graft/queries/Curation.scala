@@ -465,6 +465,21 @@ object Curation {
   private[queries] val hdrLbDuck =
     "CASE WHEN eidx < 8 THEN eidx ELSE (8 + eidx % 8) << (eidx // 8 - 3) END"
 
+  /** Scala twins of [[hdrIdxSql]] / [[hdrLbSql]] for the STREAMING
+    * sketch ([[graft.streaming.StreamOps]] hdrQuantiles) — CurationSpec
+    * pins them bit-equal to the SQL forms over the same exhaustive grid
+    * the error-bound case sweeps, so a streaming shard's sketch and a
+    * batch shard's sketch are mergeable WITH EACH OTHER, not merely
+    * with themselves. */
+  private[graft] def hdrIdx(c: Long): Int =
+    if (c < 8) c.toInt
+    else {
+      val bl = 64 - java.lang.Long.numberOfLeadingZeros(c)
+      (8L * (bl - 1) + ((c >> (bl - 4)) & 7L)).toInt
+    }
+  private[graft] def hdrLb(i: Int): Long =
+    if (i < 8) i.toLong else (8L + i % 8) << (i / 8 - 3)
+
   /** Mergeable quantile sketch — the member the sketch family (KMV /
     * Bloom / HLL / count-min) was missing: relative-error quantiles
     * WITHOUT a global sort or exact pass, via the HdrHistogram /

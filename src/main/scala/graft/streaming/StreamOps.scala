@@ -347,6 +347,73 @@ object StreamOps {
       .transformWithState(new KmvProcessor(), TimeMode.None(), OutputMode.Update())
   }
 
+  case class HdrQState(idx: Seq[Int], cnt: Seq[Long])
+  case class HdrQOut(event_type: String, n: Long,
+      p50_cents: Long, p95_cents: Long, p99_cents: Long)
+
+  /** Streaming relative-error quantile monitoring per event type — the
+    * streaming face of q_sketch_hdr_quantile's mergeable HdrHistogram /
+    * DDSketch layout. One ValueState holds the (bucket, count) table —
+    * ≤ ~200 entries for ANY int64 value range, CONSTANT in stream length
+    * (an exact streaming quantile would buffer every value ever seen);
+    * each batch merges by SUMMING COUNTS, the sketch's defining
+    * operation and exactly what a sharded production deployment does
+    * across workers/days — and emits P50/P95/P99 lower-bound estimates
+    * carrying the layout's ≤ 1/8 relative error. Bucket math is
+    * [[graft.queries.Curation.hdrIdx]]/hdrLb, spec-pinned bit-equal to
+    * the batch SQL, so a streaming estimate over a set of rows is
+    * IDENTICAL to the batch query's estimate over the same rows. */
+  def hdrQuantiles(events: Dataset[Event]): Dataset[HdrQOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    class HdrProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, Event, HdrQOut] {
+      @transient private var state: ValueState[HdrQState] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        state = getHandle.getValueState[HdrQState](
+          "hdr", org.apache.spark.sql.Encoders.product[HdrQState], TTLConfig.NONE)
+      override def handleInputRows(
+          key: String, rows: Iterator[Event], tv: TimerValues): Iterator[HdrQOut] = {
+        val m = scala.collection.mutable.LongMap.empty[Long]
+        if (state.exists()) {
+          val s = state.get()
+          s.idx.iterator.zip(s.cnt.iterator).foreach { case (i, c) => m(i.toLong) = c }
+        }
+        rows.foreach { e =>
+          val cents = math.floor(e.value * 100d + 0.5d).toLong
+          if (cents > 0) {
+            val i = graft.queries.Curation.hdrIdx(cents).toLong
+            m(i) = m.getOrElse(i, 0L) + 1L
+          }
+        }
+        val sorted = m.toSeq.sortBy(_._1)
+        state.update(HdrQState(sorted.map(_._1.toInt), sorted.map(_._2)))
+        val n = sorted.iterator.map(_._2).sum
+        if (n == 0L) Iterator.empty
+        else {
+          // estimate = lower bound of the first bucket whose cumulative
+          // count reaches ceil(q·n) — the batch query's rule verbatim,
+          // over the ≤ ~200-entry table
+          def est(pct: Long): Long = {
+            val rk = (pct * n + 99L) / 100L
+            var cum = 0L
+            var res = 0
+            val it = sorted.iterator
+            var found = false
+            while (it.hasNext && !found) {
+              val (i, c) = it.next(); cum += c
+              if (cum >= rk) { res = i.toInt; found = true }
+            }
+            graft.queries.Curation.hdrLb(res)
+          }
+          Iterator.single(HdrQOut(key, n, est(50), est(95), est(99)))
+        }
+      }
+    }
+    events.groupByKey(_.event_type)
+      .transformWithState(new HdrProcessor(), TimeMode.None(), OutputMode.Update())
+  }
+
   /** The same md5-hex-prefix hash the batch KMV queries use
     * (`substr(md5(cast(user_id as string)), 1, 8)` read as a 32-bit int),
     * so streaming estimates are comparable against batch sketches. */

@@ -362,6 +362,26 @@ class CurationSpec extends SparkSpec {
     graft.ops.Caches.drain()
   }
 
+  test("hdrIdx/hdrLb: the streaming Scala kernels are bit-equal to the batch SQL bucket math") {
+    // the property that makes a streaming shard's sketch mergeable with
+    // a batch shard's: identical bucketing on both paths. Dense sweep of
+    // the low range plus power-of-two boundaries up to 2^62.
+    val cents = (1L to 65536L) ++
+      (3 to 62).flatMap(k => Seq((1L << k) - 1, 1L << k, (1L << k) + 1))
+    val idxRows = cents.toDF("cents")
+      .select(col("cents"), expr(Curation.hdrIdxSql).cast("long").as("idx"))
+      .as[(Long, Long)].collect()
+    idxRows.foreach { case (c, i) =>
+      assert(i === Curation.hdrIdx(c).toLong, s"idx($c)")
+    }
+    val lbRows = (0L to 500L).toDF("eidx")
+      .select(col("eidx"), expr(Curation.hdrLbSql).cast("long").as("lb"))
+      .as[(Long, Long)].collect()
+    lbRows.foreach { case (i, lb) =>
+      assert(lb === Curation.hdrLb(i.toInt), s"lb($i)")
+    }
+  }
+
   test("nbCalibrationOf: separable corpus is confident-and-right; tied corpus is margin-0 at coin-flip accuracy") {
     // disjoint signature tokens → every holdout doc classified right
     // with a LARGE margin: all occupied buckets must be 100% accurate

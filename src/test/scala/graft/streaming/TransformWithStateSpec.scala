@@ -170,4 +170,57 @@ class TransformWithStateSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass"))(
       spark.conf.set("spark.sql.streaming.stateStore.providerClass", _))
   }
+
+  test("HDR quantile sketch: estimates match the order-statistics rule, merged across batches") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[StreamOps.Event]
+      val q = StreamOps.hdrQuantiles(input.toDS())
+        .writeStream.format("memory").queryName("tws_hdr")
+        .outputMode("update").start()
+      try {
+        // independent expectation via ORDER STATISTICS (the processor
+        // scans cumulative counts — equivalent because the bucket index
+        // is monotone in the value, so the first bucket reaching
+        // ceil(q·n) is the one holding the ceil(q·n)-th smallest)
+        def expect(cs: Seq[Long], pct: Int): Long = {
+          val sorted = cs.sorted
+          val rk = ((pct.toLong * sorted.size + 99L) / 100L).toInt
+          graft.queries.Curation.hdrLb(graft.queries.Curation.hdrIdx(sorted(rk - 1)))
+        }
+        val cs1 = (1 to 40).map(i => i * 100L)
+        input.addData((1 to 40).map(i => ev(i.toLong, i.toLong, i * 1.0)): _*)
+        q.processAllAvailable()
+        val b1 = spark.table("tws_hdr").as[StreamOps.HdrQOut].collect().maxBy(_.n)
+        assert(b1.n === 40L)
+        assert((b1.p50_cents, b1.p95_cents, b1.p99_cents) ===
+          ((expect(cs1, 50), expect(cs1, 95), expect(cs1, 99))))
+        // batch 2 merges into carried state: duplicates, a sub-dollar
+        // value, and a 10^9-cent outlier stretching the octave range
+        val cs2 = (1 to 25).map(i => 25000L + i * 100L) ++ Seq(5L, 1000000000L)
+        input.addData((1 to 25).map(i => ev(100 + i.toLong, i.toLong, 250.0 + i)) ++
+          Seq(ev(998, 1, 0.05), ev(999, 1, 10000000.0)): _*)
+        q.processAllAvailable()
+        val all = cs1 ++ cs2
+        val b2 = spark.table("tws_hdr").as[StreamOps.HdrQOut].collect().maxBy(_.n)
+        assert(b2.n === all.size.toLong, "state must carry batch 1's counts")
+        assert((b2.p50_cents, b2.p95_cents, b2.p99_cents) ===
+          ((expect(all, 50), expect(all, 95), expect(all, 99))))
+        // the layout's contract on the emitted numbers themselves:
+        // lower bound ≤ exact, within 1/8 relative error
+        Seq((b2.p50_cents, 50), (b2.p95_cents, 95), (b2.p99_cents, 99)).foreach {
+          case (est, pct) =>
+            val sorted = all.sorted
+            val exact = sorted(((pct.toLong * all.size + 99L) / 100L).toInt - 1)
+            assert(est <= exact && (exact - est) * 8 <= exact,
+              s"p$pct est=$est exact=$exact outside the 1/8 bound")
+        }
+      } finally q.stop()
+    } finally prev.fold(
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass"))(
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", _))
+  }
 }
