@@ -18,7 +18,7 @@ object ScaleProbe {
     "q_graph_adversarial", "q_importance_hashgram", "q_sessionize_skew",
     "q_dedup_keep_best", "q_dedup_weighted_jaccard",
     "q_graph_sssp", "q_linkage_fs", "q_sim_maxsim",
-    "q_er_golden", "q_retrieval_mrr", "q_retrieval_mrr_fixed", "q_ppr_seed",
+    "q_er_golden", "q_er_incremental", "q_retrieval_mrr", "q_retrieval_mrr_fixed", "q_ppr_seed",
     "q_graph_scc_pivot",
     "q_classify_nb", "q_sketch_hdr_quantile", "q_graph_landmarks",
     "q_sim_lsh_bucketed", "q_pack_chunks", "q_curation_ingest",

@@ -1349,10 +1349,126 @@ object Profiling {
         .join(segPick, "entity_id")
   }
 
+  // -------------------------------------------------------------------
+  // Incremental entity resolution: arriving batch vs the standing corpus
+  // -------------------------------------------------------------------
+
+  /** Incremental ER — the form production runs DAILY once the batch
+    * chain (q_snm_pairs → q_linkage_fs → q_er_golden) has built the
+    * standing corpus: an arriving batch (c_custkey ≡ 0 mod 7 plays the
+    * day's records) is matched against the CORPUS ONLY, with the
+    * Fellegi–Sunter weights FROZEN FROM THE CORPUS — the incremental
+    * contract (yesterday's model scores today's batch; retraining on
+    * the union would make scores drift with every arrival). Per
+    * arriving record: best corpus candidate (score desc, key asc — the
+    * deterministic argmax), and the attach / review / new routing
+    * decision ('new' also covers records whose block holds no corpus
+    * candidate at all — emitted via the left join, never dropped).
+    *
+    * Blocking replaces the batch chain's global sorted-neighborhood
+    * rank (a rank over corpus ∪ batch would re-shuffle the corpus every
+    * day): arriving records equi-join the corpus on a name-prefix block
+    * key whose two free trailing characters BOUND the block at ≤100
+    * records by construction — the df-cap convention; a production
+    * blocker with unbounded keys gets the dedup family's cap treatment.
+    * Scale shape: weights are three metadata-sized aggregates over the
+    * corpus, broadcast; the candidate join is block-keyed (never
+    * all-pairs, ≤ block-size candidates per arrival); the per-arrival
+    * argmax is a WindowGroupLimit-bounded rank over ≤ block-size rows
+    * keyed on the HIGH-CARDINALITY arrival key. */
+  val erIncremental = QuerySpec(
+    "q_er_incremental",
+    """WITH c AS (SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+                         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
+                         substr(c_name, 1, 16) AS blk
+                  FROM customer),
+        corpus AS (SELECT * FROM c WHERE c_custkey % 7 <> 0),
+        arr AS (SELECT * FROM c WHERE c_custkey % 7 = 0),
+        tot AS (SELECT COUNT(*) AS n FROM corpus),
+        un AS (SELECT SUM(cnt * (cnt - 1)) AS s
+               FROM (SELECT COUNT(*) AS cnt FROM corpus GROUP BY c_nationkey)),
+        us AS (SELECT SUM(cnt * (cnt - 1)) AS s
+               FROM (SELECT COUNT(*) AS cnt FROM corpus GROUP BY c_mktsegment)),
+        w AS (SELECT length(bin(n * (n - 1) // un.s)) AS w_nat,
+                     length(bin(n * (n - 1) // us.s)) AS w_seg
+              FROM tot, un, us),
+        cand AS (SELECT a.c_custkey AS new_key, b.c_custkey AS cand_key,
+                        (CASE WHEN levenshtein(a.c_name, b.c_name) <= 1
+                              THEN 12 ELSE -2 END
+                         + CASE WHEN a.c_nationkey = b.c_nationkey
+                                THEN w.w_nat ELSE -2 END
+                         + CASE WHEN a.c_mktsegment = b.c_mktsegment
+                                THEN w.w_seg ELSE -2 END
+                         + CASE WHEN abs(a.cents - b.cents) <= 10000
+                                THEN 4 ELSE -2 END) AS score
+                 FROM arr a JOIN corpus b ON b.blk = a.blk CROSS JOIN w),
+        best AS (SELECT new_key, cand_key, score,
+                        ROW_NUMBER() OVER (PARTITION BY new_key
+                          ORDER BY score DESC, cand_key) AS rn,
+                        COUNT(*) OVER (PARTITION BY new_key) AS n_cands
+                 FROM cand)
+        SELECT a.c_custkey AS new_key,
+               CAST(b.cand_key AS BIGINT) AS match_key,
+               CAST(b.score AS BIGINT) AS score,
+               CAST(COALESCE(b.n_cands, 0) AS BIGINT) AS n_cands,
+               CASE WHEN b.cand_key IS NULL THEN 'new'
+                    WHEN b.score >= 14 THEN 'attach'
+                    WHEN b.score >= 4 THEN 'review'
+                    ELSE 'new' END AS decision
+        FROM arr a LEFT JOIN best b ON b.new_key = a.c_custkey AND b.rn = 1""") {
+    (s, d) =>
+      val c = Tables.customer(s, d).select(
+        col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_mktsegment"),
+        expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").as("cents"),
+        substring(col("c_name"), 1, 16).as("blk"))
+      erIncrementalOf(c.filter(col("c_custkey") % 7 =!= 0),
+        c.filter(col("c_custkey") % 7 === 0))
+  }
+
+  /** [[erIncremental]]'s core over any (c_custkey, c_name, c_nationkey,
+    * c_mktsegment, cents, blk) corpus/arrival split — factored so the
+    * spec can drive crafted corpora (frozen-weight and no-candidate
+    * cases) directly. */
+  private[queries] def erIncrementalOf(corpus: DataFrame, arr: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = corpus.agg(count(lit(1)).as("n"))
+    val uNat = corpus.groupBy("c_nationkey").agg(count(lit(1)).as("cnt"))
+      .agg(sum(expr("cnt * (cnt - 1)")).as("s_nat"))
+    val uSeg = corpus.groupBy("c_mktsegment").agg(count(lit(1)).as("cnt"))
+      .agg(sum(expr("cnt * (cnt - 1)")).as("s_seg"))
+    val w = n.crossJoin(uNat).crossJoin(uSeg)
+      .select(expr("length(bin(n * (n - 1) div s_nat))").as("w_nat"),
+        expr("length(bin(n * (n - 1) div s_seg))").as("w_seg"))
+    val a = arr.toDF("new_key", "a_name", "a_nat", "a_seg", "a_cents", "blk")
+    val b = corpus.toDF("cand_key", "b_name", "b_nat", "b_seg", "b_cents", "blk")
+    val cand = a.join(b, "blk").crossJoin(broadcast(w))
+      .select(col("new_key"), col("cand_key"),
+        (when(levenshtein(col("a_name"), col("b_name")) <= 1, 12).otherwise(-2)
+          + when(col("a_nat") === col("b_nat"), col("w_nat")).otherwise(-2)
+          + when(col("a_seg") === col("b_seg"), col("w_seg")).otherwise(-2)
+          + when(abs(col("a_cents") - col("b_cents")) <= 10000, 4).otherwise(-2))
+          .cast("long").as("score"))
+    val win = Window.partitionBy("new_key")
+    val best = cand
+      .withColumn("rn", row_number().over(win.orderBy(col("score").desc, col("cand_key"))))
+      .withColumn("n_cands", count(lit(1)).over(win))
+      .filter(col("rn") === 1)
+    arr.select(col("c_custkey").as("new_key"))
+      .join(best, Seq("new_key"), "left")
+      .select(col("new_key"),
+        col("cand_key").cast("long").as("match_key"),
+        col("score").cast("long").as("score"),
+        coalesce(col("n_cands"), lit(0L)).cast("long").as("n_cands"),
+        when(col("cand_key").isNull, "new")
+          .when(col("score") >= 14, "attach")
+          .when(col("score") >= 4, "review")
+          .otherwise("new").as("decision"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     profileColumns, fdAudit, edit1Neighbors, cusumChangepoint, windowDistinctKmv,
     basketRules, shareDrift, snmPairs, decayScore, attribLastTouch,
     seasonalResidual, userStreak, bitmapDistinct, abTest, theilSen, skewAudit,
     joinCardinality, kanonSuppress, kanonLdiversity, heavyHitters, expectations, linkageFs,
-    erGolden)
+    erGolden, erIncremental)
 }

@@ -488,6 +488,44 @@ class GraphProfilingSpec extends SparkSpec {
     }
   }
 
+  test("erIncrementalOf: frozen corpus weights, deterministic argmax, candidate-less records routed 'new'") {
+    // corpus: 3 records, nations {1:2, 2:1} → s_nat = 2, odds = 6/2 = 3
+    // → w_nat = bitlen(3) = 2; one segment → odds 1 → w_seg = 1. All
+    // FOUR arrivals carry nation 1, so a model retrained on the union
+    // would read w_nat = bitlen(42/30) = 1 and a7's score would drop
+    // 19 → 18 — the frozen-weights contract is what the exact-score
+    // asserts below pin.
+    val corpus = Seq(
+      (1L, "Customer#1", 1L, "A", 1000L, "B1"),
+      (2L, "Customer#2", 1L, "A", 1500L, "B1"),
+      (3L, "Customer#3", 2L, "A", 50000L, "B1"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_mktsegment", "cents", "blk")
+    val arrivals = Seq(
+      // lev 1 to BOTH k1 and k2, everything else agreeing with both:
+      // 12 + 2 + 1 + 4 = 19 twice — the tie must break to cand_key 1
+      (7L, "Customer#7", 1L, "A", 1200L, "B1"),
+      // best candidate k3 (cents band): -2 - 2 + 1 + 4 = 1 < 4 →
+      // routed 'new' DESPITE having a best match recorded
+      (14L, "Xustomer#9", 1L, "A", 49000L, "B1"),
+      // an empty block: no candidates at all → 'new', nulls, 0
+      (21L, "Customer#1", 1L, "A", 100L, "B7"),
+      // name-only agreement vs k1: 12 - 2 - 2 - 2 = 6 → 'review'
+      (28L, "Customer#1x", 5L, "Q", 999999L, "B1"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_mktsegment", "cents", "blk")
+    val out = Profiling.erIncrementalOf(corpus, arrivals)
+      .collect().map { r =>
+        (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1),
+          if (r.isNullAt(2)) Long.MinValue else r.getLong(2),
+          r.getLong(3), r.getString(4))
+      }.sortBy(_._1)
+    assert(out.toSeq === Seq(
+      (7L, 1L, 19L, 3L, "attach"),
+      (14L, 3L, 1L, 3L, "new"),
+      (21L, -1L, Long.MinValue, 0L, "new"),
+      (28L, 1L, 6L, 3L, "review")))
+  }
+
   test("bidiReachTagged: F and B amortized in one loop — rounds = max(depth) + 1, not the sum") {
     // forward chain of depth 10 from the pivot, backward depth 1: the
     // direction-tagged loop must converge in max(10, 1) + 1 probe
