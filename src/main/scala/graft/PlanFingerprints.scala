@@ -137,20 +137,20 @@ object PlanFingerprints {
         GraphOps.ssspRelax(edges, dist)
       },
       "q_builder_scc_trim_round" -> { (s, d) =>
-        // the real crafted edge build + one trim peel; the reachability
+        // the real crafted edge build + one trim peel over the
+        // PRODUCTION input shape (the tagged table's dir=0 half — what
+        // sccDecompose actually feeds the trim); the reachability
         // rounds inside sccDecompose are pinned by q_builder_bidi_round
-        val e = GraphOps.sccFullEdges(s, d)
+        val e = GraphOps.bidiTag(GraphOps.sccFullEdges(s, d))
+          .filter(col("dir") === 0)
         val v = graft.Tables.documents(s, d)
           .select(col("doc_id").cast("long").as("v"))
         GraphOps.sccTrimRound(e, v)
       },
       "q_builder_bidi_round" -> { (s, d) =>
-        // real crafted edge build, dir-tagged both ways + one relaxation
-        val e0 = GraphOps.sccEdges(s, d)
-        val e = e0.select(col("src"), col("dst"), lit(0).as("dir"))
-          .unionByName(e0.select(col("dst").as("src"), col("src").as("dst"),
-            lit(1).as("dir")))
-          .repartition(col("src"), col("dir"))
+        // the REAL tagging helper + one relaxation — hand-copying the
+        // tag here would let the production body and the gate drift
+        val e = GraphOps.bidiTag(GraphOps.sccEdges(s, d)).repartition(col("src"))
         val seed = s.range(2)
           .select(lit(0L).as("v"), col("id").cast("int").as("dir"), lit(0L).as("dist"))
         GraphOps.bidiRelax(e, seed)

@@ -2134,8 +2134,10 @@ object Curation {
   /** Calibration / reliability rollup over [[nbRankedOf]]: per-doc
     * confidence = the argmax-vs-runner-up score MARGIN (the integer
     * log-likelihood-ratio gap — the natural confidence of a linear
-    * log-domain model), bucketed on a log₂ grid (bucket k holds margins
-    * in [2^(k−1), 2^k), capped at 7), with per-bucket holdout accuracy
+    * log-domain model), bucketed on a log₂ grid: bucket k =
+    * min(bitlen(margin+1)−1, 7), i.e. bucket k holds margins in
+    * [2^k − 1, 2^(k+1) − 2] (bucket 0 = exact ties only, bucket 7 =
+    * margins ≥ 127), with per-bucket holdout accuracy
     * in ppm. A calibrated gate shows accuracy rising with the bucket —
     * the evidence needed before acting on the classifier's confidence
     * (e.g. routing low-margin docs to review instead of dropping them).

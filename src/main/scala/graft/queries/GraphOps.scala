@@ -604,12 +604,13 @@ object GraphOps {
   }
 
   /** [[bidiReachTagged]] over a raw (src, dst) table: tags, checkpoints
-    * partitioned on the (src, dir) join key, runs, releases the tagged
-    * table. For one-shot callers; loops should tag once themselves. */
+    * partitioned on src (which satisfies the (src, dir) join's
+    * clustered distribution by the subset rule), runs, releases the
+    * tagged table. For one-shot callers; loops tag once themselves. */
   private[graft] def bidiReach(edges0: DataFrame, pivot: Long, maxRounds: Int)
       : (DataFrame, DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
     val (e, eRdds) = TextDedup.localCheckpointTracked(
-      bidiTag(edges0).repartition(col("src"), col("dir")))
+      bidiTag(edges0).repartition(col("src")))
     try {
       val (f, b, _, distRdds) = bidiReachTagged(e, pivot, maxRounds)
       (f, b, distRdds)
@@ -674,9 +675,13 @@ object GraphOps {
     // tagged ONCE: dir=0 original orientation (trim reads this half),
     // dir=1 reversed (the backward leg of every pivot's bidi pass) —
     // per-pivot re-tagging was measured as the dominant fixed cost of
-    // the two-loop form this replaced
+    // the two-loop form this replaced. Partitioned on src ALONE:
+    // HashPartitioning(src) satisfies the bidi join's
+    // ClusteredDistribution(src, dir) (subset rule) AND sccRestrict's
+    // src-keyed semi-join — (src, dir) partitioning would satisfy only
+    // the former and force a re-exchange per trim round
     val (edges, edgesRdds) = TextDedup.localCheckpointTracked(
-      bidiTag(edges0.toDF("src", "dst")).repartition(col("src"), col("dir")))
+      bidiTag(edges0.toDF("src", "dst")).repartition(col("src")))
     val pieces = mutable.ListBuffer.empty[Tracked]
     def emit(df: DataFrame): Unit =
       pieces += TextDedup.localCheckpointTracked(df.toDF("v", "scc_id"))

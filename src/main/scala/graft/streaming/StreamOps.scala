@@ -380,8 +380,12 @@ object StreamOps {
           s.idx.iterator.zip(s.cnt.iterator).foreach { case (i, c) => m(i.toLong) = c }
         }
         rows.foreach { e =>
-          val cents = math.floor(e.value * 100d + 0.5d).toLong
-          if (cents > 0) {
+          // the BATCH query's predicate verbatim (value > 0, THEN round
+          // to cents — a 0.004 event keeps its cents-0 bucket-0 row in
+          // both engines): any drift here breaks the stream==batch
+          // estimate identity the scaladoc promises
+          if (e.value > 0d) {
+            val cents = math.floor(e.value * 100d + 0.5d).toLong
             val i = graft.queries.Curation.hdrIdx(cents).toLong
             m(i) = m.getOrElse(i, 0L) + 1L
           }
