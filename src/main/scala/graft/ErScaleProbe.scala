@@ -24,7 +24,8 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.ErScaleProbe [tierDir] (default /tmp/graft-sf1-er)
   */
 object ErScaleProbe {
-  private val queries = Seq("q_snm_pairs", "q_linkage_fs", "q_er_golden")
+  private val queries =
+    Seq("q_snm_pairs", "q_linkage_fs", "q_er_golden", "q_er_incremental")
   private val base = "/root/testdata/sf0.1"
 
   def main(args: Array[String]): Unit = {
