@@ -893,29 +893,70 @@ object GraphOps {
        FROM (SELECT doc_id FROM documents WHERE doc_id >= 1) x
        JOIN lm l
          ON (x.doc_id >> (length(bin(x.doc_id)) - length(bin(l.landmark)))) = l.landmark""") {
+    (s, d) => landmarkDistances(s, d)
+  }
+
+  /** The landmark-BFS loop body shared by [[graphLandmarks]] and
+    * [[graphCloseness]]: (doc_id, landmark, dist) for every reached
+    * pair, checkpoint-backed, blocks leased to the consuming query. */
+  private[queries] def landmarkDistances(s: SparkSession, d: String): DataFrame = {
+    val (e, edgeRdds) = TextDedup.localCheckpointTracked(
+      landmarkEdges(s, d).repartition(col("src")))
+    val ids = graft.Tables.documents(s, d)
+      .select(col("doc_id").cast("long").as("v"))
+    val maxId = ids.agg(coalesce(max("v"), lit(1L))).head().getLong(0)
+    val rounds = math.max(63 - java.lang.Long.numberOfLeadingZeros(math.max(maxId, 1L)), 1)
+    var (dist, distRdds) = TextDedup.localCheckpointTracked(
+      ids.filter(col("v").isin(1L, 2L, 3L))
+        .select(col("v"), col("v").as("lm"), lit(0L).as("hop")))
+    for (i <- 1 to rounds) {
+      val (next, nextRdds) = TextDedup.localCheckpointTracked(landmarkRound(e, dist))
+      TextDedup.release(distRdds)
+      dist = next
+      distRdds = nextRdds
+    }
+    TextDedup.release(edgeRdds)
+    distRdds.foreach(graft.ops.Caches.leaseRdd)
+    dist.select(col("v").as("doc_id"), col("lm").as("landmark"),
+      col("hop").cast("long").as("dist"))
+  }
+
+  /** Closeness centrality of the landmarks — the estimate the labeling
+    * exists to produce (Eppstein–Wang: k exact single-source distance
+    * sets → centrality estimates): per landmark, reached-vertex count,
+    * total distance, and integer-ppm closeness (n_reached − 1) · 10⁶ /
+    * Σdist over the reached set (self excluded by its zero distance;
+    * landmarks reaching nothing but themselves report 0, guarded
+    * identically in both engines). One map-side-combinable rollup of
+    * the ≤ k·n labeling — the whole query after the shared loop runs
+    * on k rows. */
+  val graphCloseness = QuerySpec(
+    "q_graph_closeness",
+    """WITH lm AS (SELECT doc_id AS landmark FROM documents WHERE doc_id IN (1, 2, 3)),
+        dd AS (SELECT x.doc_id, l.landmark,
+                      CAST(length(bin(x.doc_id)) - length(bin(l.landmark)) AS BIGINT) AS dist
+               FROM (SELECT doc_id FROM documents WHERE doc_id >= 1) x
+               JOIN lm l
+                 ON (x.doc_id >> (length(bin(x.doc_id)) - length(bin(l.landmark)))) = l.landmark)
+        SELECT landmark,
+               CAST(count(*) AS BIGINT) AS n_reached,
+               CAST(sum(dist) AS BIGINT) AS total_dist,
+               CAST(CASE WHEN sum(dist) = 0 THEN 0
+                         ELSE (count(*) - 1) * 1000000 // sum(dist) END AS BIGINT)
+                 AS closeness_ppm
+        FROM dd GROUP BY 1""") {
     (s, d) =>
-      val (e, edgeRdds) = TextDedup.localCheckpointTracked(
-        landmarkEdges(s, d).repartition(col("src")))
-      val ids = graft.Tables.documents(s, d)
-        .select(col("doc_id").cast("long").as("v"))
-      val maxId = ids.agg(coalesce(max("v"), lit(1L))).head().getLong(0)
-      val rounds = math.max(63 - java.lang.Long.numberOfLeadingZeros(math.max(maxId, 1L)), 1)
-      var (dist, distRdds) = TextDedup.localCheckpointTracked(
-        ids.filter(col("v").isin(1L, 2L, 3L))
-          .select(col("v"), col("v").as("lm"), lit(0L).as("hop")))
-      for (i <- 1 to rounds) {
-        val (next, nextRdds) = TextDedup.localCheckpointTracked(landmarkRound(e, dist))
-        TextDedup.release(distRdds)
-        dist = next
-        distRdds = nextRdds
-      }
-      TextDedup.release(edgeRdds)
-      distRdds.foreach(graft.ops.Caches.leaseRdd)
-      dist.select(col("v").as("doc_id"), col("lm").as("landmark"),
-        col("hop").cast("long").as("dist"))
+      landmarkDistances(s, d)
+        .groupBy("landmark")
+        .agg(count(lit(1)).cast("long").as("n_reached"),
+          sum("dist").cast("long").as("total_dist"))
+        .select(col("landmark"), col("n_reached"), col("total_dist"),
+          when(col("total_dist") === 0L, 0L)
+            .otherwise(expr("(n_reached - 1) * 1000000 div total_dist"))
+            .cast("long").as("closeness_ppm"))
   }
 
   val specs: Seq[QuerySpec] =
     Seq(kcore, bfsHops, linkPredict, graphAdversarial, graphSssp, pprSeed,
-      graphSccPivot, graphScc, graphLandmarks)
+      graphSccPivot, graphScc, graphLandmarks, graphCloseness)
 }
