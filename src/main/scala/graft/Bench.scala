@@ -92,7 +92,8 @@ object Bench {
         "similarity" -> (() => graft.queries.Similarity.prewarmShared(spark, sfDir)),
         "curation" -> (() => graft.queries.Curation.prewarmShared(spark, sfDir)),
         "etl" -> (() => graft.queries.EtlQueries.prewarmShared(spark, sfDir)),
-        "relational" -> (() => graft.queries.Relational.prewarmShared(spark, sfDir)))
+        "relational" -> (() => graft.queries.Relational.prewarmShared(spark, sfDir)),
+        "graph" -> (() => graft.queries.GraphOps.prewarmShared(spark, sfDir)))
       prewarmFamilies = prewarms.map { case (fam, f) =>
         val tf0 = System.nanoTime()
         try f() catch {

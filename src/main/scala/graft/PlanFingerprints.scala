@@ -76,7 +76,8 @@ object PlanFingerprints {
     "q_builder_simhash" -> ((s, d) => graft.queries.TextDedup.simhashDf(s, d)),
     "q_builder_gram3h8" -> ((s, d) => graft.queries.Curation.gram3h8Fresh(s, d)),
     "q_builder_bpe" -> ((s, d) => graft.queries.Curation.bpeIterFresh(s, d)),
-    "q_builder_ivf_cells" -> ((s, d) => graft.queries.Similarity.ivfAssignFresh(s, d))) ++
+    "q_builder_ivf_cells" -> ((s, d) => graft.queries.Similarity.ivfAssignFresh(s, d)),
+    "q_builder_nb_ranked" -> ((s, d) => graft.queries.Curation.nbRankedFresh(s, d))) ++
     iterativeRounds
 
   /** Per-ROUND plans of the five synchronous iterative loops (CC,

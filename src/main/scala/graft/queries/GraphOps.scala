@@ -398,13 +398,22 @@ object GraphOps {
     * form instead (the [[TextDedup.connectedComponents]] treatment).
     * Fails loudly (releasing all blocks) if `maxRounds` is hit without a
     * fixpoint — a silent stop would emit non-minimal distances. */
-  private[graft] def ssspWithRounds(
-      edges0: DataFrame, sourceId: Long, maxRounds: Int = 15): (DataFrame, Int) = {
-    val (edges, edgesRdds) = TextDedup.localCheckpointTracked(
-      edges0.toDF("src", "dst", "w").repartition(col("src")))
-    var (dist, distRdds) = TextDedup.localCheckpointTracked(
-      edges.sparkSession.range(1)
-        .select(lit(sourceId).as("v"), lit(0L).as("dist")))
+  /** Shared fixpoint-loop driver for the run-to-convergence kernels
+    * ([[ssspWithRounds]], [[bidiReachTagged]]) — ONE copy of the
+    * checkpoint/probe/release discipline instead of one per kernel (a
+    * future fix to the detector or the release-on-throw path must not
+    * need hand-syncing across near-copies). Per round: relax →
+    * localCheckpoint → release the previous round's blocks → (count,
+    * sum(dist)) probe; converged when a round changes neither — sound
+    * for MIN-monotone relaxations (count non-decreasing, tracked sum of
+    * minima non-increasing, so an unchanged pair means an unchanged
+    * state). Throws loudly past maxRounds (after releasing the state
+    * blocks); on success the final state's blocks are handed to the
+    * CALLER to lease or release. */
+  private def fixpointLoop(
+      seed: DataFrame, relax: DataFrame => DataFrame, maxRounds: Int, what: String)
+      : (DataFrame, Int, Seq[org.apache.spark.rdd.RDD[_]]) = {
+    var (dist, distRdds) = TextDedup.localCheckpointTracked(seed)
     def state(df: DataFrame): (Long, Long) = {
       val r = df.agg(count(lit(1)), coalesce(sum("dist"), lit(0L))).head()
       (r.getLong(0), r.getLong(1))
@@ -413,7 +422,7 @@ object GraphOps {
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
-      val relaxed = ssspRelax(edges, dist)
+      val relaxed = relax(dist)
       rounds += 1
       val (next, nextRdds) = TextDedup.localCheckpointTracked(relaxed)
       TextDedup.release(distRdds)
@@ -423,14 +432,26 @@ object GraphOps {
       converged = cur == prev
       prev = cur
     }
-    TextDedup.release(edgesRdds)
     if (!converged) {
       TextDedup.release(distRdds)
       throw new IllegalStateException(
-        s"sssp did not reach a fixpoint in $rounds rounds")
+        s"$what did not reach a fixpoint in $rounds rounds")
     }
-    distRdds.foreach(graft.ops.Caches.leaseRdd)
-    (dist, rounds)
+    (dist, rounds, distRdds)
+  }
+
+  private[graft] def ssspWithRounds(
+      edges0: DataFrame, sourceId: Long, maxRounds: Int = 15): (DataFrame, Int) = {
+    val (edges, edgesRdds) = TextDedup.localCheckpointTracked(
+      edges0.toDF("src", "dst", "w").repartition(col("src")))
+    try {
+      val seed = edges.sparkSession.range(1)
+        .select(lit(sourceId).as("v"), lit(0L).as("dist"))
+      val (dist, rounds, distRdds) =
+        fixpointLoop(seed, ssspRelax(edges, _), maxRounds, "sssp")
+      distRdds.foreach(graft.ops.Caches.leaseRdd)
+      (dist, rounds)
+    } finally TextDedup.release(edgesRdds)
   }
 
   /** Weighted directed shortest paths — the capability the graph family
@@ -572,32 +593,10 @@ object GraphOps {
     * (max(depth_F, depth_B) + 1 probe round, NOT their sum). */
   private[graft] def bidiReachTagged(e: DataFrame, pivot: Long, maxRounds: Int)
       : (DataFrame, DataFrame, Int, Seq[org.apache.spark.rdd.RDD[_]]) = {
-    var (dist, distRdds) = TextDedup.localCheckpointTracked(
-      e.sparkSession.range(2)
-        .select(lit(pivot).as("v"), col("id").cast("int").as("dir"), lit(0L).as("dist")))
-    def state(df: DataFrame): (Long, Long) = {
-      val r = df.agg(count(lit(1)), coalesce(sum("dist"), lit(0L))).head()
-      (r.getLong(0), r.getLong(1))
-    }
-    var prev = state(dist)
-    var rounds = 0
-    var converged = false
-    while (!converged && rounds < maxRounds) {
-      val relaxed = bidiRelax(e, dist)
-      rounds += 1
-      val (next, nextRdds) = TextDedup.localCheckpointTracked(relaxed)
-      TextDedup.release(distRdds)
-      dist = next
-      distRdds = nextRdds
-      val cur = state(next)
-      converged = cur == prev
-      prev = cur
-    }
-    if (!converged) {
-      TextDedup.release(distRdds)
-      throw new IllegalStateException(
-        s"bidirectional reachability did not reach a fixpoint in $rounds rounds")
-    }
+    val seed = e.sparkSession.range(2)
+      .select(lit(pivot).as("v"), col("id").cast("int").as("dir"), lit(0L).as("dist"))
+    val (dist, rounds, distRdds) =
+      fixpointLoop(seed, bidiRelax(e, _), maxRounds, "bidirectional reachability")
     (dist.filter(col("dir") === 0).select("v"),
       dist.filter(col("dir") === 1).select("v"),
       rounds, distRdds)
@@ -896,10 +895,20 @@ object GraphOps {
     (s, d) => landmarkDistances(s, d)
   }
 
-  /** The landmark-BFS loop body shared by [[graphLandmarks]] and
-    * [[graphCloseness]]: (doc_id, landmark, dist) for every reached
-    * pair, checkpoint-backed, blocks leased to the consuming query. */
-  private[queries] def landmarkDistances(s: SparkSession, d: String): DataFrame = {
+  private val lmMemo = new graft.ops.SessionMemo[String, DataFrame]
+
+  /** The landmark-BFS loop body, session-memoized per sf dir — BOTH
+    * consumers ([[graphLandmarks]], [[graphCloseness]]) read the same
+    * (doc_id, landmark, dist) snapshot, so the 8–12-round loop runs
+    * once per pass, not once per consumer. The memo value's checkpoint
+    * blocks are NEVER leased (the harness' per-query Caches.drain would
+    * strand a leased snapshot mid-memo — the SessionMemo hazard); they
+    * die with the session or the memo's eviction. */
+  private[queries] def landmarkDistances(s: SparkSession, d: String): DataFrame =
+    lmMemo.getOrElseUpdate(s, d)(landmarkDistancesFresh(s, d))
+
+  /** The un-memoized loop ([[landmarkDistances]] builds this once). */
+  private[graft] def landmarkDistancesFresh(s: SparkSession, d: String): DataFrame = {
     val (e, edgeRdds) = TextDedup.localCheckpointTracked(
       landmarkEdges(s, d).repartition(col("src")))
     val ids = graft.Tables.documents(s, d)
@@ -916,9 +925,16 @@ object GraphOps {
       distRdds = nextRdds
     }
     TextDedup.release(edgeRdds)
-    distRdds.foreach(graft.ops.Caches.leaseRdd)
     dist.select(col("v").as("doc_id"), col("lm").as("landmark"),
       col("hop").cast("long").as("dist"))
+  }
+
+  /** Materializes the session-shared landmark snapshot so the
+    * alphabetically-first consumer (q_graph_closeness) is not billed
+    * for the multi-round loop — the Bench prewarm convention. */
+  def prewarmShared(s: SparkSession, d: String): Unit = {
+    landmarkDistances(s, d).count()
+    ()
   }
 
   /** Closeness centrality of the landmarks — the estimate the labeling
