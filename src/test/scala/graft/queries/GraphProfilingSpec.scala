@@ -526,6 +526,60 @@ class GraphProfilingSpec extends SparkSpec {
       (28L, 1L, 6L, 3L, "review")))
   }
 
+  test("erIncrementalOf: property — equals the brute-force in-block argmax on seeded random data") {
+    // guard for future refactors: on 120 random records the query's
+    // (match_key, score, n_cands, decision) must equal a straight
+    // Scala reimplementation of frozen-corpus weights + exhaustive
+    // same-block scoring + (score desc, key asc) argmax
+    val rnd = new scala.util.Random(20260815L)
+    val names = Vector("Customer#1", "Customer#2", "Customer#1x", "Xustomer#9", "Patron#77")
+    val all = (0L until 120L).map { k =>
+      (k, names(rnd.nextInt(names.size)), rnd.nextInt(4).toLong,
+        Vector("A", "B", "Q")(rnd.nextInt(3)), rnd.nextInt(30000).toLong,
+        Vector("B1", "B2", "B3")(rnd.nextInt(3)))
+    }
+    val (arrRows, corpRows) = all.partition(_._1 % 5 == 0)
+    def df(rows: Seq[(Long, String, Long, String, Long, String)]) =
+      rows.toDF("c_custkey", "c_name", "c_nationkey", "c_mktsegment", "cents", "blk")
+    val got = Profiling.erIncrementalOf(df(corpRows), df(arrRows))
+      .collect().map(r => r.getLong(0) -> ((
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) Long.MinValue else r.getLong(2),
+        r.getLong(3), r.getString(4)))).toMap
+    // brute force, frozen on the corpus only
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    def uOdds(f: ((Long, String, Long, String, Long, String)) => Any): Long = {
+      val n = corpRows.size.toLong
+      val s = corpRows.groupBy(f).values.map(g => g.size.toLong * (g.size - 1)).sum
+      n * (n - 1) / s
+    }
+    val wNat = java.lang.Long.toBinaryString(uOdds(_._3)).length.toLong
+    val wSeg = java.lang.Long.toBinaryString(uOdds(_._4)).length.toLong
+    arrRows.foreach { a =>
+      val cands = corpRows.filter(_._6 == a._6).map { b =>
+        val score = (if (lev(a._2, b._2) <= 1) 12L else -2L) +
+          (if (a._3 == b._3) wNat else -2L) +
+          (if (a._4 == b._4) wSeg else -2L) +
+          (if (math.abs(a._5 - b._5) <= 10000) 4L else -2L)
+        (b._1, score)
+      }
+      val exp =
+        if (cands.isEmpty) (-1L, Long.MinValue, 0L, "new")
+        else {
+          val (k, s) = cands.minBy { case (k, s) => (-s, k) }
+          (k, s, cands.size.toLong,
+            if (s >= 14) "attach" else if (s >= 4) "review" else "new")
+        }
+      assert(got(a._1) === exp, s"arrival ${a._1}")
+    }
+  }
+
   test("bidiReachTagged: F and B amortized in one loop — rounds = max(depth) + 1, not the sum") {
     // forward chain of depth 10 from the pivot, backward depth 1: the
     // direction-tagged loop must converge in max(10, 1) + 1 probe
