@@ -9,8 +9,9 @@ import org.apache.spark.sql.functions._
   * so this main derives a 10× "sf1" documents tier from the driver's own
   * sf0.1 parquet.
   *
-  * Derivation: ten copies keyed `doc_id + i·N`, with EVERY TOKEN of copy
-  * i prefixed `c<i>_`. Disjoint per-copy vocabularies mean no shingle,
+  * Derivation ([[TierGen]]): ten copies keyed `doc_id + i·(max+1)`, with
+  * EVERY TOKEN of copy i prefixed `c<i>_`. Disjoint per-copy
+  * vocabularies mean no shingle,
   * minhash band, gram, or fingerprint ever collides ACROSS copies, so
   * each copy carries exactly the original corpus' internal near-dup
   * structure — the derived tier is "ten independent crawl shards", which
@@ -26,7 +27,11 @@ import org.apache.spark.sql.functions._
   * fingerprint, banded MinHash-LSH, df-capped gram pair join, PPJoin
   * prefix filter, and the log-round CC clustering.
   *
-  * Usage: runMain graft.DedupScaleProbe [tierDir] (default /tmp/graft-sf1-dedup)
+  * The tier is the PERSISTED [[TierGen]] output (VERDICT r11 #3):
+  * generated once, identical bytes for every later probe run, shared
+  * with [[ErScaleProbe]] and the stretch oracle runs.
+  *
+  * Usage: runMain graft.DedupScaleProbe [tierDir] (default derived/sf1)
   */
 object DedupScaleProbe {
   // documents-only queries (q_entity_cluster's blocked-entity form reads
@@ -38,7 +43,7 @@ object DedupScaleProbe {
   private val base = "/root/testdata/sf0.1"
 
   def main(args: Array[String]): Unit = {
-    val tier = args.headOption.getOrElse("/tmp/graft-sf1-dedup")
+    val tier = args.headOption.getOrElse(TierGen.defaultTier)
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
@@ -46,21 +51,7 @@ object DedupScaleProbe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    if (!new java.io.File(s"$tier/documents.parquet").exists()) {
-      val docs = Tables.documents(spark, base)
-      val n = docs.count()
-      docs.withColumn("i", explode(array((0 until 10).map(lit): _*)))
-        .select(
-          (col("doc_id") + col("i") * n).as("doc_id"),
-          // disjoint vocab per copy: prefix every token with c<i>_
-          expr("""array_join(transform(split(text, ' '),
-                               t -> concat('c', i, '_', t)), ' ')""").as("text"),
-          col("lang"), col("source"))
-        .withColumn("n_chars", length(col("text")).cast("long"))
-        .repartition(8)
-        .write.mode("overwrite").parquet(s"$tier/documents.parquet")
-      println(s"TIER $tier documents ${n * 10} rows (10x $base, disjoint-vocab copies)")
-    }
+    TierGen.ensureAll(spark, tier)
     // session-shared memos (LSH candidates etc.) are keyed per sf dir, so
     // each tier builds its own under run 1 and run 2 measures the warm
     // plan — both columns printed: `run1` carries the build, `warm` is

@@ -7,21 +7,17 @@ import org.apache.spark.sql.functions._
   * r10 #6): q_snm_pairs → q_linkage_fs → q_er_golden stack
   * distributedRank + connected components — the two primitives whose
   * constants matter most at 10⁸ rows — and the standard [[ScaleProbe]]
-  * tops out at sf0.1 (15k customers). This main DERIVES a 10× "sf1"
-  * customer tier from the driver's own sf0.1 parquet (no hand-rolled
-  * distributions): ten copies keyed `c_custkey + i·15000`, names
-  * re-rendered in the table's own `Customer#%09d` scheme so the
-  * name-adjacency structure the SNM window and Levenshtein agreement
-  * see is exactly what a true 10× TPC-H tier would give, and
-  * nation/segment/balance carried over per copy so every frequency
-  * distribution (the Fellegi–Sunter u-probability inputs) is preserved
-  * verbatim. The trio reads ONLY the customer table, so the derived
-  * tier writes just customer.parquet.
+  * tops out at sf0.1 (15k customers). The tier is the PERSISTED
+  * [[TierGen]] output (ten copies at stride max(c_custkey)+1, names
+  * re-rendered in the table's own `Customer#%09d` scheme, every
+  * frequency distribution — the Fellegi–Sunter u-probability inputs —
+  * preserved verbatim): generated once, identical bytes for every
+  * later probe run, shared with [[DedupScaleProbe]].
   *
   * Prints one PROBE line per (query, tier) with the warm growth factor
   * sf0.1 → sf1; the gate recorded in NOTES is factor ≤ 2× per 10×.
   *
-  * Usage: runMain graft.ErScaleProbe [tierDir] (default /tmp/graft-sf1-er)
+  * Usage: runMain graft.ErScaleProbe [tierDir] (default derived/sf1)
   */
 object ErScaleProbe {
   private val queries =
@@ -29,7 +25,7 @@ object ErScaleProbe {
   private val base = "/root/testdata/sf0.1"
 
   def main(args: Array[String]): Unit = {
-    val tier = args.headOption.getOrElse("/tmp/graft-sf1-er")
+    val tier = args.headOption.getOrElse(TierGen.defaultTier)
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
@@ -37,19 +33,7 @@ object ErScaleProbe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    if (!new java.io.File(s"$tier/customer.parquet").exists()) {
-      val c = Tables.customer(spark, base)
-      val n = c.count()
-      c.withColumn("i", explode(array((0 until 10).map(lit): _*)))
-        .select(
-          (col("c_custkey") + col("i") * n).as("c_custkey"),
-          format_string("Customer#%09d", col("c_custkey") + col("i") * n)
-            .as("c_name"),
-          col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
-        .repartition(8)
-        .write.mode("overwrite").parquet(s"$tier/customer.parquet")
-      println(s"TIER $tier customer ${n * 10} rows (10x $base)")
-    }
+    TierGen.ensureAll(spark, tier)
     queries.foreach { name =>
       var prev = Option.empty[Double]
       Seq(base, tier).foreach { d =>

@@ -138,15 +138,31 @@ object PlanFingerprints {
         GraphOps.ssspRelax(edges, dist)
       },
       "q_builder_scc_trim_round" -> { (s, d) =>
-        // the real crafted edge build + one trim peel over the
-        // PRODUCTION input shape (the tagged table's dir=0 half — what
-        // sccDecompose actually feeds the trim); the reachability
-        // rounds inside sccDecompose are pinned by q_builder_bidi_round
+        // the real crafted edge build + ONE COMPOSED restrict+trim over
+        // the production input shape — the (v, g) subset-keyed active
+        // table against the src-partitioned tagged edges (ADVICE r11:
+        // gating the trim over raw edges left the restrict step's two
+        // joins invisible; production always runs them composed)
         val e = GraphOps.bidiTag(GraphOps.sccFullEdges(s, d))
-          .filter(col("dir") === 0)
-        val v = graft.Tables.documents(s, d)
-          .select(col("doc_id").cast("long").as("v"))
-        GraphOps.sccTrimRound(e, v)
+          .repartition(col("src"))
+        val active = graft.Tables.documents(s, d)
+          .select(col("doc_id").cast("long").as("v"), lit(0L).as("g"))
+        val eA = GraphOps.sccSubsetRestrict(e, active)
+        GraphOps.sccTrimRound(eA.filter(col("dir") === 0), active)
+      },
+      "q_builder_scc_reach_round" -> { (s, d) =>
+        // one batched (v, dir, g)-keyed reachability relaxation over the
+        // restricted edges — the round body every pivoted subset shares
+        val e = GraphOps.bidiTag(GraphOps.sccFullEdges(s, d))
+          .repartition(col("src"))
+        val active = graft.Tables.documents(s, d)
+          .select(col("doc_id").cast("long").as("v"), lit(0L).as("g"))
+        val eA = GraphOps.sccSubsetRestrict(e, active)
+        val seed = active.groupBy("g").agg(min("v").as("p"))
+          .select(col("p").as("v"),
+            explode(array(lit(0), lit(1))).as("dir"),
+            col("g"), lit(0L).as("dist"))
+        GraphOps.sccReachRound(eA, seed)
       },
       "q_builder_bidi_round" -> { (s, d) =>
         // the REAL tagging helper + one relaxation — hand-copying the

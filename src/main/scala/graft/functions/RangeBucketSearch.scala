@@ -149,11 +149,21 @@ object RangeBucketSearch {
     val keys = es.drop(2)
     require(descE.foldable && bndE.foldable,
       "range_bucket_search: desc_flags and boundaries must be literals")
+    require(descE.dataType match {
+      case ArrayType(org.apache.spark.sql.types.BooleanType, _) => true
+      case _ => false
+    }, s"range_bucket_search: desc_flags must be ARRAY<BOOLEAN>, got ${descE.dataType}")
     val desc = descE.eval().asInstanceOf[ArrayData].toBooleanArray().toIndexedSeq
     require(desc.length == keys.length,
       s"range_bucket_search: ${desc.length} desc flags for ${keys.length} keys")
-    val st = bndE.dataType.asInstanceOf[ArrayType]
-      .elementType.asInstanceOf[StructType]
+    // pattern-match, not cast: a non-array or non-struct-element boundary
+    // literal must fail with this function's message convention, not a
+    // raw ClassCastException (ADVICE r11)
+    val st = bndE.dataType match {
+      case ArrayType(s: StructType, _) => s
+      case other => throw new IllegalArgumentException(
+        s"range_bucket_search: boundaries must be ARRAY<STRUCT<...>>, got $other")
+    }
     require(st.length == keys.length,
       s"range_bucket_search: boundary arity ${st.length} != key arity ${keys.length}")
     keys.zip(st.fields).zipWithIndex.foreach { case ((k, f), i) =>

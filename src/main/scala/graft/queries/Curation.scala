@@ -2093,28 +2093,43 @@ object Curation {
       .groupBy("label").agg(count(lit(1)).as("nl"))
     val sc = tr.agg(countDistinct("token").as("v"))
       .crossJoin(labeled.filter(col("doc_id") % 3 =!= 0).agg(count(lit(1)).as("n")))
+    // per-label smoothing floor fw(l) = w(l, t) for any UNOBSERVED
+    // (l, t): the model stays SPARSE — only observed (label, token)
+    // pairs materialize, carrying the delta w − fw, and the floor's
+    // dense contribution folds into the closed form
+    //   score = prior + fw(l)·Σ_{t∈vocab∩doc} tf + Σ_observed tf·(w − fw)
+    // (identical integer algebra to the dense V×L matrix the r11 form
+    // materialized via vocab × langs cross join — at web-scale V·L
+    // (10⁸ vocab × 10² labels) the dense rows existed ONLY to give
+    // absent pairs the floor; this computes that term per label)
     val langs = cl.join(nl, "label").crossJoin(broadcast(sc))
       .withColumn("prior", expr(s"length(bin(nl * $S div n))"))
+      .withColumn("fw", expr(s"length(bin($S div (cl + v)))"))
     val vocab = clt.select("token").distinct()
-    // the dense model matrix: vocab × classes (V·L rows — the trained
-    // artifact itself; absent (class, token) pairs take the smoothing
-    // floor, which is exactly why the cross join is needed)
-    val model = vocab.crossJoin(broadcast(langs))
-      .join(clt, Seq("label", "token"), "left")
+    val mdelta = clt.join(broadcast(langs.select("label", "cl", "v", "fw")), "label")
       .select(col("label"), col("token"),
-        expr(s"length(bin((coalesce(c, 0L) + 1) * $S div (cl + v)))").as("w"))
+        (expr(s"length(bin((c + 1) * $S div (cl + v)))") - col("fw")).as("dw"))
     val tf = tok.filter(col("doc_id") % 3 === 0)
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    // model broadcast at this vocabulary; a web-scale V·L matrix joins
-    // as a posting join keyed on token — same plan shape, bigger build
-    val contrib = tf.join(broadcast(model), "token")
-      .groupBy(col("doc_id"), col("label")).agg(sum(col("tf") * col("w")).as("ts"))
+    // in-vocabulary token mass per doc — the floor term's multiplier
+    // (out-of-vocab tokens contribute nothing, exactly as the dense
+    // form's vocab-keyed join dropped them)
+    val stf = tf.join(vocab, Seq("token"), "left_semi")
+      .groupBy("doc_id").agg(sum("tf").as("stf"))
+    // sparse model broadcast at this vocabulary; a web-scale model
+    // joins as a posting join keyed on token — same plan shape, and the
+    // build is now observed-pairs-sized instead of V·L
+    val contrib = tf.join(broadcast(mdelta), "token")
+      .groupBy(col("doc_id"), col("label")).agg(sum(col("tf") * col("dw")).as("ts"))
     val testd = labeled.filter(col("doc_id") % 3 === 0)
       .select(col("doc_id"), col("label").as("actual_label"))
     testd
-      .crossJoin(broadcast(langs.select("label", "prior")))
+      .crossJoin(broadcast(langs.select("label", "prior", "fw")))
+      .join(stf, Seq("doc_id"), "left")
       .join(contrib, Seq("doc_id", "label"), "left")
-      .withColumn("score", col("prior") + coalesce(col("ts"), lit(0L)))
+      .withColumn("score",
+        col("prior") + col("fw") * coalesce(col("stf"), lit(0L))
+          + coalesce(col("ts"), lit(0L)))
   }
 
   /** Per-doc score ranking of [[nbScoresOf]]'s (doc, label) frame: rank 1
@@ -2209,10 +2224,12 @@ object Curation {
     * instead, where holdout accuracy must be 100%.
     *
     * Scale shape: one token explode; training counts map-side
-    * combinable; the model is a V×L matrix (broadcast here, a
-    * token-keyed posting join at web scale); scoring is one join + one
-    * (doc, label) partial-aggregated sum; argmax a doc-keyed window
-    * over L rows per group. No global sorts, no driver loops. */
+    * combinable; the model is SPARSE — observed (label, token) pairs
+    * only, with absent pairs' smoothing floor folded into a per-label
+    * closed-form term (broadcast here, a token-keyed posting join at
+    * web scale); scoring is one join + one (doc, label)
+    * partial-aggregated sum; argmax a doc-keyed window over L rows per
+    * group. No global sorts, no driver loops. */
   /** DuckDB CTE chain through the ranked (doc, label, score, rn) frame —
     * factored so [[classifyNb]] and [[classifyCalibration]] share the
     * trained model and scoring verbatim (a drift between copies would
@@ -2228,23 +2245,27 @@ object Curation {
        sc AS (SELECT (SELECT count(DISTINCT token) FROM tr) AS v,
                      (SELECT count(*) FROM documents WHERE doc_id % 3 <> 0) AS n),
        langs AS (SELECT cl.label, cl.cl, nl.nl,
-                        length(bin(nl.nl * 1048576 // sc.n)) AS prior
+                        length(bin(nl.nl * 1048576 // sc.n)) AS prior,
+                        length(bin(1048576 // (cl.cl + sc.v))) AS fw
                  FROM cl JOIN nl ON nl.label = cl.label CROSS JOIN sc),
        vocab AS (SELECT DISTINCT token FROM tr),
-       model AS (SELECT l.label, v.token,
-                        length(bin((COALESCE(c.c, 0) + 1) * 1048576 // (l.cl + sc.v)))
-                          AS w
-                 FROM vocab v CROSS JOIN langs l CROSS JOIN sc
-                 LEFT JOIN clt c ON c.label = l.label AND c.token = v.token),
+       mdelta AS (SELECT c.label, c.token,
+                         length(bin((c.c + 1) * 1048576 // (l.cl + sc.v))) - l.fw
+                           AS dw
+                  FROM clt c JOIN langs l ON l.label = c.label CROSS JOIN sc),
        tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
               WHERE doc_id % 3 = 0 GROUP BY 1, 2),
-       contrib AS (SELECT tf.doc_id, m.label, sum(tf.tf * m.w) AS ts
-                   FROM tf JOIN model m ON m.token = tf.token GROUP BY 1, 2),
+       stf AS (SELECT doc_id, sum(tf) AS stf FROM tf
+               WHERE token IN (SELECT token FROM vocab) GROUP BY 1),
+       contrib AS (SELECT tf.doc_id, m.label, sum(tf.tf * m.dw) AS ts
+                   FROM tf JOIN mdelta m ON m.token = tf.token GROUP BY 1, 2),
        testd AS (SELECT doc_id, lang AS actual_label FROM documents
                  WHERE doc_id % 3 = 0),
        scores AS (SELECT t.doc_id, t.actual_label, l.label,
-                         l.prior + COALESCE(c.ts, 0) AS score
+                         l.prior + l.fw * COALESCE(s.stf, 0)
+                           + COALESCE(c.ts, 0) AS score
                   FROM testd t CROSS JOIN langs l
+                  LEFT JOIN stf s ON s.doc_id = t.doc_id
                   LEFT JOIN contrib c ON c.doc_id = t.doc_id AND c.label = l.label),
        pick AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
                           ORDER BY score DESC, label) AS rn

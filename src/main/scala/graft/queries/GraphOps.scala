@@ -616,148 +616,253 @@ object GraphOps {
     } finally TextDedup.release(eRdds)
   }
 
-  /** Edges restricted to the active vertex subset — both endpoints must
-    * survive. Two semi-joins; the checkpointed edge table arrives
-    * pre-partitioned on src, so the src side reuses its exchange. */
-  private def sccRestrict(e: DataFrame, v: DataFrame): DataFrame =
-    e.join(v.select(col("v").as("src")), Seq("src"), "left_semi")
-      .join(v.select(col("v").as("dst")), Seq("dst"), "left_semi")
+  /** Tagged edges restricted to the active (v, g) partition: the src
+    * endpoint contributes its subset id g, and the row survives only if
+    * dst sits in the SAME subset — so every downstream join is confined
+    * to its subset by the g key alone, and ALL active subsets restrict
+    * in one plan. Output (src, dst, dir, g). The checkpointed edge table
+    * arrives pre-partitioned on src, so the first join reuses that
+    * exchange; active is unique on v (subsets partition the vertices),
+    * so the g-attach join cannot fan out. */
+  private[graft] def sccSubsetRestrict(e: DataFrame, active: DataFrame): DataFrame =
+    e.join(active.select(col("v").as("src"), col("g")), "src")
+      .join(active.select(col("v").as("dst"), col("g")), Seq("dst", "g"), "left_semi")
 
-  /** ONE trim round of [[sccDecompose]] (q_builder_scc_trim_round):
+  /** ONE batched trim round of [[sccDecompose]]
+    * (q_builder_scc_trim_round gates this COMPOSED with
+    * [[sccSubsetRestrict]] — the shape production actually runs):
     * survivors are the vertices with ≥1 in-edge AND ≥1 out-edge inside
-    * the active subgraph. A vertex failing either test cannot sit on a
-    * cycle, so it is a singleton SCC — trimming it costs two
-    * metadata-narrow distinct projections + two equi-joins, against the
-    * alternative of a full forward+backward reachability pass PER
-    * singleton (the classic FW-BW degeneracy on DAG-shaped remainders:
-    * n singletons would take n pivot recursions without this peel). */
-  private[graft] def sccTrimRound(eV: DataFrame, v: DataFrame): DataFrame =
-    v.join(eV.select(col("src").as("v")).distinct(), "v")
-      .join(eV.select(col("dst").as("v")).distinct(), "v")
+    * their own subset's restricted subgraph. A vertex failing either
+    * test cannot sit on a cycle, so it is a singleton SCC — trimming it
+    * costs two metadata-narrow distinct projections + two equi-joins
+    * FOR EVERY ACTIVE SUBSET AT ONCE, against the alternative of a full
+    * forward+backward reachability pass per singleton (the classic
+    * FW-BW degeneracy on DAG-shaped remainders: n singletons would take
+    * n pivot recursions without this peel). Vertex ids are globally
+    * unique across subsets, so v alone keys the survivor joins; g rides
+    * through from `active`. */
+  private[graft] def sccTrimRound(eA: DataFrame, active: DataFrame): DataFrame =
+    active.join(eA.select(col("src").as("v")).distinct(), "v")
+      .join(eA.select(col("dst").as("v")).distinct(), "v")
+
+  /** ONE batched bidirectional reachability round over (v, dir, g, dist)
+    * state (q_builder_scc_reach_round): [[bidiRelax]] with the subset id
+    * g riding both the join key and the MIN group — every active
+    * subset's forward AND backward frontier advances in ONE join + ONE
+    * map-side-combinable MIN per round. The g key confines each
+    * expansion to its own subset (the restricted edges carry g), so no
+    * cross-subset leakage is possible by construction. */
+  private[graft] def sccReachRound(eA: DataFrame, dist: DataFrame): DataFrame =
+    dist.unionByName(
+        eA.join(dist.select(col("v").as("src"), col("dir"), col("g"), col("dist")),
+            Seq("src", "dir", "g"))
+          .select(col("dst").as("v"), col("dir"), col("g"), (col("dist") + 1L).as("dist")))
+      .groupBy("v", "dir", "g").agg(min("dist").as("dist"))
+
+  /** Instrumentation of one [[sccDecompose]] run — what the depth pins
+    * in GraphProfilingSpec read. `pivots` counts pivoted subsets
+    * (summed across super-rounds), `superRounds` the outer driver
+    * iterations, `trimRounds`/`reachRounds` the total peel and
+    * relaxation rounds — reachRounds is where batching shows:
+    * independent subsets in the same super-round share one fixpoint, so
+    * the total is Σ_superround max(subset depths), not Σ subsets. */
+  final case class SccStats(
+      pivots: Int, superRounds: Int, trimRounds: Int, reachRounds: Int)
 
   /** Full strongly-connected-components decomposition — the recursive
-    * FW-BW divide-and-conquer (Fleischer, Hendrickson & Pınar) the
-    * [[graphSccPivot]] kernel was documented to need only driver-side
-    * control flow for, now written and gated. Returns ((v, scc_id) for
-    * EVERY input vertex — scc_id = the minimum id in the vertex's SCC —
-    * plus the pivot-recursion count the spec pins).
+    * FW-BW divide-and-conquer (Fleischer, Hendrickson & Pınar), with
+    * the recursion's independent subsets BATCHED: instead of a driver
+    * worklist processing one vertex subset at a time (Σ per-subset
+    * fixpoints of wall clock), the state is ONE (v, g) table — g = the
+    * subset id, unique because subsets partition the vertices and g is
+    * the fragment's minimum vertex — and every phase runs ALL active
+    * subsets in one plan per round. Returns ((v, scc_id) for EVERY
+    * input vertex — scc_id = the minimum id in the vertex's SCC — plus
+    * the [[SccStats]] the depth pins read).
     *
-    * Driver loop over a worklist of vertex subsets:
-    *   1. TRIM: peel vertices with no in- or no out-edge in the active
-    *      subgraph ([[sccTrimRound]]) to fixpoint (bounded rounds —
-    *      stopping early is safe, it only leaves more for the pivot
-    *      step). Peeled vertices emit as singleton SCCs. This is what
-    *      keeps the recursion depth a property of the CONDENSATION, not
-    *      the vertex count: DAG-shaped remainders (the express fan-out,
-    *      the odd fan-in — at web scale, the vast majority of a link
-    *      graph) drain here in O(diameter) cheap rounds instead of one
-    *      full reachability recursion per singleton.
-    *   2. PIVOT: pivot = min surviving id; F and B from ONE
-    *      [[bidiReach]] fixpoint loop (direction-tagged state, per-round
-    *      checkpoint+release, (count, sum) fixpoint, the
-    *      q_builder_bidi_round-gated body); SCC = F ∩ B emits with
-    *      scc_id = pivot (pivot is the subset minimum, hence its SCC's
-    *      minimum — which makes labels the closed-form min-id). The
-    *      three remainders F∖B, B∖F, V∖(F∪B) — each of which provably
-    *      contains no SCC spanning into another — re-enter the worklist.
+    * Per super-round over the active table:
+    *   1. TRIM to fixpoint: peel vertices with no in- or no out-edge
+    *      inside their subset ([[sccSubsetRestrict]] + [[sccTrimRound]],
+    *      all subsets at once). Each non-fixpoint round strictly shrinks
+    *      the active count, so the loop provably terminates — no cap
+    *      (ADVICE r11: a capped peel on a deep DAG remainder burned one
+    *      pivot recursion per surviving vertex). Peeled vertices emit as
+    *      singleton SCCs. This keeps recursion depth a property of the
+    *      CONDENSATION, not the vertex count: DAG-shaped remainders (at
+    *      web scale, the vast majority of a link graph) drain here in
+    *      O(diameter) cheap rounds.
+    *   2. PIVOT, all subsets at once: per-subset pivot = min(v),
+    *      computed as one groupBy — subsets that trimmed down to one
+    *      vertex (self-loop survivors) emit directly, costing no pivot.
+    *      The seed table holds every pivoted subset's (pivot, dir∈{0,1})
+    *      rows, and ONE (count, sum) fixpoint over [[sccReachRound]]
+    *      advances every subset's F and B together — a subset that
+    *      converged early relaxes idempotently while deeper ones finish,
+    *      so the round count is max(subset depths), not their sum.
+    *      SCC = F ∩ B per subset emits with scc_id = pivot (the subset
+    *      minimum, hence its SCC's minimum — the closed-form min-id
+    *      label). The three remainders F∖B, B∖F, V∖(F∪B) — none of
+    *      which can hold an SCC spanning into another — re-key to their
+    *      own minima (one groupBy) and become the next round's active
+    *      table. No driver-side pivot VALUES ever collect: seeds, labels
+    *      and re-keys all stay in-plan; the only driver actions are the
+    *      per-round counts and the fixpoint probes.
     *
-    * Memory discipline: every subset/edge/fragment table is
-    * localCheckpoint'ed and released as soon as nothing reads it; the
-    * emitted fragments' blocks are leased to the consuming query (the
-    * [[ssspWithRounds]] convention). Fails loudly past `maxPivots` —
-    * a silent cap would emit unlabeled vertices. */
+    * Memory discipline: every state table is localCheckpoint'ed and
+    * released as soon as nothing reads it; emitted fragments' blocks are
+    * leased to the consuming query (the [[ssspWithRounds]] convention);
+    * ANY throw (fixpoint failure, job error) releases everything before
+    * propagating (ADVICE r11 — the sequential form leaked on the
+    * non-maxPivots throw paths). Fails loudly past `maxPivots` — a
+    * silent cap would emit unlabeled vertices. */
   private[graft] def sccDecompose(
       edges0: DataFrame, vertices0: DataFrame, maxPivots: Int,
-      maxTrimRounds: Int = 8, reachRounds: Int = 64): (DataFrame, Int) = {
+      reachRounds: Int = 64): (DataFrame, SccStats) = {
     import scala.collection.mutable
     type Tracked = (DataFrame, Seq[org.apache.spark.rdd.RDD[_]])
     // tagged ONCE: dir=0 original orientation (trim reads this half),
-    // dir=1 reversed (the backward leg of every pivot's bidi pass) —
-    // per-pivot re-tagging was measured as the dominant fixed cost of
-    // the two-loop form this replaced. Partitioned on src ALONE:
-    // HashPartitioning(src) satisfies the bidi join's
-    // ClusteredDistribution(src, dir) (subset rule) AND sccRestrict's
-    // src-keyed semi-join — (src, dir) partitioning would satisfy only
-    // the former and force a re-exchange per trim round
+    // dir=1 reversed (the backward leg of every bidi pass) — re-tagging
+    // per pivot was measured as the dominant fixed cost of the pre-r11
+    // two-loop form. Partitioned on src ALONE: HashPartitioning(src)
+    // satisfies the reach join's ClusteredDistribution(src, dir, g)
+    // (subset rule) AND the restrict's src-keyed g-attach join — a
+    // compound partitioning would satisfy only the former and force a
+    // re-exchange per trim round
     val (edges, edgesRdds) = TextDedup.localCheckpointTracked(
       bidiTag(edges0.toDF("src", "dst")).repartition(col("src")))
     val pieces = mutable.ListBuffer.empty[Tracked]
     def emit(df: DataFrame): Unit =
       pieces += TextDedup.localCheckpointTracked(df.toDF("v", "scc_id"))
-    val queue = mutable.Queue(TextDedup.localCheckpointTracked(vertices0.toDF("v")))
-    def releaseAll(extra: Seq[org.apache.spark.rdd.RDD[_]]*): Unit = {
-      extra.foreach(TextDedup.release)
-      queue.foreach(t => TextDedup.release(t._2))
-      pieces.foreach(t => TextDedup.release(t._2))
-      TextDedup.release(edgesRdds)
+    // initial state: every vertex in one subset (g constant; g is only a
+    // GROUPING key — fragment re-keys assign real minima from round 2 on)
+    var (active, activeRdds) = TextDedup.localCheckpointTracked(
+      vertices0.toDF("v").select(col("v"), lit(0L).as("g")))
+    var eA: DataFrame = null
+    var eARdds: Seq[org.apache.spark.rdd.RDD[_]] = Nil
+    def swapEa(t: Tracked): Unit = {
+      if (eA ne null) TextDedup.release(eARdds)
+      eA = t._1; eARdds = t._2
     }
     var pivots = 0
-    while (queue.nonEmpty) {
-      var (v, vRdds) = queue.dequeue()
-      var n = v.count()
-      var eV: DataFrame = null
-      var eVRdds: Seq[org.apache.spark.rdd.RDD[_]] = Nil
-      def swapEv(t: Tracked): Unit = {
-        if (eV ne null) TextDedup.release(eVRdds)
-        eV = t._1; eVRdds = t._2
-      }
-      // ---- trim to the ≥1-in/≥1-out core ----
-      var atFixpoint = false
-      var trims = 0
-      while (n > 1 && !atFixpoint && trims < maxTrimRounds) {
-        swapEv(TextDedup.localCheckpointTracked(sccRestrict(edges, v)))
-        val (core, coreRdds) = TextDedup.localCheckpointTracked(
-          sccTrimRound(eV.filter(col("dir") === 0), v))
-        val m = core.count()
-        if (m == n) { TextDedup.release(coreRdds); atFixpoint = true }
-        else {
-          emit(v.join(core, Seq("v"), "left_anti")
-            .select(col("v"), col("v").as("scc_id")))
-          TextDedup.release(vRdds)
-          v = core; vRdds = coreRdds; n = m
-        }
-        trims += 1
-      }
-      if (n > 1 && !atFixpoint) // trim capped mid-peel: eV is stale
-        swapEv(TextDedup.localCheckpointTracked(sccRestrict(edges, v)))
-      // ---- pivot ----
-      if (n == 1)
-        emit(v.select(col("v"), col("v").as("scc_id")))
-      else if (n > 1) {
-        pivots += 1
-        if (pivots > maxPivots) {
-          releaseAll(vRdds, eVRdds)
-          throw new IllegalStateException(
-            s"scc decomposition exceeded $maxPivots pivot recursions — " +
-              "condensation larger than expected, or trim is not draining")
-        }
-        val pivot = v.agg(min(col("v"))).head().getLong(0)
-        // eV is the restricted TAGGED table, already checkpointed by the
-        // trim loop — the bidi pass consumes it with no re-tagging
-        val (f, b, _, reachRdds) = bidiReachTagged(eV, pivot, reachRounds)
-        emit(f.join(b, "v").select(col("v"), lit(pivot).as("scc_id")))
-        Seq(
-          f.join(b, Seq("v"), "left_anti"),
-          b.join(f, Seq("v"), "left_anti"),
-          v.join(f, Seq("v"), "left_anti").join(b, Seq("v"), "left_anti"))
-          .foreach { sub =>
-            val t = TextDedup.localCheckpointTracked(sub)
-            if (t._1.count() > 0) queue += t else TextDedup.release(t._2)
+    var superRounds = 0
+    var trimRounds = 0
+    var reachTotal = 0
+    var n = active.count()
+    // start-of-super-round active snapshot, held across the trim loop for
+    // the once-per-round peel emit; released (and cleared) as soon as the
+    // emit lands, and by the catch block if a round throws mid-trim
+    var startRdds: Seq[org.apache.spark.rdd.RDD[_]] = Nil
+    try {
+      while (n > 0) {
+        superRounds += 1
+        // ---- trim ALL subsets to their ≥1-in/≥1-out cores, to fixpoint ----
+        // peeled vertices are emitted ONCE per super-round (start-of-round
+        // active ∖ final core) — one checkpoint job instead of one per
+        // peel round; the start snapshot's blocks are held until then
+        val activeStart = active
+        startRdds = activeRdds
+        val nStart = n
+        var atFixpoint = false
+        while (n > 0 && !atFixpoint) {
+          // rounds > 1 restrict the PREVIOUS restricted table (edges
+          // within core ⊆ edges within active — same result, smaller
+          // join input than re-restricting the full edge table)
+          swapEa(TextDedup.localCheckpointTracked(
+            sccSubsetRestrict(if (eA eq null) edges else eA.drop("g"), active)))
+          val (core, coreRdds) = TextDedup.localCheckpointTracked(
+            sccTrimRound(eA.filter(col("dir") === 0), active))
+          val m = core.count()
+          trimRounds += 1
+          if (m == n) { TextDedup.release(coreRdds); atFixpoint = true }
+          else {
+            if (active ne activeStart) TextDedup.release(activeRdds)
+            active = core; activeRdds = coreRdds; n = m
           }
-        // the emitted fragment and the three subsets are materialized
-        // checkpoints now — the F/B state blocks have no readers left
-        TextDedup.release(reachRdds)
+        }
+        if (n < nStart)
+          emit(activeStart.join(active, Seq("v"), "left_anti")
+            .select(col("v"), col("v").as("scc_id")))
+        if (active ne activeStart) TextDedup.release(startRdds)
+        startRdds = Nil
+        if (n > 0) {
+          // ---- per-subset pivot metadata: one groupBy, no collect ----
+          val (sizes, sizesRdds) = TextDedup.localCheckpointTracked(
+            active.groupBy("g")
+              .agg(min("v").as("p"), count(lit(1)).as("cnt")))
+          // size-1 survivors (self-loop singletons) are their own SCC —
+          // emitted without costing a pivot, as the sequential form did
+          emit(active.join(sizes.filter(col("cnt") === 1).select("g"),
+              Seq("g"), "left_semi")
+            .select(col("v"), col("v").as("scc_id")))
+          val multi = sizes.filter(col("cnt") > 1)
+          val nPiv = multi.count()
+          pivots += nPiv.toInt
+          if (pivots > maxPivots)
+            throw new IllegalStateException(
+              s"scc decomposition exceeded $maxPivots pivot recursions — " +
+                "condensation larger than expected, or trim is not draining")
+          if (nPiv == 0) {
+            TextDedup.release(sizesRdds)
+            n = 0
+          } else {
+            // ---- one batched bidi fixpoint over every pivoted subset ----
+            val seed = multi.select(
+              col("p").as("v"),
+              explode(array(lit(0), lit(1))).as("dir"),
+              col("g"), lit(0L).as("dist"))
+            val (st, rr, stRdds) = fixpointLoop(
+              seed, sccReachRound(eA, _), reachRounds,
+              "scc batched bidirectional reachability")
+            reachTotal += rr
+            val f = st.filter(col("dir") === 0).select("v", "g")
+            val b = st.filter(col("dir") === 1).select("v", "g")
+            // v is globally unique across subsets, so v alone keys the
+            // F/B set algebra; g rides through for the re-key groupBy
+            emit(f.join(b.select("v"), Seq("v"), "left_semi")
+              .join(sizes.select(col("g"), col("p")), "g")
+              .select(col("v"), col("p").as("scc_id")))
+            val rem = f.join(b.select("v"), Seq("v"), "left_anti")
+              .withColumn("br", lit(1))
+              .unionByName(b.join(f.select("v"), Seq("v"), "left_anti")
+                .withColumn("br", lit(2)))
+              .unionByName(active
+                .join(multi.select("g"), Seq("g"), "left_semi")
+                .join(st.select("v"), Seq("v"), "left_anti")
+                .withColumn("br", lit(3)))
+            // re-key each fragment to its own minimum vertex — globally
+            // unique because the fragments partition the surviving set
+            val next = rem
+              .join(rem.groupBy("g", "br").agg(min("v").as("ng")), Seq("g", "br"))
+              .select(col("v"), col("ng").as("g"))
+            val (nextA, nextARdds) = TextDedup.localCheckpointTracked(next)
+            TextDedup.release(stRdds)
+            TextDedup.release(sizesRdds)
+            TextDedup.release(activeRdds)
+            active = nextA; activeRdds = nextARdds
+            n = active.count()
+          }
+        }
       }
-      TextDedup.release(vRdds)
-      if (eV ne null) TextDedup.release(eVRdds)
+    } catch {
+      case t: Throwable =>
+        TextDedup.release(activeRdds)
+        if (startRdds.nonEmpty && (startRdds ne activeRdds))
+          TextDedup.release(startRdds)
+        if (eA ne null) TextDedup.release(eARdds)
+        pieces.foreach(p => TextDedup.release(p._2))
+        TextDedup.release(edgesRdds)
+        throw t
     }
+    TextDedup.release(activeRdds)
+    if (eA ne null) TextDedup.release(eARdds)
     TextDedup.release(edgesRdds)
+    val stats = SccStats(pivots, superRounds, trimRounds, reachTotal)
     if (pieces.isEmpty)
-      (vertices0.toDF("v").select(col("v"), col("v").as("scc_id")), pivots)
+      (vertices0.toDF("v").select(col("v"), col("v").as("scc_id")), stats)
     else {
       val out = pieces.map(_._1).reduce(_.unionByName(_))
       pieces.foreach(_._2.foreach(graft.ops.Caches.leaseRdd))
-      (out, pivots)
+      (out, stats)
     }
   }
 
@@ -918,11 +1023,20 @@ object GraphOps {
     var (dist, distRdds) = TextDedup.localCheckpointTracked(
       ids.filter(col("v").isin(1L, 2L, 3L))
         .select(col("v"), col("v").as("lm"), lit(0L).as("hop")))
-    for (i <- 1 to rounds) {
-      val (next, nextRdds) = TextDedup.localCheckpointTracked(landmarkRound(e, dist))
-      TextDedup.release(distRdds)
-      dist = next
-      distRdds = nextRdds
+    // a round that throws must not strand the edge/state blocks for the
+    // session (ADVICE r11) — release everything before propagating
+    try {
+      for (i <- 1 to rounds) {
+        val (next, nextRdds) = TextDedup.localCheckpointTracked(landmarkRound(e, dist))
+        TextDedup.release(distRdds)
+        dist = next
+        distRdds = nextRdds
+      }
+    } catch {
+      case t: Throwable =>
+        TextDedup.release(distRdds)
+        TextDedup.release(edgeRdds)
+        throw t
     }
     TextDedup.release(edgeRdds)
     dist.select(col("v").as("doc_id"), col("lm").as("landmark"),

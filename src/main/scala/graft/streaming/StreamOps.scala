@@ -418,6 +418,97 @@ object StreamOps {
       .transformWithState(new HdrProcessor(), TimeMode.None(), OutputMode.Update())
   }
 
+  case class ErCand(new_key: Long, cand_key: Option[Long], score: Option[Long])
+  case class ErBest(k: Long, s: Long, n: Long)
+  case class ErRouteOut(new_key: Long, match_key: Option[Long],
+      score: Option[Long], n_cands: Long, decision: String)
+
+  /** Streaming incremental entity resolution — the streaming face of
+    * q_er_incremental ([[graft.queries.Profiling.erIncrementalOf]]),
+    * completing the daily-production story the same way [[hdrQuantiles]]
+    * did for sketches: arriving records as a STREAM, matched against the
+    * STANDING corpus with the Fellegi–Sunter weights FROZEN from that
+    * corpus.
+    *
+    * Contract fidelity, piece by piece:
+    *   - weights: two metadata scalars collected off the corpus at
+    *     stream CONSTRUCTION ([[graft.queries.Profiling.erFrozenWeights]]
+    *     — the shared build) — "yesterday's model" IS a constant for the
+    *     day's stream, which is exactly the frozen-weights contract the
+    *     batch spec traps (a per-batch recompute over corpus ∪ arrivals
+    *     would drift scores with every micro-batch);
+    *   - candidates: stream-static LEFT join on the bounded block key —
+    *     stateless on the stream side (the static corpus is re-read or
+    *     co-located per micro-batch, state never grows with corpus
+    *     size); the left join keeps candidate-less arrivals as null
+    *     rows, so they route 'new' with n_cands = 0 instead of being
+    *     dropped;
+    *   - scoring: [[graft.queries.Profiling.erAgreementScore]] VERBATIM
+    *     (the shared-predicate convention — the two faces cannot drift);
+    *   - argmax: `transformWithState` keyed on the ARRIVAL key (high
+    *     cardinality, fully parallel), one ValueState[(best, score,
+    *     n_cands)] per arrival merging candidates with the batch's
+    *     deterministic (score desc, key asc) rule — so a re-processed or
+    *     split delivery converges to the same answer, and each
+    *     micro-batch emits the arrival's current routing (Update mode).
+    *
+    * State is O(arrivals in flight); production adds a TTL to expire
+    * routed arrivals (per-state TTL is the transformWithState
+    * improvement over GroupState timeouts). Redelivered DUPLICATE
+    * candidate sets double-count n_cands by design — upstream
+    * [[dedupeStream]] on the arrival id is the composition that guards
+    * redelivery, as everywhere in this file. */
+  def erRouteArrivals(arrivals: DataFrame, corpus: DataFrame): Dataset[ErRouteOut] = {
+    val spark = arrivals.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    val wRow = graft.queries.Profiling.erFrozenWeights(corpus).head()
+    // length(bin(...)) yields INT — widen driver-side, not in the shared
+    // SQL (a cast there would churn the batch twin's plan for nothing)
+    val (wNat, wSeg) =
+      (wRow.getAs[Number](0).longValue, wRow.getAs[Number](1).longValue)
+    val a = arrivals.toDF("new_key", "a_name", "a_nat", "a_seg", "a_cents", "blk")
+    val b = corpus.toDF("cand_key", "b_name", "b_nat", "b_seg", "b_cents", "blk")
+    val cand = a.join(b, Seq("blk"), "left_outer")
+      .withColumn("w_nat", lit(wNat))
+      .withColumn("w_seg", lit(wSeg))
+      .select(col("new_key"), col("cand_key"),
+        when(col("cand_key").isNotNull,
+          graft.queries.Profiling.erAgreementScore).as("score"))
+      .as[ErCand]
+    class ErRouteProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, ErCand, ErRouteOut] {
+      @transient private var state: ValueState[ErBest] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        state = getHandle.getValueState[ErBest](
+          "best", org.apache.spark.sql.Encoders.product[ErBest], TTLConfig.NONE)
+      override def handleInputRows(
+          key: Long, rows: Iterator[ErCand], tv: TimerValues): Iterator[ErRouteOut] = {
+        var k = 0L; var s = 0L; var n = 0L
+        if (state.exists()) { val p = state.get(); k = p.k; s = p.s; n = p.n }
+        rows.foreach { r =>
+          (r.cand_key, r.score) match {
+            case (Some(ck), Some(sc)) =>
+              // the batch argmax rule verbatim: score desc, key asc
+              if (n == 0L || sc > s || (sc == s && ck < k)) { k = ck; s = sc }
+              n += 1
+            case _ => () // candidate-less left-join row: seen, no candidate
+          }
+        }
+        state.update(ErBest(k, s, n))
+        // the batch routing CASE verbatim (null candidate → 'new')
+        val decision =
+          if (n == 0L) "new" else if (s >= 14L) "attach"
+          else if (s >= 4L) "review" else "new"
+        Iterator.single(ErRouteOut(key,
+          if (n == 0L) None else Some(k),
+          if (n == 0L) None else Some(s), n, decision))
+      }
+    }
+    cand.groupByKey(_.new_key)
+      .transformWithState(new ErRouteProcessor(), TimeMode.None(), OutputMode.Update())
+  }
+
   /** The same md5-hex-prefix hash the batch KMV queries use
     * (`substr(md5(cast(user_id as string)), 1, 8)` read as a 32-bit int),
     * so streaming estimates are comparable against batch sketches. */

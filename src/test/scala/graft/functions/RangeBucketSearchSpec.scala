@@ -62,6 +62,26 @@ class RangeBucketSearchSpec extends SparkSpec {
            array(struct(CAST(5 AS BIGINT), 'x')), v) AS b""").collect()
     }
     assert(e3.getMessage.contains("arity"))
+    // non-array boundary literal: the function's own message convention,
+    // never a raw ClassCastException (ADVICE r11)
+    val e4 = intercept[Exception] {
+      df.selectExpr("range_bucket_search(array(false), 5, v) AS b").collect()
+    }
+    assert(e4.getMessage.contains("range_bucket_search: boundaries must be"),
+      s"got: ${e4.getMessage}")
+    // array-of-non-struct boundary literal
+    val e5 = intercept[Exception] {
+      df.selectExpr("range_bucket_search(array(false), array(5), v) AS b").collect()
+    }
+    assert(e5.getMessage.contains("range_bucket_search: boundaries must be"),
+      s"got: ${e5.getMessage}")
+    // non-boolean desc flags
+    val e6 = intercept[Exception] {
+      df.selectExpr(
+        "range_bucket_search(array(1), array(struct(CAST(5 AS BIGINT))), v) AS b")
+        .collect()
+    }
+    assert(e6.getMessage.contains("desc_flags must be"), s"got: ${e6.getMessage}")
   }
 
   test("interpreted eval matches codegen (null keys included)") {

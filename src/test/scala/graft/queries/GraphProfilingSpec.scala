@@ -132,7 +132,7 @@ class GraphProfilingSpec extends SparkSpec {
       (11L, 11L))                   // self-loop singleton
       .toDF("src", "dst")
     val v = Seq(1L, 2L, 3L, 5L, 6L, 8L, 9L, 10L, 11L).toDF("v")
-    val (out, pivots) = GraphOps.sccDecompose(e, v, maxPivots = 5)
+    val (out, stats) = GraphOps.sccDecompose(e, v, maxPivots = 5)
     val labels = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels === Map(
       1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L,
@@ -140,7 +140,7 @@ class GraphProfilingSpec extends SparkSpec {
     // trim peels the tail + isolate; the self-loop survives trim but is
     // emitted as a size-1 subset without a reachability pass — so only
     // the two cycles cost pivots
-    assert(pivots === 2, s"expected 2 pivot recursions, got $pivots")
+    assert(stats.pivots === 2, s"expected 2 pivot recursions, got ${stats.pivots}")
     graft.ops.Caches.drain()
   }
 
@@ -149,10 +149,10 @@ class GraphProfilingSpec extends SparkSpec {
     // singletons cost n forward+backward reachability recursions
     val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("src", "dst")
     val v = Seq(1L, 2L, 3L, 4L).toDF("v")
-    val (out, pivots) = GraphOps.sccDecompose(e, v, maxPivots = 1)
+    val (out, stats) = GraphOps.sccDecompose(e, v, maxPivots = 1)
     assert(out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
       Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
-    assert(pivots === 0, s"a DAG must never pivot, got $pivots")
+    assert(stats.pivots === 0, s"a DAG must never pivot, got ${stats.pivots}")
     graft.ops.Caches.drain()
   }
 
@@ -162,9 +162,10 @@ class GraphProfilingSpec extends SparkSpec {
     val d = "/root/testdata/sf0.001"
     val verts = graft.Tables.documents(spark, d)
       .select(col("doc_id").cast("long").as("v"))
-    val (out, pivots) = GraphOps.sccDecompose(
+    val (out, stats) = GraphOps.sccDecompose(
       GraphOps.sccFullEdges(spark, d), verts, maxPivots = 8)
-    assert(pivots === 3, s"condensation chain of 3 cycles must pivot 3×, got $pivots")
+    assert(stats.pivots === 3,
+      s"condensation chain of 3 cycles must pivot 3×, got ${stats.pivots}")
     val labels = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels.size === 500, "every document labeled exactly once")
     (0 to 499).foreach { i =>
@@ -175,6 +176,36 @@ class GraphProfilingSpec extends SparkSpec {
         else i.toLong
       assert(labels(i.toLong) === want, s"doc $i")
     }
+    graft.ops.Caches.drain()
+  }
+
+  test("sccDecompose: independent subsets batch into one fixpoint — max(depths) rounds, not the sum") {
+    // a central 2-cycle P={1,2} fed by a 6-cycle B={20..25} (in-bridge
+    // 25→1) and feeding a 2-cycle C={40,41} (out-bridge 2→40): pivot 1
+    // removes P and leaves TWO independent remainders in the SAME
+    // super-round (F∖B = C, B∖F = B). The batched worklist must relax
+    // both in ONE keyed fixpoint: super-round 2 costs max(6, 2) = 6
+    // reachability rounds, where the r11 sequential worklist paid their
+    // sum 6 + 2 = 8. Exact round accounting: super-round 1 converges in
+    // 7 (backward depth 6 through the B-cycle chain + 1 probe),
+    // super-round 2 in 6 (5 relax rounds around the 6-cycle + 1 probe;
+    // C converged by round 1 and relaxes idempotently) — total 13 vs
+    // the sequential form's 15
+    val e = Seq(
+      (20L, 21L), (21L, 22L), (22L, 23L), (23L, 24L), (24L, 25L), (25L, 20L),
+      (25L, 1L), (1L, 2L), (2L, 1L), (2L, 40L), (40L, 41L), (41L, 40L))
+      .toDF("src", "dst")
+    val v = Seq(1L, 2L, 20L, 21L, 22L, 23L, 24L, 25L, 40L, 41L).toDF("v")
+    val (out, stats) = GraphOps.sccDecompose(e, v, maxPivots = 3)
+    val labels = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === Map(
+      1L -> 1L, 2L -> 1L, 20L -> 20L, 21L -> 20L, 22L -> 20L,
+      23L -> 20L, 24L -> 20L, 25L -> 20L, 40L -> 40L, 41L -> 40L))
+    assert(stats.pivots === 3, s"three cycles pivot 3×, got ${stats.pivots}")
+    assert(stats.superRounds === 2,
+      s"B and C must share super-round 2, got ${stats.superRounds}")
+    assert(stats.reachRounds === 13,
+      s"batched fixpoints must pay 7 + max(6, 2) = 13 rounds, got ${stats.reachRounds}")
     graft.ops.Caches.drain()
   }
 

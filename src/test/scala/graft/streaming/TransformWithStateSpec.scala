@@ -223,4 +223,57 @@ class TransformWithStateSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass"))(
       spark.conf.set("spark.sql.streaming.stateStore.providerClass", _))
   }
+
+  test("erRouteArrivals: streaming routing == the batch incremental twin, weights frozen") {
+    // the batch spec's crafted corpus/arrivals (frozen-weight trap, tie
+    // break, score-below-threshold 'new', and the empty-block arrival),
+    // delivered as TWO daily micro-batches against the standing corpus —
+    // per-arrival routing must equal graft.queries.Profiling
+    // .erIncrementalOf on the union, because scoring is per-arrival
+    // independent under FROZEN corpus weights (per-batch retraining on
+    // corpus ∪ arrivals would drift batch-2 scores)
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val cols = Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment", "cents", "blk")
+      val corpus = Seq(
+        (1L, "Customer#1", 1L, "A", 1000L, "B1"),
+        (2L, "Customer#2", 1L, "A", 1500L, "B1"),
+        (3L, "Customer#3", 2L, "A", 50000L, "B1")).toDF(cols: _*)
+      val day1 = Seq(
+        (7L, "Customer#7", 1L, "A", 1200L, "B1"),
+        (14L, "Xustomer#9", 1L, "A", 49000L, "B1"))
+      val day2 = Seq(
+        (21L, "Customer#1", 1L, "A", 100L, "B7"),
+        (28L, "Customer#1x", 5L, "Q", 999999L, "B1"))
+      val input = MemoryStream[(Long, String, Long, String, Long, String)]
+      val q = StreamOps.erRouteArrivals(input.toDS().toDF(cols: _*), corpus)
+        .writeStream.format("memory").queryName("tws_er_route")
+        .outputMode("update").start()
+      try {
+        input.addData(day1: _*)
+        q.processAllAvailable()
+        input.addData(day2: _*)
+        q.processAllAvailable()
+        val got = spark.table("tws_er_route").as[StreamOps.ErRouteOut]
+          .collect().map(r =>
+            r.new_key -> ((r.match_key, r.score, r.n_cands, r.decision))).toMap
+        val exp = graft.queries.Profiling.erIncrementalOf(
+            corpus, (day1 ++ day2).toDF(cols: _*))
+          .collect().map(r => r.getLong(0) -> ((
+            if (r.isNullAt(1)) None else Some(r.getLong(1)),
+            if (r.isNullAt(2)) None else Some(r.getLong(2)),
+            r.getLong(3), r.getString(4)))).toMap
+        assert(got === exp, "stream routing must equal the batch twin")
+        // and the routing is non-vacuous: all three decisions appear
+        assert(got.values.map(_._4).toSet === Set("attach", "review", "new"))
+        // each arrival emitted exactly once — untouched keys stay silent
+        assert(spark.table("tws_er_route").count() === 4L)
+      } finally q.stop()
+    } finally prev.fold(
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass"))(
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", _))
+  }
 }
