@@ -19,7 +19,7 @@ object ScaleProbe {
     "q_dedup_keep_best", "q_dedup_weighted_jaccard",
     "q_graph_sssp", "q_linkage_fs", "q_sim_maxsim",
     "q_er_golden", "q_er_incremental", "q_retrieval_mrr", "q_retrieval_mrr_fixed", "q_ppr_seed",
-    "q_graph_scc_pivot",
+    "q_graph_scc_pivot", "q_graph_scc",
     "q_classify_nb", "q_sketch_hdr_quantile", "q_graph_landmarks",
     "q_sim_lsh_bucketed", "q_pack_chunks", "q_curation_ingest",
     "q_decontaminate", "q_rank_quartile", "q_text_ngram_profile",

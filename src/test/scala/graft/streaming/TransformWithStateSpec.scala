@@ -276,4 +276,54 @@ class TransformWithStateSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass"))(
       spark.conf.set("spark.sql.streaming.stateStore.providerClass", _))
   }
+
+  test("erRouteArrivals: argmax state survives a restart; redelivery recounts as documented") {
+    // an arrival REdelivered after a checkpoint restart re-joins the
+    // static corpus and recounts its candidates (the documented
+    // semantics — upstream dedupeStream guards redelivery); the pin is
+    // that n_cands doubles 3 → 6 (state CARRIED across the restart —
+    // a reset store would read 3) while match/score/decision stay at
+    // the deterministic argmax
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val cols = Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment", "cents", "blk")
+      val corpus = Seq(
+        (1L, "Customer#1", 1L, "A", 1000L, "B1"),
+        (2L, "Customer#2", 1L, "A", 1500L, "B1"),
+        (3L, "Customer#3", 2L, "A", 50000L, "B1")).toDF(cols: _*)
+      val arrival = (7L, "Customer#7", 1L, "A", 1200L, "B1")
+      val ckpt = java.nio.file.Files.createTempDirectory("tws-er-ckpt").toString
+      val input = MemoryStream[(Long, String, Long, String, Long, String)]
+      val seen = new java.util.concurrent.ConcurrentLinkedQueue[StreamOps.ErRouteOut]()
+      def start() = StreamOps.erRouteArrivals(input.toDS().toDF(cols: _*), corpus)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamOps.ErRouteOut], _: Long) =>
+          b.collect().foreach(seen.add)
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("update").start()
+      val q1 = start()
+      input.addData(arrival)
+      q1.processAllAvailable()
+      q1.stop()
+      val q2 = start()
+      try {
+        input.addData(arrival)
+        q2.processAllAvailable()
+        val rows = seen.toArray(Array.empty[StreamOps.ErRouteOut])
+          .filter(_.new_key == 7L)
+        assert(rows.map(_.n_cands).sorted.toSeq === Seq(3L, 6L),
+          "restarted query must carry the pre-restart candidate count")
+        rows.foreach { r =>
+          assert(r.match_key === Some(1L) && r.score === Some(19L)
+            && r.decision === "attach")
+        }
+      } finally q2.stop()
+    } finally prev.fold(
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass"))(
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", _))
+  }
 }
