@@ -929,10 +929,98 @@ object GraphOps {
                 ELSE doc_id END AS BIGINT) AS scc_id
        FROM documents""") {
     (s, d) =>
+      sccLabelsShared(s, d)
+        .select(col("v").as("doc_id"), col("scc_id").cast("long").as("scc_id"))
+  }
+
+  private val sccMemo = new graft.ops.SessionMemo[String, DataFrame]
+
+  /** Session-shared (v, scc_id) labeling of [[sccFullEdges]] — BOTH
+    * consumers ([[graphScc]], [[graphCondense]]) read the same
+    * decomposition, so the multi-round driver loop runs once per pass,
+    * not once per consumer (the [[landmarkDistances]] convention: memo
+    * value backed by its own eager localCheckpoint, NEVER leased — the
+    * decomposition's leased piece blocks drain at the harness boundary
+    * while this snapshot lives with the session). */
+  private[queries] def sccLabelsShared(s: SparkSession, d: String): DataFrame =
+    sccMemo.getOrElseUpdate(s, d) {
       val verts = graft.Tables.documents(s, d)
         .select(col("doc_id").cast("long").as("v"))
-      val (out, _) = sccDecompose(sccFullEdges(s, d), verts, maxPivots = 8)
-      out.select(col("v").as("doc_id"), col("scc_id").cast("long").as("scc_id"))
+      sccDecompose(sccFullEdges(s, d), verts, maxPivots = 8)._1.localCheckpoint()
+    }
+
+  /** Condensation DAG of the SCC decomposition — the edges BETWEEN
+    * components (distinct (scc(src), scc(dst)) pairs with the intra-
+    * component self-pairs dropped): the "which clusters feed which"
+    * rollup a link-graph pipeline asks right after labeling (topological
+    * processing order, upstream-contamination tracing over component
+    * granularity, cycle-free downstream scheduling — the condensation
+    * is acyclic by construction, which is the whole point of computing
+    * it). Runs over the REAL labels from the shared decomposition
+    * snapshot; the oracle recomputes the condensation from the
+    * closed-form labels over an independent SQL enumeration of the
+    * crafted edge families, so a mislabeled cycle member, a dropped
+    * bridge, or a direction flip each produce a loud pair diff.
+    *
+    * Scale shape: two vertex-keyed equi-joins of the edge list onto the
+    * |V|-row label table, then a map-side-combinable distinct over the
+    * (src_scc, dst_scc) pairs — output is condensation-sized (≤ inter-
+    * component edge count), never vertex-sized. */
+  val graphCondense = QuerySpec(
+    "q_graph_condense",
+    """WITH e AS (
+          SELECT a.doc_id AS src, b.doc_id AS dst
+          FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 2
+          WHERE a.doc_id % 2 = 0
+            AND (a.doc_id < 4 OR (a.doc_id >= 8 AND a.doc_id < 12)
+                 OR (a.doc_id >= 16 AND a.doc_id < 20))
+          UNION ALL
+          SELECT a.doc_id, b.doc_id
+          FROM (SELECT doc_id FROM documents WHERE doc_id IN (4, 12, 20)) a
+          JOIN (SELECT doc_id FROM documents WHERE doc_id IN (0, 8, 16)) b
+            ON b.doc_id = a.doc_id - 4
+          UNION ALL
+          SELECT a.doc_id, b.doc_id
+          FROM (SELECT doc_id FROM documents WHERE doc_id IN (4, 12)) a
+          JOIN (SELECT doc_id FROM documents WHERE doc_id IN (8, 16)) b
+            ON b.doc_id = a.doc_id + 4
+          UNION ALL
+          SELECT z.doc_id, d.doc_id
+          FROM (SELECT doc_id FROM documents WHERE doc_id = 0) z
+          JOIN (SELECT doc_id FROM documents
+                WHERE doc_id % 2 = 0
+                  AND (doc_id = 6 OR doc_id = 14 OR doc_id >= 22)) d ON true
+          UNION ALL
+          SELECT d.doc_id, z.doc_id
+          FROM (SELECT doc_id FROM documents WHERE doc_id = 0) z
+          JOIN (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d ON true),
+        -- labels INLINE as the closed-form CASE on each endpoint (every
+        -- endpoint of e is selected from documents, so existence is
+        -- already enforced by construction): a lab-table self-join here
+        -- makes DuckDB 1.0.0 read `la.scc <> lb.scc` as an inequality
+        -- JOIN predicate and reorder into a |V|^2 nested loop
+        sel AS (SELECT
+            CASE WHEN src % 2 = 0 AND src <= 4 THEN 0
+                 WHEN src % 2 = 0 AND src BETWEEN 8 AND 12 THEN 8
+                 WHEN src % 2 = 0 AND src BETWEEN 16 AND 20 THEN 16
+                 ELSE src END AS src_scc,
+            CASE WHEN dst % 2 = 0 AND dst <= 4 THEN 0
+                 WHEN dst % 2 = 0 AND dst BETWEEN 8 AND 12 THEN 8
+                 WHEN dst % 2 = 0 AND dst BETWEEN 16 AND 20 THEN 16
+                 ELSE dst END AS dst_scc
+          FROM e)
+        SELECT DISTINCT CAST(src_scc AS BIGINT) AS src_scc,
+                        CAST(dst_scc AS BIGINT) AS dst_scc
+        FROM sel WHERE src_scc <> dst_scc""") {
+    (s, d) =>
+      val lab = sccLabelsShared(s, d)
+      sccFullEdges(s, d)
+        .join(lab.toDF("src", "src_scc"), "src")
+        .join(lab.toDF("dst", "dst_scc"), "dst")
+        .filter(col("src_scc") =!= col("dst_scc"))
+        .select(col("src_scc").cast("long").as("src_scc"),
+          col("dst_scc").cast("long").as("dst_scc"))
+        .distinct()
   }
 
   // -------------------------------------------------------------------
@@ -1043,11 +1131,13 @@ object GraphOps {
       col("hop").cast("long").as("dist"))
   }
 
-  /** Materializes the session-shared landmark snapshot so the
-    * alphabetically-first consumer (q_graph_closeness) is not billed
-    * for the multi-round loop — the Bench prewarm convention. */
+  /** Materializes the session-shared landmark and SCC-label snapshots
+    * so the alphabetically-first consumers (q_graph_closeness,
+    * q_graph_condense) are not billed for the multi-round loops — the
+    * Bench prewarm convention. */
   def prewarmShared(s: SparkSession, d: String): Unit = {
     landmarkDistances(s, d).count()
+    sccLabelsShared(s, d).count()
     ()
   }
 
@@ -1088,5 +1178,5 @@ object GraphOps {
 
   val specs: Seq[QuerySpec] =
     Seq(kcore, bfsHops, linkPredict, graphAdversarial, graphSssp, pprSeed,
-      graphSccPivot, graphScc, graphLandmarks, graphCloseness)
+      graphSccPivot, graphScc, graphCondense, graphLandmarks, graphCloseness)
 }
