@@ -180,6 +180,24 @@ object PlanFingerprints {
           .filter(col("v").isin(1L, 2L, 3L))
           .select(col("v"), col("v").as("lm"), lit(0L).as("hop"))
         GraphOps.landmarkRound(e, seeds)
+      },
+      "q_builder_stress_sigma_round" -> { (s, d) =>
+        // real butterfly edge build + one forward σ path-count round
+        val ids = graft.Tables.documents(s, d)
+          .select(col("doc_id").cast("long").as("id"))
+        val e = GraphOps.butterflyEdges(ids, 256L).repartition(col("src"))
+        val seeds = ids.filter(col("id").isin(1L, 2L, 3L))
+          .select(col("id").as("v"), col("id").as("s"), lit(1L).as("sigma"))
+        GraphOps.stressSigmaRound(e, seeds)
+      },
+      "q_builder_stress_h_round" -> { (s, d) =>
+        // one backward dependency round re-anchored on the pair set
+        val ids = graft.Tables.documents(s, d)
+          .select(col("doc_id").cast("long").as("id"))
+        val e = GraphOps.butterflyEdges(ids, 256L).repartition(col("src"))
+        val pairs = ids.filter(col("id") >= 1 && col("id") < 256L)
+          .select(col("id").as("v"), lit(1L).as("s"))
+        GraphOps.stressHRound(e, pairs, pairs.withColumn("h", lit(0L)))
       })
   }
 

@@ -28,9 +28,15 @@ import org.apache.spark.sql.functions._
   *     nation/segment/balance carried per copy so every frequency
   *     distribution (the Fellegi–Sunter u-probability inputs) is
   *     preserved verbatim.
+  *   - `embeddings.parquet` — ten rotated-frame copies (r12): copy i
+  *     rotates the 64-dim vector left by 6·i, preserving every
+  *     within-copy cosine while cross-copy vectors are mutually
+  *     near-random — 10× vectors for the similarity/ANN family.
+  *   - `events.parquet` — ten id-strided copies (r12): 10× users and
+  *     sessions over the same clock for the behavioral/session family.
   *   - symlinks for the remaining sf0.1 tables, so the tier dir is a
   *     complete sf layout: `Verify` + `scripts/check.py` can run the
-  *     dedup/ER families' ORACLE twins at the 10× tier, not just time
+  *     derived families' ORACLE twins at the 10× tier, not just time
   *     them.
   *
   * Copy stride is `max(id) + 1` — NOT the row count (ADVICE r11: with a
@@ -98,10 +104,63 @@ object TierGen {
     println(s"TIER $tier customer 10x $base stride $k")
   }
 
+  /** Ten rotated copies of the base embeddings table: copy i is keyed
+    * `vec_id + i·(max(vec_id)+1)` with the 64-dim vector ROTATED left by
+    * 6·i positions. Rotation is an orthogonal transform, so every
+    * within-copy cosine/dot/norm is preserved verbatim (copy 0 IS the
+    * base tier — the sf0.1 structure embeds unchanged), while cross-copy
+    * vectors land in ten different rotated frames and are mutually
+    * near-random: the tier reads as "ten independent embedding shards",
+    * 10× vectors and 10× true-neighbor pairs with no byte-identical
+    * vector collisions (identical copies would make every brute-force
+    * top-k a pathological tie pile instead of a workload). */
+  def ensureEmbeddings(spark: SparkSession, tier: String): Unit = {
+    if (new java.io.File(s"$tier/embeddings.parquet").exists()) return
+    val e = Tables.embeddings(spark, base)
+    val k = stride(e, "vec_id")
+    writeSingle(
+      e.withColumn("i", explode(array((0 until 10).map(lit): _*)))
+        .select(
+          (col("vec_id") + col("i") * k).as("vec_id"),
+          expr("""CASE WHEN i = 0 THEN embedding
+                  ELSE concat(slice(embedding, i * 6 + 1, 64 - i * 6),
+                              slice(embedding, 1, i * 6)) END""").as("embedding"),
+          col("label"))
+        .sort("vec_id"),
+      s"$tier/embeddings.parquet")
+    println(s"TIER $tier embeddings 10x $base stride $k (rotated-frame copies)")
+  }
+
+  /** Ten id-strided copies of the base events table: copy i re-keys
+    * `event_id + i·(max(event_id)+1)` and `user_id + i·(max(user_id)+1)`
+    * with ts/type/value/props carried verbatim — 10× users and 10×
+    * sessions over the SAME clock, so every sessionization, window,
+    * funnel and retention distribution is preserved per copy while the
+    * per-user state space (the thing that actually scales in a
+    * behavioral pipeline) grows 10×. Read through [[Tables.events]] so
+    * the derived file always lands as TIMESTAMP(MICROS) regardless of
+    * which physical ts type the base generation shipped. */
+  def ensureEvents(spark: SparkSession, tier: String): Unit = {
+    if (new java.io.File(s"$tier/events.parquet").exists()) return
+    val ev = Tables.events(spark, base)
+    val kE = stride(ev, "event_id")
+    val kU = stride(ev, "user_id")
+    writeSingle(
+      ev.withColumn("i", explode(array((0 until 10).map(lit): _*)))
+        .select(
+          (col("event_id") + col("i") * kE).as("event_id"),
+          col("ts"),
+          (col("user_id") + col("i") * kU).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .sort("event_id"),
+      s"$tier/events.parquet")
+    println(s"TIER $tier events 10x $base strides ($kE, $kU)")
+  }
+
   /** Symlink every base table the tier does not derive, so the tier dir
     * is a complete sf layout for Verify/check.py. Idempotent. */
   def linkRest(tier: String): Unit = {
-    val derived = Set("documents", "customer")
+    val derived = Set("documents", "customer", "embeddings", "events")
     Seq("region", "nation", "supplier", "part", "orders", "lineitem",
       "events", "embeddings").filterNot(derived).foreach { t =>
       val link = java.nio.file.Paths.get(s"$tier/$t.parquet")
@@ -111,10 +170,22 @@ object TierGen {
     }
   }
 
+  /** Drop a stale symlink left by an earlier TierGen generation whose
+    * derived set was smaller (r12 added embeddings/events): ensureX's
+    * exists-check would otherwise see the link and skip the derivation. */
+  private def unlinkStale(tier: String, table: String): Unit = {
+    val p = java.nio.file.Paths.get(s"$tier/$table.parquet")
+    if (java.nio.file.Files.isSymbolicLink(p)) java.nio.file.Files.delete(p)
+  }
+
   def ensureAll(spark: SparkSession, tier: String): Unit = {
     new java.io.File(tier).mkdirs()
+    Seq("documents", "customer", "embeddings", "events")
+      .foreach(unlinkStale(tier, _))
     ensureDocuments(spark, tier)
     ensureCustomer(spark, tier)
+    ensureEmbeddings(spark, tier)
+    ensureEvents(spark, tier)
     linkRest(tier)
   }
 

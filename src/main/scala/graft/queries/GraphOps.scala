@@ -1176,7 +1176,161 @@ object GraphOps {
             .cast("long").as("closeness_ppm"))
   }
 
+  // -------------------------------------------------------------------
+  // Sampled-source stress centrality (Brandes two-phase, integer form)
+  // -------------------------------------------------------------------
+
+  /** Crafted "butterfly" DAG for [[graphStress]]: vertex set is the doc
+    * ids in [1, 2^K) where K = bitlen(maxId + 1) − 1 (the largest FULL
+    * level structure the table holds — a partial top level would give
+    * the boundary vertices irregular successor sets and no closed
+    * form), and every vertex c ≥ 2 has exactly the preds c>>1 and
+    * (c>>1)⊕1 (the tree parent and its sibling; for c ∈ {2, 3} the
+    * sibling would be 0, which is not a vertex). All edges run level
+    * j → j+1 (level = bitlen), so every edge lies on a shortest path
+    * from any source that reaches its src — the property that makes the
+    * dependency phase a pure DAG accumulation with no tightness filter.
+    * Src existence is enforced by semi-join against the ids table (the
+    * [[ssspEdges]] convention): an id gap prunes real paths and fails
+    * the closed-form gate loudly instead of silently shifting counts. */
+  private[graft] def butterflyEdges(ids: DataFrame, twoK: Long): DataFrame = {
+    val v = ids.select(col("id")).filter(col("id") >= 1 && col("id") < twoK)
+    val dsts = v.filter(col("id") >= 2).select(col("id").as("dst"))
+    dsts.select(expr("shiftright(dst, 1)").as("src"), col("dst"))
+      .unionByName(
+        dsts.filter(expr("(shiftright(dst, 1) ^ 1)") >= 1)
+          .select(expr("(shiftright(dst, 1) ^ 1)").as("src"), col("dst")))
+      .join(v.select(col("id").as("src")), Seq("src"), "left_semi")
+  }
+
+  /** Stress centrality of every vertex w.r.t. a sampled source set —
+    * Brandes' two-phase algorithm (forward path counting + backward
+    * dependency accumulation) in its STRESS variant (Shimbel's count of
+    * shortest paths THROUGH a vertex, i.e. betweenness without the
+    * 1/σ_st normalization), which keeps every intermediate an exact
+    * integer so the DuckDB twin can gate it bit-for-bit — the same
+    * reason the suite's closeness is landmark-based (Eppstein–Wang)
+    * rather than exact-all-pairs.
+    *
+    * Phase 1 (forward): the k sources ride ONE (v, s)-keyed
+    * level-synchronous loop (the [[landmarkRound]] amortization), each
+    * round one edge equi-join on src plus one map-side-combinable SUM —
+    * because the DAG is strictly leveled, each (v, s) pair is produced
+    * by exactly one round, so the frontier IS the round's output and no
+    * MIN-merge with carried state is needed. σ(v, s) = number of
+    * shortest s→v paths.
+    *
+    * Phase 2 (backward): h(v, s) = number of DAG paths of length ≥ 1
+    * starting at v within source s's shortest-path DAG, via the
+    * recurrence h(v) = Σ_{(v,w)} (1 + h(w)) iterated depth times — the
+    * integer-form dependency accumulation (Brandes' δ has a σ_v/σ_w
+    * division; stress multiplies AFTER aggregation instead:
+    * through-paths(v, s) = σ(v, s) · h(v, s)). The per-round join keys
+    * the edge dst against the (v, s) state, and restricting to pairs
+    * REACHED in phase 1 is exactly the per-source DAG restriction (all
+    * edges are tight, so reachability is the only filter).
+    *
+    * Round count is PROVEN, not probed: both phases need exactly K − 1
+    * rounds (K = bitlen from one metadata-sized max() — the
+    * [[graphLandmarks]] convention). State is ≤ k·n narrow integer
+    * rows; per-round shuffles carry (v, s, long) only; the edge table
+    * is checkpointed once. Scale: rounds grow with graph DEPTH, state
+    * with k·|V| — at web scale k is the sampling budget (Brandes–Pich
+    * style source sampling) and the loop is the same plan at any |V|. */
+  /** ONE forward σ round (q_builder_stress_sigma_round): expand the
+    * level frontier through its out-edges per source and SUM the path
+    * counts arriving at each (dst, s) — strictly-leveled DAGs need no
+    * MIN-merge with carried state. */
+  private[graft] def stressSigmaRound(e: DataFrame, frontier: DataFrame): DataFrame =
+    e.join(frontier.select(col("v").as("src"), col("s"), col("sigma")), "src")
+      .groupBy(col("dst"), col("s")).agg(sum("sigma").as("sigma"))
+      .select(col("dst").as("v"), col("s"), col("sigma"))
+
+  /** ONE backward dependency round (q_builder_stress_h_round):
+    * h(v, s) = Σ_{(v,w)} (1 + h(w, s)) over successors reached from s,
+    * re-anchored on the reached pair set so sink vertices keep their
+    * zero row and unreached (v, s) pairs never enter the state. */
+  private[graft] def stressHRound(e: DataFrame, pairs: DataFrame, h: DataFrame): DataFrame = {
+    val contrib = e
+      .join(h.select(col("v").as("dst"), col("s"), col("h")), "dst")
+      .groupBy(col("src"), col("s")).agg(sum(col("h") + lit(1L)).as("hs"))
+    pairs.join(contrib.select(col("src").as("v"), col("s"), col("hs")),
+        Seq("v", "s"), "left")
+      .select(col("v"), col("s"), coalesce(col("hs"), lit(0L)).as("h"))
+  }
+
+  private[graft] def stressOf(ids0: DataFrame, sources: Seq[Long]): DataFrame = {
+    val ids = ids0.select(col("id").cast("long").as("id"))
+    val maxId = ids.agg(coalesce(max("id"), lit(1L))).head().getLong(0)
+    val k = math.max(63 - java.lang.Long.numberOfLeadingZeros(maxId + 1), 2)
+    val twoK = 1L << k
+    val tracked = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.rdd.RDD[_]]
+    def ckpt(df: DataFrame): DataFrame = {
+      val (out, rdds) = TextDedup.localCheckpointTracked(df)
+      tracked ++= rdds
+      out
+    }
+    try {
+      val e = ckpt(butterflyEdges(ids, twoK).repartition(col("src")))
+      // ---- phase 1: σ path counts, all sources in one keyed loop ----
+      val seed = ckpt(
+        ids.filter(col("id").isin(sources: _*) && col("id") < twoK)
+          .select(col("id").as("v"), col("id").as("s"), lit(1L).as("sigma")))
+      val levels = scala.collection.mutable.ArrayBuffer[DataFrame](seed)
+      var frontier = seed
+      for (_ <- 1 until k) {
+        frontier = ckpt(stressSigmaRound(e, frontier))
+        levels += frontier
+      }
+      val reached = levels.reduce(_ unionByName _)
+      // ---- phase 2: h dependency accumulation over the reached DAG ----
+      val pairs = reached.select("v", "s")
+      var h = ckpt(pairs.withColumn("h", lit(0L)))
+      for (_ <- 1 until k)
+        h = ckpt(stressHRound(e, pairs, h))
+      val out = reached.join(h, Seq("v", "s"))
+        .filter(col("v") =!= col("s"))
+        .groupBy("v").agg(sum(col("sigma") * col("h")).as("stress"))
+        .select(col("v").cast("long").as("doc_id"),
+          col("stress").cast("long").as("stress"))
+      tracked.foreach(graft.ops.Caches.leaseRdd)
+      out
+    } catch {
+      case t: Throwable =>
+        TextDedup.release(tracked.toSeq)
+        throw t
+    }
+  }
+
+  /** Sampled-source stress centrality over the crafted butterfly DAG,
+    * sources {1, 2, 3} (the [[graphLandmarks]] landmark set). Closed
+    * form: every level-j vertex has σ = 2^{j−2} paths from source 1
+    * (each level past 2 doubles the pred count) and 2^{j−3} from each
+    * of sources 2 and 3 (one level less of doubling; {2, 3} themselves
+    * are mutually unreachable), while h_j = (4^{K−j+1} − 4) / 3 (every
+    * interior vertex has exactly 4 successors, h_j = 4(1 + h_{j+1}),
+    * h_K = 0) is source-independent below level 2 — so
+    * stress(v at level j) = h_2 for j = 2 and 2^{j−1} · h_j for j ≥ 3,
+    * which the oracle evaluates in pure bit math. */
+  val graphStress = QuerySpec(
+    "q_graph_stress",
+    """WITH m AS (SELECT length(bin(max(doc_id) + 1)) - 1 AS K FROM documents),
+        v AS (SELECT doc_id AS x, length(bin(doc_id)) AS j, K
+              FROM documents, m
+              WHERE doc_id >= 2 AND doc_id < (1::BIGINT << K))
+        SELECT CAST(x AS BIGINT) AS doc_id,
+               CAST((CASE WHEN j = 2 THEN 1 ELSE 1::BIGINT << (j - 1) END)
+                    * (((1::BIGINT << (2 * (K - j + 1))) - 4) // 3)
+                 AS BIGINT) AS stress
+        FROM v""") {
+    (s, d) =>
+      stressOf(
+        graft.Tables.documents(s, d).select(col("doc_id").as("id")),
+        Seq(1L, 2L, 3L))
+  }
+
   val specs: Seq[QuerySpec] =
     Seq(kcore, bfsHops, linkPredict, graphAdversarial, graphSssp, pprSeed,
-      graphSccPivot, graphScc, graphCondense, graphLandmarks, graphCloseness)
+      graphSccPivot, graphScc, graphCondense, graphLandmarks, graphCloseness,
+      graphStress)
 }

@@ -657,4 +657,35 @@ class GraphProfilingSpec extends SparkSpec {
     assert(extra === got, "the proven round count must already be the fixpoint")
     graft.ops.Caches.drain()
   }
+
+  test("stressOf: equals brute-force shortest-path interior counts on the K=4 butterfly") {
+    // ids 0..15 ⇒ K = bitlen(16) − 1 = 4, vertices 1..15. The brute
+    // force enumerates EVERY shortest s→t path by DFS over the level
+    // DAG and counts interior occurrences — fully independent of both
+    // the engine's two-phase kernel and the oracle's closed form.
+    val ids = (0L to 15L).toDF("id")
+    val edges = (2L to 15L).flatMap { c =>
+      val p = c >> 1
+      Seq(p -> c) ++ (if ((p ^ 1) >= 1) Seq((p ^ 1) -> c) else Nil)
+    }
+    val succ = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val brute = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    def walk(path: List[Long]): Unit = {
+      val v = path.head
+      // every root-extension of a source is a shortest path to its head
+      // (the DAG is strictly leveled), so count interiors at each prefix
+      if (path.length >= 3) path.tail.dropRight(1).foreach(i => brute(i) += 1L)
+      succ.getOrElse(v, Nil).foreach(w => walk(w :: path))
+    }
+    Seq(1L, 2L, 3L).foreach(s => walk(List(s)))
+    val got = GraphOps.stressOf(ids.select(col("id")), Seq(1L, 2L, 3L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expect = (2L to 15L).map(v => v -> brute(v)).toMap
+    assert(got === expect, "two-phase stress must equal enumerated interior counts")
+    // and the closed form the oracle gates: h_j = (4^{K-j+1}-4)/3
+    assert(got(2L) === 20L && got(3L) === 20L)
+    (4L to 7L).foreach(v => assert(got(v) === 16L))
+    (8L to 15L).foreach(v => assert(got(v) === 0L))
+    graft.ops.Caches.drain()
+  }
 }
