@@ -413,7 +413,12 @@ object GraphOps {
   private def fixpointLoop(
       seed: DataFrame, relax: DataFrame => DataFrame, maxRounds: Int, what: String)
       : (DataFrame, Int, Seq[org.apache.spark.rdd.RDD[_]]) = {
-    var (dist, distRdds) = TextDedup.localCheckpointTracked(seed)
+    // LAZY checkpoint + probe fusion (r12): the (count, sum) probe is
+    // the action that materializes the round's checkpoint blocks, so a
+    // round costs ONE driver job, not two (materialize, then probe).
+    // The previous round's blocks are released only AFTER the probe has
+    // landed — the lazy-checkpoint ordering rule.
+    var (dist, distRdds) = TextDedup.localCheckpointLazyTracked(seed)
     def state(df: DataFrame): (Long, Long) = {
       val r = df.agg(count(lit(1)), coalesce(sum("dist"), lit(0L))).head()
       (r.getLong(0), r.getLong(1))
@@ -424,11 +429,11 @@ object GraphOps {
     while (!converged && rounds < maxRounds) {
       val relaxed = relax(dist)
       rounds += 1
-      val (next, nextRdds) = TextDedup.localCheckpointTracked(relaxed)
+      val (next, nextRdds) = TextDedup.localCheckpointLazyTracked(relaxed)
+      val cur = state(next)
       TextDedup.release(distRdds)
       dist = next
       distRdds = nextRdds
-      val cur = state(next)
       converged = cur == prev
       prev = cur
     }
@@ -733,15 +738,25 @@ object GraphOps {
     val pieces = mutable.ListBuffer.empty[Tracked]
     def emit(df: DataFrame): Unit =
       pieces += TextDedup.localCheckpointTracked(df.toDF("v", "scc_id"))
+    // temp state blocks (sizes, reach state) the catch must free if a
+    // throw lands between their creation and their normal-path release —
+    // the pre-r12b form leaked exactly these on a mid-pivot throw
+    var scratch: List[Seq[org.apache.spark.rdd.RDD[_]]] = Nil
     // initial state: every vertex in one subset (g constant; g is only a
-    // GROUPING key — fragment re-keys assign real minima from round 2 on)
-    var (active, activeRdds) = TextDedup.localCheckpointTracked(
+    // GROUPING key — fragment re-keys assign real minima from round 2 on);
+    // lazy — the n count below is the materializing action
+    var (active, activeRdds) = TextDedup.localCheckpointLazyTracked(
       vertices0.toDF("v").select(col("v"), lit(0L).as("g")))
     var eA: DataFrame = null
     var eARdds: Seq[org.apache.spark.rdd.RDD[_]] = Nil
-    def swapEa(t: Tracked): Unit = {
-      if (eA ne null) TextDedup.release(eARdds)
+    // installs the new (lazily-checkpointed) restricted edge table under
+    // the outer catch's tracking and RETURNS the old one's blocks — the
+    // caller releases them only after an action has materialized the
+    // new table (which reads the old one; lazy-checkpoint ordering)
+    def swapEa(t: Tracked): Seq[org.apache.spark.rdd.RDD[_]] = {
+      val old = if (eA ne null) eARdds else Nil
       eA = t._1; eARdds = t._2
+      old
     }
     var pivots = 0
     var superRounds = 0
@@ -766,12 +781,22 @@ object GraphOps {
         while (n > 0 && !atFixpoint) {
           // rounds > 1 restrict the PREVIOUS restricted table (edges
           // within core ⊆ edges within active — same result, smaller
-          // join input than re-restricting the full edge table)
-          swapEa(TextDedup.localCheckpointTracked(
-            sccSubsetRestrict(if (eA eq null) edges else eA.drop("g"), active)))
-          val (core, coreRdds) = TextDedup.localCheckpointTracked(
+          // join input than re-restricting the full edge table). Both
+          // checkpoints are LAZY and the core count materializes them
+          // together — one driver job per trim round instead of three;
+          // the old eA is swapped out (and released) only after that
+          // count has landed, per the lazy-checkpoint ordering rule.
+          val eaT = TextDedup.localCheckpointLazyTracked(
+            sccSubsetRestrict(if (eA eq null) edges else eA.drop("g"), active))
+          val oldEa = swapEa(eaT) // eA (new) now under the outer catch
+          val (core, coreRdds) = TextDedup.localCheckpointLazyTracked(
             sccTrimRound(eA.filter(col("dir") === 0), active))
-          val m = core.count()
+          val m =
+            try core.count()
+            catch { case t: Throwable =>
+              TextDedup.release(coreRdds); TextDedup.release(oldEa); throw t
+            }
+          TextDedup.release(oldEa)
           trimRounds += 1
           if (m == n) { TextDedup.release(coreRdds); atFixpoint = true }
           else {
@@ -786,9 +811,13 @@ object GraphOps {
         startRdds = Nil
         if (n > 0) {
           // ---- per-subset pivot metadata: one groupBy, no collect ----
-          val (sizes, sizesRdds) = TextDedup.localCheckpointTracked(
+          // (lazy checkpoint: the size-1 emit's eager job materializes
+          // it; the blocks ride `scratch` until the normal-path release
+          // so a throw anywhere in the pivot phase frees them)
+          val (sizes, sizesRdds) = TextDedup.localCheckpointLazyTracked(
             active.groupBy("g")
               .agg(min("v").as("p"), count(lit(1)).as("cnt")))
+          scratch ::= sizesRdds
           // size-1 survivors (self-loop singletons) are their own SCC —
           // emitted without costing a pivot, as the sequential form did
           emit(active.join(sizes.filter(col("cnt") === 1).select("g"),
@@ -803,6 +832,7 @@ object GraphOps {
                 "condensation larger than expected, or trim is not draining")
           if (nPiv == 0) {
             TextDedup.release(sizesRdds)
+            scratch = scratch.filterNot(_ eq sizesRdds)
             n = 0
           } else {
             // ---- one batched bidi fixpoint over every pivoted subset ----
@@ -813,6 +843,7 @@ object GraphOps {
             val (st, rr, stRdds) = fixpointLoop(
               seed, sccReachRound(eA, _), reachRounds,
               "scc batched bidirectional reachability")
+            scratch ::= stRdds
             reachTotal += rr
             val f = st.filter(col("dir") === 0).select("v", "g")
             val b = st.filter(col("dir") === 1).select("v", "g")
@@ -834,12 +865,15 @@ object GraphOps {
             val next = rem
               .join(rem.groupBy("g", "br").agg(min("v").as("ng")), Seq("g", "br"))
               .select(col("v"), col("ng").as("g"))
-            val (nextA, nextARdds) = TextDedup.localCheckpointTracked(next)
+            // lazy: the count materializes nextA, and only THEN may the
+            // state tables it reads (st, sizes, the old active) release
+            val (nextA, nextARdds) = TextDedup.localCheckpointLazyTracked(next)
+            n = nextA.count()
             TextDedup.release(stRdds)
             TextDedup.release(sizesRdds)
             TextDedup.release(activeRdds)
+            scratch = scratch.filterNot(r => (r eq stRdds) || (r eq sizesRdds))
             active = nextA; activeRdds = nextARdds
-            n = active.count()
           }
         }
       }
@@ -849,6 +883,7 @@ object GraphOps {
         if (startRdds.nonEmpty && (startRdds ne activeRdds))
           TextDedup.release(startRdds)
         if (eA ne null) TextDedup.release(eARdds)
+        scratch.foreach(TextDedup.release)
         pieces.foreach(p => TextDedup.release(p._2))
         TextDedup.release(edgesRdds)
         throw t
@@ -1265,8 +1300,13 @@ object GraphOps {
     val k = math.max(63 - java.lang.Long.numberOfLeadingZeros(maxId + 1), 2)
     val twoK = 1L << k
     val tracked = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.rdd.RDD[_]]
+    // LAZY checkpoints throughout (r12): the loop runs no actions and
+    // releases nothing mid-flight (every round feeds the final join),
+    // so the TERMINAL query action materializes all 2(K−1) rounds in
+    // ONE driver job — the checkpoint still caps plan depth per round,
+    // but no per-round materialization barrier exists at all
     def ckpt(df: DataFrame): DataFrame = {
-      val (out, rdds) = TextDedup.localCheckpointTracked(df)
+      val (out, rdds) = TextDedup.localCheckpointLazyTracked(df)
       tracked ++= rdds
       out
     }

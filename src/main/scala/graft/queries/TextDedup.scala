@@ -1150,6 +1150,28 @@ object TextDedup {
     (ck, rdds)
   }
 
+  /** LAZY local checkpoint (r12): the logical plan is swapped for the
+    * LogicalRDD immediately (plan depth stays constant, exactly like the
+    * eager form) but NO materialization job runs here — the blocks
+    * persist and the lineage truncates during the FIRST action that
+    * reads them. The fixpoint loops fuse this with their per-round
+    * (count, sum) probe, halving the driver round-trips per round: the
+    * probe job IS the materialization job. Two rules the callers own:
+    * (1) an input's blocks may only be released AFTER something has
+    * materialized the lazy output (a truncated-but-unpersisted parent
+    * cannot be recomputed — Spark throws "checkpoint block not found");
+    * (2) action-free round loops (stressOf) may chain lazy checkpoints
+    * freely — the terminal query action materializes every round in ONE
+    * job instead of one job per round. */
+  private[queries] def localCheckpointLazyTracked(
+      df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
+    val ck = df.localCheckpoint(false)
+    val rdds = ck.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+    (ck, rdds)
+  }
+
   private[queries] def release(rdds: Seq[org.apache.spark.rdd.RDD[_]]): Unit =
     rdds.foreach { r => try r.unpersist(false) catch { case _: Throwable => () } }
 
