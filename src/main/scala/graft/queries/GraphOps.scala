@@ -1211,6 +1211,40 @@ object GraphOps {
             .cast("long").as("closeness_ppm"))
   }
 
+  /** Landmark eccentricity — the other estimate the Eppstein–Wang
+    * labeling exists to produce (alongside [[graphCloseness]]): per
+    * landmark, the FORWARD eccentricity over its reached set (max hop
+    * distance) and how many vertices sit on that frontier; the max of
+    * `ecc` over the landmark set is the standard landmark lower bound
+    * on the graph's directed diameter. Third consumer of the
+    * session-shared [[landmarkDistances]] snapshot, so the whole query
+    * is one map-side-combinable MAX over the ≤ k·n labeling plus a
+    * k-row broadcast argmax join back — nothing here re-runs the loop
+    * or grows with data beyond the labeling itself. */
+  val graphEccentricity = QuerySpec(
+    "q_graph_eccentricity",
+    """WITH lm AS (SELECT doc_id AS landmark FROM documents WHERE doc_id IN (1, 2, 3)),
+        dd AS (SELECT x.doc_id, l.landmark,
+                      CAST(length(bin(x.doc_id)) - length(bin(l.landmark)) AS BIGINT) AS dist
+               FROM (SELECT doc_id FROM documents WHERE doc_id >= 1) x
+               JOIN lm l
+                 ON (x.doc_id >> (length(bin(x.doc_id)) - length(bin(l.landmark)))) = l.landmark),
+        m AS (SELECT landmark, max(dist) AS ecc FROM dd GROUP BY 1)
+        SELECT m.landmark, CAST(m.ecc AS BIGINT) AS ecc,
+               CAST(count(*) AS BIGINT) AS n_at_ecc
+        FROM dd JOIN m ON dd.landmark = m.landmark AND dd.dist = m.ecc
+        GROUP BY 1, 2""") {
+    (s, d) =>
+      val dd = landmarkDistances(s, d)
+      val m = dd.groupBy("landmark").agg(max("dist").as("ecc"))
+      dd.join(broadcast(m), Seq("landmark"))
+        .filter(col("dist") === col("ecc"))
+        .groupBy("landmark", "ecc")
+        .agg(count(lit(1)).cast("long").as("n_at_ecc"))
+        .select(col("landmark"), col("ecc").cast("long").as("ecc"),
+          col("n_at_ecc"))
+  }
+
   // -------------------------------------------------------------------
   // Sampled-source stress centrality (Brandes two-phase, integer form)
   // -------------------------------------------------------------------
@@ -1372,5 +1406,5 @@ object GraphOps {
   val specs: Seq[QuerySpec] =
     Seq(kcore, bfsHops, linkPredict, graphAdversarial, graphSssp, pprSeed,
       graphSccPivot, graphScc, graphCondense, graphLandmarks, graphCloseness,
-      graphStress)
+      graphEccentricity, graphStress)
 }

@@ -1276,8 +1276,59 @@ object Relational {
           |  ORDER BY s_acctbal DESC, s_name LIMIT 2) t""".stripMargin)
   }
 
+  /** Correlated SCALAR subquery in the WHERE clause (TPC-H Q17 shape:
+    * "lineitems whose quantity is below 20% of their part's average").
+    * The operator under test is Catalyst's DECORRELATION: the SQL as
+    * written names a per-outer-row re-aggregation of lineitem — O(n²)
+    * if executed literally — and RewriteCorrelatedScalarSubquery plans
+    * each subquery as a per-partkey aggregate joined back on the
+    * correlation key. At 100 TB that rewrite is the whole ballgame; the
+    * fingerprint pins that no nested loop / cartesian survives (3 bhj:
+    * the part dim plus one |parts|-row broadcast per subquery).
+    * Observed limit, pinned as documentation: Spark 4.1's
+    * MergeScalarSubqueries does NOT fuse the count and sum subqueries
+    * here (the count side carries the empty-group coalesce), so the
+    * plan aggregates lineitem twice; the hand-fused single-aggregate
+    * form is one `groupBy.agg(count, sum)` away if a profile ever
+    * demands it — the entry exists to gate the declarative surface.
+    *
+    * Cross-engine determinism: `qty < 0.2 · avg(qty)` is restated as
+    * the pure integer inequality `qty · 5 · count < sum` (quantities
+    * are integer-valued), so the threshold compare never touches
+    * floats; the revenue rollup rides [[Exact.sumD]] as usual. */
+  val scalarSubquery = QuerySpec(
+    "q_scalar_subquery",
+    s"""WITH small AS (
+          SELECT p.p_brand, CAST(l.l_quantity AS BIGINT) AS qty, l.l_extendedprice
+          FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+          WHERE CAST(l.l_quantity AS BIGINT) * 5 *
+                  (SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+                < (SELECT CAST(sum(CAST(l2.l_quantity AS BIGINT)) AS BIGINT)
+                   FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey))
+        SELECT p_brand, CAST(count(*) AS BIGINT) AS n_small,
+               CAST(sum(qty) AS BIGINT) AS sum_qty,
+               ${Exact.sumSql("l_extendedprice")} AS revenue
+        FROM small GROUP BY 1""") {
+    (s, d) =>
+      li(s, d).createOrReplaceTempView("lineitem")
+      Tables.part(s, d).createOrReplaceTempView("part")
+      val small = s.sql(
+        """SELECT p.p_brand, CAST(l.l_quantity AS BIGINT) AS qty, l.l_extendedprice
+          |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+          |WHERE CAST(l.l_quantity AS BIGINT) * 5 *
+          |        (SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+          |      < (SELECT CAST(sum(CAST(l2.l_quantity AS BIGINT)) AS BIGINT)
+          |         FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""".stripMargin)
+      small.groupBy("p_brand")
+        .agg(count(lit(1)).cast("long").as("n_small"),
+          sum("qty").cast("long").as("sum_qty"),
+          Exact.sumD(col("l_extendedprice")).as("revenue"))
+        .select("p_brand", "n_small", "sum_qty", "revenue")
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     zorderKey, hilbertKey, recursiveCte, schemaDrift, paretoFront, lateralTopk,
+    scalarSubquery,
     sortLimit, pricingSummary, skewSaltedJoin, join5Revenue,
     rollupTotals, cubeTotals, groupingSetsTotals, fuzzyMatch, fuzzyDamerau, entityCluster,
     countDistinct_, stringAgg, semiAntiJoin, setOps, setOpsAll, corrStats, modeValue,

@@ -298,6 +298,18 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q_scalar_subquery: correlated scalar subqueries decorrelate to agg+join, not a loop") {
+    val plan = formatted("q_scalar_subquery")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"the per-outer-row re-aggregation must not survive as a loop join:\n$plan")
+    // each subquery becomes ONE per-partkey aggregate joined back on the
+    // correlation key: outer scan + 2 subquery-agg scans, no more (a
+    // regression to per-row evaluation would not show lineitem scans at
+    // all — it would show a loop join above)
+    assert("lineitem.parquet".r.findAllIn(plan).size == 3, plan)
+    assert(plan.contains("BroadcastHashJoin"), "agg side should broadcast at this SF")
+  }
+
   test("q_linear_fit: all four sufficient statistics in ONE aggregation pass") {
     val plan = formatted("q_linear_fit")
     assert("events.parquet".r.findAllIn(plan).size == 1,

@@ -658,6 +658,30 @@ class GraphProfilingSpec extends SparkSpec {
     graft.ops.Caches.drain()
   }
 
+  test("graphEccentricity: independent closed form — per-landmark max depth and frontier size") {
+    val sf = "/root/testdata/sf0.001"
+    def bitlen(x: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(x)
+    // independent recompute: ecc(s) = max over s-prefixed x of
+    // bitlen(x) − bitlen(s); n_at_ecc = |argmax| (same universe as the
+    // landmark test — ids 1..499 of the doubling tree)
+    val dists = (for {
+      x <- 1L to 499L; s <- Seq(1L, 2L, 3L)
+      if bitlen(x) >= bitlen(s) && (x >> (bitlen(x) - bitlen(s))) == s
+    } yield (s, (bitlen(x) - bitlen(s)).toLong))
+    val expected = dists.groupBy(_._1).map { case (s, ds) =>
+      val ecc = ds.map(_._2).max
+      (s, ecc, ds.count(_._2 == ecc).toLong)
+    }.toSet
+    val got = GraphOps.graphEccentricity.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected)
+    // doubling tree sanity: landmark 1's ecc is the tree depth
+    // bitlen(499) − 1 = 8, strictly deeper than its children's subtrees
+    assert(got.find(_._1 == 1L).get._2 === 8L)
+    assert(got.filter(_._1 != 1L).forall(_._2 < 8L))
+    graft.ops.Caches.drain()
+  }
+
   test("stressOf: equals brute-force shortest-path interior counts on the K=4 butterfly") {
     // ids 0..15 ⇒ K = bitlen(16) − 1 = 4, vertices 1..15. The brute
     // force enumerates EVERY shortest s→t path by DFS over the level
