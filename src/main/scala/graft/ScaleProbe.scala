@@ -23,7 +23,8 @@ object ScaleProbe {
     "q_classify_nb", "q_sketch_hdr_quantile", "q_graph_landmarks",
     "q_sim_lsh_bucketed", "q_pack_chunks", "q_curation_ingest",
     "q_decontaminate", "q_rank_quartile", "q_text_ngram_profile",
-    "q_sketch_bloom", "q_histogram_equidepth", "q_tfidf_topk")
+    "q_sketch_bloom", "q_histogram_equidepth", "q_tfidf_topk",
+    "q_scalar_subquery")
 
   def main(args: Array[String]): Unit = {
     val names = if (args.nonEmpty) args.toSeq else defaultSet
