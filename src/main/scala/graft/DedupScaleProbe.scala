@@ -31,7 +31,10 @@ import org.apache.spark.sql.functions._
   * generated once, identical bytes for every later probe run, shared
   * with [[ErScaleProbe]] and the stretch oracle runs.
   *
-  * Usage: runMain graft.DedupScaleProbe [tierDir] (default derived/sf1)
+  * Usage: runMain graft.DedupScaleProbe [tierDir [tier100Dir]]
+  * (default derived/sf1; pass a second dir — conventionally
+  * derived/sf10 at 100 copies — to probe TWO decades: 5k → 50k → 500k
+  * docs, ~50 MB → ~500 MB → ~5 GB of text)
   */
 object DedupScaleProbe {
   // documents-only queries (q_entity_cluster's blocked-entity form reads
@@ -44,6 +47,7 @@ object DedupScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val tier = args.headOption.getOrElse(TierGen.defaultTier)
+    val tier100 = if (args.length > 1) Some(args(1)) else None
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
@@ -52,13 +56,14 @@ object DedupScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     TierGen.ensureAll(spark, tier)
+    tier100.foreach(TierGen.ensureAll(spark, _, 100))
     // session-shared memos (LSH candidates etc.) are keyed per sf dir, so
     // each tier builds its own under run 1 and run 2 measures the warm
     // plan — both columns printed: `run1` carries the build, `warm` is
     // the factor basis, so the memo-build scaling is visible too
     queries.foreach { name =>
       var prev = Option.empty[Double]
-      Seq(base, tier).foreach { d =>
+      (Seq(base, tier) ++ tier100).foreach { d =>
         val rows = spark.read.parquet(s"$d/documents.parquet").count()
         val ts = (1 to 2).map { _ =>
           val t0 = System.nanoTime()

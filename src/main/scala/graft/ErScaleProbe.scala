@@ -15,9 +15,13 @@ import org.apache.spark.sql.functions._
   * later probe run, shared with [[DedupScaleProbe]].
   *
   * Prints one PROBE line per (query, tier) with the warm growth factor
-  * sf0.1 → sf1; the gate recorded in NOTES is factor ≤ 2× per 10×.
+  * per step; the gate recorded in NOTES is per-row µs non-increasing
+  * across each 10× step.
   *
-  * Usage: runMain graft.ErScaleProbe [tierDir] (default derived/sf1)
+  * Usage: runMain graft.ErScaleProbe [tierDir [tier100Dir]]
+  * (default derived/sf1; pass a second dir — conventionally
+  * derived/sf10, generated at 100 copies — to probe TWO decades:
+  * sf0.1 → sf1 → sf10, 15k → 150k → 1.5M customers)
   */
 object ErScaleProbe {
   private val queries =
@@ -26,6 +30,7 @@ object ErScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val tier = args.headOption.getOrElse(TierGen.defaultTier)
+    val tier100 = if (args.length > 1) Some(args(1)) else None
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
@@ -34,9 +39,10 @@ object ErScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     TierGen.ensureAll(spark, tier)
+    tier100.foreach(TierGen.ensureAll(spark, _, 100))
     queries.foreach { name =>
       var prev = Option.empty[Double]
-      Seq(base, tier).foreach { d =>
+      (Seq(base, tier) ++ tier100).foreach { d =>
         val rows = spark.read.parquet(s"$d/customer.parquet").count()
         val t = (1 to 2).map { _ =>
           val t0 = System.nanoTime()

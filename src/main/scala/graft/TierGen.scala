@@ -69,13 +69,13 @@ object TierGen {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage))
   }
 
-  /** Ten disjoint-vocabulary copies of the base documents table. */
-  def ensureDocuments(spark: SparkSession, tier: String): Unit = {
+  /** N disjoint-vocabulary copies of the base documents table. */
+  def ensureDocuments(spark: SparkSession, tier: String, copies: Int = 10): Unit = {
     if (new java.io.File(s"$tier/documents.parquet").exists()) return
     val docs = Tables.documents(spark, base)
     val k = stride(docs, "doc_id")
     writeSingle(
-      docs.withColumn("i", explode(array((0 until 10).map(lit): _*)))
+      docs.withColumn("i", explode(array((0 until copies).map(lit): _*)))
         .select(
           (col("doc_id") + col("i") * k).as("doc_id"),
           expr("""array_join(transform(split(text, ' '),
@@ -84,16 +84,16 @@ object TierGen {
         .withColumn("n_chars", length(col("text")).cast("long"))
         .sort("doc_id"),
       s"$tier/documents.parquet")
-    println(s"TIER $tier documents 10x $base stride $k (disjoint-vocab copies)")
+    println(s"TIER $tier documents ${copies}x $base stride $k (disjoint-vocab copies)")
   }
 
-  /** Ten re-rendered-name copies of the base customer table. */
-  def ensureCustomer(spark: SparkSession, tier: String): Unit = {
+  /** N re-rendered-name copies of the base customer table. */
+  def ensureCustomer(spark: SparkSession, tier: String, copies: Int = 10): Unit = {
     if (new java.io.File(s"$tier/customer.parquet").exists()) return
     val c = Tables.customer(spark, base)
     val k = stride(c, "c_custkey")
     writeSingle(
-      c.withColumn("i", explode(array((0 until 10).map(lit): _*)))
+      c.withColumn("i", explode(array((0 until copies).map(lit): _*)))
         .select(
           (col("c_custkey") + col("i") * k).as("c_custkey"),
           format_string("Customer#%09d", col("c_custkey") + col("i") * k)
@@ -101,7 +101,7 @@ object TierGen {
           col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
         .sort("c_custkey"),
       s"$tier/customer.parquet")
-    println(s"TIER $tier customer 10x $base stride $k")
+    println(s"TIER $tier customer ${copies}x $base stride $k")
   }
 
   /** Ten rotated copies of the base embeddings table: copy i is keyed
@@ -140,13 +140,13 @@ object TierGen {
     * behavioral pipeline) grows 10×. Read through [[Tables.events]] so
     * the derived file always lands as TIMESTAMP(MICROS) regardless of
     * which physical ts type the base generation shipped. */
-  def ensureEvents(spark: SparkSession, tier: String): Unit = {
+  def ensureEvents(spark: SparkSession, tier: String, copies: Int = 10): Unit = {
     if (new java.io.File(s"$tier/events.parquet").exists()) return
     val ev = Tables.events(spark, base)
     val kE = stride(ev, "event_id")
     val kU = stride(ev, "user_id")
     writeSingle(
-      ev.withColumn("i", explode(array((0 until 10).map(lit): _*)))
+      ev.withColumn("i", explode(array((0 until copies).map(lit): _*)))
         .select(
           (col("event_id") + col("i") * kE).as("event_id"),
           col("ts"),
@@ -154,13 +154,12 @@ object TierGen {
           col("event_type"), col("value"), col("props"))
         .sort("event_id"),
       s"$tier/events.parquet")
-    println(s"TIER $tier events 10x $base strides ($kE, $kU)")
+    println(s"TIER $tier events ${copies}x $base strides ($kE, $kU)")
   }
 
   /** Symlink every base table the tier does not derive, so the tier dir
     * is a complete sf layout for Verify/check.py. Idempotent. */
-  def linkRest(tier: String): Unit = {
-    val derived = Set("documents", "customer", "embeddings", "events")
+  def linkRest(tier: String, derived: Set[String]): Unit = {
     Seq("region", "nation", "supplier", "part", "orders", "lineitem",
       "events", "embeddings").filterNot(derived).foreach { t =>
       val link = java.nio.file.Paths.get(s"$tier/$t.parquet")
@@ -178,19 +177,29 @@ object TierGen {
     if (java.nio.file.Files.isSymbolicLink(p)) java.nio.file.Files.delete(p)
   }
 
-  def ensureAll(spark: SparkSession, tier: String): Unit = {
+  /** Build a tier of `copies` strided copies. Embeddings are derived
+    * only for copies ≤ 32: the rotated-frame scheme shifts by 6·i over
+    * 64 dims, so past 32 copies rotations repeat and copies become
+    * byte-identical vectors — exactly the tie-pile pathology the scheme
+    * exists to avoid. Tiers beyond that (the 100× timing tier) carry
+    * the BASE embeddings as a symlink instead; the two-decade probes
+    * there are the dedup/ER families, which read documents/customer. */
+  def ensureAll(spark: SparkSession, tier: String, copies: Int = 10): Unit = {
     new java.io.File(tier).mkdirs()
-    Seq("documents", "customer", "embeddings", "events")
-      .foreach(unlinkStale(tier, _))
-    ensureDocuments(spark, tier)
-    ensureCustomer(spark, tier)
-    ensureEmbeddings(spark, tier)
-    ensureEvents(spark, tier)
-    linkRest(tier)
+    val deriveVectors = copies <= 32
+    val derived = Set("documents", "customer", "events") ++
+      (if (deriveVectors) Set("embeddings") else Set.empty[String])
+    derived.foreach(unlinkStale(tier, _))
+    ensureDocuments(spark, tier, copies)
+    ensureCustomer(spark, tier, copies)
+    if (deriveVectors) ensureEmbeddings(spark, tier)
+    ensureEvents(spark, tier, copies)
+    linkRest(tier, derived)
   }
 
   def main(args: Array[String]): Unit = {
     val tier = args.headOption.getOrElse(defaultTier)
+    val copies = if (args.length > 1) args(1).toInt else 10
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
@@ -198,7 +207,7 @@ object TierGen {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    ensureAll(spark, tier)
+    ensureAll(spark, tier, copies)
     println(s"TIER $tier complete")
     spark.stop()
   }

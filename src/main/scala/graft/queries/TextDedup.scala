@@ -1977,26 +1977,70 @@ object TextDedup {
     (s, d) =>
       val raw = graft.ops.Caches.lease(shingledRaw(s, d, 3))
       val dfreq = raw.groupBy("shingle").agg(count(lit(1)).as("df"))
+      // EXACT integer dictionary: rank every distinct gram by the global
+      // rarest-first order (df asc, gram asc) with the gated parallel
+      // ranker — rid is a bijection, so ordering by rid IS ordering by
+      // (df, gram) and |∩| over rid arrays IS |∩| over gram arrays. From
+      // here every join key, window sort key, and verify array is an
+      // int64 instead of a ~30-byte string: at the 100× diagnostic tier
+      // the verify's sort-merge join was sorting ~15 GB of string arrays
+      // through ~100 GB of spill — the dictionary cuts the sorted bytes
+      // ~4× and the whole pipeline's shuffle with it. (The q_edit1
+      // lesson — 8-byte keys — but via an exact rank, not a hash: a
+      // hash collision would merge two grams and break exactness.)
+      val dict = graft.ops.Scale.distributedRank(
+        dfreq, Seq(graft.ops.Scale.SortKey("df"), graft.ops.Scale.SortKey("shingle")),
+        32, "rid").select("shingle", "rid")
+      // the rid stream feeds BOTH the prefix window and the verify
+      // arrays: checkpoint it once (the minhashCandShared convention —
+      // under cache() the dictionary build's lineage would inline into
+      // every consumer branch and the plan gate would read ~5× the real
+      // shuffle count), blocks query-local via leaseRdd
+      val (rawR, rawRBlocks) = localCheckpointTracked(
+        raw.join(dict, "shingle").select("doc_id", "rid"))
+      rawRBlocks.foreach(graft.ops.Caches.leaseRdd)
       // per-doc position under the global rarest-first order; the prefix
-      // keeps p = n - ceil(n/2) + 1 tokens (tau = 0.5)
-      val pref = raw.join(dfreq, "shingle")
+      // keeps p = n - ceil(n/2) + 1 tokens (tau = 0.5), and each prefix
+      // row CARRIES (pos, n) so the candidate join can apply the exact
+      // length and positional prunes before anything wide moves
+      val pref = rawR
         .withColumn("pos", row_number().over(
           org.apache.spark.sql.expressions.Window
-            .partitionBy("doc_id").orderBy(col("df"), col("shingle"))))
+            .partitionBy("doc_id").orderBy(col("rid"))))
         .withColumn("n", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
         .filter(col("pos") <= expr("n - ((n + 1) div 2) + 1"))
-        .select("doc_id", "shingle")
-      val cand = pref.toDF("a_id", "shingle")
-        .join(pref.toDF("b_id", "shingle"), "shingle")
-        .filter(col("a_id") < col("b_id"))
+        .select("doc_id", "rid", "pos", "n")
+      // the OTHER two PPJoin prunes (both exactness-preserving), applied
+      // per matching occurrence BEFORE the distinct so far-length /
+      // far-position candidates never reach the array-carrying verify —
+      // at the 100× tier the verify shuffle (two O(doc-len) gram arrays
+      // per candidate) was the family's wall, and most of it was pairs
+      // these filters reject from two integers:
+      //   length: J ≥ 1/2 ⇒ |∩| ≥ (n_a+n_b)/3 and |∩| ≤ min ⇒
+      //           3·min(n_a,n_b) ≥ n_a+n_b;
+      //   positional (Xiao et al.): both docs order tokens by the SAME
+      //           global rarest-first key, so for a shared token at
+      //           (pa, pb): common-after ≤ min(n_a−pa, n_b−pb) and
+      //           common-before ≤ min(pa−1, pb−1), hence
+      //           |∩| ≤ 1 + min(pa−1, pb−1) + min(n_a−pa, n_b−pb).
+      // Completeness: a qualifying pair shares ≥1 prefix token (prefix
+      // theorem), and at that occurrence the positional bound ≥ the true
+      // |∩|, so the occurrence survives and the distinct keeps the pair.
+      val cand = pref.toDF("a_id", "rid", "pa", "na")
+        .join(pref.toDF("b_id", "rid", "pb", "nb"), "rid")
+        .filter(col("a_id") < col("b_id")
+          && lit(3) * least(col("na"), col("nb")) >= col("na") + col("nb")
+          && lit(3) * (lit(1) + least(col("pa") - 1, col("pb") - 1)
+               + least(col("na") - col("pa"), col("nb") - col("pb")))
+             >= col("na") + col("nb"))
         .select("a_id", "b_id")
         .distinct()
-      // one sorted gram array per doc: verification joins are 1:1 per
+      // one sorted rid array per doc: verification joins are 1:1 per
       // candidate side, the implied size filter prunes pre-intersect
       val docArr = graft.ops.Caches.lease(
-        raw.groupBy("doc_id").agg(
-          sort_array(collect_list(col("shingle"))).as("gs"),
+        rawR.groupBy("doc_id").agg(
+          sort_array(collect_list(col("rid"))).as("gs"),
           count(lit(1)).as("n")))
       cand
         .join(docArr.select(col("doc_id").as("a_id"),
