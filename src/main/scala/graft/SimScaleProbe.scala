@@ -2,15 +2,18 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** One-tier-up scaling probe for the SIMILARITY / ANN family, the
+/** Scaling probe for the SIMILARITY / ANN family, the
   * [[DedupScaleProbe]] method over the persisted [[TierGen]] tier's
-  * derived `embeddings` table (r12): ten rotated-frame copies — copy i
-  * rotates each 64-dim vector left by 6·i positions, an orthogonal
-  * transform, so every WITHIN-copy cosine/dot/norm is preserved verbatim
-  * (copy 0 is byte-identical to sf0.1) while cross-copy vectors sit in
-  * ten mutually-rotated frames and are near-orthogonal on average. The
-  * tier reads as "ten independent embedding shards": 10× vectors, 10×
-  * true-neighbor pairs, no duplicate-vector tie pathology.
+  * derived `embeddings` table: N signed-permutation copies — copy i
+  * applies a per-copy seeded signed permutation of the 64 dims, an
+  * orthogonal transform, so every WITHIN-copy cosine/dot/norm is
+  * preserved (copy 0 is byte-identical to sf0.1) while cross-copy
+  * vectors are mutually near-random. The tier reads as "N independent
+  * embedding shards": N× vectors, N× true-neighbor pairs, no
+  * duplicate-vector tie pathology — and since the signed-permutation
+  * group is 64!·2⁶⁴ strong (r13, replacing the rotation scheme whose
+  * frame repeated past 32 copies), the probe reads TWO decades when
+  * given the 100× tier.
   *
   * The probed set stacks the family's distinct physical shapes: the
   * brute-force top-k baseline (the honest quadratic — its factor SHOULD
@@ -19,7 +22,8 @@ import org.apache.spark.sql.SparkSession
   * run 1, warm assignment+probe under `warm`), the sign-LSH bucket
   * join, embedding near-dup, and SemDeDup's cluster-then-intra-cosine.
   *
-  * Usage: runMain graft.SimScaleProbe [tierDir] (default derived/sf1)
+  * Usage: runMain graft.SimScaleProbe [tierDir [tier100Dir]]
+  * (default derived/sf1; pass derived/sf10 for the second decade)
   */
 object SimScaleProbe {
   private val queries = Seq(
@@ -29,6 +33,7 @@ object SimScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val tier = args.headOption.getOrElse(TierGen.defaultTier)
+    val tier100 = if (args.length > 1) Some(args(1)) else None
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
@@ -37,9 +42,10 @@ object SimScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     TierGen.ensureAll(spark, tier)
+    tier100.foreach(TierGen.ensureAll(spark, _, 100))
     queries.foreach { name =>
       var prev = Option.empty[Double]
-      Seq(base, tier).foreach { d =>
+      (Seq(base, tier) ++ tier100).foreach { d =>
         val rows = spark.read.parquet(s"$d/embeddings.parquet").count()
         val ts = (1 to 2).map { _ =>
           val t0 = System.nanoTime()

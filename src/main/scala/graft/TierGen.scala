@@ -28,10 +28,16 @@ import org.apache.spark.sql.functions._
   *     nation/segment/balance carried per copy so every frequency
   *     distribution (the Fellegi–Sunter u-probability inputs) is
   *     preserved verbatim.
-  *   - `embeddings.parquet` — ten rotated-frame copies (r12): copy i
-  *     rotates the 64-dim vector left by 6·i, preserving every
-  *     within-copy cosine while cross-copy vectors are mutually
-  *     near-random — 10× vectors for the similarity/ANN family.
+  *   - `embeddings.parquet` — N signed-permutation copies (r13,
+  *     replacing r12's rotation scheme whose 64-dim frame capped the
+  *     family at 32 copies): copy i applies a per-copy seeded
+  *     signed permutation of the 64 dims — an orthogonal transform,
+  *     so every within-copy cosine/dot/norm is preserved (element
+  *     reorder + exact f32 negation), while cross-copy vectors are
+  *     mutually near-random (signs alone zero the expected cross
+  *     cosine). The family is 64!·2⁶⁴ strong, so ANY copy count is
+  *     collision-free — this is what unlocks the 100× similarity
+  *     tier (VERDICT r12 #3).
   *   - `events.parquet` — ten id-strided copies (r12): 10× users and
   *     sessions over the same clock for the behavioral/session family.
   *   - symlinks for the remaining sf0.1 tables, so the tier dir is a
@@ -104,31 +110,49 @@ object TierGen {
     println(s"TIER $tier customer ${copies}x $base stride $k")
   }
 
-  /** Ten rotated copies of the base embeddings table: copy i is keyed
-    * `vec_id + i·(max(vec_id)+1)` with the 64-dim vector ROTATED left by
-    * 6·i positions. Rotation is an orthogonal transform, so every
-    * within-copy cosine/dot/norm is preserved verbatim (copy 0 IS the
-    * base tier — the sf0.1 structure embeds unchanged), while cross-copy
-    * vectors land in ten different rotated frames and are mutually
-    * near-random: the tier reads as "ten independent embedding shards",
-    * 10× vectors and 10× true-neighbor pairs with no byte-identical
-    * vector collisions (identical copies would make every brute-force
-    * top-k a pathological tie pile instead of a workload). */
-  def ensureEmbeddings(spark: SparkSession, tier: String): Unit = {
+  /** N signed-permutation copies of the base embeddings table: copy i
+    * is keyed `vec_id + i·(max(vec_id)+1)` with the 64-dim vector put
+    * through a PER-COPY seeded signed permutation (Fisher–Yates over
+    * the dims + a sign per dim, both drawn from `java.util.Random`
+    * seeded by the copy index — the LCG is specified by the platform
+    * Javadoc, so the recipe is deterministic across JVMs). A signed
+    * permutation is orthogonal: within-copy dot/cosine/norm structure
+    * is preserved (element reorder + exact f32 negation — copy 0 is
+    * the identity, so the sf0.1 structure embeds byte-identically),
+    * while cross-copy vectors are mutually near-random (independent
+    * signs zero the expected cross-copy cosine term-by-term). The
+    * group has 64!·2⁶⁴ elements, so any tier size is collision-free —
+    * no byte-identical vectors, no brute-force tie piles — unlike the
+    * r12 rotation scheme, which repeated past 32 copies and capped
+    * the similarity family's scaling probes at one decade. */
+  def ensureEmbeddings(spark: SparkSession, tier: String, copies: Int = 10): Unit = {
     if (new java.io.File(s"$tier/embeddings.parquet").exists()) return
     val e = Tables.embeddings(spark, base)
     val k = stride(e, "vec_id")
+    val dims = 64
+    def copyDf(i: Int) = {
+      val emb = if (i == 0) col("embedding") else {
+        val rnd = new java.util.Random(0x5EED0000L + i)
+        val perm = (0 until dims).toArray
+        var j = dims - 1
+        while (j > 0) {
+          val r = rnd.nextInt(j + 1)
+          val t = perm(j); perm(j) = perm(r); perm(r) = t
+          j -= 1
+        }
+        val sign = Array.fill(dims)(rnd.nextBoolean())
+        array((0 until dims).map { d =>
+          val el = element_at(col("embedding"), perm(d) + 1)
+          if (sign(d)) negate(el) else el
+        }: _*)
+      }
+      e.select((col("vec_id") + lit(i.toLong) * k).as("vec_id"),
+        emb.as("embedding"), col("label"))
+    }
     writeSingle(
-      e.withColumn("i", explode(array((0 until 10).map(lit): _*)))
-        .select(
-          (col("vec_id") + col("i") * k).as("vec_id"),
-          expr("""CASE WHEN i = 0 THEN embedding
-                  ELSE concat(slice(embedding, i * 6 + 1, 64 - i * 6),
-                              slice(embedding, 1, i * 6)) END""").as("embedding"),
-          col("label"))
-        .sort("vec_id"),
+      (0 until copies).map(copyDf).reduce(_ unionByName _).sort("vec_id"),
       s"$tier/embeddings.parquet")
-    println(s"TIER $tier embeddings 10x $base stride $k (rotated-frame copies)")
+    println(s"TIER $tier embeddings ${copies}x $base stride $k (signed-permutation copies)")
   }
 
   /** Ten id-strided copies of the base events table: copy i re-keys
@@ -177,24 +201,56 @@ object TierGen {
     if (java.nio.file.Files.isSymbolicLink(p)) java.nio.file.Files.delete(p)
   }
 
-  /** Build a tier of `copies` strided copies. Embeddings are derived
-    * only for copies ≤ 32: the rotated-frame scheme shifts by 6·i over
-    * 64 dims, so past 32 copies rotations repeat and copies become
-    * byte-identical vectors — exactly the tie-pile pathology the scheme
-    * exists to avoid. Tiers beyond that (the 100× timing tier) carry
-    * the BASE embeddings as a symlink instead; the two-decade probes
-    * there are the dedup/ER families, which read documents/customer. */
+  /** The tier's copies count, recorded beside the data (ADVICE r12: the
+    * ensureX short-circuits check only file EXISTENCE, so invoking
+    * TierGen on a dir previously generated at a DIFFERENT copies count
+    * would silently reuse the stale data and every probe factor read
+    * against it would be wrong). A missing marker under existing data
+    * (a pre-r13 generation) counts as a mismatch too — scheme changes
+    * (r13's signed-permutation embeddings) regenerate rather than mix. */
+  private def copiesMarker(tier: String): java.io.File =
+    new java.io.File(s"$tier/TIER_COPIES")
+
+  private def wipeStaleTier(tier: String, copies: Int): Unit = {
+    val dir = new java.io.File(tier)
+    if (!dir.isDirectory) return
+    val marker = copiesMarker(tier)
+    val recorded =
+      if (marker.exists())
+        scala.util.Try(
+          new String(java.nio.file.Files.readAllBytes(marker.toPath)).trim.toInt
+        ).toOption
+      else None
+    val hasData = dir.listFiles().exists(_.getName.endsWith(".parquet"))
+    if (hasData && !recorded.contains(copies)) {
+      println(s"TIER $tier stale (recorded copies ${recorded.getOrElse("<none>")} " +
+        s"!= requested $copies) — wiping and regenerating")
+      // delete entries one by one: symlinks are removed as LINKS (never
+      // following into the read-only base testdata)
+      dir.listFiles().foreach { f =>
+        if (f.isDirectory && !java.nio.file.Files.isSymbolicLink(f.toPath))
+          org.apache.commons.io.FileUtils.deleteDirectory(f)
+        else java.nio.file.Files.delete(f.toPath)
+      }
+    }
+  }
+
+  /** Build a tier of `copies` strided copies — every derived table
+    * (documents, customer, events, embeddings) supports any copy count
+    * since r13's signed-permutation embedding scheme removed the
+    * rotation cap. */
   def ensureAll(spark: SparkSession, tier: String, copies: Int = 10): Unit = {
     new java.io.File(tier).mkdirs()
-    val deriveVectors = copies <= 32
-    val derived = Set("documents", "customer", "events") ++
-      (if (deriveVectors) Set("embeddings") else Set.empty[String])
+    wipeStaleTier(tier, copies)
+    val derived = Set("documents", "customer", "events", "embeddings")
     derived.foreach(unlinkStale(tier, _))
     ensureDocuments(spark, tier, copies)
     ensureCustomer(spark, tier, copies)
-    if (deriveVectors) ensureEmbeddings(spark, tier)
+    ensureEmbeddings(spark, tier, copies)
     ensureEvents(spark, tier, copies)
     linkRest(tier, derived)
+    java.nio.file.Files.write(copiesMarker(tier).toPath,
+      s"$copies\n".getBytes("UTF-8"))
   }
 
   def main(args: Array[String]): Unit = {

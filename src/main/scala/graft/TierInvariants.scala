@@ -77,7 +77,14 @@ object TierInvariants {
   }
 
   /** PPR-only extra law: a non-seed with NO in-edges receives neither
-    * teleport nor contribution — its mass must be exactly zero. */
+    * teleport nor contribution — its mass must be exactly zero.
+    * COVERAGE NOTE (ADVICE r12): the tier candidate graph is
+    * SYMMETRIZED, so every vertex with any edge has an in-edge and
+    * this law cannot fire there — it holds vacuously at the tier and
+    * bites only on directed inputs (TierInvariantsSpec's crafted
+    * directed frames prove it non-vacuous). Kept because the checker
+    * is input-shape-generic and the vacuity is a property of today's
+    * tier graph, not of the law. */
   def pprIsolatedViolations(pr: DataFrame, edges: DataFrame, seed: Column): DataFrame =
     edges.select(col("src").as("doc_id")).distinct()
       .filter(!seed)
@@ -167,6 +174,13 @@ object TierInvariants {
     * violations at the 10× tier — communities legitimately span
     * verified-graph components when the candidate graph bridges them. */
   def lpaViolations(out: DataFrame, cc: DataFrame): DataFrame = {
+    // vertex completeness both ways (ADVICE r12: without the missing
+    // check, an LPA output that silently DROPS vertices passes): cc is
+    // one row per graph vertex, so it doubles as the vertex universe
+    val missing = cc.select("doc_id").join(out, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit("vertex_missing").as("violation"))
+    val extra = out.join(cc.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit("row_not_a_vertex").as("violation"))
     val dup = out.groupBy("doc_id").agg(count(lit(1)).as("c")).filter(col("c") > 1)
       .select(col("doc_id"), lit("duplicate_vertex").as("violation"))
     val sz = out.groupBy("community").agg(count(lit(1)).as("actual"))
@@ -179,7 +193,8 @@ object TierInvariants {
       .filter(col("ncc") > 1)
       .select(col("community").as("doc_id"),
         lit("community_spans_components").as("violation"))
-    dup.unionByName(szBad).unionByName(spans)
+    missing.unionByName(extra).unionByName(dup).unionByName(szBad)
+      .unionByName(spans)
   }
 
   // -----------------------------------------------------------------
@@ -217,7 +232,11 @@ object TierInvariants {
   // -----------------------------------------------------------------
 
   /** Violations for (a_id, b_id, n_common, jaccard_ppm, is_new) against
-    * the candidate relation. Laws: canonical a<b order; n_common within
+    * the candidate relation. Laws: both endpoints are real graph
+    * vertices (ADVICE r12: the first draft's INNER degree joins let a
+    * fabricated pair referencing an unknown id vanish instead of flag —
+    * left joins + a null-degree law close that, the edit1Violations
+    * name_not_in_vocab pattern); canonical a<b order; n_common within
     * [1, min(deg a, deg b)]; jaccard_ppm re-derived exactly by
     * inclusion-exclusion; is_new == 1 exactly when the pair has no
     * direct candidate edge. */
@@ -225,16 +244,20 @@ object TierInvariants {
     val deg = symEdges(cand).groupBy(col("src").as("v")).agg(count(lit(1)).as("dg"))
     val hit = cand.select(col("a_id"), col("b_id"), lit(1L).as("_hit"))
     val j = out
-      .join(deg.select(col("v").as("a_id"), col("dg").as("da")), "a_id")
-      .join(deg.select(col("v").as("b_id"), col("dg").as("db")), "b_id")
+      .join(deg.select(col("v").as("a_id"), col("dg").as("da")), Seq("a_id"), "left")
+      .join(deg.select(col("v").as("b_id"), col("dg").as("db")), Seq("b_id"), "left")
       .join(hit, Seq("a_id", "b_id"), "left")
-    j.filter(col("a_id") >= col("b_id")
-        || col("n_common") < 1
-        || col("n_common") > least(col("da"), col("db"))
-        || col("jaccard_ppm") =!=
-           expr("(n_common * 1000000L) div (da + db - n_common)")
-        || col("is_new") =!= when(col("_hit").isNull, 1L).otherwise(0L))
+    val unknown = j.filter(col("da").isNull || col("db").isNull)
+      .select(col("a_id").as("doc_id"), lit("endpoint_not_a_vertex").as("violation"))
+    val invalid = j.filter(col("da").isNotNull && col("db").isNotNull
+        && (col("a_id") >= col("b_id")
+          || col("n_common") < 1
+          || col("n_common") > least(col("da"), col("db"))
+          || col("jaccard_ppm") =!=
+             expr("(n_common * 1000000L) div (da + db - n_common)")
+          || col("is_new") =!= when(col("_hit").isNull, 1L).otherwise(0L)))
       .select(col("a_id").as("doc_id"), lit("link_row_invalid").as("violation"))
+    unknown.unionByName(invalid)
   }
 
   // -----------------------------------------------------------------
@@ -290,14 +313,20 @@ object TierInvariants {
   }
 
   /** q_multimodal_histdup (a_id, b_id, na, nb, n_inter, l1_dist):
-    * lengths, intersection, distance, and the ≤10% gate re-derived. */
+    * lengths, intersection, distance, and the ≤10% gate re-derived.
+    * Length joins are LEFT with a null-length law (ADVICE r12: inner
+    * joins silently dropped a fabricated pair referencing a doc id
+    * absent from the corpus instead of flagging it). */
   def histdupViolations(out: DataFrame, docs: DataFrame): DataFrame = {
     val lens = docs.select(col("doc_id"), length(col("text")).cast("long").as("len"))
     val rec = histRecompute(out, docs, "CAST(ascii(col) AS BIGINT)")
     out.join(rec, Seq("a_id", "b_id"), "left")
-      .join(lens.select(col("doc_id").as("a_id"), col("len").as("la")), "a_id")
-      .join(lens.select(col("doc_id").as("b_id"), col("len").as("lb")), "b_id")
-      .filter(col("na") =!= col("la") || col("nb") =!= col("lb")
+      .join(lens.select(col("doc_id").as("a_id"), col("len").as("la")),
+        Seq("a_id"), "left")
+      .join(lens.select(col("doc_id").as("b_id"), col("len").as("lb")),
+        Seq("b_id"), "left")
+      .filter(col("la").isNull || col("lb").isNull
+        || col("na") =!= col("la") || col("nb") =!= col("lb")
         || coalesce(col("inter2"), lit(0L)) =!= col("n_inter")
         || col("l1_dist") =!= col("na") + col("nb") - lit(2) * col("n_inter")
         || lit(20) * col("l1_dist") > col("na") + col("nb"))
@@ -305,15 +334,19 @@ object TierInvariants {
   }
 
   /** q_multimodal_blockhash (a_id, b_id, na, nb, block_l1): the 4-block
-    * positional histogram distance re-derived per emitted pair. */
+    * positional histogram distance re-derived per emitted pair; LEFT
+    * length joins with the null-length law, as [[histdupViolations]]. */
   def blockhashViolations(out: DataFrame, docs: DataFrame): DataFrame = {
     val lens = docs.select(col("doc_id"), length(col("text")).cast("long").as("len"))
     val rec = histRecompute(out, docs,
       "(CAST(pos AS BIGINT) * 4 div n) * 1000 + ascii(col)")
     out.join(rec, Seq("a_id", "b_id"), "left")
-      .join(lens.select(col("doc_id").as("a_id"), col("len").as("la")), "a_id")
-      .join(lens.select(col("doc_id").as("b_id"), col("len").as("lb")), "b_id")
-      .filter(col("na") =!= col("la") || col("nb") =!= col("lb")
+      .join(lens.select(col("doc_id").as("a_id"), col("len").as("la")),
+        Seq("a_id"), "left")
+      .join(lens.select(col("doc_id").as("b_id"), col("len").as("lb")),
+        Seq("b_id"), "left")
+      .filter(col("la").isNull || col("lb").isNull
+        || col("na") =!= col("la") || col("nb") =!= col("lb")
         || col("block_l1") =!=
            col("na") + col("nb") - lit(2) * coalesce(col("inter2"), lit(0L))
         || lit(20) * col("block_l1") > col("na") + col("nb"))

@@ -1207,7 +1207,18 @@ object TextDedup {
     // reused (exchange-free on the edge side) by every round's join
     val (edges, edgesRdds) =
       localCheckpointTracked(edges0.toDF("src", "dst").repartition(col("dst")))
-    var (labels, labelsRdds) = localCheckpointTracked(
+    // LAZY checkpoint + probe fusion (r13, the GraphOps.fixpointLoop
+    // discipline): the label-sum probe is the action that materializes
+    // the round's checkpoint blocks, so a round costs ONE driver job —
+    // the r12 form paid an eager-checkpoint job AND a probe job on
+    // probe-cadence rounds. With the probe free, it runs EVERY round
+    // (labels only ever decrease, so sum-unchanged == fixpoint), which
+    // also detects convergence at the earliest possible round instead
+    // of up to one cadence step late. The previous round's blocks are
+    // released only AFTER the probe has landed — the lazy-checkpoint
+    // ordering rule (the next round's lineage roots in them until the
+    // materialization completes).
+    var (labels, labelsRdds) = localCheckpointLazyTracked(
       edges.select(col("src").as("id")).distinct().withColumn("label", col("id")))
     def labelSum(df: DataFrame): Long =
       df.agg(coalesce(sum("label"), lit(0L))).head().getLong(0)
@@ -1217,22 +1228,13 @@ object TextDedup {
     while (!converged && rounds < maxRounds) {
       val jumped = ccRound(edges, labels)
       rounds += 1
-      val (next, nextRdds) = localCheckpointTracked(jumped) // eager: the round's one action
-      release(labelsRdds) // the replaced round's blocks are dead — free them now
+      val (next, nextRdds) = localCheckpointLazyTracked(jumped)
+      val nextSum = labelSum(next) // ONE fused job: materialize + probe
+      release(labelsRdds)
       labels = next
       labelsRdds = nextRdds
-      // labels only ever decrease, so an unchanged sum since the last
-      // check == fixpoint (no round in the window changed anything).
-      // Cadence: every round while shallow graphs (the near-dup common
-      // case, fixpoint by round ~2-3) might already be done — the scalar
-      // sum over cached blocks is far cheaper than an extra
-      // propagate+jump+checkpoint round — then every 2nd round to halve
-      // blocking actions on the deep tail.
-      if (rounds <= 4 || rounds % 2 == 0 || rounds == maxRounds) {
-        val nextSum = labelSum(next)
-        converged = nextSum == prevSum
-        prevSum = nextSum
-      }
+      converged = nextSum == prevSum
+      prevSum = nextSum
     }
     release(edgesRdds) // loop done: only the final labels snapshot survives
     if (!converged) {

@@ -452,13 +452,25 @@ object StreamOps {
     *     split delivery converges to the same answer, and each
     *     micro-batch emits the arrival's current routing (Update mode).
     *
-    * State is O(arrivals in flight); production adds a TTL to expire
-    * routed arrivals (per-state TTL is the transformWithState
-    * improvement over GroupState timeouts). Redelivered DUPLICATE
-    * candidate sets double-count n_cands by design — upstream
-    * [[dedupeStream]] on the arrival id is the composition that guards
-    * redelivery, as everywhere in this file. */
-  def erRouteArrivals(arrivals: DataFrame, corpus: DataFrame): Dataset[ErRouteOut] = {
+    * State is O(arrivals in flight), BOUNDED by `ttl` (r13 — the one
+    * stateful op in this file whose state previously grew with
+    * arrivals-ever-seen): a routed arrival's ValueState expires `ttl`
+    * after its last update, scoped PER STATE (the transformWithState
+    * improvement over GroupState timeouts), so a candidate batch for
+    * that arrival delivered after expiry re-routes FROM SCRATCH — the
+    * argmax re-runs over just the late batch, exactly as if the
+    * arrival were new (TransformWithStateSpec pins this). `ttl = None`
+    * keeps state forever — the spec/verification setting where
+    * replays must merge deterministically across any gap. TTL needs a
+    * clock, so a set `ttl` runs the processor under
+    * TimeMode.ProcessingTime; unset stays TimeMode.None.
+    *
+    * Redelivered DUPLICATE candidate sets within the TTL double-count
+    * n_cands by design — upstream [[dedupeStream]] on the arrival id
+    * is the composition that guards redelivery, as everywhere in this
+    * file. */
+  def erRouteArrivals(arrivals: DataFrame, corpus: DataFrame,
+      ttl: Option[java.time.Duration] = None): Dataset[ErRouteOut] = {
     val spark = arrivals.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
@@ -481,7 +493,8 @@ object StreamOps {
       @transient private var state: ValueState[ErBest] = _
       override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
         state = getHandle.getValueState[ErBest](
-          "best", org.apache.spark.sql.Encoders.product[ErBest], TTLConfig.NONE)
+          "best", org.apache.spark.sql.Encoders.product[ErBest],
+          ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
       override def handleInputRows(
           key: Long, rows: Iterator[ErCand], tv: TimerValues): Iterator[ErRouteOut] = {
         var k = 0L; var s = 0L; var n = 0L
@@ -506,7 +519,9 @@ object StreamOps {
       }
     }
     cand.groupByKey(_.new_key)
-      .transformWithState(new ErRouteProcessor(), TimeMode.None(), OutputMode.Update())
+      .transformWithState(new ErRouteProcessor(),
+        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Update())
   }
 
   /** The same md5-hex-prefix hash the batch KMV queries use

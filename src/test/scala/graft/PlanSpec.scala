@@ -310,6 +310,17 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), "agg side should broadcast at this SF")
   }
 
+  test("q_scalar_subquery_fused: one combined agg pass — 2 lineitem scans, not 3") {
+    val plan = formatted("q_scalar_subquery_fused")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"the fused form must stay equi-join only:\n$plan")
+    // count+sum computed together: outer scan + ONE per-partkey
+    // aggregate scan — the full fact-table pass the declarative twin's
+    // unmerged subqueries re-pay (its pin above: 3 scans)
+    assert("lineitem.parquet".r.findAllIn(plan).size == 2, plan)
+    assert(plan.contains("BroadcastHashJoin"), "agg + dim sides should broadcast at this SF")
+  }
+
   test("q_linear_fit: all four sufficient statistics in ONE aggregation pass") {
     val plan = formatted("q_linear_fit")
     assert("events.parquet".r.findAllIn(plan).size == 1,

@@ -84,21 +84,29 @@ class TierInvariantsSpec extends SparkSpec {
       .filter($"violation" === "isolated_nonseed_nonzero").count() === 1)
   }
 
-  test("lpa checker: partition + component-refinement laws fire") {
+  test("lpa checker: partition + component-refinement + completeness laws fire") {
     val cc = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (9L, 9L))
       .toDF("doc_id", "cluster_id")
-    val good = Seq((1L, 1L, 4L), (2L, 1L, 4L), (3L, 1L, 4L), (4L, 1L, 4L))
-      .toDF("doc_id", "community", "n_members")
+    val good = Seq((1L, 1L, 4L), (2L, 1L, 4L), (3L, 1L, 4L), (4L, 1L, 4L),
+      (9L, 9L, 1L)).toDF("doc_id", "community", "n_members")
     assert(TierInvariants.lpaViolations(good, cc).count() === 0)
     val badSize = good.withColumn("n_members",
       when($"doc_id" === 2L, 9L).otherwise($"n_members"))
     assert(TierInvariants.lpaViolations(badSize, cc)
       .filter($"violation" === "n_members_mismatch").count() === 1)
     // community 1 annexes vertex 9 from ANOTHER component
-    val spans = good.unionByName(Seq((9L, 1L, 5L)).toDF("doc_id", "community", "n_members"))
-      .withColumn("n_members", lit(5L))
+    val spans = Seq((1L, 1L, 5L), (2L, 1L, 5L), (3L, 1L, 5L), (4L, 1L, 5L),
+      (9L, 1L, 5L)).toDF("doc_id", "community", "n_members")
     assert(TierInvariants.lpaViolations(spans, cc)
       .filter($"violation" === "community_spans_components").count() === 1)
+    // an output that silently DROPS a graph vertex fires (ADVICE r12)
+    assert(TierInvariants.lpaViolations(good.filter($"doc_id" =!= 9L), cc)
+      .filter($"violation" === "vertex_missing").count() === 1)
+    // ...and one that invents a vertex fires the mirror law
+    val invented = good.unionByName(
+      Seq((42L, 42L, 1L)).toDF("doc_id", "community", "n_members"))
+    assert(TierInvariants.lpaViolations(invented, cc)
+      .filter($"violation" === "row_not_a_vertex").count() === 1)
   }
 
   test("triangle checker: census twin agrees; off-by-one fires") {
@@ -128,6 +136,12 @@ class TierInvariantsSpec extends SparkSpec {
     assert(TierInvariants.linkPredictViolations(wrongJac, cand).count() === 2)
     val excess = good.withColumn("n_common", lit(99L))
     assert(TierInvariants.linkPredictViolations(excess, cand).count() === 2)
+    // a fabricated pair referencing an id absent from the graph must
+    // FLAG, not vanish through an inner degree join (ADVICE r12)
+    val alien = good.unionByName(Seq((1L, 99L, 1L, 500000L, 1L))
+      .toDF("a_id", "b_id", "n_common", "jaccard_ppm", "is_new"))
+    assert(TierInvariants.linkPredictViolations(alien, cand)
+      .filter($"violation" === "endpoint_not_a_vertex").count() === 1)
   }
 
   test("edit1 checker: full-levenshtein soundness re-verification fires") {
@@ -165,5 +179,13 @@ class TierInvariantsSpec extends SparkSpec {
     assert(TierInvariants.blockhashViolations(goodB, docs).count() === 0)
     val offB = goodB.withColumn("block_l1", lit(0L))
     assert(TierInvariants.blockhashViolations(offB, docs).count() === 1)
+    // a pair referencing a doc id absent from the corpus must FLAG, not
+    // vanish through an inner length join (ADVICE r12)
+    val alienPair = Seq((1L, 99L, 21L, 4L, 0L, 25L))
+      .toDF("a_id", "b_id", "na", "nb", "n_inter", "l1_dist")
+    assert(TierInvariants.histdupViolations(alienPair, docs).count() === 1)
+    val alienB = Seq((1L, 99L, 21L, 4L, 25L))
+      .toDF("a_id", "b_id", "na", "nb", "block_l1")
+    assert(TierInvariants.blockhashViolations(alienB, docs).count() === 1)
   }
 }

@@ -52,8 +52,9 @@ class TextDedupSpec extends SparkSpec {
   test("connectedComponentsWithRounds: path-graph round count is O(log diameter)") {
     // the scale pin: plain propagation needs diameter rounds (39 here);
     // pointer jumping doubles reach per round, so fixpoint lands by
-    // ~⌈log2(39)⌉+1 = 7 and the convergence check (every round ≤4, then
-    // biennial) detects it at most one round later
+    // ~⌈log2(39)⌉+1 = 7 and the fused per-round probe (r13: the sum
+    // probe IS the round's materializing action) detects it exactly
+    // there
     val chain = (0L until 39L).map(i => (i, i + 1))
     val edges = (chain ++ chain.map(_.swap)).toDF("src", "dst")
     val (labels, rounds) = TextDedup.connectedComponentsWithRounds(edges)

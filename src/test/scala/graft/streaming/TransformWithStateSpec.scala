@@ -326,4 +326,60 @@ class TransformWithStateSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass"))(
       spark.conf.set("spark.sql.streaming.stateStore.providerClass", _))
   }
+
+  test("erRouteArrivals: state expires after the TTL — a late redelivery re-routes from scratch") {
+    // the state-bound contract (VERDICT r12 #4): with `ttl` set, a
+    // routed arrival's ValueState ages out, so the SAME redelivery the
+    // restart test pins as MERGING (n_cands 3 → 6) must instead restart
+    // the argmax once the state has expired — the late batch reads
+    // n_cands = 3 again, from scratch, not 6. Routing stays at the
+    // deterministic argmax both times (the re-run sees the same
+    // candidates), so expiry changes the STATE bound, not the answer.
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // ProcessingTime time mode otherwise runs continuous NO-DATA
+    // micro-batches (the timer/TTL advance mechanism); TTL expiry is
+    // evaluated against batch time on READ, so data-triggered batches
+    // alone exercise it — and the spec stays two deterministic batches
+    val prevNoData = spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val cols = Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment", "cents", "blk")
+      val corpus = Seq(
+        (1L, "Customer#1", 1L, "A", 1000L, "B1"),
+        (2L, "Customer#2", 1L, "A", 1500L, "B1"),
+        (3L, "Customer#3", 2L, "A", 50000L, "B1")).toDF(cols: _*)
+      val arrival = (7L, "Customer#7", 1L, "A", 1200L, "B1")
+      val input = MemoryStream[(Long, String, Long, String, Long, String)]
+      val q = StreamOps.erRouteArrivals(input.toDS().toDF(cols: _*), corpus,
+          Some(java.time.Duration.ofMillis(300)))
+        .writeStream.format("memory").queryName("tws_er_ttl")
+        .outputMode("update").start()
+      try {
+        input.addData(arrival)
+        q.processAllAvailable()
+        // let the state age strictly past the TTL before redelivering
+        Thread.sleep(1500)
+        input.addData(arrival)
+        q.processAllAvailable()
+        val rows = spark.table("tws_er_ttl").as[StreamOps.ErRouteOut]
+          .collect().filter(_.new_key == 7L)
+        assert(rows.map(_.n_cands).toSeq === Seq(3L, 3L),
+          "expired state must not merge — the late delivery recounts from scratch")
+        rows.foreach { r =>
+          assert(r.match_key === Some(1L) && r.score === Some(19L)
+            && r.decision === "attach")
+        }
+      } finally q.stop()
+    } finally {
+      prev.fold(
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass"))(
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", _))
+      prevNoData.fold(
+        spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled"))(
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", _))
+    }
+  }
 }
