@@ -111,6 +111,24 @@ object PlanFingerprints {
           .withColumn("label", col("id"))
         TextDedup.ccRound(edges, labels)
       },
+      // r13: the production CC loop stages propagate and each pointer
+      // jump behind their OWN lazy checkpoints (CcJumpsPerRound doubling
+      // jumps per round), so the composed cc_round entry above no longer
+      // matches what executes — these pin the two staged units that do.
+      "q_builder_cc_propagate" -> { (s, d) =>
+        val edges = GraphOps.adversarialEdges(s, d)
+          .toDF("src", "dst").repartition(col("dst"))
+        val labels = edges.select(col("src").as("id")).distinct()
+          .withColumn("label", col("id"))
+        TextDedup.ccPropagate(edges, labels)
+      },
+      "q_builder_cc_jump" -> { (s, d) =>
+        val edges = GraphOps.adversarialEdges(s, d)
+          .toDF("src", "dst").repartition(col("dst"))
+        val labels = edges.select(col("src").as("id")).distinct()
+          .withColumn("label", col("id"))
+        TextDedup.ccJump(labels)
+      },
       "q_builder_kcore_round" -> { (s, d) =>
         val e = GraphOps.adversarialEdges(s, d)
         GraphOps.kcoreRound(e, e.select(col("src").as("v")).distinct())

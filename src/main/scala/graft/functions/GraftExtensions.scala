@@ -48,6 +48,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "range_bucket_search(desc_flags, boundaries, key...) - binary-search range bucket over frozen boundaries"),
       RangeBucketSearch.build))
     ext.injectFunction((
+      FunctionIdentifier("minhash_bands8"),
+      info("minhash_bands8", "minhash_bands8(text, k) - fused k-word-shingle MinHash band values (index = band id)"),
+      VectorExpressions.minhashBands8Builder))
+    ext.injectFunction((
+      FunctionIdentifier("charhist_entries"),
+      info("charhist_entries", "charhist_entries(text, blocks) - sorted (k, c) per-code-point block histogram entries"),
+      VectorExpressions.charHistEntriesBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("aligned_counts"),
+      info("aligned_counts", "aligned_counts(entries, keys) - count vector of sorted (k, c) entries aligned to keys"),
+      es => VectorExpressions.AlignedCounts(es.head, es(1))))
+    ext.injectFunction((
+      FunctionIdentifier("marginal_counts"),
+      info("marginal_counts", "marginal_counts(entries, keys) - mod-1000 marginal count vector over sorted keys"),
+      es => VectorExpressions.MarginalCounts(es.head, es(1))))
+    ext.injectFunction((
+      FunctionIdentifier("md5_seeded8"),
+      info("md5_seeded8", "md5_seeded8(s) - [md5(s || '#0'), ..., md5(s || '#7')] in one pass"),
+      es => VectorExpressions.Md5Seeded8(es.head)))
+    ext.injectFunction((
       FunctionIdentifier("damerau_levenshtein"),
       info("damerau_levenshtein", "damerau_levenshtein(a, b) - true Damerau-Levenshtein distance over UTF-8 bytes"),
       es => VectorExpressions.DamerauLevenshtein(es.head, es(1))))

@@ -142,6 +142,138 @@ object VectorExpressions {
   }
 
   /** 31-polynomial rolling hash mod 1e9+7 of a string column. */
+  /** Fused MinHash band builder over a text column — see
+    * [[VectorKernels.minhashBands8]] for the exact chain it replaces and
+    * the bitwise-equality argument. `k` is the shingle width (a foldable
+    * int in SQL form). Output: array of 4 band values whose INDEX is the
+    * band id (posexplode re-derives (band_id, band_val)); empty array
+    * when the text has fewer than k words. */
+  case class MinhashBands8(child: Expression, k: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "minhash_bands8"
+
+    override def nullSafeEval(v: Any): Any =
+      VectorKernels.minhashBands8(v.asInstanceOf[UTF8String], k)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, s =>
+        s"${ev.value} = graft.functions.VectorKernels.minhashBands8($s, $k);")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Fused per-code-point block histogram — see
+    * [[VectorKernels.charHistEntries]]. */
+  case class CharHistEntries(child: Expression, blocks: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(StructField("k", LongType, nullable = false),
+        StructField("c", LongType, nullable = false))), containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "charhist_entries"
+
+    override def nullSafeEval(v: Any): Any =
+      VectorKernels.charHistEntries(v.asInstanceOf[UTF8String], blocks)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, s =>
+        s"${ev.value} = graft.functions.VectorKernels.charHistEntries($s, $blocks);")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  private[functions] val charHistEntriesBuilder: Seq[Expression] => Expression = { es =>
+    require(es.length == 2, s"charhist_entries expects (text, blocks), got ${es.length} args")
+    val blocks = (es(1) match {
+      case e if e.foldable => e.eval()
+      case other => throw new IllegalArgumentException(
+        s"charhist_entries: blocks must be a literal, got $other")
+    }) match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"charhist_entries: blocks must be integral, got $other")
+    }
+    require(blocks >= 1, s"charhist_entries: blocks must be >= 1, got $blocks")
+    CharHistEntries(es.head, blocks)
+  }
+
+  /** Aligned count vector over sorted (k, c) entries — see
+    * [[VectorKernels.alignedCounts]]. */
+  case class AlignedCounts(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "aligned_counts"
+
+    override def nullSafeEval(l: Any, r: Any): Any =
+      VectorKernels.alignedCounts(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.VectorKernels.alignedCounts($a, $b);")
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** mod-1000 marginal count vector — see [[VectorKernels.marginalCounts]]. */
+  case class MarginalCounts(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "marginal_counts"
+
+    override def nullSafeEval(l: Any, r: Any): Any =
+      VectorKernels.marginalCounts(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.VectorKernels.marginalCounts($a, $b);")
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** The eight seeded md5 hex digests of a string as one array — see
+    * [[VectorKernels.md5Seeded8]]. */
+  case class Md5Seeded8(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "md5_seeded8"
+
+    override def nullSafeEval(v: Any): Any =
+      VectorKernels.md5Seeded8(v.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, s =>
+        s"${ev.value} = graft.functions.VectorKernels.md5Seeded8($s);")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Registry builder: k must be a foldable integral literal (the
+    * hilbert_d2 convention). */
+  private[functions] val minhashBands8Builder: Seq[Expression] => Expression = { es =>
+    require(es.length == 2, s"minhash_bands8 expects (text, k), got ${es.length} args")
+    val lit = es(1) match {
+      case e if e.foldable => e.eval()
+      case other => throw new IllegalArgumentException(
+        s"minhash_bands8: k must be a literal, got $other")
+    }
+    val k = lit match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"minhash_bands8: k must be integral, got $other")
+    }
+    require(k >= 1, s"minhash_bands8: k must be >= 1, got $k")
+    MinhashBands8(es.head, k)
+  }
+
   case class RollingHash31(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
     override def nullIntolerant: Boolean = true
@@ -261,6 +393,11 @@ object VectorExpressions {
     reg.createOrReplaceTempFunction("vector_distsq_i64", es => VectorDistSqI64(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("damerau_levenshtein", es => DamerauLevenshtein(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("range_bucket_search", RangeBucketSearch.build, "built-in")
+    reg.createOrReplaceTempFunction("minhash_bands8", minhashBands8Builder, "built-in")
+    reg.createOrReplaceTempFunction("md5_seeded8", es => Md5Seeded8(es.head), "built-in")
+    reg.createOrReplaceTempFunction("charhist_entries", charHistEntriesBuilder, "built-in")
+    reg.createOrReplaceTempFunction("aligned_counts", es => AlignedCounts(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("marginal_counts", es => MarginalCounts(es.head, es(1)), "built-in")
   }
 
   // Column-level entry points (require register(spark) on the session)
@@ -275,4 +412,12 @@ object VectorExpressions {
   def vector_l1_i64(a: Column, b: Column): Column = call_function("vector_l1_i64", a, b)
   def vector_distsq_i64(a: Column, b: Column): Column = call_function("vector_distsq_i64", a, b)
   def damerau_levenshtein(a: Column, b: Column): Column = call_function("damerau_levenshtein", a, b)
+  def minhash_bands8(text: Column, k: Column): Column = call_function("minhash_bands8", text, k)
+  def md5_seeded8(s: Column): Column = call_function("md5_seeded8", s)
+  def charhist_entries(text: Column, blocks: Column): Column =
+    call_function("charhist_entries", text, blocks)
+  def aligned_counts(entries: Column, keys: Column): Column =
+    call_function("aligned_counts", entries, keys)
+  def marginal_counts(entries: Column, keys: Column): Column =
+    call_function("marginal_counts", entries, keys)
 }

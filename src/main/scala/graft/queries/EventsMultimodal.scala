@@ -317,31 +317,33 @@ object EventsMultimodal {
         Tables.documents(s, d).select(
           col("doc_id"), col("text"), length(col("text")).cast("long").as("n")),
         col("doc_id"))
-      // split-to-chars then ascii is O(doc) — per-position
-      // substring(text, i, 1) rescans the string from the start for
-      // every i (O(doc²) per item); the n >= 1 guard stays because
-      // split('', '') yields [""], a spurious 0 byte
-      val bytes = dd
-        .select(col("doc_id"), col("n"), explode(expr(
-          """CASE WHEN n >= 1
-             THEN transform(split(text, ''), c -> ascii(c))
-             ELSE array() END""")).as("b"))
-      // one pass over the exploded bytes, leased for the query: both the
-      // alphabet probe and the histogram build read it
-      val cnt = graft.ops.Caches.lease(
-        bytes.groupBy(col("doc_id"), col("n"), col("b")).agg(count(lit(1)).as("c")))
+      // r13: the per-char fan-out (explode of ~n rows per item through a
+      // groupBy exchange, then a map_from_entries re-aggregation and an
+      // interpreted transform doing a LINEAR MapData scan per alphabet
+      // key — O(|alphabet|·m) per item) is replaced by the fused
+      // charhist_entries kernel: ONE code-point pass per item emitting
+      // sorted (k, c) entries, no per-char rows, no exchanges; the
+      // aligned vector is one binary search per alphabet key. Key/count
+      // values are bit-identical (k ≡ ascii(c) per split-char; see the
+      // kernel scaladoc); the oracle SQL is unchanged.
+      val ents = graft.ops.Caches.lease(
+        dd.select(col("doc_id"), col("n"),
+          graft.functions.VectorExpressions.charhist_entries(
+            col("text"), lit(1)).as("ents")))
       // global observed alphabet — ≤256 ints of driver metadata (same
       // legitimacy class as Bloom.collectBits); per-item histograms align
       // to it so the pair verifier is one fixed-stride codegen kernel,
       // not a per-pair interpreted map union
-      val alphabet = cnt.select("b").distinct().orderBy("b")
-        .collect().map(_.getInt(0))
+      val alphabet = ents.select(explode(col("ents.k")).as("b"))
+        .distinct().orderBy("b")
+        .collect().map(_.getLong(0))
       val alphaLit = typedLit(alphabet.toIndexedSeq)
-      val hm = cnt
-        .groupBy("doc_id", "n")
-        .agg(map_from_entries(collect_list(struct(col("b"), col("c")))).as("hm"))
-        // runs once per ITEM (not per pair): interpreted transform is fine
-        .withColumn("hv", transform(alphaLit, x => coalesce(expr("hm")(x), lit(0L))))
+      val hm = ents
+        // docs with no characters never entered the old exploded-count
+        // stream; cheap filter on the LEASED frame (no kernel recompute)
+        .filter(size(col("ents")) > 0)
+        .withColumn("hv", graft.functions.VectorExpressions.aligned_counts(
+          col("ents"), alphaLit))
         .withColumn("band", expr("n div 64"))
       val a = hm.select(col("doc_id").as("a_id"), col("n").as("na"), col("hv").as("ha"),
         explode(expr("array(band - 1, band, band + 1)")).as("probe"))
@@ -459,36 +461,35 @@ object EventsMultimodal {
         Tables.documents(s, d).select(
           col("doc_id"), col("text"), length(col("text")).cast("long").as("n")),
         col("doc_id"))
-      // split-to-chars with the 0-based index lambda is O(doc); the
-      // per-position substring form rescans from the start for every i
-      // (O(doc²) per item). i 0-based ≡ (i_1based − 1).
-      val keys = dd
-        .select(col("doc_id"), col("n"), explode(expr(
-          """CASE WHEN n >= 1
-             THEN transform(split(text, ''),
-                    (c, i) -> (i * 4 div cast(n AS int)) * 1000 + ascii(c))
-             ELSE array() END""")).as("k"))
-      val cnt = graft.ops.Caches.lease(
-        keys.groupBy(col("doc_id"), col("n"), col("k")).agg(count(lit(1)).as("c")))
-      val alphabet = cnt.select("k").distinct().orderBy("k")
-        .collect().map(_.getLong(0)) // k is LongType: Spark `div` widens
+      // r13: same fused-kernel treatment as multimodalHistDup — ONE
+      // code-point pass per item (charhist_entries, blocks = 4, key ≡
+      // (i·4 div n)·1000 + ascii(c) bit-for-bit), replacing the per-char
+      // explode + groupBy exchange + map_from_entries re-aggregation +
+      // the interpreted transforms whose GetMapValue lookups were a
+      // LINEAR MapData scan per alphabet key (O(|alphabet|·m) per item,
+      // the family's dominant CPU in the r13 profile).
+      val ents = graft.ops.Caches.lease(
+        dd.select(col("doc_id"), col("n"),
+          graft.functions.VectorExpressions.charhist_entries(
+            col("text"), lit(4)).as("ents")))
+      val alphabet = ents.select(explode(col("ents.k")).as("k"))
+        .distinct().orderBy("k")
+        .collect().map(_.getLong(0))
       val alphaLit = typedLit(alphabet.toIndexedSeq)
       val galphaLit = typedLit(alphabet.map(_ % 1000).distinct.sorted.toIndexedSeq)
-      val hm = graft.ops.Caches.lease(cnt
-        .groupBy("doc_id", "n")
-        .agg(map_from_entries(collect_list(struct(col("k"), col("c")))).as("hm"))
+      val hm = graft.ops.Caches.lease(ents
+        .filter(size(col("ents")) > 0)
         // TWO aligned vectors per item: the 4-block concatenation (the
         // verifier) and its marginal (the global byte histogram, ~4x
         // narrower) — L1_global ≤ L1_block, so the global gate is a pure
         // pushdown of the block gate: the wide vector only travels for
         // the few pairs the cheap gate can't reject
-        .withColumn("hv", transform(alphaLit, x => coalesce(expr("hm")(x), lit(0L))))
-        .withColumn("gv", transform(galphaLit, gb =>
-          coalesce(expr("hm")(gb), lit(0L))
-            + coalesce(expr("hm")(gb + 1000L), lit(0L))
-            + coalesce(expr("hm")(gb + 2000L), lit(0L))
-            + coalesce(expr("hm")(gb + 3000L), lit(0L))))
-        .withColumn("band", expr("n div 64")))
+        .withColumn("hv", graft.functions.VectorExpressions.aligned_counts(
+          col("ents"), alphaLit))
+        .withColumn("gv", graft.functions.VectorExpressions.marginal_counts(
+          col("ents"), galphaLit))
+        .withColumn("band", expr("n div 64"))
+        .drop("ents"))
       val a = hm.select(col("doc_id").as("a_id"), col("n").as("na"), col("gv").as("ga"),
         explode(expr("array(band - 1, band, band + 1)")).as("probe"))
       val b = hm.select(col("doc_id").as("b_id"), col("n").as("nb"), col("gv").as("gb"),

@@ -493,9 +493,17 @@ object TextDedup {
                       AND a.doc_id < b.doc_id)"""
 
   private[queries] def minhashSig(sh: DataFrame): DataFrame = {
+    // r13: the 8 × min(md5(concat(shingle, '#i'))) aggregate inputs each
+    // paid a fresh commons-codec digest instance plus a concat allocation
+    // per exploded shingle row; md5_seeded8 computes all eight digests in
+    // one kernel call (same lowercase-hex bytes — TextDedupSpec's
+    // bands-vs-aggregate pin and the unchanged oracles gate equality).
+    graft.functions.VectorExpressions.register(sh.sparkSession)
+    val withHs = sh.withColumn("hs8",
+      graft.functions.VectorExpressions.md5_seeded8(col("shingle")))
     val hashCols = (0 until MinhashK).map(i =>
-      min(md5(concat(col("shingle"), lit(s"#$i")))).as(s"h$i"))
-    sh.groupBy("doc_id").agg(hashCols.head, hashCols.tail: _*)
+      min(col("hs8").getItem(i)).as(s"h$i"))
+    withHs.groupBy("doc_id").agg(hashCols.head, hashCols.tail: _*)
   }
 
   /** Band keys of an aggregate signature table — shared by
@@ -537,28 +545,22 @@ object TextDedup {
     * drop, as in the batch path. Non-text columns (e.g. `ts`) pass
     * through for downstream watermarks. */
   def minhashBandsFor(docs: DataFrame, k: Int = 3): DataFrame = {
+    // r13: the composed built-in chain (split → shingle transform →
+    // array_distinct → 8 × array_min(transform(md5)) → band concats) ran
+    // INTERPRETED (higher-order functions have no codegen) with a fresh
+    // commons-codec digest per md5 call, and its `size(sh) > 0` filter
+    // re-evaluated the whole shingle pipeline a second time below the
+    // exchange (guide §4: expression duplicated across pushed filter and
+    // projection). The fused [[graft.functions.VectorKernels.minhashBands8]]
+    // kernel computes the identical four band values in one byte-level
+    // pass; <k-word rows return an empty array, so posexplode subsumes
+    // the filter. Bitwise equality vs the aggregate derivation stays
+    // pinned by TextDedupSpec; the DuckDB oracles are unchanged.
+    graft.functions.VectorExpressions.register(docs.sparkSession)
     val keep = docs.columns.toSeq
-    val sh = docs
-      .withColumn("ws", split(col("text"), " "))
-      .withColumn("sh", expr(
-        s"""CASE WHEN size(ws) >= $k
-            THEN array_distinct(transform(sequence(1, size(ws) - ${k - 1}),
-                                          i -> concat_ws(' ', slice(ws, i, $k))))
-            ELSE array() END"""))
-      .filter(size(col("sh")) > 0)
-    val sig = (0 until MinhashK).foldLeft(sh) { (df, i) =>
-      df.withColumn(s"h$i",
-        array_min(transform(col("sh"), x => md5(concat(x, lit(s"#$i"))))))
-    }
-    sig.withColumn("band", explode(array(
-        (0 until MinhashK / BandSize).map { b =>
-          struct(
-            lit(b).as("band_id"),
-            concat((0 until BandSize).map(r => col(s"h${b * BandSize + r}")): _*)
-              .as("band_val"))
-        }: _*)))
-      .select((keep.map(col) :+ col("band.band_id").as("band_id")
-        :+ col("band.band_val").as("band_val")): _*)
+    docs.select((keep.map(col) :+
+      posexplode(graft.functions.VectorExpressions.minhash_bands8(
+        col("text"), lit(k))).as(Seq("band_id", "band_val"))): _*)
   }
 
   /** Incremental NEAR-dup: LSH band candidates of a NEW batch (doc_id ≡ 1
@@ -1143,11 +1145,51 @@ object TextDedup {
     * session-shared memo for every later consumer. */
   private[queries] def localCheckpointTracked(
       df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
-    val ck = df.localCheckpoint()
+    val ck = boundCheckpointStats(df.localCheckpoint())
     val rdds = ck.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }
     (ck, rdds)
+  }
+
+  /** Caps a checkpointed frame's inherited size estimate at
+    * `spark.sql.defaultSizeInBytes` (r13). `Dataset.localCheckpoint`
+    * copies the ORIGINAL plan's `Statistics` onto the wrapping
+    * LogicalRDD, and the default join estimate is the PRODUCT of the
+    * input sizes — so in an iterative loop every round's self-join
+    * SQUARES the carried BigInt and every checkpoint re-roots the next
+    * round's plan in it: the digit count doubles per checkpoint
+    * (double-exponential value growth), until a single planner stats
+    * visit spends MINUTES in Toom-Cook BigInteger multiplies. Measured
+    * on q_entity_cluster's CC loop: >420 s wall planning-bound vs 6 s
+    * end-to-end with the cap (the driver jstack shows the loop inside
+    * `SizeInBytesOnlyStatsPlanVisitor.visitJoin` → `BigInteger
+    * .multiplyToomCook3`). The cap keeps honest small estimates exact
+    * (min) and clamps the garbage: a loop-state table estimated at
+    * 10^600 bytes carries no more planner information than "huge" —
+    * every join against it already takes the no-broadcast path either
+    * way, and AQE re-plans from MEASURED sizes at runtime. Applied to
+    * the tracked (loop-state) checkpoints only; one-shot memo snapshots
+    * keep their estimates. */
+  private[queries] def boundCheckpointStats(ck: DataFrame): DataFrame = {
+    import org.apache.spark.sql.execution.LogicalRDD
+    val spark = ck.sparkSession
+    val cap = BigInt(spark.sessionState.conf.defaultSizeInBytes)
+    // NOTE: the root is replaced BY HAND, not via plan.transform —
+    // LogicalRDD is a case class whose == ignores its second parameter
+    // list (where originStats lives), so a stats-only replacement is
+    // `fastEquals` to the original and transform silently keeps the
+    // unbounded node.
+    ck.queryExecution.analyzed match {
+      case lr: LogicalRDD if lr.computeStats().sizeInBytes > cap =>
+        org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+          new LogicalRDD(lr.output, lr.rdd, lr.outputPartitioning,
+            lr.outputOrdering, lr.isStreaming, lr.stream)(
+            spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+            Some(org.apache.spark.sql.catalyst.plans.logical.Statistics(cap)),
+            None))
+      case _ => ck
+    }
   }
 
   /** LAZY local checkpoint (r12): the logical plan is swapped for the
@@ -1165,7 +1207,7 @@ object TextDedup {
     * job instead of one job per round. */
   private[queries] def localCheckpointLazyTracked(
       df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
-    val ck = df.localCheckpoint(false)
+    val ck = boundCheckpointStats(df.localCheckpoint(false))
     val rdds = ck.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }
@@ -1186,17 +1228,45 @@ object TextDedup {
     * label ← min(label, label(label)) — every label is a member id and
     * ids are unique, so the self-join key is unique on the right; the
     * left join guards the id==label base case cheaply. */
-  private[graft] def ccRound(edges: DataFrame, labels: DataFrame): DataFrame = {
-    val propagated = edges
+  private[graft] def ccRound(edges: DataFrame, labels: DataFrame): DataFrame =
+    ccJump(ccPropagate(edges, labels))
+
+  /** The neighbor-propagate half of a CC round: min over {own label} ∪
+    * {labels of neighbors} — the self row rides the union so no left
+    * join back onto labels is needed; one partial-aggregated groupBy
+    * shuffle. */
+  private[graft] def ccPropagate(edges: DataFrame, labels: DataFrame): DataFrame =
+    edges
       .join(labels.toDF("dst", "dst_label"), "dst")
       .select(col("src").as("id"), col("dst_label").as("label"))
       .unionByName(labels)
       .groupBy("id").agg(min("label").as("label"))
-    propagated
-      .join(propagated.toDF("label", "jump_label"), Seq("label"), "left")
+
+  /** ONE pointer jump: label ← min(label, label(label)). Every label is
+    * a member id and ids are unique, so the self-join key is unique on
+    * the right; the left join guards the id==label base case cheaply.
+    * Applied to its OWN output it composes the pointer map with itself
+    * (f ← f∘f), which is what lets a round multiply chase depth by
+    * 2^[[CcJumpsPerRound]]. The label-keyed join concentrates a
+    * component's members on its minimum's key — the right side is
+    * unique-keyed so the hot key is a fan-out read, not a pair blowup,
+    * and AQE's skew split applies as in any sort-merge join. */
+  private[graft] def ccJump(p: DataFrame): DataFrame =
+    p.join(p.toDF("label", "jump_label"), Seq("label"), "left")
       .select(col("id"),
         least(col("label"), coalesce(col("jump_label"), col("label"))).as("label"))
-  }
+
+  /** Pointer jumps per CC round AFTER the propagate step (r13): the
+    * round-trip floor of the fixpoint loop is driver stages per round ×
+    * rounds, and a jump is ~2 stages against the propagate's ~4 — so
+    * composing J checkpointed jumps per round divides rounds by J (depth
+    * 2^J per round) for +2J stages, net ~2× fewer driver stages on a
+    * long chain. Output unchanged: labels are elementwise monotone
+    * non-increasing through every propagate/jump, the fixpoint (each
+    * vertex at its component minimum) is unique, and the loop stops on
+    * the same sum-unchanged detector — TextDedupSpec's path-graph pin
+    * and every CC consumer's oracle hash gate the equality. */
+  private[queries] val CcJumpsPerRound = 3
 
   /** [[connectedComponents]] plus the executed round count — the spec hook
     * for the O(log diameter) convergence pin (TextDedupSpec's crafted
@@ -1226,13 +1296,26 @@ object TextDedup {
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
-      val jumped = ccRound(edges, labels)
+      // r13: propagate once, then CcJumpsPerRound pointer-doubling jumps,
+      // each behind its own lazy checkpoint (rule (2) above: the chain
+      // materializes under the round's single probe action; without the
+      // checkpoints the self-joins would inline the propagate subtree
+      // 2^J times). Intermediate blocks are released AFTER the probe has
+      // materialized the final table (rule (1)).
       rounds += 1
-      val (next, nextRdds) = localCheckpointLazyTracked(jumped)
-      val nextSum = labelSum(next) // ONE fused job: materialize + probe
+      var (cur, curRdds) = localCheckpointLazyTracked(ccPropagate(edges, labels))
+      var spentRdds = Seq.empty[org.apache.spark.rdd.RDD[_]]
+      for (_ <- 1 to CcJumpsPerRound) {
+        val (next, nextRdds) = localCheckpointLazyTracked(ccJump(cur))
+        spentRdds ++= curRdds
+        cur = next
+        curRdds = nextRdds
+      }
+      val nextSum = labelSum(cur) // ONE fused job: materialize chain + probe
+      release(spentRdds)
       release(labelsRdds)
-      labels = next
-      labelsRdds = nextRdds
+      labels = cur
+      labelsRdds = curRdds
       converged = nextSum == prevSum
       prevSum = nextSum
     }

@@ -230,10 +230,14 @@ class TextDedupSpec extends SparkSpec {
   }
 
   test("connectedComponents fails loudly when maxRounds is under the diameter") {
-    val chain = (0L until 20L).map(i => (i, i + 1))
+    // r13: a round is now propagate + CcJumpsPerRound pointer-doubling
+    // jumps, so per round the reachable chase depth multiplies by at most
+    // (d+1)·2^3 — after 2 rounds that is < 200, so a 200-link chain
+    // cannot converge in 2 rounds and the guard must throw
+    val chain = (0L until 200L).map(i => (i, i + 1))
     val edges = (chain ++ chain.map(_.swap)).toDF("src", "dst")
     val e = intercept[IllegalArgumentException] {
-      TextDedup.connectedComponents(edges, maxRounds = 3)
+      TextDedup.connectedComponents(edges, maxRounds = 2)
     }
     assert(e.getMessage.contains("did not converge"))
   }
